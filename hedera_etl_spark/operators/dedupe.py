@@ -1,0 +1,232 @@
+"""The deduplication engine — Spark-native port of the reference's
+hedera-deduplication-bigquery module.
+
+The reference is a Spring-scheduled job issuing templated BigQuery SQL
+(AbstractDeduplication.java:94-126): read a KV state row, compute a
+[start, end] timestamp window, detect duplicates with GROUP BY/HAVING
+(GetDuplicatesTemplateQuery.java:33-36), atomically replace the window with
+its deduped content via MERGE ON FALSE (RemoveDuplicatesTemplateQuery.java:29-43),
+then upsert the new end into state (SetStateQuery.java:34-40).
+
+Spark-native design decisions:
+
+- The MERGE ON FALSE delete+insert is exactly partition-range overwrite
+  semantics; we implement it with dynamic partition overwrite on a
+  date-partitioned parquet table (Delta's replaceWhere where available).
+- The reference's UPDATE-as-mutability-probe protocol
+  (IncrementalDeduplication.java:89-107) exists only because BigQuery's
+  streaming buffer rejects DML for ~30 min.  Parquet has no mutability
+  horizon, so the window end is simply ``min(max(ts), now - lateness_slack)``
+  — deterministic, no probing (SURVEY §4 O6).
+- State lives in a tiny single-file parquet KV table with the reference's
+  schema (state-schema.json:1-13) and keys
+  (AbstractDeduplication.java:60-61): incremental/full LatestEndTimestamp.
+
+Scale: the duplicate-collapse is a single shuffle on the dedup key *within
+the affected date partitions only* — the time predicate prunes everything
+else at the scan (SURVEY §4 O1).  At 100 TB with DAY partitions, an
+incremental run touches ~1 partition.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+INCREMENTAL_STATE_KEY = "incrementalLatestEndTimestamp"
+FULL_STATE_KEY = "fullLatestEndTimestamp"
+
+
+# ---------------------------------------------------------------------------
+# state table (S4/J2: GetStateQuery / SetStateQuery)
+# ---------------------------------------------------------------------------
+class StateStore:
+    """KV state table with the reference's dedupe_state schema.
+
+    The reference keeps it in BigQuery "because the task already relies on
+    BigQuery" (README.md:65-67); we keep it in a single-file parquet table
+    and emulate the MERGE upsert (SetStateQuery.java:34-40) with
+    read-union-dropDuplicates-overwrite — correct under the same
+    single-writer discipline the reference assumes.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> dict[str, str]:
+        if not os.path.exists(self.path):
+            return {}
+        rows = self.spark.read.schema(STATE_SCHEMA).parquet(self.path).collect()
+        return {r["name"]: r["value"] for r in rows}
+
+    def upsert(self, name: str, value: str) -> None:
+        state = self.read()
+        state[name] = value
+        df = self.spark.createDataFrame(
+            [(k, v) for k, v in sorted(state.items())], STATE_SCHEMA
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+
+# ---------------------------------------------------------------------------
+# duplicate detection (A1: GetDuplicatesTemplateQuery.java:33-36)
+# ---------------------------------------------------------------------------
+def find_duplicates(df: DataFrame, key: str, start=None, end=None, ts_col: str | None = None) -> DataFrame:
+    """GROUP BY key HAVING count(*) > 1 over an optional time window.
+
+    Returns (key, num) — the same shape the reference feeds its duplicate
+    metrics fold (GetDuplicatesTemplateQuery.java:62-72).
+    """
+    if start is not None:
+        df = df.filter(F.col(ts_col or key).between(start, end))
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("num"))
+        .filter(F.col("num") > 1)
+    )
+
+
+def duplicate_count(dups: DataFrame) -> int:
+    """Total excess rows: sum(num - 1) — the reference's client-side fold
+    (GetDuplicatesTemplateQuery.java:62-72) pushed into the engine."""
+    row = dups.agg(F.sum(F.col("num") - 1).alias("extra")).collect()[0]
+    return int(row["extra"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# dedup collapse (A2/J1: RemoveDuplicatesTemplateQuery.java:29-43)
+# ---------------------------------------------------------------------------
+def collapse_duplicates(df: DataFrame, key, tiebreak: list[str] | None = None) -> DataFrame:
+    """Keep exactly one row per key.
+
+    The reference keeps an *arbitrary* row (ARRAY_AGG(x LIMIT 1),
+    RemoveDuplicatesTemplateQuery.java:33) because its duplicates are
+    byte-identical; for hash-stable results we keep the first row under an
+    explicit tiebreak ordering when one is given, else dropDuplicates.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if not tiebreak:
+        return df.dropDuplicates(keys)
+    w = W.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the scheduled jobs (AbstractDeduplication.runDedupe, steps 1-6)
+# ---------------------------------------------------------------------------
+@dataclass
+class DedupeResult:
+    start: int
+    end: int
+    duplicates_removed: int
+    rows_in_window: int
+
+
+class DedupeJob:
+    """Incremental + full dedup over a DAY-partitioned parquet table.
+
+    Table layout contract: partitioned by ``part_date`` (DATE), carries an
+    epoch-seconds column ``ts_sec`` (the reference filters on
+    UNIX_SECONDS(consensusTimestampTruncated) everywhere —
+    GetDuplicatesTemplateQuery.java:35), a unique-key column and a tiebreak
+    column.
+
+    The window-advance protocol mirrors AbstractDeduplication.java:45-58 /
+    IncrementalDeduplication.java:72-107 minus the streaming-buffer probe:
+    start = saved end (inclusive: the filter column is not unique,
+    IncrementalDeduplication.java:74-77), end = max available timestamp
+    minus the lateness slack.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        state: StateStore,
+        key: str = "consensus_timestamp",
+        tiebreak: str = "ingest_seq",
+        lateness_slack_sec: int = 0,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.state = state
+        self.key = key
+        self.tiebreak = tiebreak
+        self.lateness_slack_sec = lateness_slack_sec
+
+    def _read(self) -> DataFrame:
+        return self.spark.read.parquet(self.table_path)
+
+    def _window_end(self) -> int | None:
+        row = self._read().agg(F.max("ts_sec").alias("m")).collect()[0]
+        if row["m"] is None:
+            return None
+        return int(row["m"]) - self.lateness_slack_sec
+
+    def run_incremental(self) -> DedupeResult:
+        state = self.state.read()
+        start = int(state.get(INCREMENTAL_STATE_KEY, 0))
+        end = self._window_end()
+        if end is None or end < start:
+            return DedupeResult(start, start, 0, 0)
+        result = self._dedupe_window(start, end)
+        self.state.upsert(INCREMENTAL_STATE_KEY, str(end))
+        return result
+
+    def run_full(self) -> DedupeResult:
+        """Re-dedup all history below the incremental checkpoint — the
+        24-hour safety net healing pathological lateness
+        (FullDeduplication.java:30-54, window [0, incrementalEnd] at :68-75)."""
+        state = self.state.read()
+        end = int(state.get(INCREMENTAL_STATE_KEY, 0))
+        result = self._dedupe_window(0, end)
+        self.state.upsert(FULL_STATE_KEY, str(end))
+        return result
+
+    def _dedupe_window(self, start: int, end: int) -> DedupeResult:
+        df = self._read()
+        in_window = df.filter(F.col("ts_sec").between(start, end))
+        dups = find_duplicates(in_window, self.key)
+        n_dups = duplicate_count(dups)
+        n_rows = in_window.count()
+        if n_dups == 0:
+            # No-op fast path (AbstractDeduplication.java:109-111 only runs
+            # the MERGE when duplicates exist).
+            return DedupeResult(start, end, 0, n_rows)
+
+        deduped = collapse_duplicates(in_window, self.key, [self.tiebreak])
+        # MERGE ON FALSE delete+insert == replace the window's partitions with
+        # their deduped content (RemoveDuplicatesTemplateQuery.java:29-43).
+        # Dynamic partition overwrite rewrites exactly the partitions present
+        # in `deduped` — outside-window rows in those partitions must be
+        # retained, so we union them back in.
+        touched_dates = [r["part_date"] for r in deduped.select("part_date").distinct().collect()]
+        keep = df.filter(
+            F.col("part_date").isin(touched_dates) & ~F.col("ts_sec").between(start, end)
+        )
+        replacement = deduped.unionByName(keep)
+        # Break lineage before overwriting the path we read from (plain
+        # parquet is not ACID; production path is Delta MERGE/replaceWhere —
+        # single-writer discipline here, same assumption as the reference's
+        # one scheduler thread, DedupeConfiguration.java:35).
+        replacement = replacement.localCheckpoint(eager=True)
+
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        replacement.write.mode("overwrite").partitionBy("part_date").parquet(self.table_path)
+        return DedupeResult(start, end, n_dups, n_rows)

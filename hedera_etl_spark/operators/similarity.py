@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline.  Query set broadcasts;
+  candidates never shuffle; ranking is a per-query window (or a
+  TakeOrderedAndProject when k is global).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures.  The
+  hyperplane sign matrix is generated from md5 in *Python at plan time* and
+  embedded as literal arrays, so any engine (and the DuckDB oracle)
+  reproduces identical buckets.  Candidates are an equi-join on bucket id —
+  at corpus scale this is the difference between O(n*q) and O(n*q/2^planes).
+- embedding near-dup: cosine >= threshold pairs within LSH buckets.
+
+All vector math uses explicitly sequential folds (F.aggregate) in double
+precision — see hedera_etl_spark.functions: bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.functions import cosine, dot
+
+
+def hyperplane_signs(n_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic +/-1 hyperplane matrix: sign(p,d) from md5("p:d")."""
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] >= "8" else -1
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col, signs: list[list[int]]):
+    """Bucket id column: bit p set iff the dot(vec, plane_p) >= 0."""
+    bucket = None
+    for p, plane in enumerate(signs):
+        lit_plane = F.array(*[F.lit(float(s)) for s in plane])
+        proj = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, lit_plane)
+        bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a fixed query set.
+
+    The query side is a small broadcast; scoring is one scan of the corpus;
+    per-query ranking is a window over q partitions.  Ties break on
+    neighbor id for determinism.
+    """
+    from pyspark.sql import Window as W
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cands = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall improves with multi-probe / more tables; this single-table form
+    is the scale skeleton (bucket equi-join replaces the cross join).
+    """
+    from pyspark.sql import Window as W
+
+    signs = hyperplane_signs(n_planes, dims)
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(vec_col, signs).alias("bucket"),
+    )
+    queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(bucketed, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, LSH-blocked.
+
+    Near-identical vectors land in the same bucket with probability
+    (1 - theta/pi)^planes ~ 1 for theta -> 0, so blocking loses only
+    borderline pairs — the standard recall/cost trade."""
+    signs = hyperplane_signs(n_planes, dims)
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(vec_col, signs).alias("bucket"),
+    )
+    left = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.col("cos").cast("decimal(9,6)").alias("cos_sim")
+        )
+        .orderBy("id_a", "id_b")
+    )

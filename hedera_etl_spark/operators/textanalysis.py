@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in expressions (split/regexp/md5/aggregate) — no Python in
+the hot path; each operator is a narrow projection + at most one aggregate,
+so cost is one scan at any corpus size.
+
+Ratios are single IEEE divisions over exact integers cast to DECIMAL, so the
+DuckDB oracle reproduces every value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.functions import tokens
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+#: (Mechanism demo: real pipelines plug fastText/CLD3 via the same shape.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+#: Word-ish token pattern for the regex tokenizer (BPE-ish split classes:
+#: letter runs, digit runs, single punctuation marks).
+WORD_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + regex word-ish tokens + distincts."""
+    t = tokens(text_col)
+    # int32 builtins (size/length) cast to long so the result schema matches
+    # the oracle's BIGINT counts
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(WORD_PATTERN)).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def _stopword_hits(text_col: str, words: tuple[str, ...]) -> F.Column:
+    """Count of tokens belonging to a stopword set, as a column expression."""
+    return F.size(
+        F.filter(tokens(text_col), lambda x: x.isin(list(words)))
+    )
+
+
+def language_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-language stopword-ratio scores + argmax prediction.
+
+    Deterministic argmax: ties broken by language code order (sorted), so
+    the prediction is a pure function of the text.
+    """
+    langs = sorted(LANG_PROFILES)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        *[
+            _stopword_hits(text_col, LANG_PROFILES[lang]).alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    for lang in langs:
+        scored = scored.withColumn(
+            f"score_{lang}",
+            (F.col(f"hits_{lang}") / F.col("n_tokens")).cast("decimal(9,6)"),
+        )
+    # Earliest-index argmax as a CASE chain: the first language whose score
+    # is >= all LATER languages' scores is the argmax (an earlier arm only
+    # fails when some later score strictly exceeds it, so a failed arm is
+    # never the max).  The identical CASE chain runs in the DuckDB oracle.
+    best = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    scored = scored.withColumn("predicted_lang", best.otherwise(F.lit(langs[-1])))
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in langs], "predicted_lang"
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, type-token ratio, mean token
+    length, stopword ratio, and a deterministic combined score."""
+    t = tokens(text_col)
+    en = LANG_PROFILES["en"]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        _stopword_hits(text_col, en).cast("long").alias("stop_hits"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens")).cast("decimal(9,6)").alias("ttr"),
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"))
+        .cast("decimal(9,6)")
+        .alias("avg_token_len"),
+        (F.col("stop_hits") / F.col("n_tokens")).cast("decimal(9,6)").alias("stopword_ratio"),
+        # combined score over exact integers -> deterministic decimal
+        (
+            (F.col("n_distinct") * 100 + F.col("stop_hits") * 10) / F.col("n_tokens")
+        )
+        .cast("decimal(12,6)")
+        .alias("quality_score"),
+    )
+
+
+def char_fingerprints(
+    docs: DataFrame, gram: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint from character n-grams (winnowing-style):
+    the minimum md5 over all character 5-grams, plus the distinct-gram
+    count.  Rolling windows are a pure index-sequence transform."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - F.lit(gram - 1), F.lit(1))),
+        lambda i: F.col(text_col).substr(i, F.lit(gram)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.array_min(F.transform(grams, F.md5)), 1, 16).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
+    )

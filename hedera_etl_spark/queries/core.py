@@ -1,0 +1,583 @@
+"""Core relational query set (SURVEY.md §2.9 Q01-Q16).
+
+These exercise every operator class the reference uses plus the analytics
+surface it delegates to BigQuery: scan/filter/project, hash aggregate with
+HAVING (GetDuplicatesTemplateQuery.java:33-36 shape), first-row-per-group
+dedup (RemoveDuplicatesTemplateQuery.java:29-43 shape), min/max probes
+(GetNextTimestampTemplateQuery.java:29-30), dimension joins, semi/anti joins,
+big joins with top-k, theta/range joins, ranking and frame windows, set ops,
+rollup, scalar functions, explode over repeated data, and tumbling windows.
+
+Scale notes are in each docstring: which side broadcasts, where the shuffle
+lands, and what AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Q01 — scan + filter + project (S4/P5)
+# ---------------------------------------------------------------------------
+@query(
+    "q01_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity BETWEEN 30 AND 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scan", "filter", "project"),
+    bench=True,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: predicate + projection must both reach the parquet
+    reader (PushedFilters / 3-column ReadSchema in the physical plan).
+    Reference analogue: the universal time-range predicate P5
+    (GetDuplicatesTemplateQuery.java:35)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_quantity").between(30, 45))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 — hash aggregate + HAVING (A1, the GetDuplicates shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q02_groupby_having",
+    """
+    SELECT o_custkey, COUNT(*) AS num
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    ORDER BY o_custkey
+    """,
+    tags=("aggregate", "having"),
+    bench=True,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-detection aggregate: GROUP BY key HAVING count>N — the exact
+    shape of GetDuplicatesTemplateQuery.java:33-36.  Spark plans partial
+    (map-side) + final HashAggregate, so the shuffle carries one row per
+    (partition, key), not per input row."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("num"))
+        .filter(F.col("num") > 12)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 — first-row-per-group dedup (A2/J1, the RemoveDuplicates shape)
+# ---------------------------------------------------------------------------
+_DUPED_EVENTS_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, 0 AS ingest_seq FROM events
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, 1 AS ingest_seq
+    FROM events WHERE event_id % 5 = 0
+"""
+
+
+def duped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with every 5th row duplicated — port of the reference
+    integration-test generator (TransactionsGenerator.java:70-81: every 5th
+    transaction inserted twice), with a deterministic ingest_seq tiebreaker
+    replacing the reference's arbitrary-row choice
+    (RemoveDuplicatesTemplateQuery.java:33)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    originals = ev.withColumn("ingest_seq", F.lit(0))
+    replays = ev.filter(F.col("event_id") % 5 == 0).withColumn("ingest_seq", F.lit(1))
+    return originals.unionByName(replays)
+
+
+@query(
+    "q03_dedup_first_per_group",
+    f"""
+    WITH dups AS ({_DUPED_EVENTS_SQL})
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ingest_seq) AS rn
+      FROM dups
+    )
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("dedup", "window"),
+    bench=True,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep exactly one row per key with a deterministic tiebreak —
+    row_number()==1, the Spark-native form of
+    RemoveDuplicatesTemplateQuery.java:32-37's ARRAY_AGG(x LIMIT 1).
+    One shuffle on the dedup key; at scale the same plan services
+    arbitrarily large inputs since state is per-key-group."""
+    w = W.partitionBy("event_id").orderBy("ingest_seq")
+    return (
+        duped_events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — ungrouped MIN/MAX probes (A3/A4)
+# ---------------------------------------------------------------------------
+@query(
+    "q04_minmax_probe",
+    """
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date,
+           CAST(MAX(o_orderdate) AS DATE) AS max_date,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'
+    """,
+    tags=("aggregate",),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup job's window-advance probes: ungrouped MIN over a filtered
+    range (GetNextTimestampTemplateQuery.java:29-30) and ungrouped MAX
+    (GetLatestDedupeRowTemplateQuery.java:29-30).  Plans as a partial+final
+    agg with a one-row shuffle — constant cost at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderdate") > F.lit("1995-06-01 00:00:00").cast("timestamp_ntz")).agg(
+        F.min("o_orderdate").cast("date").alias("min_date"),
+        F.max("o_orderdate").cast("date").alias("max_date"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05 — dimension join + aggregate (J3)
+# ---------------------------------------------------------------------------
+@query(
+    "q05_dim_join_agg",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price,
+           COUNT(*) AS num_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("join", "broadcast", "aggregate"),
+    bench=True,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readable-analytics dimension join — the reason transaction_types
+    exists in the reference (scripts/create-tables.sh:38-59).  nation is
+    explicitly broadcast; customer stays under the auto-broadcast threshold
+    at any realistic scale factor, so the orders fact table never shuffles
+    for the join — only the final 25-group aggregate shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("total_price"),
+            F.count("*").alias("num_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q06 — anti / semi joins
+# ---------------------------------------------------------------------------
+@query(
+    "q06_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def q06a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN / NOT EXISTS as a left-anti join.  At scale Spark broadcasts
+    the smaller distinct key set; with AQE the strategy flips to shuffled
+    hash join automatically if the build side grows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q06_semi_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def q06b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row multiplication, early out)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07 — big join + aggregate + top-k
+# ---------------------------------------------------------------------------
+@query(
+    "q07_bigjoin_topk",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey
+    ORDER BY rev DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "aggregate"),
+    bench=True,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join + top-k.  Both sides shuffle on orderkey (sort-merge
+    or shuffled-hash per AQE); the ORDER BY ... LIMIT plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver, never a global sort.  Tie-broken on l_orderkey for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(28,2)").alias("rev"))
+        .orderBy(F.col("rev").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — theta / range joins
+# ---------------------------------------------------------------------------
+@query(
+    "q08_theta_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS late_lines
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "theta"),
+    bench=True,
+)
+def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: the equi part drives the shuffle/join
+    strategy, the range predicate evaluates as a post-join filter — this is
+    the scalable shape (never a nested loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("late_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q08_range_join",
+    """
+    SELECT s_suppkey, COUNT(*) AS n_close
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "range"),
+)
+def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key).  Spark plans BroadcastNestedLoopJoin
+    with the small side broadcast — acceptable because supplier is a
+    dimension.  For two large sides the engine's scale path is bucketized
+    range join: join on floor(value/width) buckets (+/-1) then filter, which
+    turns it into an equi join; see operators docstrings."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(supplier)
+        .join(
+            customer,
+            customer.c_acctbal.between(supplier.s_acctbal - 10, supplier.s_acctbal + 10),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09/Q10 — window functions
+# ---------------------------------------------------------------------------
+@query(
+    "q09_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, r
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r
+      FROM orders
+    )
+    WHERE r <= 3
+    ORDER BY o_custkey, r, o_orderkey
+    """,
+    tags=("window", "rank"),
+    bench=True,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window — one shuffle on the partition key,
+    sort within partitions, no global sort.  The reference's first-per-group
+    dedup (A2) is the rn=1 special case of this."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") <= 3)
+        .select("o_custkey", "o_orderkey", "r")
+        .orderBy("o_custkey", "r", "o_orderkey")
+    )
+
+
+@query(
+    "q10_window_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS run_sum
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "frame"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame running aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) with a total-order sort key inside each partition for determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(28,2)").alias("run_sum"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q11 — set operations
+# ---------------------------------------------------------------------------
+@query(
+    "q11_set_intersect",
+    """
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    tags=("setop",),
+)
+def q11a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.select("c_custkey")
+        .intersect(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q11_set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    tags=("setop",),
+)
+def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.select("c_custkey")
+        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — ROLLUP
+# ---------------------------------------------------------------------------
+@query(
+    "q12_rollup",
+    """
+    SELECT n_name, o_orderpriority, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("rollup", "aggregate"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate via ROLLUP.  NULLS FIRST is explicit because
+    Spark and DuckDB default null ordering differently (Spark NULLS FIRST,
+    DuckDB NULLS LAST)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — scalar function surface
+# ---------------------------------------------------------------------------
+@query(
+    "q13_scalar_functions",
+    """
+    SELECT o_orderkey,
+           UPPER(SUBSTRING(o_orderpriority, 3)) AS prio_name,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS status_prio,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS price_mod,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DECIMAL(18,0)) AS price_round,
+           CAST(sqrt(o_totalprice) AS DECIMAL(18,4)) AS price_sqrt,
+           o_orderkey % 7 AS key_mod
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar",),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions (SURVEY §2.6).  Doubles never feed
+    the hash directly: they are cast to DECIMAL first (sqrt is IEEE-exact, so
+    the cast is deterministic across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 100)).alias("prio_name"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        (F.col("o_totalprice").cast(DEC) % 100).alias("price_mod"),
+        F.round(F.col("o_totalprice").cast(DEC), 0).cast("decimal(18,0)").alias("price_round"),
+        F.sqrt("o_totalprice").cast("decimal(18,4)").alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q14 — explode / UNNEST (the transferList shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q14_explode_tokens",
+    """
+    SELECT lang, tok, COUNT(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang, tok
+    HAVING COUNT(*) >= 20
+    ORDER BY lang, tok
+    """,
+    tags=("explode", "aggregate"),
+    bench=True,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() over an array column — the load-bearing repeated-record
+    access pattern (SURVEY §2.6: transferList.accountAmounts is queryable
+    only via explode; transactions-schema.json:335-364)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+        .orderBy("lang", "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — tumbling window aggregate (ST6)
+# ---------------------------------------------------------------------------
+@query(
+    "q16_window_tumbling",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("window-agg", "streaming"),
+    bench=True,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window via F.window — the identical expression
+    runs under Structured Streaming with a watermark (see
+    streaming/ingest.py); here it executes in batch mode for the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(28,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,89 @@
+"""SparkSession construction and per-session tuning.
+
+Two entry points:
+
+- ``get_spark``         build a local session (tests / bench) with scale-aware
+                        defaults: AQE on, shuffle partitions ~= cores, Arrow on.
+- ``configure_session`` apply the *runtime* confs this engine depends on to an
+                        externally provided session (the driver hands us one).
+
+Scale notes (the same code must hold on a 1000-executor cluster at ~100 TB):
+
+- AQE (`spark.sql.adaptive.*`) is the single most important knob at scale:
+  runtime partition coalescing, skew-join splitting, and join-strategy
+  switching replace hand-tuned shuffle counts.
+- `spark.sql.shuffle.partitions` is sized to cores locally; on a real cluster
+  AQE's coalescing makes the static value mostly irrelevant as long as it is
+  high enough (set it to 2-3x total executor cores).
+- Session timezone is pinned to UTC so timestamp semantics are stable across
+  driver machines (and match the DuckDB oracle, which is UTC-naive).
+- `spark.sql.legacy.parquet.nanosAsLong` lets Spark scan parquet
+  TIMESTAMP(NANOS) columns (the `events` table) as raw int64 nanos.  This
+  mirrors the reference's own choice to keep nanosecond timestamps as INT64
+  (reference: hedera-etl-bigquery/src/main/resources/transactions-schema.json:7-10)
+  and derive a microsecond TIMESTAMP from them
+  (reference: TransactionJsonToTableRow.java:57-58).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs the engine relies on.  Applied both when we build
+#: the session ourselves and when the driver hands us one.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime in this build — rely on defaults.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hedera-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    """Build a local SparkSession with scale-aware defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    default to the core count (AQE coalesces further at runtime).
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(env) if env else (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)

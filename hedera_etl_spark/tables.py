@@ -1,0 +1,60 @@
+"""Loaders for the driver-provided parquet tables (/root/testdata/sf*).
+
+All queries in the registry read through ``load_table`` / ``register_views``
+so that schema quirks are normalized in exactly one place:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot scan natively;
+  with ``spark.sql.legacy.parquet.nanosAsLong`` it scans as int64 nanos.  We
+  keep the raw nanos as ``ts_ns`` (the reference keeps nano timestamps as
+  INT64 too — reference transactions-schema.json:7-10) and derive the
+  microsecond-truncated ``ts`` exactly like the reference's
+  ``consensusTimestampTruncated`` derivation (TransactionJsonToTableRow.java:57-58):
+  ``timestamp_micros(ts_ns div 1000)``.  The result is cast to TIMESTAMP_NTZ so
+  its values match what DuckDB sees when it coerces nanos to its native
+  microsecond timestamps.
+- every other table loads as-is (orders/lineitem date columns arrive as
+  TIMESTAMP_NTZ already).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.session import configure_session
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing the events timestamp column."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view (same names DuckDB pre-registers)."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
