@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Everything delegates to the engine's query registry
+(hedera_etl_spark/queries/__init__.py): each registered QuerySpec
+carries the Spark implementation and its DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -16,23 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from hedera_etl_spark.queries import load_registry
+    from hedera_etl_spark.session import configure_session
+
+    configure_session(spark)
+    registry = load_registry()
+    return registry["q05_dim_join_agg"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from hedera_etl_spark.queries import load_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark_fn for name, spec in load_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twin for every hash-checkable registry entry (entries
+    with ``oracle=None`` are streaming/stateful — rows-only checks)."""
+    from hedera_etl_spark.queries import load_registry
+
+    return {
+        name: spec.oracle
+        for name, spec in load_registry().items()
+        if spec.oracle is not None
+    }

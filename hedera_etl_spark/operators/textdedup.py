@@ -156,13 +156,19 @@ def minhash_lsh_neardups(
     k: int = 9,
     bands: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: shingle -> sign -> band ->
-    candidate join -> exact-Jaccard verify -> threshold."""
+    candidate join -> exact-Jaccard verify -> threshold.
+
+    ``max_bucket`` defaults ON (500): on a real corpus one boilerplate
+    shingle bucket otherwise goes quadratic in the candidate self-join;
+    dropping degenerate buckets is the standard LSH production guard
+    (pass None to disable for exhaustive small-corpus runs)."""
     rows = k // bands
     sh = doc_shingles(docs, n)
     sig = minhash_signatures(sh, k)
-    cand = lsh_candidates(sig, bands, rows)
+    cand = lsh_candidates(sig, bands, rows, max_bucket=max_bucket)
     return (
         verify_jaccard(sh, cand)
         .filter(F.col("jaccard") >= threshold)
@@ -178,69 +184,113 @@ def _bit_sign(h: Column, j: int) -> Column:
     return F.when(F.substring(h, j + 1, 1).isin(HEX_HIGH), F.lit(1)).otherwise(F.lit(-1))
 
 
-def simhash_fingerprints(
-    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc SimHash: token-count-weighted sign sum per bit, then sign.
+#: Salt prefixing the md5 that supplies the high 32 fingerprint bits.
+SIMHASH_HI_SALT = "hi:"
 
-    Bit j of the fingerprint is set iff sum over tokens of
-    count(token) * (+/-1 from md5(token) hex char j) is positive.  One
-    explode + two hash aggregates; all 32 bit-sums are columns of a single
-    aggregate pass.
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as two 32-bit halves (fp_hi, fp_lo).
+
+    Bit j of each half is set iff sum over tokens of
+    count(token) * (+/-1 from hex char j of the half's md5) is positive.
+    The low half hashes the token directly; the high half hashes
+    ``"hi:" || token`` — an independent hash-family member.
+
+    Two 32-bit longs instead of one 64-bit value keeps every intermediate
+    inside non-overflowing BIGINT arithmetic on any engine (bit 63 of a
+    single value would need the sign bit).  One explode + two hash
+    aggregates; all 64 bit-sums are columns of a single aggregate pass.
     """
     tok = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("token"))
+        .withColumn("h_lo", F.md5("token"))
+        .withColumn("h_hi", F.md5(F.concat(F.lit(SIMHASH_HI_SALT), F.col("token"))))
     )
     sums = tok.groupBy("doc_id").agg(
-        *[F.sum(F.col("cnt") * _bit_sign(F.col("h"), j)).alias(f"s_{j}") for j in range(bits)]
+        *[F.sum(F.col("cnt") * _bit_sign(F.col("h_lo"), j)).alias(f"s_lo_{j}") for j in range(32)],
+        *[F.sum(F.col("cnt") * _bit_sign(F.col("h_hi"), j)).alias(f"s_hi_{j}") for j in range(32)],
     )
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.alias("simhash"))
+
+    def half(prefix: str) -> Column:
+        fp = F.lit(0).cast("long")
+        for j in range(32):
+            fp = fp + F.when(
+                F.col(f"{prefix}_{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fp
+
+    return sums.select("doc_id", half("s_hi").alias("fp_hi"), half("s_lo").alias("fp_lo"))
 
 
 def simhash_neardups(
-    docs: DataFrame, bits: int = 32, n_bands: int = 4, max_hamming: int = 3
+    docs: DataFrame, n_bands: int = 4, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance with banded blocking.
+    """Near-dup pairs by 64-bit SimHash hamming distance, banded blocking.
 
     Pigeonhole: two fingerprints within hamming distance ``max_hamming``
     agree on at least one of ``max_hamming + 1`` disjoint bands — with
     n_bands > max_hamming the equi-join on (band_id, band_value) is a
     complete (no-miss) blocking scheme.
+
+    With the default 4 bands over 64 bits, band values are 16-bit: 65,536
+    buckets per band, so bucket occupancy stays O(corpus / 65k) — the
+    32-bit/8-bit-band variant collapsed to <=256 buckets and went quadratic
+    at corpus scale.
     """
-    assert n_bands > max_hamming, "blocking is lossy unless n_bands > max_hamming"
-    band_bits = bits // n_bands
-    fp = simhash_fingerprints(docs, bits)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"blocking is lossy unless n_bands > max_hamming (got {n_bands} <= {max_hamming})"
+        )
+    if n_bands % 2 or 64 % n_bands:
+        raise ValueError(f"n_bands must be even and divide 64 (got {n_bands})")
+    band_bits = 64 // n_bands
+    per_half = n_bands // 2
+    fp = simhash_fingerprints(docs)
+
+    def band_value(b: int) -> Column:
+        half = F.col("fp_lo") if b < per_half else F.col("fp_hi")
+        shift = (b % per_half) * band_bits
+        return F.shiftrightunsigned(half, shift).bitwiseAND(F.lit((1 << band_bits) - 1))
+
     bands_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .alias("bv"),
-            )
+            F.struct(F.lit(b).alias("band"), band_value(b).alias("bv"))
             for b in range(n_bands)
         ]
     )
-    buckets = fp.select("doc_id", "simhash", F.explode(bands_arr).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    buckets = fp.select("doc_id", "fp_hi", "fp_lo", F.explode(bands_arr).alias("bk")).select(
+        "doc_id", "fp_hi", "fp_lo", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
     )
-    left = buckets.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "bv")
-    right = buckets.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "bv")
+    left = buckets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp_hi").alias("hi_a"),
+        F.col("fp_lo").alias("lo_a"),
+        "band",
+        "bv",
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp_hi").alias("hi_b"),
+        F.col("fp_lo").alias("lo_b"),
+        "band",
+        "bv",
+    )
     pairs = (
         left.join(right, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
     )
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")

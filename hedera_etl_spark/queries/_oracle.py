@@ -1,0 +1,188 @@
+"""DuckDB oracle SQL fragments for the LLM-pipeline query modules.
+
+Every operator in operators/textdedup.py, textanalysis.py and similarity.py
+is built from md5-derived hashing and sequential floating-point folds
+precisely so a DuckDB oracle can reproduce each value bit-for-bit.  The
+fragments here are the DuckDB twins of those Spark expressions; each twin
+cites the Spark function it mirrors so drift is auditable.
+
+These are *SQL text generators* (plain Python string building at import
+time) — nothing here executes anything.
+"""
+
+from __future__ import annotations
+
+HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+
+
+def shingle_cte(src: str, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Distinct (doc_id, shingle) pairs — twin of textdedup.doc_shingles.
+
+    Spark: F.transform over an index sequence joining n tokens with spaces;
+    DuckDB: list_transform over generate_series with a 1-based inclusive
+    list slice.  Docs shorter than n tokens yield no rows on both sides.
+    """
+    return f"""
+    toks AS (SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS t FROM {src}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                                   i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
+      FROM toks
+    )"""
+
+
+def minhash_sig_cte(k: int = 9) -> str:
+    """MinHash signature columns — twin of textdedup.minhash_signatures.
+
+    min() over fixed-length md5 hex strings == numeric min of the 128-bit
+    values, identically in both engines.
+    """
+    cols = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id,
+             {cols}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+def lsh_bucket_cte(bands: int = 3, rows: int = 3, max_bucket: int | None = 500) -> str:
+    """Banded buckets + skew guard + candidate pairs — twin of
+    textdedup.lsh_candidates (band signatures via concat_ws, degenerate
+    buckets dropped, equi-self-join, doc_a < doc_b, distinct)."""
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS sig FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    guard = ""
+    src = "buckets"
+    if max_bucket is not None:
+        guard = f""",
+    kept AS (
+      SELECT band, sig FROM buckets GROUP BY band, sig HAVING COUNT(*) <= {max_bucket}
+    ),
+    buckets_g AS (SELECT b.* FROM buckets b JOIN kept USING (band, sig))"""
+        src = "buckets_g"
+    return f"""
+    buckets AS (
+{band_selects}
+    ){guard},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {src} a JOIN {src} b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def jaccard_select(threshold: float) -> str:
+    """Exact shingle-Jaccard verify over cand — twin of
+    textdedup.verify_jaccard (+ threshold filter + total order)."""
+    return f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           na.n AS n_a, nb.n AS n_b,
+           CAST(i.inter / (na.n + nb.n - i.inter) AS DECIMAL(9,6)) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.inter / (na.n + nb.n - i.inter) AS DECIMAL(9,6)) >= {threshold}
+    ORDER BY doc_a, doc_b"""
+
+
+def simhash_fp_cte(src: str, hi_salt: str = "hi:") -> str:
+    """64-bit SimHash as (fp_hi, fp_lo) 32-bit halves — twin of
+    textdedup.simhash_fingerprints (token-count-weighted sign sums from
+    md5 hex-char high bits, then threshold-at-zero per bit)."""
+    sum_cols = []
+    for half, col in (("lo", "h_lo"), ("hi", "h_hi")):
+        for j in range(32):
+            sum_cols.append(
+                f"sum(CASE WHEN substring({col}, {j + 1}, 1) IN {HEX_HIGH_SQL}"
+                f" THEN cnt ELSE -cnt END) AS s_{half}_{j}"
+            )
+    sums = ",\n             ".join(sum_cols)
+
+    def half_expr(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN s_{prefix}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+        )
+
+    return f"""
+    tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt,
+             md5(token) AS h_lo, md5('{hi_salt}' || token) AS h_hi
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src})
+      GROUP BY doc_id, token
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM tok GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST({half_expr('hi')} AS BIGINT) AS fp_hi,
+             CAST({half_expr('lo')} AS BIGINT) AS fp_lo
+      FROM sums
+    )"""
+
+
+def fold_dot(a: str, b: str, dims: int) -> str:
+    """Sequential-fold dot product — twin of functions.dot (zip_with then
+    F.aggregate left fold; 0.0 + x == x in IEEE, so list_reduce over the
+    products matches Spark's zero-seeded fold bit-for-bit)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dims}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def fold_norm(a: str, dims: int) -> str:
+    """Sequential-fold L2 norm — twin of functions.norm."""
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dims}), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def fold_cosine(a: str, b: str, dims: int) -> str:
+    """Cosine via sequential folds — twin of functions.cosine."""
+    return f"({fold_dot(a, b, dims)} / ({fold_norm(a, dims)} * {fold_norm(b, dims)}))"
+
+
+def plane_literal(plane: list[int]) -> str:
+    """A hyperplane row as a DOUBLE[] literal (matches the F.array of
+    F.lit(float) the Spark side embeds)."""
+    return "([" + ", ".join(f"{float(s)}" for s in plane) + "]::DOUBLE[])"
+
+
+def lsh_bucket_expr(vec: str, signs: list[list[int]], dims: int) -> str:
+    """LSH bucket id from literal hyperplanes — twin of
+    similarity.lsh_bucket_col (bit p set iff dot(vec, plane_p) >= 0)."""
+    bits = []
+    for p, plane in enumerate(signs):
+        dot = fold_dot(vec, plane_literal(plane), dims)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def argmax_case(langs: list[str], prefix: str = "score_") -> str:
+    """Earliest-index argmax as a CASE chain — twin of
+    textanalysis.language_scores' prediction column."""
+    arms = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{prefix}{lang} >= {prefix}{other}" for other in langs[i + 1 :])
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"

@@ -12,6 +12,7 @@ registry entries so the driver's oracle validates them.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,12 +42,19 @@ _EVENT_JSON_SCHEMA = T.StructType(
 @query(
     "hed_json_parse",
     """
-    WITH raw AS (
+    WITH src AS (
+      -- the driver's events view exposes ts as a microsecond TIMESTAMP;
+      -- the Spark side scans the same parquet as raw int64 nanos (ts_ns),
+      -- so the oracle derives nanos with epoch_ns.  Both sides then
+      -- truncate to micros, so sub-microsecond digits never matter.
+      SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+    ),
+    raw AS (
       SELECT event_id AS orig_id,
              to_json(struct_pack(event_id := event_id, user_id := user_id,
                                  event_type := event_type, ts_ns := ts_ns,
                                  unknown_field := 'dropped')) AS payload
-      FROM events
+      FROM src
     )
     SELECT CAST(json_extract(payload, '$.event_id') AS BIGINT) AS event_id,
            CAST(json_extract(payload, '$.user_id') AS BIGINT) AS user_id,
@@ -112,13 +120,18 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     TransactionsGenerator.java:70-81): detect via GROUP BY/HAVING, collapse
     via deterministic first-per-group, verify via invariant aggregates.
     Uses the same operators the DedupeJob drives (operators/dedupe.py)."""
-    from hedera_etl_spark.operators.dedupe import collapse_duplicates, find_duplicates
+    from hedera_etl_spark.operators.dedupe import (
+        collapse_duplicates,
+        duplicate_count,
+        find_duplicates,
+    )
 
     dups = duped_events(spark, sf_dir)
-    # A1: detection runs first, as in AbstractDeduplication.java:109-116 —
-    # the collapse is only triggered when duplicates exist.
-    _ = find_duplicates(dups, "event_id")
-    deduped = collapse_duplicates(dups, "event_id", ["ingest_seq"])
+    # A1: detection runs first and actually gates the collapse, as in
+    # AbstractDeduplication.java:109-116 (a one-row aggregate collect —
+    # constant cost at any scale).
+    n_dups = duplicate_count(find_duplicates(dups, "event_id"))
+    deduped = collapse_duplicates(dups, "event_id", ["ingest_seq"]) if n_dups else dups
     return deduped.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_keys"),
@@ -127,39 +140,48 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ST2 — streaming dedup with watermark (rows-only check)
+# ST2 — streaming dedup with watermark
 # ---------------------------------------------------------------------------
 @query(
     "hed_stream_dedup",
-    None,  # streaming semantics: driver records a rows-only check
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, ts, event_type FROM events)
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
     tags=("streaming", "dedup"),
 )
 def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real Structured Streaming micro-batch run: file source over the
-    events parquet -> watermark + dropDuplicates on the unique key (the
-    Spark-native form of Pub/Sub idAttribute dedup,
-    PubSubToBigQueryPipeline.java:41) -> windowed count aggregate -> memory
-    sink, driven to completion synchronously.  Returns the final result
-    table; correctness of the same aggregate is hash-checked in batch mode
-    by q16/q03."""
+    """Real Structured Streaming micro-batch run: file-stream source ->
+    watermark + dropDuplicates on the unique key (the Spark-native form of
+    Pub/Sub idAttribute dedup, PubSubToBigQueryPipeline.java:41) -> append
+    to a memory sink, driven to completion synchronously.  Exactly ONE
+    stateful operator lives in the streaming query; the windowed count runs
+    in batch over the sink table, so the plan stays inside Spark's supported
+    stateful-operator combinations.  The file-stream source requires a
+    *directory* (Spark 4), so the parquet file is staged into a temp dir."""
+    import os
+    import shutil
+
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-    )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-    )
-    name = f"hed_stream_dedup_{abs(hash(sf_dir)) % 10_000}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"hed_stream_dedup_{tag}"
+    stage = tempfile.mkdtemp(prefix="hed_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="hed_stream_ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "part-0.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .withColumnRenamed("ts", "ts_ns")
+            # watermarks require TIMESTAMP (session TZ pinned to UTC), not NTZ
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
         q = (
-            agg.writeStream.outputMode("complete")
+            deduped.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)
@@ -169,7 +191,18 @@ def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        result = spark.table(name).orderBy("window_start", "event_type")
-        # materialize before the checkpoint dir disappears
-        rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # batch aggregate over the (memory-resident) sink table
+    return (
+        spark.table(name)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )

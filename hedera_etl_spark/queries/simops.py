@@ -1,0 +1,158 @@
+"""Similarity-search registry entries over the embeddings table.
+
+The Spark side computes all vector math with explicitly sequential folds
+(functions.dot/norm/cosine — F.aggregate is a left fold), and the oracle
+mirrors them with DuckDB list_reduce, so cosine values match bit-for-bit
+and rank ties resolve identically in both engines.
+
+The LSH hyperplane sign matrix is generated from md5 in Python at plan time
+(similarity.hyperplane_signs) and embedded as literals on BOTH sides, so
+bucket assignments are engine-independent too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplane_signs,
+    lsh_ann_topk,
+)
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.queries._oracle import fold_cosine, lsh_bucket_expr
+from hedera_etl_spark.tables import load_table
+
+DIMS = 64
+QUERY_IDS = [0, 1, 2, 3, 4]
+K = 5
+N_PLANES = 8
+
+_IDS_SQL = ", ".join(str(i) for i in QUERY_IDS)
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (the exactness baseline)
+# ---------------------------------------------------------------------------
+@query(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({_IDS_SQL})
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {fold_cosine('q.qvec', 'e.embedding', DIMS)} AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+    tags=("sim", "ann", "baseline"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set, one corpus scan, per-query
+    ranking window — the recall=1.0 baseline the ANN variants are judged
+    against (operators/similarity.py brute_force_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, QUERY_IDS, k=K)
+
+
+# ---------------------------------------------------------------------------
+# LSH-ANN top-k (the scale path)
+# ---------------------------------------------------------------------------
+_SIGNS = hyperplane_signs(N_PLANES, DIMS)
+_BUCKET = lsh_bucket_expr("embedding", _SIGNS, DIMS)
+
+_LSH_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b
+      WHERE vec_id IN ({_IDS_SQL})
+    ),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             {fold_cosine('q.qvec', 'b.embedding', DIMS)} AS cos
+      FROM q JOIN b USING (bucket)
+      WHERE b.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_lsh_ann_topk",
+    _LSH_ORACLE,
+    tags=("sim", "ann", "lsh"),
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets turn the cross join
+    into a bucket equi-join — O(n*q/2^planes) candidates instead of O(n*q).
+    Single-table (no multi-probe), so recall < 1 by design; the oracle
+    reproduces the identical buckets from the same literal sign matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, QUERY_IDS, k=K, n_planes=N_PLANES, dims=DIMS)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs
+# ---------------------------------------------------------------------------
+_NEARDUP_CORPUS_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_COS_NEARDUP_ORACLE = f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    b AS (
+      SELECT vec_id, embedding, {_BUCKET} AS bucket FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {fold_cosine('a.embedding', 'c.embedding', DIMS)} AS cos
+      FROM b a JOIN b c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    FROM pairs WHERE cos >= 0.99
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "sim_cosine_neardup",
+    _COS_NEARDUP_ORACLE,
+    tags=("sim", "dedup"),
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.99) over a corpus with
+    every 10th vector re-ingested under a new id.  LSH-blocked: identical
+    vectors always share a bucket, so the clones are found without any
+    all-pairs comparison."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    return cosine_neardup_pairs(corpus, threshold=0.99, n_planes=N_PLANES, dims=DIMS)

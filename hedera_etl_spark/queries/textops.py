@@ -1,0 +1,327 @@
+"""Text dedup + text analysis registry entries (LLM training-data surface).
+
+Every operator family from operators/textdedup.py and textanalysis.py gets a
+``queries()`` entry with a full DuckDB oracle — possible because the
+operators hash with md5 and divide exact integers, both engine-portable
+(see functions/__init__.py and queries/_oracle.py).
+
+Corpus construction for dedup entries mirrors the reference's
+integration-test generator (every-k-th row duplicated,
+TransactionsGenerator.java:70-81): exact clones for exact/simhash dedup,
+one-token-appended mutants for the jaccard-threshold near-dup entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.textanalysis import (
+    LANG_PROFILES,
+    WORD_PATTERN,
+    char_fingerprints,
+    language_scores,
+    quality_scores,
+    token_stats,
+)
+from hedera_etl_spark.operators.textdedup import (
+    exact_duplicates,
+    minhash_lsh_neardups,
+    ngram_jaccard_neardups,
+    simhash_fingerprints,
+    simhash_neardups,
+)
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.queries._oracle import (
+    argmax_case,
+    jaccard_select,
+    lsh_bucket_cte,
+    minhash_sig_cte,
+    shingle_cte,
+    simhash_fp_cte,
+)
+from hedera_etl_spark.tables import load_table
+
+# Exact-clone corpus: every 7th doc re-ingested under a new id.
+_DUP_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+# Near-dup corpus: every 13th doc with one appended token (high-but-not-1.0
+# jaccard against its original).
+_NEARDUP_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(clones)
+
+
+def neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "llm_exact_dedup",
+    f"""
+    WITH corpus AS ({_DUP_DOCS_SQL})
+    SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    ORDER BY keep_id
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate collapse by content hash: one hash-aggregate on
+    md5(text), the map-side-combining scale path for byte-identical dedup
+    (operators/textdedup.py exact_duplicates)."""
+    return exact_duplicates(dup_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+_MINHASH_ORACLE = f"""
+    WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+    {shingle_cte('corpus')},
+    {minhash_sig_cte(k=9)},
+    {lsh_bucket_cte(bands=3, rows=3, max_bucket=500)},
+    {jaccard_select(0.5)}
+"""
+
+
+@query(
+    "llm_minhash_neardup",
+    _MINHASH_ORACLE,
+    tags=("llm", "dedup", "minhash"),
+    bench=True,
+)
+def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle -> 9-member signature in one
+    aggregate pass -> 3 banded buckets -> skew-capped candidate equi-join ->
+    exact-Jaccard verify (never all-pairs; operators/textdedup.py)."""
+    return minhash_lsh_neardups(
+        neardup_docs(spark, sf_dir), n=3, k=9, bands=3, threshold=0.5, max_bucket=500
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with rare-shingle blocking
+# ---------------------------------------------------------------------------
+_NGRAM_ORACLE = f"""
+    WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+    {shingle_cte('corpus')},
+    dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+    rare AS (SELECT sh.* FROM sh JOIN dfc USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    {jaccard_select(0.8)}
+"""
+
+
+@query(
+    "llm_ngram_jaccard",
+    _NGRAM_ORACLE,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups blocked on rare shingles
+    (document-frequency-capped prefix filtering — boilerplate shingles
+    generate zero candidate pairs)."""
+    return ngram_jaccard_neardups(neardup_docs(spark, sf_dir), n=3, max_df=20, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@query(
+    "llm_simhash_fp",
+    f"""
+    WITH {simhash_fp_cte('documents')}
+    SELECT doc_id, fp_hi, fp_lo FROM fp ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+    bench=True,
+)
+def llm_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints as two 32-bit halves: one explode + one
+    (doc, token) count aggregate + one 64-column sign-sum aggregate — the
+    whole fingerprint is two scans regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_fingerprints(docs).orderBy("doc_id")
+
+
+_SIMHASH_PAIR_ORACLE = f"""
+    WITH corpus AS ({_DUP_DOCS_SQL}),
+    {simhash_fp_cte('corpus')},
+    buckets AS (
+      SELECT doc_id, fp_hi, fp_lo, 0 AS band, (fp_lo >> 0)  & 65535 AS bv FROM fp
+      UNION ALL
+      SELECT doc_id, fp_hi, fp_lo, 1 AS band, (fp_lo >> 16) & 65535 AS bv FROM fp
+      UNION ALL
+      SELECT doc_id, fp_hi, fp_lo, 2 AS band, (fp_hi >> 0)  & 65535 AS bv FROM fp
+      UNION ALL
+      SELECT doc_id, fp_hi, fp_lo, 3 AS band, (fp_hi >> 16) & 65535 AS bv FROM fp
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.fp_hi AS hi_a, a.fp_lo AS lo_a,
+                      b.fp_hi AS hi_b, b.fp_lo AS lo_b
+      FROM buckets a JOIN buckets b USING (band, bv)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "llm_simhash_neardup",
+    _SIMHASH_PAIR_ORACLE,
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with 16-bit banded blocking (pigeonhole: a
+    hamming<=3 pair agrees on one of 4 disjoint bands), hamming distance via
+    bit_count(xor) on each half."""
+    pairs = simhash_neardups(dup_docs(spark, sf_dir), n_bands=4, max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# token stats / language id / quality / fingerprints
+# ---------------------------------------------------------------------------
+@query(
+    "llm_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{WORD_PATTERN}')) AS BIGINT) AS n_re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "textstats"),
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    tokens, char length — one narrow projection, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stats(docs).orderBy("doc_id")
+
+
+_LANGS = sorted(LANG_PROFILES)
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({words}))) AS BIGINT)"
+        f" AS hits_{lang}"
+    )
+
+
+_LANG_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {", ".join(_hits_sql(lang) for lang in _LANGS)}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             {", ".join(f"CAST(hits_{lang} / n_tokens AS DECIMAL(9,6)) AS score_{lang}" for lang in _LANGS)}
+      FROM base
+    )
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in _LANGS)},
+           {argmax_case(_LANGS)} AS predicted_lang
+    FROM scored ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_language_id",
+    _LANG_ORACLE,
+    tags=("llm", "langid"),
+)
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword-ratio scores + deterministic
+    earliest-index argmax (CASE chain runs identically in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return language_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "llm_quality_scores",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_distinct / n_tokens AS DECIMAL(9,6)) AS ttr,
+           CAST((n_chars - (n_tokens - 1)) / n_tokens AS DECIMAL(9,6)) AS avg_token_len,
+           CAST(stop_hits / n_tokens AS DECIMAL(9,6)) AS stopword_ratio,
+           CAST((n_distinct * 100 + stop_hits * 10) / n_tokens AS DECIMAL(12,6)) AS quality_score
+    FROM base ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features (length, type-token ratio, mean token
+    length, stopword ratio) — exact-integer divisions cast to DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "llm_char_fingerprint",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                            i -> substring(text, i, 5)) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           substring(list_min(list_transform(grams, x -> md5(x))), 1, 16) AS fingerprint,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+    FROM g ORDER BY doc_id
+    """,
+    tags=("llm", "fingerprint"),
+)
+def llm_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min-md5 over character 5-grams
+    (rolling windows as a pure index-sequence transform, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_fingerprints(docs, gram=5).orderBy("doc_id")

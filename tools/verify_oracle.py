@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB over the same
+parquet tables, then compares row count, sorted-by-name column sets, and an
+order-insensitive canonical value hash — any mismatch here is one the
+driver would record in CORRECTNESS_r{N}.json.
+
+Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import sys
+import time
+import traceback
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession  # noqa: F401
+
+    sys.path.insert(0, "/root/repo")
+    from hedera_etl_spark.queries import load_registry
+    from hedera_etl_spark.session import get_spark
+
+    spark = get_spark("verify-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    registry = load_registry()
+    n_pass = n_fail = 0
+    for name, spec in sorted(registry.items()):
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.spark_fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ok~  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems and value_hash(s_cols, s_rows) != value_hash(d_cols, d_rows):
+            problems.append("value hash mismatch")
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            ls = sorted("|".join(canon(r[i]) for i in order_s) for r in s_rows)
+            ld = sorted("|".join(canon(r[i]) for i in order_d) for r in d_rows)
+            for a, b in zip(ls, ld):
+                if a != b:
+                    problems.append(f"  first diff:\n  spark : {a[:300]}\n  duckdb: {b[:300]}")
+                    break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
