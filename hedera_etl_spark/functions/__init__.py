@@ -68,19 +68,20 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
 
     Pure expression (transform over an index sequence) — stays in codegen.
     Documents shorter than ``n`` tokens yield an empty array.
-    """
-    def make(i: Column) -> Column:
-        pieces = []
-        for k in range(n):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(tokens_col, i + F.lit(k)))
-        return F.concat(*pieces)
 
+    IMPORTANT: pass a *projected column* (e.g. ``F.col("toks")`` after a
+    ``select(split(...).alias("toks"))``), never the split expression
+    itself — Catalyst inlines a passed expression into every lambda
+    reference, re-tokenizing the document once per shingle (observed 10x
+    slowdown).  One slice+join per shingle keeps the transform linear.
+    """
     return F.when(
         F.size(tokens_col) < n, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)), make)
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+        )
     )
 
 

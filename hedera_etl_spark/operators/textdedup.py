@@ -57,10 +57,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # shingling
 # ---------------------------------------------------------------------------
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc_id, shingle) pairs; shingles are n-token windows."""
+    """Distinct (doc_id, shingle) pairs; shingles are n-token windows.
+
+    Tokenizes into a projected column first so the shingle transform
+    references a materialized array instead of re-splitting the text per
+    shingle (see functions.shingles)."""
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), shingles(tokens(text_col), n).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        toked.select("doc_id", F.explode(shingles(F.col("__toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -89,8 +93,12 @@ def lsh_candidates(
     Bands explode to (doc_id, band, sig); the self-join is an equi-join on
     (band, sig).  ``max_bucket`` drops degenerate buckets (skew guard for
     production corpora where boilerplate shingles collapse many docs into
-    one bucket).
+    one bucket) — implemented as a count-over-window so the guard costs one
+    shuffle on the same (band, sig) key the self-join needs, not an extra
+    aggregate+join round.
     """
+    from pyspark.sql import Window as W
+
     band_structs = F.array(
         *[
             F.struct(
@@ -104,9 +112,10 @@ def lsh_candidates(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
     if max_bucket is not None:
-        sizes = buckets.groupBy("band", "sig").agg(F.count("*").alias("bn"))
-        buckets = buckets.join(
-            sizes.filter(F.col("bn") <= max_bucket).select("band", "sig"), ["band", "sig"]
+        buckets = (
+            buckets.withColumn("__bn", F.count("*").over(W.partitionBy("band", "sig")))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
         )
     left = buckets.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig")
