@@ -1,0 +1,208 @@
+"""Transactions-model registry entries: the reference's ingest transform
+(P1-P4), the transferList explode, and the transaction_types dimension
+join (S7/J3) — run on a Hedera-shaped JSON corpus derived deterministically
+from the events table, so the DuckDB oracle can compute the expected
+output directly from the same rows.
+
+The corpus reproduces the wire format's awkward parts on purpose:
+int64-as-JSON-string fields (protobuf JSON), nested structs, a REPEATED
+transfer list, an unknown field that must be dropped, and a deterministic
+~1% of malformed lines that must route to errors (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.schema import TRANSACTION_TYPES, transaction_types_df
+from hedera_etl_spark.tables import load_table
+from hedera_etl_spark.transform import parse_transactions
+
+#: every Nth event becomes a malformed JSON line
+CORRUPT_MOD = 97
+
+
+def tx_json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Hedera-shaped JSON document per events row (single 'value' col).
+
+    Quoted int64s (transactionFee, amounts), nested transactionID struct,
+    a 2-element transferList summing to zero, an unknown field, and every
+    CORRUPT_MOD-th line truncated mid-document.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    amt = (F.col("user_id") + 1).cast("string")
+    neg_amt = (-(F.col("user_id") + 1)).cast("string")
+    acct = F.col("user_id").cast("string")
+    doc = F.to_json(
+        F.struct(
+            F.col("ts_ns").alias("consensusTimestamp"),
+            (F.col("event_id") % 21 + 7).alias("transactionType"),
+            F.struct(
+                F.struct(
+                    (F.col("user_id") * 1000).cast("string").alias("transactionFee"),
+                    F.col("event_type").alias("memo"),
+                ).alias("body")
+            ).alias("transaction"),
+            F.struct(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.lit("0").alias("shardNum"),
+                                F.lit("0").alias("realmNum"),
+                                acct.alias("accountNum"),
+                            ).alias("accountID"),
+                            amt.alias("amount"),
+                        ),
+                        F.struct(
+                            F.struct(
+                                F.lit("0").alias("shardNum"),
+                                F.lit("0").alias("realmNum"),
+                                F.lit("98").alias("accountNum"),
+                            ).alias("accountID"),
+                            neg_amt.alias("amount"),
+                        ),
+                    ).alias("accountAmounts")
+                ).alias("transferList")
+            ).alias("transactionRecord"),
+            F.lit(True).alias("generateRecord"),  # unknown field -> dropped
+        )
+    )
+    corrupt = F.col("event_id") % CORRUPT_MOD == 0
+    return ev.select(
+        F.when(corrupt, F.substring(doc, 1, 40)).otherwise(doc).alias("value")
+    )
+
+
+def _parsed(spark: SparkSession, sf_dir: str):
+    return parse_transactions(tx_json_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# P1-P4: the full transform, typed projection
+# ---------------------------------------------------------------------------
+@query(
+    "hed_tx_transform",
+    f"""
+    -- epoch_us, not epoch_ns: the raw nanos carry sub-microsecond digits
+    -- the driver's µs events view cannot reproduce
+    SELECT epoch_us(ts) AS consensus_us,
+           CAST(make_timestamp(epoch_us(ts)) AS TIMESTAMP) AS consensus_ts_trunc,
+           event_id % 21 + 7 AS tx_type,
+           user_id * 1000 AS fee,
+           event_type AS memo,
+           CAST(2 AS INT) AS n_transfers,
+           CAST(0 AS BIGINT) AS transfer_sum
+    FROM events
+    WHERE event_id % {CORRUPT_MOD} != 0
+    ORDER BY consensus_us
+    """,
+    tags=("tx", "transform", "json"),
+    bench=True,
+)
+def hed_tx_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest transform end-to-end on the full 403-line transactions
+    schema: all-string wire parse (quoted int64s survive), spec-driven cast
+    tree, nanos->micros truncation, unknown-field drop
+    (transform.parse_transactions; TransactionJsonToTableRow.java:51-66)."""
+    valid, _ = _parsed(spark, sf_dir)
+    amounts = F.col("transactionRecord.transferList.accountAmounts")
+    return valid.select(
+        F.expr("consensusTimestamp div 1000").alias("consensus_us"),
+        F.col("consensusTimestampTruncated").cast("timestamp_ntz").alias("consensus_ts_trunc"),
+        F.col("transactionType").alias("tx_type"),
+        F.col("transaction.body.transactionFee").alias("fee"),
+        F.col("transaction.body.memo").alias("memo"),
+        F.size(amounts).alias("n_transfers"),
+        F.aggregate(
+            amounts, F.lit(0).cast("long"), lambda acc, x: acc + x["amount"]
+        ).alias("transfer_sum"),
+    ).orderBy("consensus_us")
+
+
+@query(
+    "hed_tx_errors",
+    f"""
+    SELECT COUNT(*) AS n_errors
+    FROM events WHERE event_id % {CORRUPT_MOD} = 0
+    """,
+    tags=("tx", "errors"),
+)
+def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 dead-letter routing: the deterministic ~1% malformed lines all
+    land in the errors output (table_row + errors JSON,
+    BigQueryErrorsSink.java:79-91), and nothing else does."""
+    _, errors = _parsed(spark, sf_dir)
+    return errors.agg(F.count("*").alias("n_errors"))
+
+
+# ---------------------------------------------------------------------------
+# the transferList explode (the load-bearing REPEATED RECORD access)
+# ---------------------------------------------------------------------------
+@query(
+    "hed_tx_explode_transfers",
+    f"""
+    WITH t AS (
+      SELECT user_id AS account_num, user_id + 1 AS amount
+      FROM events WHERE event_id % {CORRUPT_MOD} != 0
+      UNION ALL
+      SELECT 98 AS account_num, -(user_id + 1) AS amount
+      FROM events WHERE event_id % {CORRUPT_MOD} != 0
+    )
+    SELECT account_num, COUNT(*) AS n, SUM(amount) AS total
+    FROM t GROUP BY account_num ORDER BY account_num
+    """,
+    tags=("tx", "explode"),
+)
+def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(transactionRecord.transferList.accountAmounts) — the only
+    way to query the REPEATED records (transactions-schema.json:335-364),
+    kept nested at rest per the reference's design choice
+    (docs/design/1_hedera_etl.md:93-94)."""
+    valid, _ = _parsed(spark, sf_dir)
+    return (
+        valid.select(
+            F.explode("transactionRecord.transferList.accountAmounts").alias("aa")
+        )
+        .select(
+            F.col("aa.accountID.accountNum").alias("account_num"),
+            F.col("aa.amount").alias("amount"),
+        )
+        .groupBy("account_num")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("total"))
+        .orderBy("account_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7/J3: the transaction_types dimension join
+# ---------------------------------------------------------------------------
+_TYPES_VALUES = ", ".join(f"({i}, '{n}')" for i, n in TRANSACTION_TYPES)
+
+
+@query(
+    "hed_tx_types_join",
+    f"""
+    WITH types(id, name) AS (VALUES {_TYPES_VALUES})
+    SELECT name, COUNT(*) AS n
+    FROM (SELECT event_id % 21 + 7 AS tx_type FROM events
+          WHERE event_id % {CORRUPT_MOD} != 0) t
+    JOIN types ON t.tx_type = types.id
+    GROUP BY name ORDER BY name
+    """,
+    tags=("tx", "join", "dimension"),
+)
+def hed_tx_types_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readable-analytics dimension join the reference ships
+    transaction_types for (scripts/create-tables.sh:38-59): 21-row seed
+    dimension, explicitly broadcast, so the fact side never shuffles."""
+    valid, _ = _parsed(spark, sf_dir)
+    types = transaction_types_df(spark)
+    return (
+        valid.join(F.broadcast(types), valid.transactionType == types.id)
+        .groupBy("name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("name")
+    )
