@@ -160,14 +160,14 @@ class DedupeJob:
         table_path: str,
         state: StateStore,
         key: str = "consensus_timestamp",
-        tiebreak: str = "ingest_seq",
+        tiebreak: str | list[str] = "ingest_seq",
         lateness_slack_sec: int = 0,
     ):
         self.spark = spark
         self.table_path = table_path
         self.state = state
         self.key = key
-        self.tiebreak = tiebreak
+        self.tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
         self.lateness_slack_sec = lateness_slack_sec
 
     def _read(self) -> DataFrame:
@@ -210,23 +210,62 @@ class DedupeJob:
             # the MERGE when duplicates exist).
             return DedupeResult(start, end, 0, n_rows)
 
-        deduped = collapse_duplicates(in_window, self.key, [self.tiebreak])
-        # MERGE ON FALSE delete+insert == replace the window's partitions with
-        # their deduped content (RemoveDuplicatesTemplateQuery.java:29-43).
-        # Dynamic partition overwrite rewrites exactly the partitions present
-        # in `deduped` — outside-window rows in those partitions must be
-        # retained, so we union them back in.
-        touched_dates = [r["part_date"] for r in deduped.select("part_date").distinct().collect()]
+        # MERGE ON FALSE delete+insert == replace the range with its deduped
+        # content (RemoveDuplicatesTemplateQuery.java:29-43) — but only
+        # partitions that actually CONTAIN a duplicated key need rewriting
+        # (the reference rewrites the whole range; at 100 TB, write
+        # amplification is the dominant cost of the rewrite, so skipping
+        # clean partitions matters).  The collect is bounded by the number
+        # of touched DAY partitions.
+        touched_dates = [
+            r["part_date"]
+            for r in in_window.join(dups.select(self.key), self.key)
+            .select("part_date")
+            .distinct()
+            .collect()
+        ]
+        deduped = collapse_duplicates(
+            in_window.filter(F.col("part_date").isin(touched_dates)),
+            self.key,
+            self.tiebreak,
+        )
+        # Outside-window rows in those partitions must be retained.  Rows
+        # with NULL ts_sec would make the NOT-BETWEEN predicate NULL and
+        # silently vanish from the rewrite — keep them explicitly.
         keep = df.filter(
-            F.col("part_date").isin(touched_dates) & ~F.col("ts_sec").between(start, end)
+            F.col("part_date").isin(touched_dates)
+            & (~F.col("ts_sec").between(start, end) | F.col("ts_sec").isNull())
         )
         replacement = deduped.unionByName(keep)
-        # Break lineage before overwriting the path we read from (plain
-        # parquet is not ACID; production path is Delta MERGE/replaceWhere —
-        # single-writer discipline here, same assumption as the reference's
-        # one scheduler thread, DedupeConfiguration.java:35).
-        replacement = replacement.localCheckpoint(eager=True)
-
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        replacement.write.mode("overwrite").partitionBy("part_date").parquet(self.table_path)
+        self._swap_partitions(replacement, touched_dates)
         return DedupeResult(start, end, n_dups, n_rows)
+
+    def _swap_partitions(self, replacement: DataFrame, touched_dates: list) -> None:
+        """Write the replacement partitions to a temp path, then swap the
+        directories into the live table.
+
+        This is the write-temp-then-rename commit pattern: the full
+        replacement is durably on disk before any live partition is
+        touched, so a failed write leaves the table untouched (a failed
+        swap is re-runnable since the temp data persists).  Unlike an
+        in-place dynamic-partition overwrite it never reads and rewrites
+        the same files, so no lineage break (localCheckpoint) is needed —
+        at 100 TB that previously materialized every touched partition in
+        executor memory.  Single-writer discipline, same assumption as the
+        reference's one scheduler thread (DedupeConfiguration.java:35);
+        the production path on object storage is Delta replaceWhere.
+        """
+        import shutil
+        import uuid
+
+        tmp_path = f"{self.table_path}.__rewrite-{uuid.uuid4().hex[:8]}"
+        replacement.write.mode("overwrite").partitionBy("part_date").parquet(tmp_path)
+        try:
+            for entry in os.listdir(tmp_path):
+                if not entry.startswith("part_date="):
+                    continue
+                live = os.path.join(self.table_path, entry)
+                shutil.rmtree(live, ignore_errors=True)
+                shutil.move(os.path.join(tmp_path, entry), live)
+        finally:
+            shutil.rmtree(tmp_path, ignore_errors=True)

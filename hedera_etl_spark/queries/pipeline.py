@@ -140,6 +140,106 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q15 / ST4+J1+J2 — the stateful DedupeJob end-to-end
+# ---------------------------------------------------------------------------
+def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-job input table (FIXTURES.md §1): one row per event at
+    microsecond-truncated nano timestamps, every 5th row duplicated with a
+    higher ingest_seq (the reference integration-test generator,
+    TransactionsGenerator.java:70-81, with deterministic event-derived
+    timestamps instead of unseeded Random)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
+    # µs-truncated nanos so the DuckDB oracle (µs timestamps) sees the
+    # same values
+    base = ev.select(
+        F.expr("(ts_ns div 1000) * 1000").alias("consensus_timestamp"),
+        F.col("event_id"),
+        F.lit(0).alias("ingest_seq"),
+    )
+    replays = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.expr("(ts_ns div 1000) * 1000").alias("consensus_timestamp"),
+        F.col("event_id"),
+        F.lit(1).alias("ingest_seq"),
+    )
+    return (
+        base.unionByName(replays)
+        .withColumn("ts_sec", F.expr("consensus_timestamp div 1000000000"))
+        .withColumn(
+            "part_date",
+            F.to_date(F.expr("timestamp_micros(consensus_timestamp div 1000)")),
+        )
+    )
+
+
+@query(
+    "hed_dedupe_job",
+    """
+    WITH tx AS (
+      SELECT epoch_us(ts) * 1000 AS consensus_timestamp, event_id, 0 AS ingest_seq
+      FROM events
+      UNION ALL
+      SELECT epoch_us(ts) * 1000, event_id, 1
+      FROM events WHERE event_id % 5 = 0
+    ),
+    ded AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY consensus_timestamp ORDER BY ingest_seq, event_id) AS rn
+        FROM tx
+      ) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT consensus_timestamp) AS n_keys,
+           SUM(ingest_seq) AS replay_rows_kept,
+           SUM(event_id) AS id_sum,
+           MAX(consensus_timestamp // 1000000000) AS max_ts_sec
+    FROM ded
+    """,
+    tags=("dedup", "stateful", "q15"),
+    bench=True,
+)
+def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the full stateful dedup protocol (AbstractDeduplication.java:
+    94-126) executed for real — write a duplicated DAY-partitioned table,
+    run the incremental job twice (second run is the start==end no-op,
+    AbstractDeduplication.java:104-107), then the full-history safety-net
+    run, and hash the final table.  Exercises the state KV upsert (J2),
+    window advance (ST4) and the partition-range rewrite via
+    temp-path-swap (J1)."""
+    import os
+
+    from hedera_etl_spark.operators.dedupe import DedupeJob, StateStore
+
+    workdir = tempfile.mkdtemp(prefix="hed_dedupe_job_")
+    table_path = os.path.join(workdir, "tx")
+    tx_dups_table(spark, sf_dir).write.partitionBy("part_date").parquet(table_path)
+
+    job = DedupeJob(
+        spark,
+        table_path,
+        StateStore(spark, os.path.join(workdir, "state")),
+        key="consensus_timestamp",
+        tiebreak=["ingest_seq", "event_id"],
+    )
+    first = job.run_incremental()
+    if first.duplicates_removed == 0:
+        raise RuntimeError("generator must produce duplicates")
+    second = job.run_incremental()
+    if second.duplicates_removed != 0:
+        raise RuntimeError("second incremental must be a no-op")
+    job.run_full()
+
+    final = spark.read.parquet(table_path)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("consensus_timestamp").alias("n_keys"),
+        F.sum("ingest_seq").alias("replay_rows_kept"),
+        F.sum("event_id").alias("id_sum"),
+        F.max("ts_sec").alias("max_ts_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST2 — streaming dedup with watermark
 # ---------------------------------------------------------------------------
 @query(
