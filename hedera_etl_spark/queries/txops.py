@@ -182,6 +182,62 @@ def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TYPES_VALUES = ", ".join(f"({i}, '{n}')" for i, n in TRANSACTION_TYPES)
 
 
+# ---------------------------------------------------------------------------
+# S1-S3/ST1-ST2: the streaming ingest pipeline end-to-end
+# ---------------------------------------------------------------------------
+@query(
+    "hed_stream_ingest",
+    f"""
+    SELECT COUNT(*) AS n_valid,
+           COUNT(DISTINCT epoch_us(ts)) AS n_keys,
+           SUM(user_id * 1000) AS fee_sum,
+           (SELECT COUNT(*) FROM events WHERE event_id % {CORRUPT_MOD} = 0) AS n_errors
+    FROM events
+    WHERE event_id % {CORRUPT_MOD} != 0
+    """,
+    tags=("streaming", "ingest", "tx"),
+)
+def hed_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming ingest (streaming/ingest.py) run for real:
+    Hedera-shaped JSON corpus (with every-5th-line replays and ~1%
+    malformed lines) fed through the checkpointed file-stream ->
+    watermark+dropDuplicates -> foreachBatch split into the partitioned
+    transactions table and the errors table; the final tables are
+    aggregated for the oracle.  Replays collapse in-stream, so n_valid =
+    distinct events (PubSubToBigQueryPipeline.java:36-57 +
+    BigQueryErrorsSink.java:49-91)."""
+    import os
+    import tempfile
+
+    from hedera_etl_spark.streaming.ingest import IngestPipeline
+
+    workdir = tempfile.mkdtemp(prefix="hed_stream_ingest_")
+    input_dir = os.path.join(workdir, "in")
+    corpus = tx_json_corpus(spark, sf_dir)
+    replays = corpus.filter(
+        F.xxhash64("value") % 5 == 0
+    )  # arbitrary-but-deterministic replay subset
+    corpus.unionAll(replays).repartition(4).write.text(input_dir)
+
+    pipe = IngestPipeline(
+        spark,
+        input_dir,
+        os.path.join(workdir, "table"),
+        os.path.join(workdir, "errors"),
+        os.path.join(workdir, "ckpt"),
+    )
+    pipe.run_to_completion()
+
+    table = spark.read.parquet(os.path.join(workdir, "table"))
+    errors = spark.read.parquet(os.path.join(workdir, "errors"))
+    agg = table.agg(
+        F.count("*").alias("n_valid"),
+        F.countDistinct(F.expr("consensusTimestamp div 1000")).alias("n_keys"),
+        F.sum("transaction.body.transactionFee").alias("fee_sum"),
+    )
+    return agg.crossJoin(errors.agg(F.count("*").alias("n_errors")))
+
+
 @query(
     "hed_tx_types_join",
     f"""

@@ -1,0 +1,175 @@
+"""Streaming ingest pipeline: JSON lines -> partitioned transactions table
++ dead-letter errors table.
+
+The Spark form of the reference's entire first module
+(PubSubToBigQueryPipeline.java:36-57 + BigQueryErrorsSink.java:49-91):
+
+- S1 source: file-stream of JSON lines (swap for Kafka by changing one
+  reader — the transform is source-agnostic).  The reference's broker-side
+  best-effort dedup (withIdAttribute("consensusTimestamp"),
+  PubSubToBigQueryPipeline.java:41) becomes an in-stream
+  watermark + dropDuplicates on the parsed key (ST2): bounded state,
+  replayed deliveries collapse inside the watermark horizon.  Malformed
+  rows get a processing-time event time and the raw line as dedup key, so
+  they pass the stateful operator untouched.
+- S2 sink: checkpointed foreachBatch appending valid rows to the
+  DAY-partitioned parquet table.  Checkpointing makes delivery
+  at-least-once end to end (a crash between the append and the checkpoint
+  commit replays the batch) — the same guarantee the reference chose, and
+  the same healer: the downstream DedupeJob (ST3 two-tier design,
+  docs/design/1_hedera_etl.md:109-125).
+- S3 errors sink: the invalid branch of the same batch appends
+  (table_row, errors) rows to the errors table — never dropped, mirroring
+  alwaysRetry (BigQueryErrorsSink.java:63).
+- ST7 observability: per-batch Observation metrics (valid rows, error
+  rows, latest event timestamp, ingestion delay) accumulated on the
+  driver — the Beam Counter/Distribution surface
+  (TransactionJsonToTableRow.java:44-49, BigQueryErrorsSink.java:70-72).
+
+Scale: the only state is the dedup operator's keyed store (bounded by the
+watermark) and the file-source log; parse/cast/write are embarrassingly
+parallel per batch.  Partition count of each append follows the source
+batch; AQE coalescing keeps small micro-batches from writing confetti
+files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hedera_etl_spark.schema import CORRUPT_COL, parse_schema
+from hedera_etl_spark.transform import cast_to_table
+
+
+@dataclass
+class IngestMetrics:
+    """Driver-side mirror of the reference's counters/gauges."""
+
+    batches: int = 0
+    valid_rows: int = 0
+    error_rows: int = 0
+    latest_event_ts: object = None
+    history: list = field(default_factory=list)
+
+
+class IngestPipeline:
+    """File-stream JSON -> transactions table + errors table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        table_path: str,
+        errors_path: str,
+        checkpoint_dir: str,
+        watermark: str = "1 hour",
+        dedupe_in_stream: bool = True,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.table_path = table_path
+        self.errors_path = errors_path
+        self.checkpoint_dir = checkpoint_dir
+        self.watermark = watermark
+        self.dedupe_in_stream = dedupe_in_stream
+        self.metrics = IngestMetrics()
+
+    # -- the streaming DAG ---------------------------------------------------
+    def _stream(self) -> DataFrame:
+        raw = self.spark.readStream.text(self.input_dir)
+        parsed = raw.select(
+            F.col("value"),
+            F.from_json(
+                "value",
+                parse_schema(),
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("__p"),
+        )
+        if not self.dedupe_in_stream:
+            return parsed
+        # event time for valid rows; processing time for malformed ones so
+        # the watermark never classifies them late (they carry no event ts)
+        keyed = parsed.select(
+            "*",
+            F.coalesce(
+                F.expr("timestamp_micros(try_cast(__p.consensusTimestamp AS LONG) div 1000)"),
+                F.current_timestamp(),
+            ).alias("__event_ts"),
+            F.coalesce(F.col("__p.consensusTimestamp"), F.col("value")).alias("__dedup_key"),
+        )
+        return (
+            keyed.withWatermark("__event_ts", self.watermark)
+            .dropDuplicates(["__dedup_key"])
+            .drop("__dedup_key")
+        )
+
+    # -- per-batch processing (S2/S3/P1-P4) ----------------------------------
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            is_bad = (
+                F.col(f"__p.{CORRUPT_COL}").isNotNull() | F.col("__p").isNull()
+            )
+
+            valid_obs = Observation(f"ingest_valid_{batch_id}")
+            typed = cast_to_table(batch_df.filter(~is_bad).select("__p.*"))
+            typed = typed.withColumn(
+                "consensusTimestampTruncated",
+                F.expr("timestamp_micros(consensusTimestamp div 1000)"),
+            ).withColumn("part_date", F.to_date("consensusTimestampTruncated"))
+            typed = typed.observe(
+                valid_obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.max("consensusTimestampTruncated").alias("latest_ts"),
+            )
+            typed.write.mode("append").partitionBy("part_date").parquet(self.table_path)
+
+            err_obs = Observation(f"ingest_errors_{batch_id}")
+            errors = batch_df.filter(is_bad).select(
+                F.col("value").alias("table_row"),
+                F.to_json(
+                    F.struct(
+                        F.lit("PARSE_ERROR").alias("reason"),
+                        F.lit("malformed JSON").alias("message"),
+                    )
+                ).alias("errors"),
+            )
+            errors = errors.observe(err_obs, F.count(F.lit(1)).alias("rows"))
+            errors.write.mode("append").parquet(self.errors_path)
+
+            m = self.metrics
+            v, e = valid_obs.get, err_obs.get
+            m.batches += 1
+            m.valid_rows += v["rows"]
+            m.error_rows += e["rows"]
+            if v["latest_ts"] is not None:
+                if m.latest_event_ts is None or v["latest_ts"] > m.latest_event_ts:
+                    m.latest_event_ts = v["latest_ts"]
+            m.history.append({"batch_id": batch_id, "valid": v["rows"], "errors": e["rows"]})
+        finally:
+            batch_df.unpersist()
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        """Start the checkpointed query.  ``available_now=True`` processes
+        everything currently in the input dir then stops (test/batch-drain
+        mode); False runs continuously with the default micro-batch trigger
+        (the reference's always-on Dataflow job)."""
+        writer = (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self) -> IngestMetrics:
+        """Drain the input dir and wait (availableNow semantics)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+        return self.metrics
