@@ -1,0 +1,82 @@
+"""Join operators Spark lacks as built-ins, composed from DataFrame ops.
+
+As-of join (the time-series "most recent value at or before t" join):
+implemented as union + last-ignorenulls window, NOT a nested-loop —
+one shuffle on (key, ts), linear state, survives any scale where a
+window over (key, ts) does.  This is the standard scalable as-of
+construction: tag both sides, union, carry the right side's payload
+forward within each key's timeline, keep left rows.
+
+Reference context: SURVEY §2.4 lists as-of among the join types the
+reference delegates to its query engine; ours ships it as a first-class
+operator with a DuckDB ASOF JOIN oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same key group (backward as-of).
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate it if
+    not, or the carried payload is nondeterministic (same contract as
+    DuckDB's ASOF JOIN).
+
+    Plan shape: union of the two sides, one window over
+    (key ORDER BY ts, side) using last(payload, ignorenulls=True) —
+    right rows sort before left rows at equal timestamps so an exact-ts
+    match is visible to the left row.  No join node at all: at 100 TB
+    this is a single exchange on the key, and skew follows the key
+    distribution exactly like any window.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(c) for c in right_payload],
+    )
+    if how == "inner":
+        out = out.na.drop(subset=[right_payload[0]])
+    return out

@@ -1,0 +1,176 @@
+"""Extended analytics surface: as-of join, session windows, CUBE /
+GROUPING SETS, exact distinct — the operator classes SURVEY §2 lists as
+absent-in-reference but required for the analytics surface (§2.4, §2.5,
+ST6), each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.joins import as_of_join
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# as-of join (union + last-ignorenulls window; oracle = native ASOF JOIN)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_asof_join",
+    """
+    WITH r AS (
+      SELECT l_suppkey % 25 AS k, l_shipdate,
+             COUNT(*) AS n_ship, MAX(l_orderkey) AS last_lok
+      FROM lineitem GROUP BY 1, 2
+    ),
+    l AS (SELECT o_custkey % 25 AS k, o_orderdate, o_orderkey FROM orders)
+    SELECT l.k, CAST(l.o_orderdate AS TIMESTAMP) AS o_orderdate, l.o_orderkey,
+           r.n_ship, r.last_lok
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.o_orderdate >= r.l_shipdate
+    ORDER BY o_orderkey
+    """,
+    tags=("join", "asof"),
+    bench=True,
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every order, the most recent shipment
+    state at or before its date within the same key group.  Implemented
+    as union + last-ignorenulls window (operators/joins.py) — one shuffle
+    on the key, no join node; the oracle is DuckDB's native ASOF JOIN,
+    proving the construction's semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    right = li.groupBy(
+        (F.col("l_suppkey") % 25).alias("k"), "l_shipdate"
+    ).agg(F.count("*").alias("n_ship"), F.max("l_orderkey").alias("last_lok"))
+    left = orders.select(
+        (F.col("o_custkey") % 25).alias("k"), "o_orderdate", "o_orderkey"
+    )
+    return as_of_join(
+        left,
+        right,
+        on="k",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        right_payload=["n_ship", "last_lok"],
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# session windows (ST6 extension; oracle = gaps-and-islands)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    y AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+    FROM y GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("window-agg", "session", "streaming"),
+)
+def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via F.session_window —
+    the same expression runs under Structured Streaming with a watermark;
+    the oracle is the classic gaps-and-islands construction, pinning the
+    merge semantics (a gap of exactly 30m starts a new session)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_t", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts_t", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(28,2)").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE / GROUPING SETS / exact distinct
+# ---------------------------------------------------------------------------
+@query(
+    "q19_cube",
+    """
+    SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, ub)
+    ORDER BY event_type NULLS FIRST, ub NULLS FIRST
+    """,
+    tags=("cube", "aggregate"),
+)
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", (F.col("user_id") % 5).alias("ub"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("ub").asc_nulls_first())
+    )
+
+
+@query(
+    "q19_grouping_sets",
+    """
+    SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (ub))
+    ORDER BY event_type NULLS FIRST, ub NULLS FIRST
+    """,
+    tags=("grouping-sets", "aggregate"),
+)
+def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (the DataFrame API exposes only rollup/cube)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type), (ub))
+        ORDER BY event_type ASC NULLS FIRST, ub ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q20_distinct",
+    """
+    SELECT DISTINCT event_type, user_id % 10 AS ub
+    FROM events ORDER BY event_type, ub
+    """,
+    tags=("distinct",),
+)
+def q20_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 10).alias("ub"))
+        .distinct()
+        .orderBy("event_type", "ub")
+    )

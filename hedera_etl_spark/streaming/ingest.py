@@ -68,6 +68,7 @@ class IngestPipeline:
         checkpoint_dir: str,
         watermark: str = "1 hour",
         dedupe_in_stream: bool = True,
+        archive_path: str | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -76,6 +77,10 @@ class IngestPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.watermark = watermark
         self.dedupe_in_stream = dedupe_in_stream
+        #: optional raw-line cold archive (S5 — the stock
+        #: Cloud_PubSub_to_GCS_Text side pipeline,
+        #: scripts/deploy-etl-pipeline.sh:53-65)
+        self.archive_path = archive_path
         self.metrics = IngestMetrics()
 
     # -- the streaming DAG ---------------------------------------------------
@@ -111,6 +116,9 @@ class IngestPipeline:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
+            if self.archive_path is not None:
+                # S5 cold archive: raw lines as text, before any parsing
+                batch_df.select("value").write.mode("append").text(self.archive_path)
             is_bad = (
                 F.col(f"__p.{CORRUPT_COL}").isNotNull() | F.col("__p").isNull()
             )

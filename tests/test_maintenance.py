@@ -1,0 +1,65 @@
+"""Maintenance helpers (S8/S9) + archive sink (S5) tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from hedera_etl_spark.operators.maintenance import insert_rows, row_count, truncate
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_insert_and_count(spark, tmp_path):
+    path = str(tmp_path / "t")
+    insert_rows(spark, path, [(1, "a"), (2, "b")], SCHEMA)
+    insert_rows(spark, path, [(3, "c")], SCHEMA)
+    assert row_count(spark, path) == 3
+
+
+def test_truncate_preserves_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    insert_rows(spark, path, [(1, "a")], SCHEMA)
+    truncate(spark, path)
+    df = spark.read.parquet(path)
+    assert df.count() == 0
+    assert df.schema == SCHEMA
+    # appends still bind after truncate
+    insert_rows(spark, path, [(9, "z")], SCHEMA)
+    assert row_count(spark, path) == 1
+
+
+def test_archive_sink_keeps_raw_lines(spark, tmp_path):
+    from hedera_etl_spark.streaming.ingest import IngestPipeline
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    lines = [
+        json.dumps({"consensusTimestamp": 1_570_800_000_000_000_000 + i,
+                    "transactionType": 7})
+        for i in range(5)
+    ] + ["{corrupt"]
+    (input_dir / "f.json").write_text("\n".join(lines))
+
+    archive = str(tmp_path / "archive")
+    pipe = IngestPipeline(
+        spark,
+        str(input_dir),
+        str(tmp_path / "table"),
+        str(tmp_path / "errors"),
+        str(tmp_path / "ckpt"),
+        archive_path=archive,
+    )
+    pipe.run_to_completion()
+
+    archived = {r["value"] for r in spark.read.text(archive).collect()}
+    # every raw line — valid AND corrupt — lands in the cold archive
+    assert archived == set(lines)
+    assert os.path.exists(archive)
