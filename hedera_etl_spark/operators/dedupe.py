@@ -138,6 +138,27 @@ class DedupeResult:
     rows_in_window: int
 
 
+@dataclass
+class DedupeMetrics:
+    """Driver-side gauges mirroring AbstractDeduplication.java:129-160
+    (runs, affected rows, duplicates removed, last window end) — ST7."""
+
+    runs: int = 0
+    total_duplicates_removed: int = 0
+    total_rows_scanned: int = 0
+    last_window_end: int = 0
+    history: list = None
+
+    def record(self, result: "DedupeResult") -> None:
+        self.runs += 1
+        self.total_duplicates_removed += result.duplicates_removed
+        self.total_rows_scanned += result.rows_in_window
+        self.last_window_end = max(self.last_window_end, result.end)
+        if self.history is None:
+            self.history = []
+        self.history.append(result)
+
+
 class DedupeJob:
     """Incremental + full dedup over a DAY-partitioned parquet table.
 
@@ -169,6 +190,7 @@ class DedupeJob:
         self.key = key
         self.tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
         self.lateness_slack_sec = lateness_slack_sec
+        self.metrics = DedupeMetrics()
 
     def _read(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path)
@@ -187,6 +209,7 @@ class DedupeJob:
             return DedupeResult(start, start, 0, 0)
         result = self._dedupe_window(start, end)
         self.state.upsert(INCREMENTAL_STATE_KEY, str(end))
+        self.metrics.record(result)
         return result
 
     def run_full(self) -> DedupeResult:
@@ -197,6 +220,7 @@ class DedupeJob:
         end = int(state.get(INCREMENTAL_STATE_KEY, 0))
         result = self._dedupe_window(0, end)
         self.state.upsert(FULL_STATE_KEY, str(end))
+        self.metrics.record(result)
         return result
 
     def _dedupe_window(self, start: int, end: int) -> DedupeResult:

@@ -1,0 +1,106 @@
+"""Physical-plan audits: the scale claims in the query docstrings, held
+to by the actual executed plans.  A plan regression here is a 100 TB
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from hedera_etl_spark.queries import load_registry
+
+    return load_registry()
+
+
+def test_q01_pushdown_and_pruning(spark, registry):
+    """Predicate AND projection must reach the parquet scan."""
+    df = registry["q01_filter_project"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_quantity" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_q05_broadcasts_dimensions(spark, registry):
+    """The orders fact side must never shuffle for the join."""
+    df = registry["q05_dim_join_agg"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    # AQE plan strings repeat the tree (initial + final) — require the
+    # joins to be broadcast and none to have degraded to sort-merge
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q07_takeordered_not_global_sort(spark, registry):
+    df = registry["q07_bigjoin_topk"].spark_fn(spark, SF)
+    df.collect()
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_tx_types_join_broadcasts(spark, registry):
+    df = registry["hed_tx_types_join"].spark_fn(spark, SF)
+    df.collect()
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_asof_join_is_window_not_join(spark, registry):
+    """The as-of construction must plan as a window, never a nested loop."""
+    df = registry["q17_asof_join"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_udf_in_relational_queries(spark, registry):
+    """U1 policy: core/extended relational queries stay fully JVM-side
+    (the only sanctioned Python is the multimodal mapInPandas stub)."""
+    for name in [
+        "q01_filter_project", "q02_groupby_having", "q05_dim_join_agg",
+        "q07_bigjoin_topk", "q09_window_rank", "q14_explode_tokens",
+        "q16_window_tumbling", "q17_asof_join", "llm_minhash_neardup",
+        "llm_simhash_fp", "sim_bruteforce_topk",
+    ]:
+        df = registry[name].spark_fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "pythonUDF" not in plan and "PythonUDF" not in plan, name
+
+
+def test_clustered_write_gives_rowgroup_stats(spark, tmp_path):
+    """S6/O2: sortWithinPartitions clustering orders the column within
+    files so min/max row-group stats enable data skipping."""
+    from hedera_etl_spark.operators.tablemgmt import write_day_partitioned
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias(
+            "consensusTimestampTruncated"
+        ),
+        (F.col("event_id") % 21 + 7).alias("transactionType"),
+        "user_id",
+    )
+    path = str(tmp_path / "tx")
+    write_day_partitioned(ev, path, cluster_by="transactionType", mode="overwrite")
+
+    out = spark.read.parquet(path)
+    assert out.count() == ev.count()
+    # within each file, the cluster column must be sorted
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{path}/part_date=*/*.parquet")
+    assert files
+    for f in files[:5]:
+        vals = pq.read_table(f, columns=["transactionType"])["transactionType"].to_pylist()
+        assert vals == sorted(vals), f

@@ -1,0 +1,92 @@
+"""FixedRateScheduler (ST5) + DedupeJob metrics (ST7) tests."""
+
+from __future__ import annotations
+
+from hedera_etl_spark.operators.scheduler import FixedRateScheduler, dedupe_schedule
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_fixed_rate_and_no_overlap():
+    clock = FakeClock()
+    sched = FixedRateScheduler(clock)
+    calls = []
+    sched.every(300, lambda: calls.append(clock.t), "inc")
+
+    sched.run_pending()          # t=0: due immediately
+    assert calls == [0.0]
+    clock.t = 299
+    sched.run_pending()
+    assert calls == [0.0]        # not due yet
+    clock.t = 301
+    sched.run_pending()
+    assert calls == [0.0, 301]
+
+
+def test_missed_slots_skip_not_burst():
+    """A long outage yields ONE catch-up run, not a burst per missed slot."""
+    clock = FakeClock()
+    sched = FixedRateScheduler(clock)
+    calls = []
+    sched.every(300, lambda: calls.append(clock.t), "inc")
+    sched.run_pending()
+    clock.t = 3000               # 9 slots missed
+    sched.run_pending()
+    assert len(calls) == 2
+    clock.t = 3001
+    sched.run_pending()
+    assert len(calls) == 2       # next slot is on the original grid (3300)
+    clock.t = 3300
+    sched.run_pending()
+    assert len(calls) == 3
+
+
+def test_jobs_run_in_registration_order():
+    clock = FakeClock()
+    sched = FixedRateScheduler(clock)
+    order = []
+    sched.every(300, lambda: order.append("inc"), "inc")
+    sched.every(300, lambda: order.append("full"), "full")
+    sched.run_pending()
+    assert order == ["inc", "full"]
+
+
+def test_dedupe_schedule_cadences_and_metrics(spark, tmp_path):
+    """The reference cadence wiring runs the real job and accumulates
+    ST7 metrics."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from hedera_etl_spark.operators.dedupe import DedupeJob, StateStore
+    from tests.test_dedupe_job import ROW_SCHEMA, gen_rows
+
+    path = os.path.join(str(tmp_path), "tx")
+    spark.createDataFrame(gen_rows(30), ROW_SCHEMA).write.partitionBy(
+        "part_date"
+    ).parquet(path)
+    job = DedupeJob(
+        spark, path, StateStore(spark, os.path.join(str(tmp_path), "state")),
+        key="consensus_timestamp", tiebreak="ingest_seq",
+    )
+
+    clock = FakeClock()
+    sched = dedupe_schedule(job)
+    sched.clock = clock
+    for j in sched.jobs:
+        j.next_due = 0.0
+    sched.run_pending()          # runs incremental AND full at t=0
+
+    assert job.metrics.runs == 2
+    assert job.metrics.total_duplicates_removed == 6
+    assert job.metrics.last_window_end > 0
+    assert spark.read.parquet(path).count() == 30
+    assert [j.name for j in sched.jobs] == ["incremental_dedupe", "full_dedupe"]
+    assert sched.jobs[0].interval_sec == 300.0
+    assert sched.jobs[1].interval_sec == 86_400.0
