@@ -46,6 +46,102 @@ def lsh_bucket_col(vec_col, signs: list[list[int]]):
     return bucket
 
 
+def ivf_centroids(n_centroids: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1]^dims from md5.
+
+    A production IVF trains centroids with k-means over a sample; the
+    coarse-quantizer *plumbing* (assignment, inverted lists, multi-probe)
+    is identical either way, and fixed centroids keep every engine's
+    bucket assignment bit-reproducible for the oracle.
+    """
+    return [
+        [
+            (int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF)
+            * 2.0
+            - 1.0
+            for d in range(dims)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def _dots_array(vec_col, centroids: list[list[float]]):
+    return F.array(
+        *[
+            dot(
+                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                F.array(*[F.lit(v) for v in plane]),
+            )
+            for plane in centroids
+        ]
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Coarse quantization: bucket = argmax dot(vec, centroid) (1-based,
+    first-match tiebreak) — the inverted-list assignment."""
+    dots = _dots_array(vec_col, centroids)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.array_position(dots, F.array_max(dots)).alias("bucket"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in one inverted list
+    each; queries probe their ``n_probe`` closest centroids, so the scan
+    touches ~n_probe/n_centroids of the corpus instead of all of it.
+
+    The probe fan-out is a per-query explode + rank (queries are few);
+    candidate retrieval is a bucket equi-join — both sides scale-safe.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = ivf_centroids(n_centroids, dims)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(_dots_array(vec_col, centroids)).alias("cidx", "cdot"),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), "cidx")
+    probes = (
+        q.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", (F.col("cidx") + 1).alias("bucket"))
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -140,6 +140,63 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+@query(
+    "hed_stateful_user_activity",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def hed_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming operator (applyInPandasWithState): a
+    per-user running (count, latest-event-time) tracker updated per
+    micro-batch (streaming/stateful.py).  The counters are monotone, so
+    the max over emitted snapshots equals the batch aggregate — which is
+    exactly what the oracle computes."""
+    import os
+    import shutil
+
+    from hedera_etl_spark.streaming.stateful import user_activity_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"hed_stateful_activity_{tag}"
+    stage = tempfile.mkdtemp(prefix="hed_stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="hed_stateful_ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "part-0.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("user_id", F.expr("(ts div 1000)").alias("ts_us"))
+        )
+        q = (
+            user_activity_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_us").alias("last_us"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q15 / ST4+J1+J2 — the stateful DedupeJob end-to-end
 # ---------------------------------------------------------------------------
 def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:

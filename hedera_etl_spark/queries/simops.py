@@ -19,10 +19,17 @@ from hedera_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     hyperplane_signs,
+    ivf_centroids,
+    ivf_topk,
     lsh_ann_topk,
 )
 from hedera_etl_spark.queries import query
-from hedera_etl_spark.queries._oracle import fold_cosine, lsh_bucket_expr
+from hedera_etl_spark.queries._oracle import (
+    fold_cosine,
+    fold_dot,
+    lsh_bucket_expr,
+    plane_literal,
+)
 from hedera_etl_spark.tables import load_table
 
 DIMS = 64
@@ -112,6 +119,72 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the identical buckets from the same literal sign matrix."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, QUERY_IDS, k=K, n_planes=N_PLANES, dims=DIMS)
+
+
+# ---------------------------------------------------------------------------
+# IVF-ANN top-k (coarse-quantizer inverted lists + multi-probe)
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 16
+N_PROBE = 2
+_CENTROIDS = ivf_centroids(N_CENTROIDS, DIMS)
+_DOTS_SQL = "[" + ",\n        ".join(
+    fold_dot("embedding", plane_literal(c), DIMS) for c in _CENTROIDS
+) + "]"
+
+_IVF_ORACLE = f"""
+    WITH a AS (
+      SELECT vec_id, embedding, {_DOTS_SQL} AS dots FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding AS vec,
+             CAST(list_position(dots, list_max(dots)) AS BIGINT) AS bucket
+      FROM a
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qvec, dots FROM a
+      WHERE vec_id IN ({_IDS_SQL})
+    ),
+    qprobe AS (
+      SELECT query_id, qvec, idx AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, idx) AS pr
+      FROM (SELECT query_id, qvec, unnest(dots) AS d,
+                   CAST(generate_subscripts(dots, 1) AS BIGINT) AS idx
+            FROM qd)
+    ),
+    probes AS (SELECT query_id, qvec, bucket FROM qprobe WHERE pr <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             {fold_cosine('p.qvec', 'b.vec', DIMS)} AS cos
+      FROM probes p JOIN b USING (bucket)
+      WHERE b.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_ivf_topk",
+    _IVF_ORACLE,
+    tags=("sim", "ann", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: every corpus vector lives in exactly one
+    inverted list (argmax-dot coarse quantizer); queries probe their 2
+    closest of 16 centroids, scanning ~1/8 of the corpus.  Deterministic
+    md5-derived centroids stand in for k-means training so the oracle
+    reproduces the identical inverted lists (operators/similarity.py
+    ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, QUERY_IDS, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE, dims=DIMS
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""Similarity-search operator tests: ANN recall vs the exact baseline,
+and bucketing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+QUERY_IDS = list(range(10))
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from hedera_etl_spark.tables import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact(spark, emb):
+    from hedera_etl_spark.operators.similarity import brute_force_topk
+
+    rows = brute_force_topk(emb, QUERY_IDS, k=K).collect()
+    return {
+        q: {r["neighbor_id"] for r in rows if r["query_id"] == q} for q in QUERY_IDS
+    }
+
+
+def recall(approx_rows, exact_sets) -> float:
+    hits = total = 0
+    for q, truth in exact_sets.items():
+        got = {r["neighbor_id"] for r in approx_rows if r["query_id"] == q}
+        hits += len(got & truth)
+        total += len(truth)
+    return hits / total
+
+
+def test_ivf_recall_beats_random(spark, emb, exact):
+    """IVF with 2/16 probes scans ~1/8 of the corpus; recall must be far
+    above the ~12.5% a random 1/8 sample would give."""
+    from hedera_etl_spark.operators.similarity import ivf_topk
+
+    # uniform-random embeddings have weak neighbor structure; observed
+    # recall ~0.28 — the floor below asserts >2x the random-sample rate
+    rows = ivf_topk(emb, QUERY_IDS, k=K, n_centroids=16, n_probe=2).collect()
+    assert recall(rows, exact) >= 0.25
+
+
+def test_lsh_finds_near_identical_vectors(spark, emb):
+    """Random-hyperplane LSH's actual guarantee: collision probability
+    (1 - theta/pi)^planes -> 1 as theta -> 0.  On weak-structure random
+    data single-table recall is legitimately tiny (~2%, matching theory);
+    for near-duplicates (theta ~= 0) the bucket hit is certain — a clone
+    of each query vector MUST be its returned top-1 neighbor."""
+    from hedera_etl_spark.operators.similarity import lsh_ann_topk
+
+    clones = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clones)
+    rows = lsh_ann_topk(corpus, QUERY_IDS, k=1, n_planes=8).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows}
+    assert top1 == {q: q + 10_000 for q in QUERY_IDS}
+
+
+def test_ivf_partitions_corpus(spark, emb):
+    """Every vector lands in exactly one inverted list; lists are
+    nonempty-ish and bounded (no degenerate single-bucket collapse)."""
+    from hedera_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    assigned = ivf_assign(emb, ivf_centroids(16, 64))
+    n = emb.count()
+    assert assigned.count() == n
+    sizes = assigned.groupBy("bucket").count().collect()
+    assert len(sizes) > 4  # corpus spreads over multiple lists
+    assert max(r["count"] for r in sizes) < n  # no single-bucket collapse
+
+
+def test_ann_results_are_true_neighbors(spark, emb, exact):
+    """ANN may miss neighbors but must never fabricate: every returned
+    cosine must equal the exact cosine for that pair."""
+    from hedera_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk(emb, QUERY_IDS, k=K).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, QUERY_IDS, k=1000).collect()
+    }
+    for pair, cos in approx.items():
+        assert pair in full and full[pair] == cos
