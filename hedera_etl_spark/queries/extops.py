@@ -160,6 +160,112 @@ def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_json_map",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events
+    GROUP BY k_mod ORDER BY k_mod
+    """,
+    tags=("json", "map", "scalar"),
+)
+def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + map function surface (SURVEY §2.6): parse the props JSON
+    column into a MapType, access via element_at, aggregate — the
+    get_json_object/from_json/map_* family."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.element_at(
+            F.from_json("props", "map<string,bigint>"), F.lit("k")
+        ).alias("k")
+    )
+    return (
+        parsed.select((F.col("k") % 10).alias("k_mod"), "k")
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("k_mod")
+    )
+
+
+@query(
+    "q22_lag_lead",
+    """
+    SELECT event_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    tags=("window", "analytic"),
+)
+def q22_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic windows (W2): previous/next event per user and
+    the inter-event gap — one shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.expr("ts_ns div 1000") - F.lag(F.expr("ts_ns div 1000")).over(w)
+        ).alias("us_since_prev"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q23_percentiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (element-based) percentiles via rank selection: the
+    median/p90 are actual data values, so there is no interpolation
+    arithmetic to drift between engines (interpolated quantile_cont vs
+    F.percentile differed by one ulp at a DECIMAL rounding boundary)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")).cast("long"), F.col("v"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            pick(0.5).alias("med"),
+            pick(0.9).alias("p90"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q20_distinct",
     """
     SELECT DISTINCT event_type, user_id % 10 AS ub
