@@ -86,17 +86,42 @@ def _parsed(spark: SparkSession, sf_dir: str):
 @query(
     "hed_tx_transform",
     f"""
-    -- epoch_us, not epoch_ns: the raw nanos carry sub-microsecond digits
-    -- the driver's µs events view cannot reproduce
-    SELECT epoch_us(ts) AS consensus_us,
-           CAST(make_timestamp(epoch_us(ts)) AS TIMESTAMP) AS consensus_ts_trunc,
-           event_id % 21 + 7 AS tx_type,
-           user_id * 1000 AS fee,
-           event_type AS memo,
-           CAST(2 AS INT) AS n_transfers,
-           CAST(0 AS BIGINT) AS transfer_sum
-    FROM events
-    WHERE event_id % {CORRUPT_MOD} != 0
+    -- The oracle does the SAME work as the Spark side: build the JSON
+    -- document, then parse the typed fields back out of it — so this is
+    -- both a fair timing twin and a cross-engine check of the JSON
+    -- parse itself.  epoch_us (not epoch_ns): the raw nanos carry
+    -- sub-microsecond digits the driver's µs events view cannot see.
+    WITH raw AS (
+      SELECT to_json(struct_pack(
+               consensusTimestamp := epoch_us(ts) * 1000,
+               transactionType := event_id % 21 + 7,
+               transaction := struct_pack(body := struct_pack(
+                 transactionFee := CAST(user_id * 1000 AS VARCHAR),
+                 memo := event_type)),
+               transactionRecord := struct_pack(transferList := struct_pack(
+                 accountAmounts := [
+                   struct_pack(accountID := struct_pack(shardNum := '0',
+                     realmNum := '0', accountNum := CAST(user_id AS VARCHAR)),
+                     amount := CAST(user_id + 1 AS VARCHAR)),
+                   struct_pack(accountID := struct_pack(shardNum := '0',
+                     realmNum := '0', accountNum := '98'),
+                     amount := CAST(-(user_id + 1) AS VARCHAR))])),
+               generateRecord := true)) AS doc
+      FROM events
+      WHERE event_id % {CORRUPT_MOD} != 0
+    )
+    SELECT CAST(json_extract(doc, '$.consensusTimestamp') AS BIGINT) // 1000 AS consensus_us,
+           CAST(make_timestamp(CAST(json_extract(doc, '$.consensusTimestamp') AS BIGINT) // 1000)
+                AS TIMESTAMP) AS consensus_ts_trunc,
+           CAST(json_extract(doc, '$.transactionType') AS BIGINT) AS tx_type,
+           CAST(json_extract_string(doc, '$.transaction.body.transactionFee') AS BIGINT) AS fee,
+           json_extract_string(doc, '$.transaction.body.memo') AS memo,
+           CAST(json_array_length(doc, '$.transactionRecord.transferList.accountAmounts') AS INT)
+             AS n_transfers,
+           CAST(json_extract_string(doc, '$.transactionRecord.transferList.accountAmounts[0].amount') AS BIGINT)
+             + CAST(json_extract_string(doc, '$.transactionRecord.transferList.accountAmounts[1].amount') AS BIGINT)
+             AS transfer_sum
+    FROM raw
     ORDER BY consensus_us
     """,
     tags=("tx", "transform", "json"),

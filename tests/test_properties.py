@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — upgrading the reference's example-only
+test strategy (SURVEY §5).
+
+Spark-backed properties keep max_examples small (each example is a job);
+pure-expression properties go through one batched DataFrame per case.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# transform: JSON -> typed rows
+# ---------------------------------------------------------------------------
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+memos = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='"\\\x00'),
+    max_size=30,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(int64s, st.integers(0, 30), int64s, memos), min_size=1, max_size=20
+    )
+)
+def test_transform_preserves_any_int64_exactly(spark, rows):
+    """Every int64 — quoted or not, far beyond 2^53 — round-trips exactly
+    through parse + cast; memos survive verbatim."""
+    from hedera_etl_spark.transform import parse_transactions
+
+    lines = [
+        json.dumps(
+            {
+                "consensusTimestamp": ts,
+                "transactionType": tt,
+                "transaction": {"body": {"transactionFee": str(fee), "memo": memo}},
+            }
+        )
+        for ts, tt, fee, memo in rows
+    ]
+    raw = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    valid, errors = parse_transactions(raw)
+    got = sorted(
+        (
+            r["consensusTimestamp"],
+            r["transactionType"],
+            r["transaction"]["body"]["transactionFee"],
+            r["transaction"]["body"]["memo"],
+        )
+        for r in valid.collect()
+    )
+    assert errors.count() == 0
+    assert got == sorted((ts, tt, fee, memo) for ts, tt, fee, memo in rows)
+
+
+@settings(**SPARK_SETTINGS)
+@given(junk=st.lists(st.text(max_size=40).filter(lambda s: s.strip() != ""), min_size=1, max_size=10))
+def test_transform_never_crashes_and_conserves_rows(spark, junk):
+    """Arbitrary garbage lines: the transform must never raise, and every
+    input row lands in exactly one of (valid, errors)."""
+    from hedera_etl_spark.transform import parse_transactions
+
+    raw = spark.createDataFrame([(ln,) for ln in junk], ["value"])
+    valid, errors = parse_transactions(raw)
+    assert valid.count() + errors.count() == len(junk)
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+tokens_lists = st.lists(st.text(alphabet="abcde", min_size=1, max_size=4), min_size=0, max_size=12)
+
+
+@settings(**SPARK_SETTINGS)
+@given(docs=st.lists(tokens_lists, min_size=1, max_size=10))
+def test_shingle_count_and_shape(spark, docs):
+    """len(shingles) == max(0, n_tokens - 2); each shingle is exactly the
+    3 consecutive tokens joined by a space."""
+    from hedera_etl_spark.functions import shingles
+
+    df = spark.createDataFrame([(i, " ".join(d)) for i, d in enumerate(docs)], ["i", "text"])
+    toked = df.select("i", F.split("text", " ").alias("toks"))
+    out = {
+        r["i"]: r["sh"]
+        for r in toked.select("i", shingles(F.col("toks"), 3).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = " ".join(d).split(" ")  # mirrors the engine's single-space split
+        expect = (
+            [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else []
+        )
+        assert out[i] == expect, (i, toks)
+
+
+# ---------------------------------------------------------------------------
+# dedup collapse
+# ---------------------------------------------------------------------------
+@settings(**SPARK_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+)
+def test_collapse_is_idempotent_and_keeps_min_tiebreak(spark, keys):
+    from hedera_etl_spark.operators.dedupe import collapse_duplicates
+
+    rows = [(k, seq) for seq, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["k", "seq"])
+    once = collapse_duplicates(df, "k", ["seq"])
+    got = {(r["k"], r["seq"]) for r in once.collect()}
+    expect = {}
+    for k, seq in rows:
+        if k not in expect or seq < expect[k]:
+            expect[k] = seq
+    assert got == set(expect.items())
+    twice = collapse_duplicates(once, "k", ["seq"])
+    assert {(r["k"], r["seq"]) for r in twice.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs a per-row reference implementation
+# ---------------------------------------------------------------------------
+@settings(**SPARK_SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+                   min_size=0, max_size=15),
+)
+def test_asof_join_matches_reference_impl(spark, left, right):
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    # right must be unique per (key, ts) — the operator's contract
+    right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "lts", "lid"]
+    )
+    rdf = spark.createDataFrame(right, ["k", "rts", "payload"]) if right else \
+        spark.createDataFrame([], "k long, rts long, payload long")
+    out = as_of_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                     right_payload=["payload"])
+    got = {r["lid"]: r["payload"] for r in out.collect()}
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts)
