@@ -18,6 +18,42 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    width: float,
+) -> DataFrame:
+    """|left_on - right_on| <= width as an EQUI join on value buckets.
+
+    A pure range join plans as BroadcastNestedLoopJoin — O(n*m) and only
+    viable when one side broadcasts.  Bucketizing turns it into an
+    equi-join: bucket = floor(value/width); a qualifying pair differs by
+    at most one bucket, so the right side explodes to its bucket ±1 and
+    the join key is bucket equality, followed by the exact residual
+    filter.  3x row inflation on one side buys a shuffled hash join that
+    scales like any other equi-join.
+
+    Each qualifying pair matches on exactly ONE exploded copy (the left
+    row's bucket), so no dedup pass is needed.
+    """
+    lb = left.withColumn("__bucket", F.floor(F.col(left_on) / width).cast("long"))
+    rb = (
+        right.withColumn("__b0", F.floor(F.col(right_on) / width).cast("long"))
+        .withColumn(
+            "__bucket",
+            F.explode(F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1)),
+        )
+        .drop("__b0")
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .filter(F.abs(F.col(left_on) - F.col(right_on)) <= width)
+        .drop("__bucket")
+    )
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -325,9 +325,7 @@ def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (no equi key).  Spark plans BroadcastNestedLoopJoin
     with the small side broadcast — acceptable because supplier is a
-    dimension.  For two large sides the engine's scale path is bucketized
-    range join: join on floor(value/width) buckets (+/-1) then filter, which
-    turns it into an equi join; see operators docstrings."""
+    dimension.  For two large sides use the bucketized form (q08c)."""
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     return (
@@ -336,6 +334,35 @@ def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer,
             customer.c_acctbal.between(supplier.s_acctbal - 10, supplier.s_acctbal + 10),
         )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q08_range_join_bucketed",
+    """
+    SELECT s_suppkey, COUNT(*) AS n_close
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "range", "bucketed"),
+)
+def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME range join as an equi-join on floor(value/width) buckets
+    (right side exploded to bucket ±1, exact residual filter after) —
+    the big-joins-big scale path where no side can broadcast
+    (operators/joins.py range_join_bucketed).  Identical oracle to q08b
+    proves the rewrite is semantics-preserving."""
+    from hedera_etl_spark.operators.joins import range_join_bucketed
+
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    customer = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    return (
+        range_join_bucketed(supplier, customer, "s_acctbal", "c_acctbal", 10.0)
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("n_close"))
         .orderBy("s_suppkey")

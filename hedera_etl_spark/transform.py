@@ -39,6 +39,11 @@ from hedera_etl_spark.schema import (
 # ---------------------------------------------------------------------------
 # spec-driven cast tree (wire strings -> typed)
 # ---------------------------------------------------------------------------
+#: strict base64: 4-char groups with valid tail padding — anything else
+#: would make unbase64 fail the TASK (there is no try_unbase64)
+_BASE64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
 def _cast_leaf(col: Column, ftype: str) -> Column:
     if ftype == "INTEGER":
         # try_cast: a non-numeric string nulls the field instead of failing
@@ -46,7 +51,8 @@ def _cast_leaf(col: Column, ftype: str) -> Column:
         # nulling is the lenient-projection analogue)
         return col.try_cast("long")
     if ftype == "BYTES":
-        return F.unbase64(col)
+        # malformed base64 nulls the field instead of killing the job
+        return F.when(col.rlike(_BASE64_RE), F.unbase64(col))
     if ftype == "TIMESTAMP":
         return col.try_cast("timestamp")
     return col  # STRING

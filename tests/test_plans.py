@@ -104,3 +104,14 @@ def test_clustered_write_gives_rowgroup_stats(spark, tmp_path):
     for f in files[:5]:
         vals = pq.read_table(f, columns=["transactionType"])["transactionType"].to_pylist()
         assert vals == sorted(vals), f
+
+
+def test_bucketed_range_join_is_equi_join(spark, registry):
+    """The bucketized range join must plan as a hash equi-join, never a
+    nested loop — that's its entire reason to exist."""
+    df = registry["q08_range_join_bucketed"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast- or shuffled-hash on __bucket

@@ -190,3 +190,29 @@ def test_schema_field_paths_match_reference_json():
         assert p in ours, f"missing field path {p}"
         assert ours[p] == (t, m), f"type/mode mismatch at {p}: {ours[p]} != {(t, m)}"
     assert len(ours) == len(list(paths(ref)))
+
+
+def test_invalid_base64_nulls_field_not_job(spark):
+    """A malformed base64 BYTES value must null that field, never kill
+    the job (unbase64 has no try_ variant; ANSI mode fails the task)."""
+    import json as _json
+
+    from hedera_etl_spark.transform import parse_transactions
+
+    line = _json.dumps(
+        {
+            "consensusTimestamp": 7,
+            "transactionRecord": {"transactionHash": "!!!not-base64!!!"},
+        }
+    )
+    ok = _json.dumps(
+        {
+            "consensusTimestamp": 8,
+            "transactionRecord": {"transactionHash": "grJr"},
+        }
+    )
+    valid, errors = parse_transactions(spark.createDataFrame([(line,), (ok,)], ["value"]))
+    rows = {r["consensusTimestamp"]: r for r in valid.collect()}
+    assert errors.count() == 0
+    assert rows[7]["transactionRecord"]["transactionHash"] is None
+    assert bytes(rows[8]["transactionRecord"]["transactionHash"]) == b"\x82\xb2k"
