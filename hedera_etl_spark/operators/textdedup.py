@@ -72,16 +72,20 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signatures(sh: DataFrame, k: int = 9) -> DataFrame:
+def minhash_signatures(sh: DataFrame, k: int = 9, with_size: bool = False) -> DataFrame:
     """k-member MinHash signature in a single aggregate pass.
 
     Hash family i is md5('i:' || shingle); the min is taken on the hex
-    string (= numeric min for fixed-length hex).
+    string (= numeric min for fixed-length hex).  ``with_size`` rides the
+    shingle-set cardinality along on the same aggregate (free map-side
+    combine) so downstream Jaccard math needs no separate sizes pass.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(k)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("__n"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -108,8 +112,9 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    carry = [c for c in sig.columns if c == "__n"]
+    buckets = sig.select("doc_id", *carry, F.explode(band_structs).alias("bk")).select(
+        "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
     if max_bucket is not None:
         buckets = (
@@ -117,12 +122,22 @@ def lsh_candidates(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
-    left = buckets.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    right = buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    left = buckets.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "sig",
+        *[F.col(c).alias("__n_a") for c in carry],
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "sig",
+        *[F.col(c).alias("__n_b") for c in carry],
+    )
     return (
         left.join(right, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", *[f"__n_{s}" for s in ("a", "b") if carry])
         .distinct()
     )
 
@@ -130,14 +145,37 @@ def lsh_candidates(
 def verify_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
-    Intersection counts come from a pair-scoped equi-join on shingle; set
-    sizes from one aggregate.  Returns (doc_a, doc_b, inter, n_a, n_b,
-    jaccard) with jaccard as DECIMAL(9,6) — the division is a single IEEE op
-    over exact integers, so the value is engine-independent.
+    Intersection counts come from a pair-scoped equi-join on shingle.
+    When the pairs carry set sizes (``__n_a``/``__n_b`` from
+    ``lsh_candidates`` over a ``with_size`` signature), no sizes pass or
+    joins are needed at all; otherwise sizes come from one aggregate over
+    ``sh`` plus two small joins.  Returns (doc_a, doc_b, inter, n_a, n_b,
+    jaccard) with jaccard as DECIMAL(9,6) — the division is a single IEEE
+    op over exact integers, so the value is engine-independent.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+    def with_jaccard(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "jaccard",
+            (
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).cast("decimal(9,6)"),
+        ).select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+
+    if "__n_a" in pairs.columns:
+        inter = (
+            pairs.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b", "__n_a", "__n_b")
+            .agg(F.count("*").alias("inter"))
+            .withColumnRenamed("__n_a", "n_a")
+            .withColumnRenamed("__n_b", "n_b")
+        )
+        return with_jaccard(inter)
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
@@ -146,17 +184,7 @@ def verify_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     n_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     n_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(n_a, "doc_a")
-        .join(n_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            (
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).cast("decimal(9,6)"),
-        )
-        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
-    )
+    return with_jaccard(inter.join(n_a, "doc_a").join(n_b, "doc_b"))
 
 
 def minhash_lsh_neardups(
@@ -176,7 +204,9 @@ def minhash_lsh_neardups(
     (pass None to disable for exhaustive small-corpus runs)."""
     rows = k // bands
     sh = doc_shingles(docs, n)
-    sig = minhash_signatures(sh, k)
+    # set sizes ride the signature aggregate and flow through the candidate
+    # join, so the verify stage needs no separate sizes pass or joins
+    sig = minhash_signatures(sh, k, with_size=True)
     cand = lsh_candidates(sig, bands, rows, max_bucket=max_bucket)
     return (
         verify_jaccard(sh, cand)
