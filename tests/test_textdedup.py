@@ -1,0 +1,92 @@
+"""Text-dedup operators on hand-checkable corpora: known duplicates in,
+known pairs out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, text_a),
+        (2, text_a),                                   # exact clone of 1
+        (3, text_a + " tail"),                         # near-dup of 1
+        (4, "completely different words in this one here now"),
+        (5, "short"),                                  # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    from hedera_etl_spark.operators.textdedup import exact_duplicates
+
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert groups[1] == 2          # docs 1+2 collapse, min id kept
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_minhash_finds_clone_and_neardup(spark, docs):
+    from hedera_etl_spark.operators.textdedup import minhash_lsh_neardups
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in minhash_lsh_neardups(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0    # identical shingle sets
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_hamming_zero_for_clones(spark, docs):
+    from hedera_etl_spark.operators.textdedup import simhash_neardups
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_neardups(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ngram_jaccard_blocking(spark, docs):
+    from hedera_etl_spark.operators.textdedup import ngram_jaccard_neardups
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in ngram_jaccard_neardups(docs, threshold=0.8).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs          # ~10/12 shingles shared >= 0.8
+    assert not any(4 in p for p in pairs)
+
+
+def test_short_docs_yield_no_shingles(spark, docs):
+    from hedera_etl_spark.operators.textdedup import doc_shingles
+
+    sh = doc_shingles(docs, 3)
+    assert sh.filter(F.col("doc_id") == 5).count() == 0
+
+
+def test_lsh_skew_guard_drops_megabuckets(spark):
+    """With max_bucket=1 every bucket is degenerate -> zero candidates;
+    with the guard off the clones are found: the guard is really wired."""
+    from hedera_etl_spark.operators.textdedup import (
+        doc_shingles,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([(i, text) for i in range(4)], ["doc_id", "text"])
+    sig = minhash_signatures(doc_shingles(docs, 3), 9)
+    assert lsh_candidates(sig, 3, 3, max_bucket=1).count() == 0
+    assert lsh_candidates(sig, 3, 3, max_bucket=None).count() == 6  # C(4,2)
+
+
+def test_simhash_band_args_validated(spark, docs):
+    from hedera_etl_spark.operators.textdedup import simhash_neardups
+
+    with pytest.raises(ValueError):
+        simhash_neardups(docs, n_bands=3, max_hamming=3)  # lossy blocking
+    with pytest.raises(ValueError):
+        simhash_neardups(docs, n_bands=6, max_hamming=3)  # 6 doesn't divide 64
