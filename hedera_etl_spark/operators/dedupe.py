@@ -226,13 +226,21 @@ class DedupeJob:
     def _dedupe_window(self, start: int, end: int) -> DedupeResult:
         df = self._read()
         in_window = df.filter(F.col("ts_sec").between(start, end))
-        dups = find_duplicates(in_window, self.key)
-        n_dups = duplicate_count(dups)
-        n_rows = in_window.count()
+        # A1 detection + A5 row count + A6 excess fold in ONE aggregate
+        # pass (the reference issues three separate queries for these)
+        key_counts = in_window.groupBy(self.key).agg(F.count("*").alias("num"))
+        stats = key_counts.agg(
+            F.coalesce(F.sum("num"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("num") > 1, F.col("num") - 1)), F.lit(0)
+            ).alias("extra"),
+        ).collect()[0]
+        n_rows, n_dups = int(stats["n_rows"]), int(stats["extra"])
         if n_dups == 0:
             # No-op fast path (AbstractDeduplication.java:109-111 only runs
             # the MERGE when duplicates exist).
             return DedupeResult(start, end, 0, n_rows)
+        dups = key_counts.filter(F.col("num") > 1)
 
         # MERGE ON FALSE delete+insert == replace the range with its deduped
         # content (RemoveDuplicatesTemplateQuery.java:29-43) — but only
