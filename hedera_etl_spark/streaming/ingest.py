@@ -125,10 +125,17 @@ class IngestPipeline:
 
             valid_obs = Observation(f"ingest_valid_{batch_id}")
             typed = cast_to_table(batch_df.filter(~is_bad).select("__p.*"))
-            typed = typed.withColumn(
-                "consensusTimestampTruncated",
-                F.expr("timestamp_micros(consensusTimestamp div 1000)"),
-            ).withColumn("part_date", F.to_date("consensusTimestampTruncated"))
+            typed = (
+                typed.withColumn(
+                    "consensusTimestampTruncated",
+                    F.expr("timestamp_micros(consensusTimestamp div 1000)"),
+                )
+                .withColumn("part_date", F.to_date("consensusTimestampTruncated"))
+                # administrative column for the downstream DedupeJob's
+                # window predicates (the reference's UNIX_SECONDS filter
+                # column; `dedupe` scratch is the analogous precedent)
+                .withColumn("ts_sec", F.expr("consensusTimestamp div 1000000000"))
+            )
             typed = typed.observe(
                 valid_obs,
                 F.count(F.lit(1)).alias("rows"),
