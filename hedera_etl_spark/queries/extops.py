@@ -266,6 +266,83 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q24_scalar_subquery",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE o_totalprice > 1.95 * (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery",),
+)
+def q24_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (Catalyst plans it as a one-row
+    broadcast into the filter).  The comparison stays on raw doubles on
+    both sides; only the projected output goes through DECIMAL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders_v
+        WHERE o_totalprice > 1.95 * (SELECT AVG(o_totalprice) FROM orders_v)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "q24_correlated_subquery",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
+    ORDER BY c_custkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def q24_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (SURVEY §4 O8), so it scales like the explicit
+    groupBy it denotes."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer_v c
+        WHERE (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) >= 15
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q25_pivot",
+    """
+    SELECT user_id % 5 AS ub,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'scroll') AS scroll,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY ub ORDER BY ub
+    """,
+    tags=("pivot", "aggregate"),
+)
+def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list — the
+    scale-safe form; inferred pivot values would need an extra distinct
+    pass).  The oracle is the equivalent filtered aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "scroll", "view"]
+    return (
+        ev.groupBy((F.col("user_id") % 5).alias("ub"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("ub")
+    )
+
+
+@query(
     "q20_distinct",
     """
     SELECT DISTINCT event_type, user_id % 10 AS ub
