@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hedera_etl_spark.functions import tokens
 
@@ -114,6 +115,56 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         )
         .cast("decimal(12,6)")
         .alias("quality_score"),
+    )
+
+
+def groupwise_minmax_norm(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group min-max normalization via applyInPandas (grouped map).
+
+    The normalization itself is expressible with window functions; this
+    operator exists to exercise the grouped-map Pandas path — the shape
+    used when per-group logic genuinely needs imperative/vectorized code
+    (tokenizer training, groupwise outlier models).  The normalized value
+    is parts-per-million via integer floor division — no floating point
+    anywhere, so any engine reproduces it exactly (FP rounding at decimal
+    ties differs between Python's and SQL casts).  Each group must fit one
+    executor's memory — the documented applyInPandas contract; groups
+    here are languages, bounded and balanced.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("norm_ppm", T.LongType()),
+        ]
+    )
+
+    def norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf[value_col].min()), int(pdf[value_col].max())
+        span = hi - lo
+        vals = pdf[value_col].astype("int64")
+        ppm = ((vals - lo) * 1_000_000) // span if span else vals * 0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col],
+                group_col: pdf[group_col],
+                "value": vals,
+                "norm_ppm": ppm.astype("int64"),
+            }
+        )
+
+    return (
+        docs.select(id_col, group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(norm_group, schema=schema)
     )
 
 

@@ -20,6 +20,7 @@ from hedera_etl_spark.operators.textanalysis import (
     LANG_PROFILES,
     WORD_PATTERN,
     char_fingerprints,
+    groupwise_minmax_norm,
     language_scores,
     quality_scores,
     token_stats,
@@ -302,6 +303,29 @@ def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, stopword ratio) — exact-integer divisions cast to DECIMAL."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return quality_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "llm_groupwise_norm",
+    """
+    SELECT doc_id, lang, n_chars AS value,
+           CASE WHEN MAX(n_chars) OVER w = MIN(n_chars) OVER w THEN 0
+                ELSE ((n_chars - MIN(n_chars) OVER w) * 1000000)
+                     // (MAX(n_chars) OVER w - MIN(n_chars) OVER w)
+           END AS norm_ppm
+    FROM documents
+    WINDOW w AS (PARTITION BY lang)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pandas-udf", "grouped-map"),
+)
+def llm_groupwise_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language min-max normalization in
+    parts-per-million (pure integer arithmetic — engine-exact).  The SQL
+    twin is the window form; the Pandas form is the shape for per-group
+    logic that genuinely needs imperative code."""
+    docs = load_table(spark, sf_dir, "documents")
+    return groupwise_minmax_norm(docs).orderBy("doc_id")
 
 
 @query(
