@@ -33,9 +33,6 @@ from pyspark.sql import functions as F
 
 from hedera_etl_spark.functions import shingles, tokens
 
-HEX_HIGH = list("89abcdef")  # hex digits whose high nibble-bit is set
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -218,11 +215,6 @@ def minhash_lsh_neardups(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def _bit_sign(h: Column, j: int) -> Column:
-    """+1/-1 from the j-th hex char's high bit of an md5 digest."""
-    return F.when(F.substring(h, j + 1, 1).isin(HEX_HIGH), F.lit(1)).otherwise(F.lit(-1))
-
-
 #: Salt prefixing the md5 that supplies the high 32 fingerprint bits.
 SIMHASH_HI_SALT = "hi:"
 
