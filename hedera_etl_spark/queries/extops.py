@@ -343,6 +343,54 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q26_scalar_extra",
+    """
+    SELECT o_orderkey,
+           o_orderpriority LIKE '%URGENT' AS is_urgent,
+           regexp_extract(o_orderpriority, '[0-9]+') AS prio_num,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           year(o_orderdate) * 10000 + month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS ymd,
+           CAST(abs(o_totalprice - 100000) AS DECIMAL(18,2)) AS dist,
+           CAST(pow(o_orderkey % 10, 2) AS BIGINT) AS sq,
+           CAST(ln(o_totalprice) AS DECIMAL(12,6)) AS log_price,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar",),
+)
+def q26_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the declared scalar surface (SURVEY §2.6): LIKE,
+    regexp_extract, date arithmetic (datediff/add_months/ymd parts),
+    abs/pow/ln, nullif/coalesce.  ln goes through DECIMAL(12,6): both
+    engines evaluate IEEE log on identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").like("%URGENT").alias("is_urgent"),
+        F.regexp_extract("o_orderpriority", "[0-9]+", 0).alias("prio_num"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).alias("ymd"),
+        F.abs(F.col("o_totalprice") - 100000).cast(DEC).alias("dist"),
+        F.pow(F.col("o_orderkey") % 10, 2).cast("long").alias("sq"),
+        F.log(F.col("o_totalprice")).cast("decimal(12,6)").alias("log_price"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q20_distinct",
     """
     SELECT DISTINCT event_type, user_id % 10 AS ub
