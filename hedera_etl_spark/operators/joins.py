@@ -54,6 +54,37 @@ def range_join_bucketed(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for skewed left-side keys.
+
+    AQE's skew-join splitting handles most cases at runtime; manual
+    salting remains the tool when one key is so hot that even split
+    partitions overflow (the classic null-key / celebrity-entity case),
+    or when AQE is off (streaming joins).  The skewed (left) side gets a
+    deterministic salt derived from row content; the build (right) side
+    replicates once per salt value, so each (key, salt) shard joins
+    independently — the hot key's rows spread over ``n_salts`` tasks.
+
+    Right-side replication costs n_salts x its size: use for dimension-
+    sized right sides or pre-filter right to the known-hot keys and union
+    with an unsalted join for the rest.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n_salts).alias(
+        "__salt"
+    )
+    l_salted = left.select("*", salt)
+    r_salted = right.select(
+        "*", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("__salt")
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
