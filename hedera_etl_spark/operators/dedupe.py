@@ -66,18 +66,39 @@ class StateStore:
         self.path = path
 
     def read(self) -> dict[str, str]:
-        if not os.path.exists(self.path):
-            return {}
-        rows = self.spark.read.schema(STATE_SCHEMA).parquet(self.path).collect()
+        path = self.path
+        if not os.path.exists(path):
+            # a crash between upsert's two renames leaves the previous
+            # state under the .__old sibling — fall back to it
+            if os.path.exists(path + ".__old"):
+                path = path + ".__old"
+            else:
+                return {}
+        rows = self.spark.read.schema(STATE_SCHEMA).parquet(path).collect()
         return {r["name"]: r["value"] for r in rows}
 
     def upsert(self, name: str, value: str) -> None:
+        """Crash-safe KV upsert: write the new state to a sibling temp
+        path, move the live table aside, rename the temp in, then drop
+        the old copy — at every instant either the live path or its
+        ``.__old`` sibling holds a complete previous-or-new state (the
+        in-place overwrite this replaces could corrupt the only copy if
+        the writer died mid-write)."""
+        import shutil
+
         state = self.read()
         state[name] = value
         df = self.spark.createDataFrame(
             [(k, v) for k, v in sorted(state.items())], STATE_SCHEMA
         )
-        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+        tmp, old = self.path + ".__new", self.path + ".__old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -292,12 +313,22 @@ class DedupeJob:
 
         tmp_path = f"{self.table_path}.__rewrite-{uuid.uuid4().hex[:8]}"
         replacement.write.mode("overwrite").partitionBy("part_date").parquet(tmp_path)
-        try:
-            for entry in os.listdir(tmp_path):
-                if not entry.startswith("part_date="):
-                    continue
-                live = os.path.join(self.table_path, entry)
-                shutil.rmtree(live, ignore_errors=True)
-                shutil.move(os.path.join(tmp_path, entry), live)
-        finally:
-            shutil.rmtree(tmp_path, ignore_errors=True)
+        # Per-partition: move the live dir aside (dot-prefixed so parquet
+        # readers ignore it mid-swap), rename the replacement in, then drop
+        # the old copy.  tmp_path is only removed after the WHOLE loop
+        # succeeds — if any move raises, both the replacement data and every
+        # not-yet-swapped live partition survive on disk for a re-run (the
+        # previous version rmtree'd tmp in a finally block, which destroyed
+        # the replacement for all unswapped partitions on a mid-loop
+        # failure).
+        for entry in os.listdir(tmp_path):
+            if not entry.startswith("part_date="):
+                continue
+            live = os.path.join(self.table_path, entry)
+            old = os.path.join(self.table_path, f".{entry}.__old")
+            shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+            if os.path.exists(live):
+                os.rename(live, old)
+            shutil.move(os.path.join(tmp_path, entry), live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp_path, ignore_errors=True)

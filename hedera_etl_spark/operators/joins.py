@@ -54,6 +54,17 @@ def range_join_bucketed(
     )
 
 
+def salt_col(n_salts: int):
+    """Content-independent salt expression: per-row id modulo n_salts.
+
+    ``monotonically_increasing_id`` is (partition_id << 33) + row-in-
+    partition, so consecutive rows of a partition round-robin across all
+    n_salts shards even when every row is byte-identical — the case a
+    content-derived hash collapses to one shard.
+    """
+    return F.monotonically_increasing_id() % n_salts
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,13 +85,32 @@ def salted_join(
     Right-side replication costs n_salts x its size: use for dimension-
     sized right sides or pre-filter right to the known-hot keys and union
     with an unsalted join for the rest.
+
+    The salt must be content-INDEPENDENT: the pathological input this
+    operator exists for is millions of byte-identical rows of one hot key,
+    and any content-derived salt (hash of the row) assigns them all the
+    same shard, defeating the spread entirely.  A per-row id modulo
+    n_salts round-robins identical rows across shards; the join output is
+    salt-assignment-independent because every right row exists under
+    every salt.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated n_salts times, so right/full outer would emit n_salts
+    copies of every unmatched right row.
     """
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n_salts).alias(
-        "__salt"
-    )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows "
+            "n_salts times under right/full outer joins"
+        )
+    salt = salt_col(n_salts).alias("__salt")
     l_salted = left.select("*", salt)
     r_salted = right.select(
-        "*", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("__salt")
+        "*",
+        F.explode(F.array(*[F.lit(s).cast("long") for s in range(n_salts)])).alias(
+            "__salt"
+        ),
     )
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
 
@@ -117,6 +147,7 @@ def as_of_join(
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast("int").alias("__r_matched"),
     )
     r_tagged = right.select(
         *keys,
@@ -124,6 +155,7 @@ def as_of_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.lit(1).alias("__r_matched"),
     )
 
     w = (
@@ -137,13 +169,17 @@ def as_of_join(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
             for c in right_payload
         ],
+        # explicit non-null match sentinel: inner-ness must not be inferred
+        # from payload values (a matched right row may carry NULL in its
+        # first payload column and would be wrongly dropped)
+        F.last("__r_matched", ignorenulls=True).over(w).alias("__m_matched"),
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__m_matched").isNotNull())
+    return out.select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols],
         *[F.col(f"__m_{c}").alias(c) for c in right_payload],
     )
-    if how == "inner":
-        out = out.na.drop(subset=[right_payload[0]])
-    return out

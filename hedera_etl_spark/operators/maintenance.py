@@ -32,18 +32,24 @@ def insert_rows(
 def truncate(spark: SparkSession, path: str) -> None:
     """Empty the table while preserving its schema (S9).
 
-    Writes an empty DataFrame with the existing schema to a temp location
-    then swaps — same commit pattern as the dedup rewrite, so a crash
-    leaves either the old or the (empty) new table, never a half state.
+    Writes an empty DataFrame with the existing schema to a sibling temp
+    path, renames the live table aside, renames the empty table in, and
+    only then deletes the old copy — at every instant either ``path`` or
+    its ``.__old`` sibling holds a complete table (the previous
+    rmtree-then-move ordering had a window with NO table at ``path``).
+    Renames are same-directory so they stay single-filesystem.
     """
+    import os
     import shutil
-    import tempfile
 
     schema = spark.read.parquet(path).schema
-    tmp = tempfile.mkdtemp(prefix="truncate_")
+    tmp, old = path + ".__new", path + ".__old"
+    shutil.rmtree(tmp, ignore_errors=True)
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def row_count(spark: SparkSession, path: str) -> int:

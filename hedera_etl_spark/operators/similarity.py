@@ -136,7 +136,7 @@ def ivf_topk(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
         .orderBy("query_id", "rank")
     )
@@ -175,7 +175,7 @@ def brute_force_topk(
             "query_id",
             "rank",
             "neighbor_id",
-            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
         .orderBy("query_id", "rank")
     )
@@ -220,7 +220,7 @@ def lsh_ann_topk(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("cos").cast("decimal(9,6)").alias("cos_sim"),
+            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
         .orderBy("query_id", "rank")
     )
@@ -257,7 +257,7 @@ def cosine_neardup_pairs(
         .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= threshold)
         .select(
-            "id_a", "id_b", F.col("cos").cast("decimal(9,6)").alias("cos_sim")
+            "id_a", "id_b", F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim")
         )
         .orderBy("id_a", "id_b")
     )

@@ -70,7 +70,9 @@ def language_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     for lang in langs:
         scored = scored.withColumn(
             f"score_{lang}",
-            (F.col(f"hits_{lang}") / F.col("n_tokens")).cast("decimal(9,6)"),
+            (F.col(f"hits_{lang}") / F.col("n_tokens"))
+            .cast("decimal(9,6)")
+            .cast("double"),
         )
     # Earliest-index argmax as a CASE chain: the first language whose score
     # is >= all LATER languages' scores is the argmax (an earlier arm only
@@ -104,16 +106,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         "doc_id",
         "n_chars",
         "n_tokens",
-        (F.col("n_distinct") / F.col("n_tokens")).cast("decimal(9,6)").alias("ttr"),
+        (F.col("n_distinct") / F.col("n_tokens"))
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("ttr"),
         ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"))
         .cast("decimal(9,6)")
+        .cast("double")
         .alias("avg_token_len"),
-        (F.col("stop_hits") / F.col("n_tokens")).cast("decimal(9,6)").alias("stopword_ratio"),
-        # combined score over exact integers -> deterministic decimal
+        (F.col("stop_hits") / F.col("n_tokens"))
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("stopword_ratio"),
+        # combined score over exact integers: round through DECIMAL for a
+        # deterministic value, then DOUBLE so hash canonicalizers never see
+        # a trailing-zero decimal string
         (
             (F.col("n_distinct") * 100 + F.col("stop_hits") * 10) / F.col("n_tokens")
         )
         .cast("decimal(12,6)")
+        .cast("double")
         .alias("quality_score"),
     )
 

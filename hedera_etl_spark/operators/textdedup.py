@@ -147,8 +147,10 @@ def verify_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     ``lsh_candidates`` over a ``with_size`` signature), no sizes pass or
     joins are needed at all; otherwise sizes come from one aggregate over
     ``sh`` plus two small joins.  Returns (doc_a, doc_b, inter, n_a, n_b,
-    jaccard) with jaccard as DECIMAL(9,6) — the division is a single IEEE
-    op over exact integers, so the value is engine-independent.
+    jaccard) with jaccard rounded through DECIMAL(9,6) then cast DOUBLE —
+    the division is a single IEEE op over exact integers, so the value is
+    engine-independent, and the final DOUBLE keeps trailing-zero decimals
+    out of downstream hash canonicalizers.
     """
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -158,7 +160,9 @@ def verify_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             "jaccard",
             (
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).cast("decimal(9,6)"),
+            )
+            .cast("decimal(9,6)")
+            .cast("double"),
         ).select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
 
     if "__n_a" in pairs.columns:

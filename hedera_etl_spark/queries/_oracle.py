@@ -93,7 +93,7 @@ def jaccard_select(threshold: float) -> str:
     )
     SELECT i.doc_a, i.doc_b, i.inter,
            na.n AS n_a, nb.n AS n_b,
-           CAST(i.inter / (na.n + nb.n - i.inter) AS DECIMAL(9,6)) AS jaccard
+           CAST(CAST(i.inter / (na.n + nb.n - i.inter) AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
     FROM inter i
     JOIN sizes na ON na.doc_id = i.doc_a
     JOIN sizes nb ON nb.doc_id = i.doc_b

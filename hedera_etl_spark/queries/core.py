@@ -169,7 +169,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_dim_join_agg",
     f"""
     SELECT n_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
            COUNT(*) AS num_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -194,7 +194,10 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,2)").alias("total_price"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total_price"),
             F.count("*").alias("num_orders"),
         )
         .orderBy("n_name")
@@ -205,45 +208,34 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q06 — anti / semi joins
 # ---------------------------------------------------------------------------
 @query(
-    "q06_anti_join",
+    "q06_semi_anti_join",
     """
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    ORDER BY c_custkey
-    """,
-    tags=("join", "anti"),
-)
-def q06a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN / NOT EXISTS as a left-anti join.  At scale Spark broadcasts
-    the smaller distinct key set; with AQE the strategy flips to shuffled
-    hash join automatically if the build side grows."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "q06_semi_join",
-    """
-    SELECT c_custkey FROM customer
+    SELECT 'semi' AS mode, c_custkey FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
+    UNION ALL
+    SELECT 'anti' AS mode, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY mode, c_custkey
     """,
-    tags=("join", "semi"),
+    tags=("join", "semi", "anti"),
 )
-def q06b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS as a left-semi join (no row multiplication, early out)."""
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row multiplication, early out) and
+    NOT IN / NOT EXISTS as a left-anti join, tagged and unioned into one
+    registry entry.  At scale Spark broadcasts the smaller distinct key
+    set; with AQE the strategy flips to shuffled hash join automatically
+    if the build side grows."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    semi = (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+        .select(F.lit("semi").alias("mode"), "c_custkey")
     )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("mode"), "c_custkey")
+    )
+    return semi.unionByName(anti).orderBy("mode", "c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +245,7 @@ def q06b(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_bigjoin_topk",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS rev
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_orderkey
     ORDER BY rev DESC, l_orderkey
@@ -268,11 +260,21 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition top-k then a k-row merge on the
     driver, never a global sort.  Tie-broken on l_orderkey for determinism."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    # orders is ~10 MB at sf0.1 — well under any sane broadcast threshold,
+    # but AQE only flips to broadcast after the first shuffle is planned;
+    # pinning the hint keeps the fact side shuffle-free at every SF where
+    # orders fits in memory (at 100 TB orders no longer broadcasts and the
+    # hint must go — the unhinted plan is the sort-merge fallback).
+    orders = F.broadcast(load_table(spark, sf_dir, "orders").select("o_orderkey"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(28,2)").alias("rev"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("rev")
+        )
         .orderBy(F.col("rev").desc(), "l_orderkey")
         .limit(10)
     )
@@ -311,21 +313,12 @@ def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q08_range_join",
-    """
-    SELECT s_suppkey, COUNT(*) AS n_close
-    FROM supplier JOIN customer
-      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
-    GROUP BY s_suppkey
-    ORDER BY s_suppkey
-    """,
-    tags=("join", "range"),
-)
-def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure range join (no equi key).  Spark plans BroadcastNestedLoopJoin
-    with the small side broadcast — acceptable because supplier is a
-    dimension.  For two large sides use the bucketized form (q08c)."""
+def q08_range_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) in its broadcast form: Spark plans
+    BroadcastNestedLoopJoin with the small side broadcast — acceptable
+    because supplier is a dimension.  Not a registry entry (the bucketed
+    rewrite below answers the identical oracle); kept for the plan-audit
+    test that pins the BNLJ shape."""
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     return (
@@ -341,7 +334,7 @@ def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q08_range_join_bucketed",
+    "q08_range_join",
     """
     SELECT s_suppkey, COUNT(*) AS n_close
     FROM supplier JOIN customer
@@ -352,11 +345,13 @@ def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "range", "bucketed"),
 )
 def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME range join as an equi-join on floor(value/width) buckets
-    (right side exploded to bucket ±1, exact residual filter after) —
-    the big-joins-big scale path where no side can broadcast
-    (operators/joins.py range_join_bucketed).  Identical oracle to q08b
-    proves the rewrite is semantics-preserving."""
+    """Range join as an equi-join on floor(value/width) buckets (right
+    side exploded to bucket ±1, exact residual filter after) — the
+    big-joins-big scale path where no side can broadcast
+    (operators/joins.py range_join_bucketed).  The oracle is the naive
+    BETWEEN join, proving the rewrite is semantics-preserving; the
+    broadcast BNLJ form lives in q08_range_join_broadcast (plan-audit
+    tested, not registered — same oracle)."""
     from hedera_etl_spark.operators.joins import range_join_bucketed
 
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
@@ -405,9 +400,9 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_window_frame",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS run_sum
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS run_sum
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -425,7 +420,11 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(28,2)").alias("run_sum"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("run_sum"),
     ).orderBy("o_orderkey")
 
 
@@ -433,44 +432,42 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 — set operations
 # ---------------------------------------------------------------------------
 @query(
-    "q11_set_intersect",
+    "q11_set_ops",
     """
-    SELECT c_custkey FROM customer
-    INTERSECT
-    SELECT o_custkey FROM orders
-    ORDER BY c_custkey
-    """,
-    tags=("setop",),
-)
-def q11a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.select("c_custkey")
-        .intersect(orders.select(F.col("o_custkey").alias("c_custkey")))
-        .orderBy("c_custkey")
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer
+      INTERSECT
+      SELECT o_custkey FROM orders
     )
-
-
-@query(
-    "q11_set_except",
-    """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
-    ORDER BY c_custkey
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    ORDER BY op, c_custkey
     """,
     tags=("setop",),
 )
-def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT, tagged and unioned into one entry — both
+    plan as a shuffle on the full row (the key) with hash-based
+    elimination, the same shape as distinct."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    okeys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    inter = (
         customer.select("c_custkey")
-        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .intersect(okeys)
+        .select(F.lit("intersect").alias("op"), "c_custkey")
+    )
+    exc = (
+        customer.select("c_custkey")
+        .exceptAll(okeys)
         .distinct()
-        .orderBy("c_custkey")
+        .select(F.lit("except").alias("op"), "c_custkey")
     )
+    return inter.unionByName(exc).orderBy("op", "c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -517,29 +514,62 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(SUBSTRING(o_orderpriority, 3)) AS prio_name,
            CONCAT(o_orderstatus, '/', o_orderpriority) AS status_prio,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS price_mod,
-           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DECIMAL(18,0)) AS price_round,
-           CAST(sqrt(o_totalprice) AS DECIMAL(18,4)) AS price_sqrt,
-           o_orderkey % 7 AS key_mod
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DOUBLE) AS price_mod,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DOUBLE) AS price_round,
+           CAST(CAST(sqrt(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS price_sqrt,
+           o_orderkey % 7 AS key_mod,
+           o_orderpriority LIKE '%URGENT' AS is_urgent,
+           regexp_extract(o_orderpriority, '[0-9]+') AS prio_num,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           year(o_orderdate) * 10000 + month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS ymd,
+           CAST(CAST(abs(o_totalprice - 100000) AS DECIMAL(18,2)) AS DOUBLE) AS dist,
+           CAST(pow(o_orderkey % 10, 2) AS BIGINT) AS sq,
+           CAST(CAST(ln(o_totalprice) AS DECIMAL(12,6)) AS DOUBLE) AS log_price,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
     FROM orders
     ORDER BY o_orderkey
     """,
     tags=("scalar",),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar functions (SURVEY §2.6).  Doubles never feed
-    the hash directly: they are cast to DECIMAL first (sqrt is IEEE-exact, so
-    the cast is deterministic across engines)."""
+    """The declared scalar surface in one projection (SURVEY §2.6):
+    string (UPPER/SUBSTRING/CONCAT/LIKE/regexp_extract), date
+    (date_trunc/datediff/add_months/ymd parts), math (mod/round/sqrt/abs/
+    pow/ln), and null handling (nullif/coalesce).  Doubles never feed the
+    hash raw: they pass through a DECIMAL rounding cast, then DOUBLE for
+    the driver's canonicalizer (DECIMAL values with trailing zeros
+    hash-differently per engine; the DECIMAL->DOUBLE cast is
+    round-to-nearest in both)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         F.upper(F.substring("o_orderpriority", 3, 100)).alias("prio_name"),
         F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        (F.col("o_totalprice").cast(DEC) % 100).alias("price_mod"),
-        F.round(F.col("o_totalprice").cast(DEC), 0).cast("decimal(18,0)").alias("price_round"),
-        F.sqrt("o_totalprice").cast("decimal(18,4)").alias("price_sqrt"),
+        (F.col("o_totalprice").cast(DEC) % 100).cast("double").alias("price_mod"),
+        F.round(F.col("o_totalprice").cast(DEC), 0).cast("double").alias("price_round"),
+        F.sqrt("o_totalprice").cast("decimal(18,4)").cast("double").alias("price_sqrt"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.col("o_orderpriority").like("%URGENT").alias("is_urgent"),
+        F.regexp_extract("o_orderpriority", "[0-9]+", 0).alias("prio_num"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).alias("ymd"),
+        F.abs(F.col("o_totalprice") - 100000).cast(DEC).cast("double").alias("dist"),
+        F.pow(F.col("o_orderkey") % 10, 2).cast("long").alias("sq"),
+        F.log(F.col("o_totalprice")).cast("decimal(12,6)").cast("double").alias("log_price"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
     ).orderBy("o_orderkey")
 
 
@@ -581,7 +611,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -598,7 +628,10 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(28,2)").alias("total_value"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

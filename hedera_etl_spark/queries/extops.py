@@ -83,7 +83,7 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
            CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total
     FROM y GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -101,7 +101,10 @@ def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts_t", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(28,2)").alias("total"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total"),
         )
         .select(
             "user_id",
@@ -118,44 +121,39 @@ def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUBE / GROUPING SETS / exact distinct
 # ---------------------------------------------------------------------------
 @query(
-    "q19_cube",
+    "q19_cube_grouping_sets",
     """
-    SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+    SELECT 'cube' AS src, event_type, user_id % 5 AS ub, COUNT(*) AS n
     FROM events
     GROUP BY CUBE (event_type, ub)
-    ORDER BY event_type NULLS FIRST, ub NULLS FIRST
-    """,
-    tags=("cube", "aggregate"),
-)
-def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.cube("event_type", (F.col("user_id") % 5).alias("ub"))
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("event_type").asc_nulls_first(), F.col("ub").asc_nulls_first())
-    )
-
-
-@query(
-    "q19_grouping_sets",
-    """
-    SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+    UNION ALL
+    SELECT 'gsets' AS src, event_type, user_id % 5 AS ub, COUNT(*) AS n
     FROM events
     GROUP BY GROUPING SETS ((event_type), (ub))
-    ORDER BY event_type NULLS FIRST, ub NULLS FIRST
+    ORDER BY src, event_type NULLS FIRST, ub NULLS FIRST
     """,
-    tags=("grouping-sets", "aggregate"),
+    tags=("cube", "grouping-sets", "aggregate"),
 )
-def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via SQL (the DataFrame API exposes only rollup/cube)."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
-    return spark.sql(
+def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (DataFrame API) and GROUPING SETS (SQL — the DataFrame API
+    exposes only rollup/cube), tagged and unioned into one entry.  Both
+    expand to one shuffle over the grouping-set-id-extended key."""
+    ev = load_table(spark, sf_dir, "events")
+    cube = (
+        ev.cube("event_type", (F.col("user_id") % 5).alias("ub"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("cube").alias("src"), "event_type", "ub", "n")
+    )
+    ev.createOrReplaceTempView("events_v")
+    gsets = spark.sql(
         """
-        SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n
+        SELECT 'gsets' AS src, event_type, user_id % 5 AS ub, COUNT(*) AS n
         FROM events_v
         GROUP BY GROUPING SETS ((event_type), (ub))
-        ORDER BY event_type ASC NULLS FIRST, ub ASC NULLS FIRST
         """
+    )
+    return cube.unionByName(gsets).orderBy(
+        "src", F.col("event_type").asc_nulls_first(), F.col("ub").asc_nulls_first()
     )
 
 
@@ -164,7 +162,7 @@ def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
     FROM events
     GROUP BY k_mod ORDER BY k_mod
     """,
@@ -228,9 +226,9 @@ def q22_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med,
-           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
-           MIN(v) AS lo, MAX(v) AS hi
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS DOUBLE) AS med,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS DOUBLE) AS p90,
+           CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
     FROM ranked GROUP BY event_type ORDER BY event_type
     """,
     tags=("aggregate", "percentile"),
@@ -256,60 +254,49 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.groupBy("event_type")
         .agg(
-            pick(0.5).alias("med"),
-            pick(0.9).alias("p90"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
+            pick(0.5).cast("double").alias("med"),
+            pick(0.9).cast("double").alias("p90"),
+            F.min("v").cast("double").alias("lo"),
+            F.max("v").cast("double").alias("hi"),
         )
         .orderBy("event_type")
     )
 
 
 @query(
-    "q24_scalar_subquery",
+    "q24_subqueries",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT 'scalar' AS src, o_orderkey AS key,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM orders
     WHERE o_totalprice > 1.95 * (SELECT AVG(o_totalprice) FROM orders)
-    ORDER BY o_orderkey
-    """,
-    tags=("subquery",),
-)
-def q24_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery (Catalyst plans it as a one-row
-    broadcast into the filter).  The comparison stays on raw doubles on
-    both sides; only the projected output goes through DECIMAL."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        FROM orders_v
-        WHERE o_totalprice > 1.95 * (SELECT AVG(o_totalprice) FROM orders_v)
-        ORDER BY o_orderkey
-        """
-    )
-
-
-@query(
-    "q24_correlated_subquery",
-    """
-    SELECT c_custkey FROM customer c
+    UNION ALL
+    SELECT 'correlated' AS src, c_custkey AS key, CAST(NULL AS DOUBLE) AS price
+    FROM customer c
     WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
-    ORDER BY c_custkey
+    ORDER BY src, key
     """,
     tags=("subquery", "correlated"),
 )
-def q24_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery — Catalyst decorrelates it into an
-    aggregate + join (SURVEY §4 O8), so it scales like the explicit
-    groupBy it denotes."""
+def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (Catalyst plans it as a one-row
+    broadcast into the filter) and correlated scalar subquery (Catalyst
+    decorrelates it into an aggregate + join, SURVEY §4 O8), tagged and
+    unioned into one entry.  The scalar comparison stays on raw doubles
+    on both sides; the projected price goes DECIMAL -> DOUBLE."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
-        SELECT c_custkey FROM customer_v c
+        SELECT 'scalar' AS src, o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders_v
+        WHERE o_totalprice > 1.95 * (SELECT AVG(o_totalprice) FROM orders_v)
+        UNION ALL
+        SELECT 'correlated' AS src, c_custkey AS key, CAST(NULL AS DOUBLE) AS price
+        FROM customer_v c
         WHERE (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) >= 15
-        ORDER BY c_custkey
+        ORDER BY src, key
         """
     )
 
@@ -340,54 +327,6 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, types)
         .orderBy("ub")
     )
-
-
-@query(
-    "q26_scalar_extra",
-    """
-    SELECT o_orderkey,
-           o_orderpriority LIKE '%URGENT' AS is_urgent,
-           regexp_extract(o_orderpriority, '[0-9]+') AS prio_num,
-           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
-           year(o_orderdate) * 10000 + month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS ymd,
-           CAST(abs(o_totalprice - 100000) AS DECIMAL(18,2)) AS dist,
-           CAST(pow(o_orderkey % 10, 2) AS BIGINT) AS sq,
-           CAST(ln(o_totalprice) AS DECIMAL(12,6)) AS log_price,
-           nullif(o_orderstatus, 'O') AS status_or_null,
-           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-    tags=("scalar",),
-)
-def q26_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rest of the declared scalar surface (SURVEY §2.6): LIKE,
-    regexp_extract, date arithmetic (datediff/add_months/ymd parts),
-    abs/pow/ln, nullif/coalesce.  ln goes through DECIMAL(12,6): both
-    engines evaluate IEEE log on identical doubles."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.col("o_orderpriority").like("%URGENT").alias("is_urgent"),
-        F.regexp_extract("o_orderpriority", "[0-9]+", 0).alias("prio_num"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since"
-        ),
-        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
-        (
-            F.year("o_orderdate") * 10000
-            + F.month("o_orderdate") * 100
-            + F.dayofmonth("o_orderdate")
-        ).alias("ymd"),
-        F.abs(F.col("o_totalprice") - 100000).cast(DEC).alias("dist"),
-        F.pow(F.col("o_orderkey") % 10, 2).cast("long").alias("sq"),
-        F.log(F.col("o_totalprice")).cast("decimal(12,6)").alias("log_price"),
-        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
-            "status_label"
-        ),
-    ).orderBy("o_orderkey")
 
 
 @query(

@@ -22,43 +22,31 @@ from hedera_etl_spark.tables import load_table
 
 
 @query(
-    "mm_payload_stats",
+    "mm_payload_decode",
     """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           hex(encode(substring(text, 1, 8))) AS prefix_hex
-    FROM documents ORDER BY doc_id
-    """,
-    tags=("mm", "binary"),
-)
-def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-free binary metadata (byte length / content hash / hex
-    prefix): pure JVM built-ins over the binary column — the routing and
-    dedup fast path that never leaves codegen."""
-    docs = load_table(spark, sf_dir, "documents")
-    return payload_stats(with_payload(docs)).orderBy("doc_id")
-
-
-@query(
-    "mm_decode_meta",
-    """
-    SELECT doc_id,
+           hex(encode(substring(text, 1, 8))) AS prefix_hex,
            CASE (('0x' || substring(md5(text), 5, 1))::INT % 3)
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
            16 + ('0x' || substring(md5(text), 1, 2))::BIGINT AS width,
-           16 + ('0x' || substring(md5(text), 3, 2))::BIGINT AS height,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           16 + ('0x' || substring(md5(text), 3, 2))::BIGINT AS height
     FROM documents ORDER BY doc_id
     """,
-    tags=("mm", "decode", "pandas-udf"),
+    tags=("mm", "binary", "decode", "pandas-udf"),
 )
-def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-batched mapInPandas decode path, run for real with the
-    deterministic stub decoder (real decode gated behind real_decode=True /
+def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multimodal metadata paths in one entry, joined on the doc key:
+    decode-free binary stats (byte length / content hash / hex prefix —
+    pure JVM built-ins that never leave codegen) and the Arrow-batched
+    mapInPandas decode path, run for real with the deterministic stub
+    decoder (real decode gated behind real_decode=True /
     NotImplementedError — no media libs in this container)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_image_metadata(with_payload(docs)).orderBy("doc_id")
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    stats = payload_stats(docs)
+    meta = decode_image_metadata(docs).select("doc_id", "format", "width", "height")
+    return stats.join(meta, "doc_id").orderBy("doc_id")
 
 
 @query(

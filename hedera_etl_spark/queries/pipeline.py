@@ -108,7 +108,7 @@ def hed_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT event_id) AS n_keys,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
     FROM deduped
     """,
     tags=("dedup", "pipeline"),
@@ -117,25 +117,29 @@ def hed_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup over a stream-shaped table with every 5th row
     duplicated (the reference integration test's generator pattern,
-    TransactionsGenerator.java:70-81): detect via GROUP BY/HAVING, collapse
-    via deterministic first-per-group, verify via invariant aggregates.
-    Uses the same operators the DedupeJob drives (operators/dedupe.py)."""
-    from hedera_etl_spark.operators.dedupe import (
-        collapse_duplicates,
-        duplicate_count,
-        find_duplicates,
-    )
-
+    TransactionsGenerator.java:70-81): detection, first-per-group collapse
+    and the invariant aggregates FUSED into one shuffle on the dedup key —
+    groupBy(key).agg(count, min_by(value, tiebreak)) computes the A1/A6
+    duplicate stats and the surviving row's payload in the same hash
+    aggregate, so the whole pipeline is one pass over the data (the
+    reference issues detection and removal as separate queries,
+    AbstractDeduplication.java:109-116; that literal gate-then-collapse
+    protocol — including the collect'd gate — is exercised by
+    hed_dedupe_job and the dedupe pytests)."""
     dups = duped_events(spark, sf_dir)
-    # A1: detection runs first and actually gates the collapse, as in
-    # AbstractDeduplication.java:109-116 (a one-row aggregate collect —
-    # constant cost at any scale).
-    n_dups = duplicate_count(find_duplicates(dups, "event_id"))
-    deduped = collapse_duplicates(dups, "event_id", ["ingest_seq"]) if n_dups else dups
-    return deduped.agg(
+    per_key = dups.groupBy("event_id").agg(
+        F.count("*").alias("__num"),
+        # replays are byte-identical copies, but min_by pins the choice to
+        # the lowest ingest_seq anyway — same tiebreak as collapse_duplicates
+        F.min_by("value", "ingest_seq").alias("value"),
+    )
+    return per_key.agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("event_id").alias("n_keys"),
-        F.sum(F.col("value").cast(DEC)).cast("decimal(28,2)").alias("total_value"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("value").cast(DEC))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -247,8 +251,8 @@ def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT consensus_timestamp) AS n_keys,
-           SUM(ingest_seq) AS replay_rows_kept,
-           SUM(event_id) AS id_sum,
+           CAST(SUM(ingest_seq) AS BIGINT) AS replay_rows_kept,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
            MAX(consensus_timestamp // 1000000000) AS max_ts_sec
     FROM ded
     """,

@@ -61,7 +61,7 @@ _IDS_SQL = ", ".join(str(i) for i in QUERY_IDS)
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    SELECT query_id, rank, neighbor_id, CAST(CAST(cos AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
     FROM ranked WHERE rank <= {K}
     ORDER BY query_id, rank
     """,
@@ -101,7 +101,7 @@ _LSH_ORACLE = f"""
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    SELECT query_id, rank, neighbor_id, CAST(CAST(cos AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
     FROM ranked WHERE rank <= {K}
     ORDER BY query_id, rank
 """
@@ -163,7 +163,7 @@ _IVF_ORACLE = f"""
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    SELECT query_id, rank, neighbor_id, CAST(CAST(cos AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
     FROM ranked WHERE rank <= {K}
     ORDER BY query_id, rank
 """
@@ -207,7 +207,7 @@ _COS_NEARDUP_ORACLE = f"""
       FROM b a JOIN b c USING (bucket)
       WHERE a.vec_id < c.vec_id
     )
-    SELECT id_a, id_b, CAST(cos AS DECIMAL(9,6)) AS cos_sim
+    SELECT id_a, id_b, CAST(CAST(cos AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
     FROM pairs WHERE cos >= 0.99
     ORDER BY id_a, id_b
 """

@@ -218,22 +218,47 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token stats / language id / quality / fingerprints
 # ---------------------------------------------------------------------------
 @query(
-    "llm_token_stats",
+    "llm_text_stats",
     f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '{WORD_PATTERN}')) AS BIGINT) AS n_re_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents ORDER BY doc_id
+    WITH ts AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '{WORD_PATTERN}')) AS BIGINT) AS n_re_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    qbase AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT ts.doc_id, ts.n_ws_tokens, ts.n_re_tokens, ts.n_distinct_tokens, ts.n_chars,
+           CAST(CAST(q.n_distinct / q.n_tokens AS DECIMAL(9,6)) AS DOUBLE) AS ttr,
+           CAST(CAST((ts.n_chars - (q.n_tokens - 1)) / q.n_tokens AS DECIMAL(9,6)) AS DOUBLE)
+             AS avg_token_len,
+           CAST(CAST(q.stop_hits / q.n_tokens AS DECIMAL(9,6)) AS DOUBLE) AS stopword_ratio,
+           CAST(CAST((q.n_distinct * 100 + q.stop_hits * 10) / q.n_tokens AS DECIMAL(12,6))
+                AS DOUBLE) AS quality_score
+    FROM ts JOIN qbase q USING (doc_id)
+    ORDER BY doc_id
     """,
-    tags=("llm", "textstats"),
+    tags=("llm", "textstats", "quality"),
 )
-def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
-    tokens, char length — one narrow projection, no shuffle at all."""
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens, BPE-ish regex tokens, distinct
+    tokens, char length) joined with the heuristic quality features
+    (type-token ratio, mean token length, stopword ratio, combined score)
+    into one per-doc stats entry — two narrow projections joined on the
+    doc key, no wide shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return token_stats(docs).orderBy("doc_id")
+    quality = quality_scores(docs).select(
+        "doc_id", "ttr", "avg_token_len", "stopword_ratio", "quality_score"
+    )
+    return token_stats(docs).join(quality, "doc_id").orderBy("doc_id")
 
 
 _LANGS = sorted(LANG_PROFILES)
@@ -256,7 +281,7 @@ _LANG_ORACLE = f"""
     ),
     scored AS (
       SELECT doc_id,
-             {", ".join(f"CAST(hits_{lang} / n_tokens AS DECIMAL(9,6)) AS score_{lang}" for lang in _LANGS)}
+             {", ".join(f"CAST(CAST(hits_{lang} / n_tokens AS DECIMAL(9,6)) AS DOUBLE) AS score_{lang}" for lang in _LANGS)}
       FROM base
     )
     SELECT doc_id, {", ".join(f"score_{lang}" for lang in _LANGS)},
@@ -275,34 +300,6 @@ def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest-index argmax (CASE chain runs identically in the oracle)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return language_scores(docs).orderBy("doc_id")
-
-
-@query(
-    "llm_quality_scores",
-    """
-    WITH base AS (
-      SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits
-      FROM documents
-    )
-    SELECT doc_id, n_chars, n_tokens,
-           CAST(n_distinct / n_tokens AS DECIMAL(9,6)) AS ttr,
-           CAST((n_chars - (n_tokens - 1)) / n_tokens AS DECIMAL(9,6)) AS avg_token_len,
-           CAST(stop_hits / n_tokens AS DECIMAL(9,6)) AS stopword_ratio,
-           CAST((n_distinct * 100 + stop_hits * 10) / n_tokens AS DECIMAL(12,6)) AS quality_score
-    FROM base ORDER BY doc_id
-    """,
-    tags=("llm", "quality"),
-)
-def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality features (length, type-token ratio, mean token
-    length, stopword ratio) — exact-integer divisions cast to DECIMAL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_scores(docs).orderBy("doc_id")
 
 
 @query(

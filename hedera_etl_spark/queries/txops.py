@@ -176,7 +176,7 @@ def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 98 AS account_num, -(user_id + 1) AS amount
       FROM events WHERE event_id % {CORRUPT_MOD} != 0
     )
-    SELECT account_num, COUNT(*) AS n, SUM(amount) AS total
+    SELECT account_num, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS total
     FROM t GROUP BY account_num ORDER BY account_num
     """,
     tags=("tx", "explode"),
@@ -215,7 +215,7 @@ _TYPES_VALUES = ", ".join(f"({i}, '{n}')" for i, n in TRANSACTION_TYPES)
     f"""
     SELECT COUNT(*) AS n_valid,
            COUNT(DISTINCT epoch_us(ts)) AS n_keys,
-           SUM(user_id * 1000) AS fee_sum,
+           CAST(SUM(user_id * 1000) AS BIGINT) AS fee_sum,
            (SELECT COUNT(*) FROM events WHERE event_id % {CORRUPT_MOD} = 0) AS n_errors
     FROM events
     WHERE event_id % {CORRUPT_MOD} != 0
@@ -232,35 +232,43 @@ def hed_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct events (PubSubToBigQueryPipeline.java:36-57 +
     BigQueryErrorsSink.java:49-91)."""
     import os
+    import shutil
     import tempfile
 
     from hedera_etl_spark.streaming.ingest import IngestPipeline
 
     workdir = tempfile.mkdtemp(prefix="hed_stream_ingest_")
-    input_dir = os.path.join(workdir, "in")
-    corpus = tx_json_corpus(spark, sf_dir)
-    replays = corpus.filter(
-        F.xxhash64("value") % 5 == 0
-    )  # arbitrary-but-deterministic replay subset
-    corpus.unionAll(replays).repartition(4).write.text(input_dir)
+    try:
+        input_dir = os.path.join(workdir, "in")
+        corpus = tx_json_corpus(spark, sf_dir)
+        replays = corpus.filter(
+            F.xxhash64("value") % 5 == 0
+        )  # arbitrary-but-deterministic replay subset
+        corpus.unionAll(replays).repartition(4).write.text(input_dir)
 
-    pipe = IngestPipeline(
-        spark,
-        input_dir,
-        os.path.join(workdir, "table"),
-        os.path.join(workdir, "errors"),
-        os.path.join(workdir, "ckpt"),
-    )
-    pipe.run_to_completion()
+        pipe = IngestPipeline(
+            spark,
+            input_dir,
+            os.path.join(workdir, "table"),
+            os.path.join(workdir, "errors"),
+            os.path.join(workdir, "ckpt"),
+        )
+        pipe.run_to_completion()
 
-    table = spark.read.parquet(os.path.join(workdir, "table"))
-    errors = spark.read.parquet(os.path.join(workdir, "errors"))
-    agg = table.agg(
-        F.count("*").alias("n_valid"),
-        F.countDistinct(F.expr("consensusTimestamp div 1000")).alias("n_keys"),
-        F.sum("transaction.body.transactionFee").alias("fee_sum"),
-    )
-    return agg.crossJoin(errors.agg(F.count("*").alias("n_errors")))
+        table = spark.read.parquet(os.path.join(workdir, "table"))
+        errors = spark.read.parquet(os.path.join(workdir, "errors"))
+        agg = table.agg(
+            F.count("*").alias("n_valid"),
+            F.countDistinct(F.expr("consensusTimestamp div 1000")).alias("n_keys"),
+            F.sum("transaction.body.transactionFee").alias("fee_sum"),
+        )
+        # materialize before the workdir disappears: the sink tables are
+        # tiny one-row aggregates, so the collect is constant-size
+        result = agg.crossJoin(errors.agg(F.count("*").alias("n_errors")))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 @query(

@@ -63,3 +63,30 @@ def test_archive_sink_keeps_raw_lines(spark, tmp_path):
     # every raw line — valid AND corrupt — lands in the cold archive
     assert archived == set(lines)
     assert os.path.exists(archive)
+
+
+def test_truncate_crash_leaves_a_complete_table(spark, tmp_path, monkeypatch):
+    """Kill truncate between its two renames: the old table must survive
+    under the .__old sibling (the pre-fix rmtree-then-move ordering had a
+    window with NO table on disk)."""
+    import os as _os
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp -> live rename
+            raise OSError("injected crash")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        truncate(spark, path)
+    monkeypatch.undo()
+    assert spark.read.parquet(path + ".__old").count() == 10

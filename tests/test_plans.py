@@ -109,7 +109,7 @@ def test_clustered_write_gives_rowgroup_stats(spark, tmp_path):
 def test_bucketed_range_join_is_equi_join(spark, registry):
     """The bucketized range join must plan as a hash equi-join, never a
     nested loop — that's its entire reason to exist."""
-    df = registry["q08_range_join_bucketed"].spark_fn(spark, SF)
+    df = registry["q08_range_join"].spark_fn(spark, SF)
     df.collect()
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan

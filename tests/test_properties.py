@@ -157,3 +157,26 @@ def test_asof_join_matches_reference_impl(spark, left, right):
         cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts)
+
+
+def test_asof_inner_keeps_matched_row_with_null_payload(spark):
+    """ADVICE regression: how='inner' must keep a left row whose matched
+    right row carries NULL in its first payload column (inner-ness comes
+    from an explicit match sentinel, not from payload nullness), and must
+    drop only genuinely unmatched left rows."""
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(1, 10, "matched-null"), (1, 2, "unmatched"), (2, 10, "matched")],
+        ["k", "lts", "tag"],
+    )
+    rdf = spark.createDataFrame(
+        [(1, 5, None, 77), (2, 5, 42, 88)],
+        "k long, rts long, payload long, extra long",
+    )
+    out = as_of_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload", "extra"], how="inner",
+    ).collect()
+    by_tag = {r["tag"]: (r["payload"], r["extra"]) for r in out}
+    assert by_tag == {"matched-null": (None, 77), "matched": (42, 88)}

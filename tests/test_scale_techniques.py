@@ -25,17 +25,36 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
-def test_salted_join_spreads_hot_key(spark):
-    """The hot key's rows must actually land in multiple salt shards."""
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """The exact pathology salting exists for: N byte-IDENTICAL rows of
+    one hot key must land in multiple salt shards (a content-derived salt
+    gives them all the same shard — the r2 VERDICT regression)."""
+    from hedera_etl_spark.operators.joins import salt_col, salted_join
+
+    n = 8
+    # 2000 byte-identical rows: same key, same payload
+    left = spark.range(2000).select(F.lit(7).alias("k"), F.lit(42).alias("payload"))
+    right = spark.createDataFrame([(7, "hot")], ["k", "name"])
+
+    shards = left.select(salt_col(n).alias("s")).distinct().count()
+    assert shards >= min(n, 2000) // 2 + 1  # must use MANY shards, not 1
+    assert salted_join(left, right, "k", n_salts=n).count() == 2000
+
+
+def test_salted_join_left_keeps_unmatched_and_rejects_outer(spark):
+    """how='left' keeps unmatched left rows exactly once; right/full are
+    rejected (the replicated right side would duplicate them)."""
+    import pytest as _pytest
+
     from hedera_etl_spark.operators.joins import salted_join
 
-    left = spark.range(2000).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
-    right = spark.createDataFrame([(7, "hot")], ["k", "name"])
-    n = 8
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n).alias("s")
-    shards = left.select(salt).distinct().count()
-    assert shards == n  # deterministic content-hash salt uses every shard
-    assert salted_join(left, right, "k", n_salts=n).count() == 2000
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "payload"])
+    right = spark.createDataFrame([(1, "one")], ["k", "name"])
+    out = salted_join(left, right, "k", n_salts=4, how="left").collect()
+    assert sorted((r["k"], r["name"]) for r in out) == [(1, "one"), (2, None)]
+    for how in ("right", "full", "left_anti"):
+        with _pytest.raises(ValueError):
+            salted_join(left, right, "k", how=how)
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
