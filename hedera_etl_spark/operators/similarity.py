@@ -80,8 +80,13 @@ def _dots_array(vec_col, centroids: list[list[float]]):
 def ivf_assign(emb: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Coarse quantization: bucket = argmax dot(vec, centroid) (1-based,
     first-match tiebreak) — the inverted-list assignment."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
     dots = _dots_array(vec_col, centroids)
-    return emb.select(
+    # n_centroids × dims fold multiplications per corpus row — the
+    # dominant compute of the whole IVF build; spread it across cores even
+    # when the source file scans as a single split
+    return ensure_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         F.array_position(dots, F.array_max(dots)).alias("bucket"),
@@ -157,10 +162,16 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
+    from hedera_etl_spark.tables import ensure_parallelism
+
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    cands = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    # the corpus scan carries the O(n*q*dims) fold math — spread it even
+    # when the source file scans as one split
+    cands = ensure_parallelism(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(cands)
@@ -197,8 +208,10 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window as W
 
+    from hedera_etl_spark.tables import ensure_parallelism
+
     signs = hyperplane_signs(n_planes, dims)
-    bucketed = emb.select(
+    bucketed = ensure_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(vec_col, signs).alias("bucket"),
@@ -239,8 +252,10 @@ def cosine_neardup_pairs(
     Near-identical vectors land in the same bucket with probability
     (1 - theta/pi)^planes ~ 1 for theta -> 0, so blocking loses only
     borderline pairs — the standard recall/cost trade."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
     signs = hyperplane_signs(n_planes, dims)
-    bucketed = emb.select(
+    bucketed = ensure_parallelism(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(vec_col, signs).alias("bucket"),

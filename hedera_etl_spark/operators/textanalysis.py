@@ -186,11 +186,14 @@ def char_fingerprints(
     """Document fingerprint from character n-grams (winnowing-style):
     the minimum md5 over all character 5-grams, plus the distinct-gram
     count.  Rolling windows are a pure index-sequence transform."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - F.lit(gram - 1), F.lit(1))),
         lambda i: F.col(text_col).substr(i, F.lit(gram)),
     )
-    return docs.select(
+    # one md5 per character of every document — spread the scan split
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.substring(F.array_min(F.transform(grams, F.md5)), 1, 16).alias("fingerprint"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),

@@ -43,8 +43,11 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     md5(text) instead of raw text to shrink shuffle width — semantics are
     identical modulo md5 collisions (2^-64 at corpus scale).
     """
+    from hedera_etl_spark.tables import ensure_parallelism
+
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        ensure_parallelism(docs)
+        .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -53,37 +56,102 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
-def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc_id, shingle) pairs; shingles are n-token windows.
+def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh_set) with sh_set the DISTINCT shingle array per doc.
 
+    A document's shingles all live in its own row, so the dedup is
+    ``array_distinct`` — a per-row map-side operation, not a shuffle.
     Tokenizes into a projected column first so the shingle transform
     references a materialized array instead of re-splitting the text per
     shingle (see functions.shingles)."""
     toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
-    return (
-        toked.select("doc_id", F.explode(shingles(F.col("__toks"), n)).alias("shingle"))
-        .distinct()
+    return toked.select(
+        "doc_id", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh_set")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, shingle) pairs; shingles are n-token windows.
+
+    Derived by exploding the per-row distinct shingle set — the whole
+    thing is a map-side projection with ZERO shuffle (the previous form
+    exploded raw shingles then ran a global ``.distinct()``, paying a full
+    exchange on (doc_id, shingle) for a dedup that is local to each row)."""
+    return shingle_sets(docs, n, text_col, id_col).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
     )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signatures(sh: DataFrame, k: int = 9, with_size: bool = False) -> DataFrame:
-    """k-member MinHash signature in a single aggregate pass.
+#: Modulus for the Kirsch-Mitzenmacher hash family (2^32).
+_KM_MOD = 1 << 32
 
-    Hash family i is md5('i:' || shingle); the min is taken on the hex
-    string (= numeric min for fixed-length hex).  ``with_size`` rides the
-    shingle-set cardinality along on the same aggregate (free map-side
-    combine) so downstream Jaccard math needs no separate sizes pass.
+
+def _km_base(shingle_col):
+    """(h1, h2) base pair for the Kirsch-Mitzenmacher hash family: two
+    32-bit values parsed from ONE md5 of the shingle.  Family member i is
+    (h1 + i*h2) mod 2^32 — pure integer arithmetic, so a k-member
+    signature costs one digest per shingle instead of k (the classic
+    g_i = h1 + i*h2 construction, same collision guarantees as k
+    independent hashes for minhash purposes).  DuckDB twin:
+    ``('0x' || substring(md5(s), 1, 8))::BIGINT`` and chars 9-16.
     """
+    d = F.md5(shingle_col)
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def minhash_signatures(sh: DataFrame, k: int = 9, with_size: bool = False) -> DataFrame:
+    """k-member MinHash signature in a single aggregate pass over
+    exploded (doc_id, shingle) rows — Kirsch-Mitzenmacher family, one md5
+    per shingle.  ``with_size`` rides the shingle-set cardinality along on
+    the same aggregate (free map-side combine) so downstream Jaccard math
+    needs no separate sizes pass.
+    """
+    base = _km_base(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((base["h1"] + i * base["h2"]) % F.lit(_KM_MOD)).alias(f"mh_{i}")
         for i in range(k)
     ]
     if with_size:
         aggs.append(F.count("*").alias("__n"))
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, k: int = 9, with_size: bool = False
+) -> DataFrame:
+    """MinHash signature as a pure per-row projection over ``sh_set``
+    (from ``shingle_sets``): array_min over the hashed set — the whole
+    doc's shingles live in its row, so no grouping shuffle exists at all.
+    Identical values to ``minhash_signatures`` (min over the same set);
+    docs with an empty set (shorter than n tokens) are excluded, matching
+    the exploded form where they simply produce no rows.
+
+    The md5 runs once per shingle into a projected (h1, h2) array; each
+    family member is then an integer transform over that array.
+    """
+    hashed = sets.filter(F.size("sh_set") > 0).select(
+        "doc_id",
+        F.size("sh_set").cast("long").alias("__n"),
+        F.transform(F.col("sh_set"), _km_base).alias("__hs"),
+    )
+
+    def member(i: int):
+        # closure factory, NOT a default-arg lambda: a two-parameter lambda
+        # would be bound by F.transform as its (element, index) form
+        return lambda p: (p["h1"] + i * p["h2"]) % F.lit(_KM_MOD)
+
+    cols = [
+        F.array_min(F.transform(F.col("__hs"), member(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    if with_size:
+        cols.append(F.col("__n"))
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_candidates(
@@ -188,6 +256,44 @@ def verify_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     return with_jaccard(inter.join(n_a, "doc_a").join(n_b, "doc_b"))
 
 
+def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-row set intersection.
+
+    Joins each pair back to its two shingle SETS and computes
+    ``size(array_intersect(a, b))`` — a per-pair array operation — instead
+    of a shingle-level equi-join + re-aggregation (two extra corpus-wide
+    shuffles).  Candidate pairs are few by construction (that is the whole
+    point of LSH/rare-shingle blocking), so the two pair-to-sets joins
+    broadcast the pair side at any scale where blocking works at all.
+    Sizes ride along from ``lsh_candidates(with_size)`` pairs when
+    present, else fall back to ``size(sh_set)``.
+
+    Output (doc_a, doc_b, inter, n_a, n_b, jaccard) matches
+    ``verify_jaccard``: the division is a single IEEE op over exact
+    integers rounded through DECIMAL(9,6) then cast DOUBLE (trailing-zero
+    decimals hash differently per engine).
+    """
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__set_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    if "__n_a" in pairs.columns:
+        n_a, n_b = F.col("__n_a"), F.col("__n_b")
+    else:
+        n_a, n_b = F.size("__set_a").cast("long"), F.size("__set_b").cast("long")
+    return (
+        joined.withColumn("inter", F.size(F.array_intersect("__set_a", "__set_b")).cast("long"))
+        .withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .cast("decimal(9,6)")
+            .cast("double"),
+        )
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def minhash_lsh_neardups(
     docs: DataFrame,
     n: int = 3,
@@ -203,14 +309,19 @@ def minhash_lsh_neardups(
     shingle bucket otherwise goes quadratic in the candidate self-join;
     dropping degenerate buckets is the standard LSH production guard
     (pass None to disable for exhaustive small-corpus runs)."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
     rows = k // bands
-    sh = doc_shingles(docs, n)
-    # set sizes ride the signature aggregate and flow through the candidate
-    # join, so the verify stage needs no separate sizes pass or joins
-    sig = minhash_signatures(sh, k, with_size=True)
+    sets = shingle_sets(ensure_parallelism(docs), n)
+    # signatures AND set sizes are per-row array math over sh_set — the
+    # shingle->signature stage has zero exchanges (the exploded+grouped
+    # form paid two: distinct on (doc,shingle) and the groupBy(doc));
+    # sizes flow through the candidate join, and verify intersects the
+    # per-row sets directly, so no shingle-level join exists anywhere
+    sig = minhash_signatures_from_sets(sets, k, with_size=True)
     cand = lsh_candidates(sig, bands, rows, max_bucket=max_bucket)
     return (
-        verify_jaccard(sh, cand)
+        verify_jaccard_sets(sets, cand)
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -235,13 +346,18 @@ def simhash_fingerprints(
 
     Two 32-bit longs instead of one 64-bit value keeps every intermediate
     inside non-overflowing BIGINT arithmetic on any engine (bit 63 of a
-    single value would need the sign bit).  One explode + two hash
-    aggregates; all 64 bit-sums are columns of a single aggregate pass.
+    single value would need the sign bit).  ONE explode + ONE aggregate:
+    summing +/-1 per token OCCURRENCE equals summing count(token) * +/-1
+    per distinct token, so the intermediate (doc, token) count aggregate
+    (a second full shuffle round) is unnecessary — the per-occurrence md5
+    is marginally more hashing, all map-side, in exchange for dropping a
+    whole exchange+aggregate at any corpus size.
     """
+    from hedera_etl_spark.tables import ensure_parallelism
+
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
         .withColumn("h_lo", F.md5("token"))
         .withColumn("h_hi", F.md5(F.concat(F.lit(SIMHASH_HI_SALT), F.col("token"))))
     )
@@ -263,8 +379,8 @@ def simhash_fingerprints(
         return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
     sums = tok.groupBy("doc_id").agg(
-        *[F.sum(F.col("cnt") * chunk_sign("lo", j)).alias(f"s_lo_{j}") for j in range(32)],
-        *[F.sum(F.col("cnt") * chunk_sign("hi", j)).alias(f"s_hi_{j}") for j in range(32)],
+        *[F.sum(chunk_sign("lo", j)).alias(f"s_lo_{j}") for j in range(32)],
+        *[F.sum(chunk_sign("hi", j)).alias(f"s_hi_{j}") for j in range(32)],
     )
 
     def half(prefix: str) -> Column:
@@ -362,7 +478,10 @@ def ngram_jaccard_neardups(
     pairs, boilerplate shingles generate none.  The Jaccard itself is then
     computed over the FULL shingle sets of each candidate pair.
     """
-    sh = doc_shingles(docs, n)
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    sets = shingle_sets(ensure_parallelism(docs), n)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
@@ -376,7 +495,7 @@ def ngram_jaccard_neardups(
         .distinct()
     )
     return (
-        verify_jaccard(sh, cand)
+        verify_jaccard_sets(sets, cand)
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

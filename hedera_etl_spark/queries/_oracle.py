@@ -35,17 +35,24 @@ def shingle_cte(src: str, n: int = 3, text_col: str = "text", id_col: str = "doc
 def minhash_sig_cte(k: int = 9) -> str:
     """MinHash signature columns — twin of textdedup.minhash_signatures.
 
-    min() over fixed-length md5 hex strings == numeric min of the 128-bit
-    values, identically in both engines.
+    Kirsch-Mitzenmacher family: one md5 per shingle parsed into two
+    32-bit halves (h1, h2); member i is (h1 + i*h2) mod 2^32.  Pure
+    BIGINT arithmetic, identical in both engines.
     """
     cols = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
+        f"min((h1 + {i} * h2) % 4294967296) AS mh_{i}" for i in range(k)
     )
     return f"""
+    shh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              {cols}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     )"""
 
 

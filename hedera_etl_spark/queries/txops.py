@@ -31,7 +31,12 @@ def tx_json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-element transferList summing to zero, an unknown field, and every
     CORRUPT_MOD-th line truncated mid-document.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    # the downstream from_json over the 403-line wire schema is the most
+    # CPU-intensive per-row stage in the repo — never let it run on a
+    # single small-file scan split
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     amt = (F.col("user_id") + 1).cast("string")
     neg_amt = (-(F.col("user_id") + 1)).cast("string")
     acct = F.col("user_id").cast("string")

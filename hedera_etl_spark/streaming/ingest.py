@@ -4,14 +4,23 @@
 The Spark form of the reference's entire first module
 (PubSubToBigQueryPipeline.java:36-57 + BigQueryErrorsSink.java:49-91):
 
-- S1 source: file-stream of JSON lines (swap for Kafka by changing one
-  reader — the transform is source-agnostic).  The reference's broker-side
-  best-effort dedup (withIdAttribute("consensusTimestamp"),
+- S1 source: file-stream of JSON lines by default, or ANY streaming
+  source via ``source_fn`` (a callable returning a streaming DataFrame
+  with a ``value`` string column) — the "swap one reader" claim made
+  executable; tests drive the identical transform+sinks from a rate
+  source.  The reference's broker-side best-effort dedup
+  (withIdAttribute("consensusTimestamp"),
   PubSubToBigQueryPipeline.java:41) becomes an in-stream
-  watermark + dropDuplicates on the parsed key (ST2): bounded state,
-  replayed deliveries collapse inside the watermark horizon.  Malformed
-  rows get a processing-time event time and the raw line as dedup key, so
-  they pass the stateful operator untouched.
+  ARRIVAL-time watermark + dropDuplicatesWithinWatermark on the parsed
+  key (ST2): bounded state, replayed deliveries collapse inside the
+  horizon, and no row is ever classified late (arrival time is monotone
+  per trigger) — an event whose EVENT time lags arbitrarily still lands
+  in the table.  An event-time watermark here would silently discard
+  late data (every stateful operator filters rows behind its watermark);
+  at-least-once with downstream healing (the DedupeJob) is the
+  reference's own two-tier contract, and losing late data would break
+  it.  Malformed rows use the raw line as dedup key, so they pass the
+  stateful operator untouched.
 - S2 sink: checkpointed foreachBatch appending valid rows to the
   DAY-partitioned parquet table.  Checkpointing makes delivery
   at-least-once end to end (a crash between the append and the checkpoint
@@ -69,9 +78,14 @@ class IngestPipeline:
         watermark: str = "1 hour",
         dedupe_in_stream: bool = True,
         archive_path: str | None = None,
+        source_fn=None,
     ):
         self.spark = spark
         self.input_dir = input_dir
+        #: optional source swap (S1): any callable SparkSession -> streaming
+        #: DataFrame with a `value` STRING column (Kafka: selectExpr
+        #: "CAST(value AS STRING)"; rate: a JSON-shaping projection)
+        self.source_fn = source_fn
         self.table_path = table_path
         self.errors_path = errors_path
         self.checkpoint_dir = checkpoint_dir
@@ -85,7 +99,10 @@ class IngestPipeline:
 
     # -- the streaming DAG ---------------------------------------------------
     def _stream(self) -> DataFrame:
-        raw = self.spark.readStream.text(self.input_dir)
+        if self.source_fn is not None:
+            raw = self.source_fn(self.spark)
+        else:
+            raw = self.spark.readStream.text(self.input_dir)
         parsed = raw.select(
             F.col("value"),
             F.from_json(
@@ -96,20 +113,28 @@ class IngestPipeline:
         )
         if not self.dedupe_in_stream:
             return parsed
-        # event time for valid rows; processing time for malformed ones so
-        # the watermark never classifies them late (they carry no event ts)
+        # The dedup state is watermarked on ARRIVAL time, not event time.
+        # An event-time watermark makes every stateful operator FILTER
+        # rows older than the horizon — in continuous mode a late-arriving
+        # event would silently vanish instead of landing in the table
+        # (r2 ADVICE; dropDuplicatesWithinWatermark late-filters too).
+        # Arrival time is monotone per trigger, so nothing is ever late:
+        # every row passes, replayed deliveries collapse while their key
+        # is inside the horizon, and state stays bounded by the watermark.
+        # This is also the closer parity: Pub/Sub withIdAttribute
+        # (PubSubToBigQueryPipeline.java:41) is itself a best-effort
+        # ~10-minute PROCESSING-time dedup window.  Replays that outlive
+        # the horizon pass through un-deduplicated — at-least-once, healed
+        # by the downstream DedupeJob (ST3 two-tier design).
         keyed = parsed.select(
             "*",
-            F.coalesce(
-                F.expr("timestamp_micros(try_cast(__p.consensusTimestamp AS LONG) div 1000)"),
-                F.current_timestamp(),
-            ).alias("__event_ts"),
+            F.current_timestamp().alias("__arrival_ts"),
             F.coalesce(F.col("__p.consensusTimestamp"), F.col("value")).alias("__dedup_key"),
         )
         return (
-            keyed.withWatermark("__event_ts", self.watermark)
-            .dropDuplicates(["__dedup_key"])
-            .drop("__dedup_key")
+            keyed.withWatermark("__arrival_ts", self.watermark)
+            .dropDuplicatesWithinWatermark(["__dedup_key"])
+            .drop("__dedup_key", "__arrival_ts")
         )
 
     # -- per-batch processing (S2/S3/P1-P4) ----------------------------------

@@ -54,6 +54,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Small-file guard for CPU-heavy per-row stages.
+
+    A parquet file is splittable only at row-group boundaries, so a small
+    table (or one written with large row groups) can scan as a SINGLE
+    task — and any expensive per-row compute chained onto that scan (md5
+    shingling, from_json over a wide schema, per-token hashing) runs on
+    one core while the rest idle.  This repartitions up to the session's
+    default parallelism, but ONLY when the current plan has fewer
+    partitions — on a production table with thousands of splits it is a
+    no-op and costs no shuffle.  The shuffle it does introduce moves the
+    raw input rows once, which is negligible next to the per-row compute
+    it parallelizes (that trade is exactly why you'd do the same on a
+    cluster when input files are few).
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view (same names DuckDB pre-registers)."""
     for name in names or TABLE_NAMES:

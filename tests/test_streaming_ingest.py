@@ -127,3 +127,86 @@ def test_dedupe_disabled_passthrough(spark, dirs):
     table = spark.read.parquet(dirs["table"])
     assert table.count() == 7
     assert table.select("consensusTimestamp").distinct().count() == 6
+
+
+def test_late_event_lands_instead_of_vanishing(spark, dirs):
+    """ADVICE regression: an event whose time is far behind the advanced
+    watermark must still land in the table (possibly un-deduplicated) —
+    plain dropDuplicates would silently discard it.  At-least-once with
+    downstream DedupeJob healing is the two-tier contract."""
+    base = 1_570_800_000_000_000_000
+    # run 1: events 2h ahead advance the watermark well past `base`
+    ahead = [tx_line(i, ns_base=base + 2 * 3600 * 1_000_000_000) for i in range(5)]
+    (dirs["input"] / "f1.json").write_text("\n".join(ahead))
+    make_pipeline(spark, dirs).run_to_completion()
+
+    # run 2 (same checkpoint): one event at `base` — over an hour late
+    (dirs["input"] / "f2.json").write_text(tx_line(0, ns_base=base))
+    metrics = make_pipeline(spark, dirs).run_to_completion()
+
+    table = spark.read.parquet(dirs["table"])
+    assert metrics.valid_rows == 1  # the late row landed
+    assert table.count() == 6
+    late_ns = {r[0] for r in table.select("consensusTimestamp").collect()}
+    assert base in late_ns
+
+
+def test_rate_source_through_same_pipeline(spark, dirs):
+    """S1 source swap, executed: the SAME transform + sinks run from a
+    rate-micro-batch source (a second Spark streaming source standing in
+    for Kafka/PubSub — swapping requires only the reader, proving the
+    'one reader' claim in the module docstring)."""
+    import json as _json
+
+    def rate_source(s):
+        raw = (
+            s.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 10)
+            .option("startTimestamp", 0)
+            .load()
+        )
+        # shape rate rows into the wire JSON; every 7th row malformed
+        doc = F.to_json(
+            F.struct(
+                (F.col("value") * 1_000_000_000 + 1_570_800_000_000_000_000)
+                .cast("string")
+                .alias("consensusTimestamp"),
+                (F.col("value") % 21 + 7).cast("string").alias("transactionType"),
+                F.struct(
+                    F.struct(
+                        (F.col("value") * 10).cast("string").alias("transactionFee"),
+                        F.concat(F.lit("r"), F.col("value")).alias("memo"),
+                    ).alias("body")
+                ).alias("transaction"),
+            )
+        )
+        return raw.select(
+            F.when(F.col("value") % 7 == 6, F.substring(doc, 1, 30))
+            .otherwise(doc)
+            .alias("value")
+        )
+
+    pipe = IngestPipeline(
+        spark,
+        str(dirs["input"]),  # unused: source_fn wins
+        dirs["table"],
+        dirs["errors"],
+        dirs["ckpt"],
+        source_fn=rate_source,
+    )
+    q = pipe.start(available_now=False)
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline and pipe.metrics.batches < 2:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert pipe.metrics.batches >= 2
+    assert pipe.metrics.valid_rows >= 10
+    assert pipe.metrics.error_rows >= 1
+    table = spark.read.parquet(dirs["table"])
+    # typed wire fields parsed from the rate-shaped JSON
+    fees = {r[0] for r in table.select("transaction.body.transactionFee").collect()}
+    assert 0 in fees and 10 in fees
