@@ -1,0 +1,153 @@
+"""Command-line entry points — the Spark form of the reference's two
+application mains.
+
+- ``ingest``  mirrors HederaETLApplication.main +
+  PubSubToBigQueryPipelineOptions (input-subscription /
+  output-transactions-table / output-errors-table, here as a source
+  directory and two table paths, plus the checkpoint dir Spark needs for
+  exactly-the-reference's at-least-once delivery).
+- ``dedupe``  mirrors DedupeApplication (the Spring-scheduled
+  incremental/full jobs, DedupeConfiguration.java) as an explicit
+  one-shot invocation: ``--mode incremental`` (the 5-minute cadence job)
+  or ``--mode full`` (the 24-hour safety net), with ``--loop`` running
+  the fixed-rate scheduler in-process.
+- ``bench``   runs the registry's bench-tagged queries (bench.py's
+  harness is importable; this is the user-facing wrapper).
+
+Usage:
+    python -m hedera_etl_spark.cli ingest --input-dir IN --transactions-table T \
+        --errors-table E --checkpoint C [--continuous] [--archive-path A]
+    python -m hedera_etl_spark.cli dedupe --table T --state S [--mode full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_ingest(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("ingest", help="JSON-lines stream -> transactions + errors tables")
+    p.add_argument("--input-dir", required=True, help="streaming source directory (S1)")
+    p.add_argument(
+        "--transactions-table", required=True, help="output transactions table path (S2)"
+    )
+    p.add_argument("--errors-table", required=True, help="dead-letter errors table path (S3)")
+    p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir (ST1)")
+    p.add_argument("--archive-path", default=None, help="optional raw-line archive (S5)")
+    p.add_argument("--watermark", default="1 hour", help="dedup state horizon (ST2)")
+    p.add_argument(
+        "--no-dedupe", action="store_true", help="disable in-stream best-effort dedup"
+    )
+    p.add_argument(
+        "--continuous",
+        action="store_true",
+        help="run until interrupted (default: drain available input, then exit)",
+    )
+
+
+def _add_dedupe(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("dedupe", help="incremental/full dedup over a partitioned table")
+    p.add_argument("--table", required=True, help="DAY-partitioned table path")
+    p.add_argument("--state", required=True, help="state KV table path (J2)")
+    p.add_argument("--key", default="consensus_timestamp")
+    p.add_argument("--tiebreak", default="ingest_seq")
+    p.add_argument("--mode", choices=["incremental", "full"], default="incremental")
+    p.add_argument("--lateness-slack-sec", type=int, default=0)
+    p.add_argument(
+        "--loop-every-sec",
+        type=float,
+        default=None,
+        help="run on a fixed-rate schedule instead of once (DedupeConfiguration.java:35)",
+    )
+    p.add_argument("--loop-count", type=int, default=None, help="stop after N scheduled runs")
+
+
+def _add_bench(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("bench", help="run the bench-tagged registry queries")
+    p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="hedera-etl-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_ingest(sub)
+    _add_dedupe(sub)
+    _add_bench(sub)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "bench":
+        import os
+
+        if args.sf_dir:
+            os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        import bench
+
+        return bench.main()
+
+    from hedera_etl_spark.session import get_spark
+
+    spark = get_spark(f"hedera-etl-{args.command}")
+
+    if args.command == "ingest":
+        from hedera_etl_spark.streaming.ingest import IngestPipeline
+
+        pipe = IngestPipeline(
+            spark,
+            args.input_dir,
+            args.transactions_table,
+            args.errors_table,
+            args.checkpoint,
+            watermark=args.watermark,
+            dedupe_in_stream=not args.no_dedupe,
+            archive_path=args.archive_path,
+        )
+        if args.continuous:
+            pipe.start(available_now=False).awaitTermination()
+        else:
+            m = pipe.run_to_completion()
+            print(
+                f"batches={m.batches} valid_rows={m.valid_rows} error_rows={m.error_rows}"
+            )
+        return 0
+
+    if args.command == "dedupe":
+        from hedera_etl_spark.operators.dedupe import DedupeJob, StateStore
+
+        job = DedupeJob(
+            spark,
+            args.table,
+            StateStore(spark, args.state),
+            key=args.key,
+            tiebreak=args.tiebreak,
+            lateness_slack_sec=args.lateness_slack_sec,
+        )
+        run = job.run_full if args.mode == "full" else job.run_incremental
+        if args.loop_every_sec:
+            import time
+
+            from hedera_etl_spark.operators.scheduler import FixedRateScheduler
+
+            sched = FixedRateScheduler()
+            scheduled = sched.every(args.loop_every_sec, run, name=f"dedupe-{args.mode}")
+            while args.loop_count is None or scheduled.runs < args.loop_count:
+                sched.run_pending()
+                time.sleep(min(args.loop_every_sec / 10, 1.0))
+        else:
+            result = run()
+            print(
+                f"window=[{result.start},{result.end}] "
+                f"duplicates_removed={result.duplicates_removed} "
+                f"rows_in_window={result.rows_in_window}"
+            )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

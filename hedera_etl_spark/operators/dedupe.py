@@ -48,6 +48,27 @@ INCREMENTAL_STATE_KEY = "incrementalLatestEndTimestamp"
 FULL_STATE_KEY = "fullLatestEndTimestamp"
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable.
+
+    The production path for the J1 rewrite on object storage is Delta's
+    ``replaceWhere`` (a single atomic commit, concurrent-reader-safe,
+    unlike the directory swap) and for J2 a real MERGE — both used
+    automatically when the package exists; the parquet temp-path swap
+    below is the dependency-free fallback this container runs.
+    """
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def is_delta_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
 # ---------------------------------------------------------------------------
 # state table (S4/J2: GetStateQuery / SetStateQuery)
 # ---------------------------------------------------------------------------
@@ -66,6 +87,9 @@ class StateStore:
         self.path = path
 
     def read(self) -> dict[str, str]:
+        if delta_available() and is_delta_table(self.path):
+            rows = self.spark.read.format("delta").load(self.path).collect()
+            return {r["name"]: r["value"] for r in rows}
         path = self.path
         if not os.path.exists(path):
             # a crash between upsert's two renames leaves the previous
@@ -85,6 +109,21 @@ class StateStore:
         in-place overwrite this replaces could corrupt the only copy if
         the writer died mid-write)."""
         import shutil
+
+        if delta_available() and is_delta_table(self.path):
+            # the real MERGE (SetStateQuery.java:34-40): one ACID commit
+            from delta.tables import DeltaTable
+
+            src = self.spark.createDataFrame([(name, value)], STATE_SCHEMA)
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(src.alias("s"), "t.name = s.name")
+                .whenMatchedUpdate(set={"value": "s.value"})
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
 
         state = self.read()
         state[name] = value
@@ -213,7 +252,13 @@ class DedupeJob:
         self.lateness_slack_sec = lateness_slack_sec
         self.metrics = DedupeMetrics()
 
+    @property
+    def _use_delta(self) -> bool:
+        return delta_available() and is_delta_table(self.table_path)
+
     def _read(self) -> DataFrame:
+        if self._use_delta:
+            return self.spark.read.format("delta").load(self.table_path)
         return self.spark.read.parquet(self.table_path)
 
     def _window_end(self) -> int | None:
@@ -310,6 +355,20 @@ class DedupeJob:
         """
         import shutil
         import uuid
+
+        if self._use_delta:
+            # one ACID commit replacing exactly the touched partitions —
+            # concurrent readers see either the old or the new snapshot,
+            # never a half-swapped directory (the MERGE-equivalent path,
+            # RemoveDuplicatesTemplateQuery.java:29-43)
+            dates = ", ".join(f"'{d}'" for d in touched_dates)
+            (
+                replacement.write.format("delta")
+                .mode("overwrite")
+                .option("replaceWhere", f"part_date IN ({dates})")
+                .save(self.table_path)
+            )
+            return
 
         tmp_path = f"{self.table_path}.__rewrite-{uuid.uuid4().hex[:8]}"
         replacement.write.mode("overwrite").partitionBy("part_date").parquet(tmp_path)

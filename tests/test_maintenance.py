@@ -90,3 +90,62 @@ def test_truncate_crash_leaves_a_complete_table(spark, tmp_path, monkeypatch):
         truncate(spark, path)
     monkeypatch.undo()
     assert spark.read.parquet(path + ".__old").count() == 10
+
+
+def test_cli_ingest_and_dedupe_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """The CLI mains (HederaETLApplication / DedupeApplication parity):
+    ingest a JSON file, then dedupe the produced table — both through
+    argv parsing, reusing the live session via get_spark's getOrCreate."""
+    import json
+
+    from hedera_etl_spark import cli
+
+    lines = [
+        json.dumps(
+            {
+                "consensusTimestamp": 1_570_800_000_000_000_000 + i * 1_000_000_000,
+                "transactionType": 7,
+                "transaction": {"body": {"transactionFee": str(i), "memo": f"m{i}"}},
+            }
+        )
+        for i in range(8)
+    ] + [
+        json.dumps(
+            {
+                "consensusTimestamp": 1_570_800_000_000_000_000,
+                "transactionType": 7,
+                "transaction": {"body": {"transactionFee": "0", "memo": "m0"}},
+            }
+        )
+    ]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "f.json").write_text("\n".join(lines))
+
+    table = str(tmp_path / "tx")
+    rc = cli.main(
+        [
+            "ingest",
+            "--input-dir", str(indir),
+            "--transactions-table", table,
+            "--errors-table", str(tmp_path / "err"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--no-dedupe",  # keep the replay so dedupe has work to do
+        ]
+    )
+    assert rc == 0
+    assert "valid_rows=9" in capsys.readouterr().out
+    assert spark.read.parquet(table).count() == 9
+
+    rc = cli.main(
+        [
+            "dedupe",
+            "--table", table,
+            "--state", str(tmp_path / "state"),
+            "--key", "consensusTimestamp",
+            "--tiebreak", "transactionType",  # replays are byte-identical
+        ]
+    )
+    assert rc == 0
+    assert "duplicates_removed=1" in capsys.readouterr().out
+    assert spark.read.parquet(table).count() == 8
