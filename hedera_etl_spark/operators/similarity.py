@@ -65,6 +65,75 @@ def ivf_centroids(n_centroids: int, dims: int) -> list[list[float]]:
     ]
 
 
+def ivf_train_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids with SPHERICAL k-means over the corpus — the
+    production swap-in for the fixed md5-derived centroids.
+
+    Spherical (centroids L2-normalized each round) because the coarse
+    quantizer assigns by argmax-DOT: with unit centroids that is argmax
+    cosine, the similarity the index serves.  A plain mean degenerates
+    here — averaging near-isotropic vectors shrinks the centroid norm
+    toward zero, collapsing the dot-product objective.
+
+    Spark-native iteration: each round is one scan — assign every vector
+    to its argmax-dot centroid (the same coarse quantizer the index
+    uses), then recompute the per-cluster mean DIMENSION-WISE: posexplode
+    the vector to (bucket, dim, value) scalar rows and aggregate
+    sum+count per (bucket, dim).  That is a single shuffle of n*dims
+    scalars with full map-side combine, and the driver collect is
+    exactly k*dims rows regardless of corpus size — no cluster is ever
+    materialized whole anywhere.  Centroid literals live driver-side
+    between rounds (k*dims doubles), so no lineage growth or
+    checkpointing is needed; each iteration's plan is flat.
+
+    Initialization is the deterministic md5 grid (``ivf_centroids``) so
+    runs are repeatable given a fixed iteration count; exact float sums
+    depend on partition order, which is why the TRAINED path feeds
+    rows-only checks while the fixed-centroid path remains the
+    oracle-checked twin (docstring contract in ``ivf_topk``).  An empty
+    cluster keeps its previous centroid (standard Lloyd's fallback).
+    """
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    corpus = ensure_parallelism(emb)
+    centroids = ivf_centroids(n_centroids, dims)
+    for _ in range(iters):
+        dots = _dots_array(vec_col, centroids)
+        assigned = corpus.select(
+            F.array_position(dots, F.array_max(dots)).alias("bucket"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        )
+        stats = (
+            assigned.groupBy("bucket", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            b = int(r["bucket"]) - 1  # array_position is 1-based
+            sums.setdefault(b, [0.0] * dims)[int(r["dim"])] = float(r["s"])
+            counts[b] = int(r["n"])
+
+        def unit_mean(c: int) -> list[float]:
+            mean = [s / counts[c] for s in sums[c]]
+            n2 = sum(x * x for x in mean) ** 0.5
+            if n2 == 0.0:
+                return centroids[c]  # degenerate cluster: keep previous
+            return [x / n2 for x in mean]
+
+        centroids = [
+            unit_mean(c) if counts.get(c) else centroids[c] for c in range(n_centroids)
+        ]
+    return centroids
+
+
 def _dots_array(vec_col, centroids: list[list[float]]):
     return F.array(
         *[
@@ -102,6 +171,7 @@ def ivf_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in one inverted list
     each; queries probe their ``n_probe`` closest centroids, so the scan
@@ -109,10 +179,14 @@ def ivf_topk(
 
     The probe fan-out is a per-query explode + rank (queries are few);
     candidate retrieval is a bucket equi-join — both sides scale-safe.
+    ``centroids`` defaults to the deterministic md5 grid (the
+    oracle-checkable twin); pass ``ivf_train_kmeans(...)`` output for the
+    production quantizer (better-balanced lists, higher recall at the
+    same n_probe).
     """
     from pyspark.sql import Window as W
 
-    centroids = ivf_centroids(n_centroids, dims)
+    centroids = centroids or ivf_centroids(n_centroids, dims)
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
     q = emb.filter(F.col(id_col).isin(query_ids)).select(

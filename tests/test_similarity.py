@@ -93,3 +93,53 @@ def test_ann_results_are_true_neighbors(spark, emb, exact):
     }
     for pair, cos in approx.items():
         assert pair in full and full[pair] == cos
+
+
+def test_kmeans_training_reduces_assignment_cost(spark, emb):
+    """Spherical k-means iterations must improve the quantizer: the mean
+    best-centroid COSINE over the corpus rises from the md5-grid init to
+    the trained centroids, and the trained quantizer still drives the
+    full IVF pipeline."""
+    from hedera_etl_spark.operators.similarity import (
+        _dots_array,
+        ivf_centroids,
+        ivf_topk,
+        ivf_train_kmeans,
+    )
+
+    def mean_best_cos(centroids):
+        # normalize centroids in the metric so init (norm ~4.6 grid) and
+        # trained (unit) compare on the same scale
+        unit = [
+            [x / (sum(v * v for v in c) ** 0.5) for x in c] for c in centroids
+        ]
+        dots = _dots_array("embedding", unit)
+        vnorm = F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return (
+            emb.select((F.array_max(dots) / vnorm).alias("c"))
+            .agg(F.avg("c"))
+            .collect()[0][0]
+        )
+
+    init = ivf_centroids(16, 64)
+    trained = ivf_train_kmeans(emb, n_centroids=16, dims=64, iters=3)
+    assert len(trained) == 16 and all(len(c) == 64 for c in trained)
+    assert mean_best_cos(trained) > mean_best_cos(init)
+
+    rows = ivf_topk(emb, QUERY_IDS, k=K, n_centroids=16, n_probe=2, centroids=trained).collect()
+    assert rows  # the trained quantizer serves the same pipeline
+
+
+def test_kmeans_training_is_repeatable(spark, emb):
+    """Fixed init + fixed iteration count: two runs agree to float noise
+    (exact bits may differ with partition order; centroid VALUES converge
+    to the same fixed point on this corpus)."""
+    from hedera_etl_spark.operators.similarity import ivf_train_kmeans
+
+    a = ivf_train_kmeans(emb, n_centroids=8, dims=64, iters=2)
+    b = ivf_train_kmeans(emb, n_centroids=8, dims=64, iters=2)
+    for ca, cb in zip(a, b):
+        for x, y in zip(ca, cb):
+            assert abs(x - y) < 1e-9
