@@ -16,9 +16,10 @@ Methodology:
 - Results are materialized by aggregating xxhash64 over EVERY output
   column — a bare count() would let Catalyst prune the projections and
   under-report projection-heavy queries (ADVICE r2, bench.py:49).
-- Each query runs twice, min reported: the first run pays whole-stage
-  codegen compilation, a fixed cost invisible at real data scale.
-- DuckDB runs the SAME oracle SQL (min of 2, full fetchall) on views over
+- Each query runs three times, min reported: the first run pays
+  whole-stage codegen compilation, a fixed cost invisible at real data
+  scale, and the min damps ambient load noise.
+- DuckDB runs the SAME oracle SQL (min of 3, full fetchall) on views over
   the same parquet files, after the Spark runs so both see a warm page
   cache.
 """
@@ -66,10 +67,11 @@ def main() -> int:
     for t in TABLES:
         materialize(load_table(spark, sf_dir, t).persist())
 
+    RUNS = 3
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = None
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.time()
             materialize(spec.spark_fn(spark, sf_dir))
             dt = time.time() - t0
@@ -92,7 +94,7 @@ def main() -> int:
             if spec.oracle is None:
                 continue
             best = None
-            for _ in range(2):
+            for _ in range(RUNS):
                 t0 = time.time()
                 con.execute(spec.oracle).fetchall()
                 dt = time.time() - t0
@@ -108,9 +110,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": 2,
-        "timing": "min of 2 over persisted tables; results materialized "
-        "via xxhash64 over all output columns",
+        "runs_per_query": RUNS,
+        "timing": "min of %d over persisted tables; results materialized "
+        "via xxhash64 over all output columns" % RUNS,
     }
     if duck_total:
         out["duckdb_total_sec"] = duck_total

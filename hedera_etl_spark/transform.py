@@ -95,6 +95,14 @@ def parse_transactions(
     valid rows in the typed TRANSACTIONS_SCHEMA with the derived
     consensusTimestampTruncated; invalid rows shaped like the errors table
     (table_row = the offending line, errors = a JSON error object).
+
+    Note on the valid/errors split: both branches reference the same
+    ``from_json`` expression; an A/B with an exchange barrier after the
+    parse (forcing single evaluation) measured SLOWER than re-evaluating
+    the parse per branch — shuffling the wide parsed struct costs more
+    than tokenizing the JSON again — so the split deliberately stays
+    exchange-free.  The streaming path materializes the batch once via
+    persist() anyway (streaming/ingest.py).
     """
     wire = parse_schema()
     parsed = raw.select(
