@@ -124,3 +124,122 @@ def sample_frames(
             (F.col("frame_idx") * frame_interval_ms).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    docs_with_payload: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    real_decode: bool = False,
+) -> DataFrame:
+    """Image resize via Arrow-batched mapInPandas.
+
+    ``real_decode=True`` is the production branch (PIL
+    ``Image.open(...).resize(target)``) — stubbed with NotImplementedError
+    in this container.  The default fake emits a deterministic
+    pseudo-thumbnail: the first ``w*h // 16`` bytes of md5-keyed content
+    (repeatable from payload alone), so the full pipeline — binary in,
+    binary out, typed metadata beside it — runs and is assertable.  At
+    scale this is the canonical shape for byte-transform stages: Arrow
+    batches both ways, no driver involvement, output stays columnar for a
+    downstream parquet/lance sink.
+    """
+    w, h = target
+
+    def gen(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this container); "
+                    "run with real_decode=False for the deterministic stub"
+                )
+            n_out = (w * h) // 16
+
+            def fake_resize(b: bytes) -> bytes:
+                seed = hashlib.md5(bytes(b)).digest()
+                reps = (n_out // len(seed)) + 1
+                return (seed * reps)[:n_out]
+
+            out = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": w,
+                    "out_height": h,
+                    "resized": out,
+                    "n_bytes_out": out.map(len).astype("int64"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
+def audio_chunk_features(
+    docs_with_payload: DataFrame,
+    chunk_bytes: int = 400,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Audio feature extraction: chunk the byte stream, one feature row
+    per chunk — JVM-side end to end (no Python), because the fake
+    features are byte statistics the engine can compute with built-ins.
+
+    The production branch (``real_decode=True``: ffmpeg decode + real
+    frame features via mapInPandas, same plumbing as ``resize_images``)
+    raises NotImplementedError in this container.  The chunking explode
+    is the load-bearing scale shape: a 100 TB audio table fans out to
+    per-chunk rows executor-side with ordinary partitioning, exactly like
+    ``sample_frames`` for video.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real audio decode requires ffmpeg/librosa (not in this container); "
+            "run with real_decode=False for the byte-statistics features"
+        )
+    n_chunks = F.greatest(
+        (F.octet_length("payload") + chunk_bytes - 1) / F.lit(chunk_bytes), F.lit(1)
+    ).cast("long")
+    chunks = docs_with_payload.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"substring(payload, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})").alias(
+            "chunk"
+        ),
+    )
+    # features over the chunk's bytes: decode byte values from the hex
+    # encoding (hex pairs -> ints), then energy = sum, peak = max — all
+    # JVM built-ins, integer-exact on any engine
+    byte_vals = F.transform(
+        F.sequence(F.lit(1), F.octet_length("chunk")),
+        lambda i: F.conv(F.substring(F.hex("chunk"), (i - 1) * 2 + 1, 2), 16, 10).cast(
+            "long"
+        ),
+    )
+    with_bytes = chunks.select("doc_id", "chunk_idx", "chunk", byte_vals.alias("__b"))
+    return with_bytes.select(
+        "doc_id",
+        "chunk_idx",
+        F.octet_length("chunk").cast("long").alias("n_bytes"),
+        F.aggregate("__b", F.lit(0).cast("long"), lambda a, x: a + x).alias("energy"),
+        F.array_max("__b").alias("peak"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

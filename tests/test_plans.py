@@ -115,3 +115,52 @@ def test_bucketed_range_join_is_equi_join(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # broadcast- or shuffled-hash on __bucket
+
+
+def test_minhash_signature_stage_has_no_exchange(spark):
+    """The shingle->signature stage is pure per-row array math: its plan
+    must contain ZERO Exchange nodes (the r2 form paid two — a distinct
+    on (doc, shingle) and a groupBy(doc))."""
+    from hedera_etl_spark.operators.textdedup import (
+        minhash_signatures_from_sets,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # well-partitioned input: the parallelism guard must not add a shuffle
+    sig = minhash_signatures_from_sets(shingle_sets(docs.repartition(8)), 9, with_size=True)
+    sig.collect()
+    plan = plan_of(sig)
+    import re
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+
+
+def test_ensure_parallelism_is_noop_on_wide_input(spark):
+    """The small-file guard repartitions ONLY below default parallelism —
+    on an input already at or above it, the plan is untouched."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(n)
+    assert ensure_parallelism(wide) is wide
+    narrow = spark.range(10_000).coalesce(1)
+    assert ensure_parallelism(narrow).rdd.getNumPartitions() == n
+
+
+def test_minhash_set_and_exploded_signatures_agree(spark):
+    """The per-row array signature and the exploded groupBy signature are
+    the same function (min over the same hashed set) — pinned so the fast
+    path can never drift from the oracle-mirrored form."""
+    from hedera_etl_spark.operators.textdedup import (
+        minhash_signatures,
+        minhash_signatures_from_sets,
+        shingle_sets,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(100)
+    sets = shingle_sets(docs, 3)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    a = {tuple(r) for r in minhash_signatures_from_sets(sets, 9, with_size=True).collect()}
+    b = {tuple(r) for r in minhash_signatures(sh, 9, with_size=True).collect()}
+    assert a == b

@@ -69,3 +69,51 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     # its latest snapshot is still from an earlier batch
     assert rows[2]["last_batch"] < rows[1]["last_batch"]
     assert (rows[2]["n_events"], rows[2]["last_us"]) == (1, 50)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: resize + audio-chunk features (decode stubs, real plumbing)
+# ---------------------------------------------------------------------------
+def test_resize_images_stub_shapes_and_determinism(spark):
+    import pytest as _pytest
+
+    from hedera_etl_spark.operators.multimodal import resize_images, with_payload
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 10), (2, "tiny")], ["doc_id", "text"]
+    )
+    out = resize_images(with_payload(docs), target=(64, 64)).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    for r in out:
+        assert (r["out_width"], r["out_height"]) == (64, 64)
+        assert r["n_bytes_out"] == (64 * 64) // 16 == len(r["resized"])
+    # deterministic: same payload -> same bytes
+    again = {r["doc_id"]: bytes(r["resized"]) for r in
+             resize_images(with_payload(docs), target=(64, 64)).collect()}
+    assert {r["doc_id"]: bytes(r["resized"]) for r in out} == again
+    with _pytest.raises(Exception):
+        resize_images(with_payload(docs), real_decode=True).collect()
+
+
+def test_audio_chunk_features_jvm_side(spark):
+    from hedera_etl_spark.operators.multimodal import (
+        audio_chunk_features,
+        with_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "x" * 1000), (2, "abc")], ["doc_id", "text"])
+    out = audio_chunk_features(with_payload(docs), chunk_bytes=400)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # 1000 bytes / 400 -> 3 chunks
+    assert len(by_doc[2]) == 1
+    # byte-exact features: 'x' == 120
+    c0 = next(r for r in by_doc[1] if r["chunk_idx"] == 0)
+    assert c0["n_bytes"] == 400 and c0["energy"] == 120 * 400 and c0["peak"] == 120
+    last = next(r for r in by_doc[1] if r["chunk_idx"] == 2)
+    assert last["n_bytes"] == 200
+    # no Python in the plan: pure JVM built-ins
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan
