@@ -50,8 +50,15 @@ def _add_dedupe(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("dedupe", help="incremental/full dedup over a partitioned table")
     p.add_argument("--table", required=True, help="DAY-partitioned table path")
     p.add_argument("--state", required=True, help="state KV table path (J2)")
-    p.add_argument("--key", default="consensus_timestamp")
-    p.add_argument("--tiebreak", default="ingest_seq")
+    # defaults match the table the `ingest` subcommand writes, so the
+    # documented ingest-then-dedupe workflow runs with no extra flags
+    p.add_argument("--key", default="consensusTimestamp")
+    p.add_argument(
+        "--tiebreak",
+        default=None,
+        help="tiebreak column for which duplicate survives; omit when "
+        "duplicates are byte-identical (ingest replays are)",
+    )
     p.add_argument("--mode", choices=["incremental", "full"], default="incremental")
     p.add_argument("--lateness-slack-sec", type=int, default=0)
     p.add_argument(
@@ -85,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.sf_dir:
             os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+        # bench.py is a repo-root script, not a package module — anchor
+        # its import off this file so the subcommand works from any cwd
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import bench
 
         return bench.main()
@@ -123,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             args.table,
             StateStore(spark, args.state),
             key=args.key,
-            tiebreak=args.tiebreak,
+            tiebreak=[args.tiebreak] if args.tiebreak else [],
             lateness_slack_sec=args.lateness_slack_sec,
         )
         run = job.run_full if args.mode == "full" else job.run_incremental

@@ -90,26 +90,23 @@ class StateStore:
         if delta_available() and is_delta_table(self.path):
             rows = self.spark.read.format("delta").load(self.path).collect()
             return {r["name"]: r["value"] for r in rows}
-        path = self.path
-        if not os.path.exists(path):
-            # a crash between upsert's two renames leaves the previous
-            # state under the .__old sibling — fall back to it
-            if os.path.exists(path + ".__old"):
-                path = path + ".__old"
-            else:
-                return {}
-        rows = self.spark.read.schema(STATE_SCHEMA).parquet(path).collect()
+        from hedera_etl_spark.fsutil import heal
+
+        # a crash between upsert's two renames leaves the previous state
+        # under the .__old sibling — restore it, don't just fall back
+        heal(self.path)
+        if not os.path.exists(self.path):
+            return {}
+        rows = self.spark.read.schema(STATE_SCHEMA).parquet(self.path).collect()
         return {r["name"]: r["value"] for r in rows}
 
     def upsert(self, name: str, value: str) -> None:
-        """Crash-safe KV upsert: write the new state to a sibling temp
-        path, move the live table aside, rename the temp in, then drop
-        the old copy — at every instant either the live path or its
-        ``.__old`` sibling holds a complete previous-or-new state (the
+        """Crash-safe KV upsert via ``fsutil.atomic_replace``: at every
+        instant either the live path or its ``.__old`` sibling holds a
+        complete previous-or-new state, and a crash window left by a
+        previous writer is healed before anything is deleted (the
         in-place overwrite this replaces could corrupt the only copy if
         the writer died mid-write)."""
-        import shutil
-
         if delta_available() and is_delta_table(self.path):
             # the real MERGE (SetStateQuery.java:34-40): one ACID commit
             from delta.tables import DeltaTable
@@ -125,19 +122,17 @@ class StateStore:
             )
             return
 
-        state = self.read()
+        from hedera_etl_spark.fsutil import atomic_replace
+
+        state = self.read()  # read() heals a prior crash window first
         state[name] = value
         df = self.spark.createDataFrame(
             [(k, v) for k, v in sorted(state.items())], STATE_SCHEMA
         )
-        tmp, old = self.path + ".__new", self.path + ".__old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_replace(
+            self.path,
+            lambda tmp: df.coalesce(1).write.mode("overwrite").parquet(tmp),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +251,36 @@ class DedupeJob:
     def _use_delta(self) -> bool:
         return delta_available() and is_delta_table(self.table_path)
 
+    def _heal_partitions(self) -> None:
+        """Recover from a crash inside a previous ``_swap_partitions``:
+        any partition whose live dir is missing but whose dot-prefixed
+        ``.__old`` backup exists is renamed back, and fully-swapped
+        leftovers (backup present AND live present) plus orphaned
+        ``.__rewrite-*`` temp dirs are cleared.  Runs on every table
+        read, so the crash window self-repairs on the next job run
+        instead of requiring manual surgery (single-writer discipline,
+        as documented on ``_swap_partitions``)."""
+        import glob
+        import shutil
+
+        if not os.path.isdir(self.table_path):
+            return
+        for entry in os.listdir(self.table_path):
+            if not (entry.startswith(".part_date=") and entry.endswith(".__old")):
+                continue
+            live = os.path.join(self.table_path, entry[1 : -len(".__old")])
+            backup = os.path.join(self.table_path, entry)
+            if not os.path.exists(live):
+                os.rename(backup, live)
+            else:
+                shutil.rmtree(backup, ignore_errors=True)
+        for tmp in glob.glob(f"{self.table_path}.__rewrite-*"):
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def _read(self) -> DataFrame:
         if self._use_delta:
             return self.spark.read.format("delta").load(self.table_path)
+        self._heal_partitions()
         return self.spark.read.parquet(self.table_path)
 
     def _window_end(self) -> int | None:
@@ -385,7 +407,14 @@ class DedupeJob:
                 continue
             live = os.path.join(self.table_path, entry)
             old = os.path.join(self.table_path, f".{entry}.__old")
-            shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+            if os.path.exists(old):
+                # a prior crash left a backup: restore it if the live dir
+                # is missing (NEVER delete the only copy), else it is a
+                # fully-swapped leftover and can go
+                if not os.path.exists(live):
+                    os.rename(old, live)
+                else:
+                    shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(live):
                 os.rename(live, old)
             shutil.move(os.path.join(tmp_path, entry), live)

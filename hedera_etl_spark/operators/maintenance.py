@@ -32,24 +32,28 @@ def insert_rows(
 def truncate(spark: SparkSession, path: str) -> None:
     """Empty the table while preserving its schema (S9).
 
-    Writes an empty DataFrame with the existing schema to a sibling temp
-    path, renames the live table aside, renames the empty table in, and
-    only then deletes the old copy — at every instant either ``path`` or
-    its ``.__old`` sibling holds a complete table (the previous
-    rmtree-then-move ordering had a window with NO table at ``path``).
-    Renames are same-directory so they stay single-filesystem.
+    Uses the shared ``fsutil.atomic_replace`` protocol: at every instant
+    either ``path`` or its ``.__old`` sibling holds a complete table (the
+    original rmtree-then-move ordering had a window with NO table at
+    ``path``), and a crash window left by a previous writer self-heals on
+    the next call.  Renames are same-directory so they stay
+    single-filesystem.
     """
-    import os
-    import shutil
+    from hedera_etl_spark.fsutil import atomic_replace, heal
 
+    heal(path)
     schema = spark.read.parquet(path).schema
-    tmp, old = path + ".__new", path + ".__old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    spark.createDataFrame([], schema).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_replace(
+        path,
+        lambda tmp: spark.createDataFrame([], schema).write.mode("overwrite").parquet(tmp),
+    )
+
+
+def heal_table(path: str) -> bool:
+    """Expose crash-window recovery to table readers (see fsutil.heal)."""
+    from hedera_etl_spark.fsutil import heal
+
+    return heal(path)
 
 
 def row_count(spark: SparkSession, path: str) -> int:

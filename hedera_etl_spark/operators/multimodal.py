@@ -227,19 +227,21 @@ def audio_chunk_features(
     )
     # features over the chunk's bytes: decode byte values from the hex
     # encoding (hex pairs -> ints), then energy = sum, peak = max — all
-    # JVM built-ins, integer-exact on any engine
-    byte_vals = F.transform(
+    # JVM built-ins, integer-exact on any engine.  sequence(1, 0) DESCENDS
+    # in Spark, so an empty chunk (empty payload) must short-circuit to an
+    # empty array, giving energy=0 / peak=0 instead of NULL garbage.
+    byte_vals = F.when(F.octet_length("chunk") > 0, F.transform(
         F.sequence(F.lit(1), F.octet_length("chunk")),
         lambda i: F.conv(F.substring(F.hex("chunk"), (i - 1) * 2 + 1, 2), 16, 10).cast(
             "long"
         ),
-    )
+    )).otherwise(F.array().cast("array<long>"))
     with_bytes = chunks.select("doc_id", "chunk_idx", "chunk", byte_vals.alias("__b"))
     return with_bytes.select(
         "doc_id",
         "chunk_idx",
         F.octet_length("chunk").cast("long").alias("n_bytes"),
         F.aggregate("__b", F.lit(0).cast("long"), lambda a, x: a + x).alias("energy"),
-        F.array_max("__b").alias("peak"),
+        F.coalesce(F.array_max("__b"), F.lit(0).cast("long")).alias("peak"),
         F.md5("chunk").alias("chunk_md5"),
     )

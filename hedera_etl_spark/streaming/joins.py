@@ -61,4 +61,12 @@ def stream_stream_join(
         & (F.col(rts) >= F.expr(f"{left_ts} - INTERVAL {max_delay}"))
         & (F.col(rts) <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, how).drop(rw[on])
+    joined = lw.join(rw, cond, how)
+    # outer rows carry the key only on their own side — coalesce before
+    # dropping, or a right_outer row would surface with a NULL key
+    return (
+        joined.withColumn("__key", F.coalesce(lw[on], rw[on]))
+        .drop(lw[on])
+        .drop(rw[on])
+        .withColumnRenamed("__key", on)
+    )

@@ -272,3 +272,40 @@ def test_swap_partitions_failure_preserves_replacement(spark, tmp_path, monkeypa
     assert olds
     for d in tmp_dirs:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_swap_crash_self_heals_on_next_run(spark, tmp_path, monkeypatch):
+    """After a mid-swap crash (live partition moved aside, replacement not
+    yet in), the NEXT job run must heal the table and complete the dedup —
+    no manual recovery, no lost rows."""
+    import shutil as _shutil
+
+    rows = gen_rows(60)
+    path = make_table(spark, tmp_path, rows)
+    job, _ = make_job(spark, tmp_path, path)
+    total_logical = spark.read.parquet(path).select("consensus_timestamp").distinct().count()
+
+    calls = {"n": 0}
+    real_move = _shutil.move
+
+    def failing_move(src, dst):
+        calls["n"] += 1
+        raise OSError("injected crash")
+
+    monkeypatch.setattr(_shutil, "move", failing_move)
+    with pytest.raises(OSError):
+        job.run_incremental()
+    monkeypatch.setattr(_shutil, "move", real_move)
+
+    # fresh job object (fresh state store path untouched by the failure)
+    job2, _ = make_job(spark, tmp_path, path)
+    result = job2.run_incremental()
+    assert result.duplicates_removed > 0
+    final = spark.read.parquet(path)
+    assert final.count() == total_logical
+    assert final.select("consensus_timestamp").distinct().count() == total_logical
+    # no crash debris left behind
+    import glob
+
+    assert not glob.glob(path + ".__rewrite-*")
+    assert not glob.glob(os.path.join(path, ".part_date=*.__old"))

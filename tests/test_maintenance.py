@@ -137,15 +137,8 @@ def test_cli_ingest_and_dedupe_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert "valid_rows=9" in capsys.readouterr().out
     assert spark.read.parquet(table).count() == 9
 
-    rc = cli.main(
-        [
-            "dedupe",
-            "--table", table,
-            "--state", str(tmp_path / "state"),
-            "--key", "consensusTimestamp",
-            "--tiebreak", "transactionType",  # replays are byte-identical
-        ]
-    )
+    # defaults must match the ingest-produced table: no flag overrides
+    rc = cli.main(["dedupe", "--table", table, "--state", str(tmp_path / "state")])
     assert rc == 0
     assert "duplicates_removed=1" in capsys.readouterr().out
     assert spark.read.parquet(table).count() == 8

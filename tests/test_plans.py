@@ -164,3 +164,15 @@ def test_minhash_set_and_exploded_signatures_agree(spark):
     a = {tuple(r) for r in minhash_signatures_from_sets(sets, 9, with_size=True).collect()}
     b = {tuple(r) for r in minhash_signatures(sh, 9, with_size=True).collect()}
     assert a == b
+
+
+def test_range_join_broadcast_form_is_bnlj(spark):
+    """The broadcast fallback of the range join plans as a
+    BroadcastNestedLoopJoin (acceptable only because supplier is a
+    dimension) — pinned here so q08_range_join_broadcast stays live and
+    its docstring claim stays true."""
+    from hedera_etl_spark.queries.core import q08_range_join_broadcast
+
+    df = q08_range_join_broadcast(spark, SF)
+    df.collect()
+    assert "BroadcastNestedLoopJoin" in plan_of(df)

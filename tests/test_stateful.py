@@ -117,3 +117,18 @@ def test_audio_chunk_features_jvm_side(spark):
     # no Python in the plan: pure JVM built-ins
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "pythonUDF" not in plan and "PythonUDF" not in plan
+
+
+def test_audio_features_empty_payload(spark):
+    """sequence(1,0) descends in Spark: an empty payload must yield one
+    zero-energy chunk row, not NULLs."""
+    from hedera_etl_spark.operators.multimodal import (
+        audio_chunk_features,
+        with_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    rows = audio_chunk_features(with_payload(docs), chunk_bytes=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bytes"] == 0 and r["energy"] == 0 and r["peak"] == 0

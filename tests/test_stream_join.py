@@ -68,3 +68,23 @@ def test_stream_stream_join_rejects_full_outer_misuse(spark, sources):
     right = _stream(spark, r_dir, "k LONG, ts_us LONG, score LONG")
     with pytest.raises(ValueError):
         stream_stream_join(left, right, on="k", left_ts="ts", right_ts="ts_r", how="full")
+
+
+def test_right_outer_preserves_key_batch_mode(spark):
+    """Review regression: an unmatched right row must surface with ITS
+    key, not NULL (the key is coalesced across sides before the drop).
+    Batch mode exercises the identical projection logic."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1000)], "k LONG, ts_us LONG"
+    ).withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    right = spark.createDataFrame(
+        [(1, 2000, 9), (5, 3000, 7)], "k LONG, ts_us LONG, score LONG"
+    ).withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    out = stream_stream_join(
+        left, right, on="k", left_ts="ts", right_ts="ts_r",
+        max_delay="1 hour", how="right_outer",
+    ).collect()
+    got = {(r["k"], r["score_r"]) for r in out}
+    assert got == {(1, 9), (5, 7)}  # k=5 unmatched but key preserved
