@@ -142,3 +142,45 @@ def test_cli_ingest_and_dedupe_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert "duplicates_removed=1" in capsys.readouterr().out
     assert spark.read.parquet(table).count() == 8
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """Many micro-batch appends -> one file per partition, same rows,
+    cluster ordering restored, crash-safe commit path."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.tablemgmt import compact_partitions
+
+    path = str(tmp_path / "t")
+    # 6 appends of 2 partitions each -> 12+ small files
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "2021-01-0%d" % (1 + j % 2), (7 * i + j) % 5)
+             for j in range(4)],
+            ["id", "d", "ttype"],
+        ).select("id", F.col("d").cast("date").alias("part_date"), "ttype")
+        df.repartition(2).write.mode("append").partitionBy("part_date").parquet(path)
+
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    rows_before = {tuple(r) for r in before.collect()}
+    assert len(glob.glob(f"{path}/part_date=*/part-*")) > 2
+
+    out = compact_partitions(spark, path, target_files_per_partition=1, cluster_by="ttype")
+    assert set(out) == {"2021-01-01", "2021-01-02"}
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert {tuple(r) for r in after.collect()} == rows_before
+    for part in glob.glob(f"{path}/part_date=*"):
+        files = [f for f in glob.glob(part + "/part-*")]
+        assert len(files) == 1, part
+        # clustering restored: ttype sorted within the single file
+        import pyarrow.parquet as pq
+
+        vals = pq.read_table(files[0], columns=["ttype"])["ttype"].to_pylist()
+        assert vals == sorted(vals)
+    # idempotent: second run touches nothing
+    assert compact_partitions(spark, path, target_files_per_partition=1) == {}

@@ -88,3 +88,59 @@ def test_right_outer_preserves_key_batch_mode(spark):
     ).collect()
     got = {(r["k"], r["score_r"]) for r in out}
     assert got == {(1, 9), (5, 7)}  # k=5 unmatched but key preserved
+
+
+def test_session_window_runs_under_real_streaming(spark, tmp_path):
+    """ST6: the session_window aggregation (q18's expression) executes
+    under Structured Streaming with a watermark — two micro-batches, late
+    rows within the watermark merge into their session."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_600_000_000_000_000  # µs
+    MIN = 60_000_000
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # batch 1: user 1 has two events 10 min apart (one session), user 2 one
+    write("b1.json", [
+        {"u": 1, "ts_us": base, "v": 1},
+        {"u": 1, "ts_us": base + 10 * MIN, "v": 2},
+        {"u": 2, "ts_us": base, "v": 5},
+    ])
+
+    stream = (
+        spark.readStream.schema("u LONG, ts_us LONG, v LONG").json(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("u", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("sess_out").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    # batch 2: a row 20 min after user 1's last -> extends the SAME session
+    write("b2.json", [{"u": 1, "ts_us": base + 30 * MIN, "v": 3}])
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("sess_out").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("sess_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["u"], []).append((r["n"], r["total"]))
+    assert by_user[1] == [(3, 6)]   # one merged session across batches
+    assert by_user[2] == [(1, 5)]
