@@ -3,14 +3,21 @@
 One protocol, one recovery rule (review finding: three hand-rolled copies
 of the rename dance had divergent crash-window behavior):
 
-- ``atomic_replace(path, write_fn)``: write the replacement to
-  ``path.__new`` via ``write_fn``, move the live dir to ``path.__old``,
-  rename the new one in, drop the old copy.  At every instant a complete
-  table exists at ``path`` or ``path.__old``.
+- ``atomic_replace(path, write_fn)``: write the replacement to a hidden
+  sibling via ``write_fn``, move the live dir aside, rename the new one
+  in, drop the old copy.  At every instant a complete table exists at
+  ``path`` or its old-sibling.
 - ``heal(path)``: if a previous writer died between the two renames
-  (live missing, ``.__old`` present), rename the old copy back.  Every
+  (live missing, old-sibling present), rename the old copy back.  Every
   reader/writer entry point calls this first, so the crash window
   self-repairs on the next touch instead of requiring manual recovery.
+
+Sibling names are DOT-PREFIXED (``.<name>.__old`` / ``.<name>.__new``) so
+that when ``path`` is a partition directory inside a partitioned table,
+Spark's partition discovery ignores the in-flight siblings — a visible
+``part_date=X.__old`` dir would be parsed as a partition with a garbage
+value and silently corrupt date-pruned reads (review finding).  The same
+naming is used for standalone table dirs for consistency.
 """
 
 from __future__ import annotations
@@ -20,10 +27,28 @@ import shutil
 from collections.abc import Callable
 
 
+def old_sibling(path: str) -> str:
+    parent, base = os.path.split(os.path.normpath(path))
+    return os.path.join(parent, f".{base}.__old")
+
+
+def new_sibling(path: str) -> str:
+    parent, base = os.path.split(os.path.normpath(path))
+    return os.path.join(parent, f".{base}.__new")
+
+
+def is_swap_sibling(name: str) -> bool:
+    """True for directory BASENAMES created by this module's protocol —
+    iteration over a table's partition dirs must skip these."""
+    return name.startswith(".") and (
+        name.endswith(".__old") or name.endswith(".__new")
+    )
+
+
 def heal(path: str) -> bool:
-    """Restore ``path`` from its ``.__old`` sibling if a crash left the
-    live directory missing.  Returns True if a restore happened."""
-    old = path + ".__old"
+    """Restore ``path`` from its old-sibling if a crash left the live
+    directory missing.  Returns True if a restore happened."""
+    old = old_sibling(path)
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
         return True
@@ -35,7 +60,7 @@ def atomic_replace(path: str, write_fn: Callable[[str], None]) -> None:
     writes, crash-safely (see module docstring).  ``path`` need not exist
     yet (first write)."""
     heal(path)
-    tmp, old = path + ".__new", path + ".__old"
+    tmp, old = new_sibling(path), old_sibling(path)
     shutil.rmtree(tmp, ignore_errors=True)
     write_fn(tmp)
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash

@@ -266,13 +266,16 @@ class DedupeJob:
         if not os.path.isdir(self.table_path):
             return
         for entry in os.listdir(self.table_path):
-            if not (entry.startswith(".part_date=") and entry.endswith(".__old")):
-                continue
-            live = os.path.join(self.table_path, entry[1 : -len(".__old")])
             backup = os.path.join(self.table_path, entry)
-            if not os.path.exists(live):
-                os.rename(backup, live)
-            else:
+            if entry.startswith(".part_date=") and entry.endswith(".__old"):
+                live = os.path.join(self.table_path, entry[1 : -len(".__old")])
+                if not os.path.exists(live):
+                    os.rename(backup, live)
+                else:
+                    shutil.rmtree(backup, ignore_errors=True)
+            elif entry.startswith(".part_date=") and entry.endswith(".__new"):
+                # a compaction crashed mid-write: the live dir is intact,
+                # the half-written replacement is trash
                 shutil.rmtree(backup, ignore_errors=True)
         for tmp in glob.glob(f"{self.table_path}.__rewrite-*"):
             shutil.rmtree(tmp, ignore_errors=True)
@@ -402,11 +405,13 @@ class DedupeJob:
         # previous version rmtree'd tmp in a finally block, which destroyed
         # the replacement for all unswapped partitions on a mid-loop
         # failure).
+        from hedera_etl_spark.fsutil import old_sibling
+
         for entry in os.listdir(tmp_path):
             if not entry.startswith("part_date="):
                 continue
             live = os.path.join(self.table_path, entry)
-            old = os.path.join(self.table_path, f".{entry}.__old")
+            old = old_sibling(live)
             if os.path.exists(old):
                 # a prior crash left a backup: restore it if the live dir
                 # is missing (NEVER delete the only copy), else it is a

@@ -47,8 +47,10 @@ def compact_partitions(
     spark,
     path: str,
     target_files_per_partition: int = 1,
-    cluster_by: str | None = None,
+    cluster_by: str | None = "transactionType",
     partitions: list | None = None,
+    skip_latest: bool = True,
+    max_parallel: int = 4,
 ) -> dict:
     """Compact small files inside each DAY partition — the maintenance
     companion to the streaming sink (every micro-batch append adds files;
@@ -56,45 +58,78 @@ def compact_partitions(
     file-open overhead dominates scan cost long before data volume does).
 
     Per partition: read it, coalesce to ``target_files_per_partition``
-    (re-sorting on ``cluster_by`` when given, restoring row-group
-    skipping that interleaved appends destroyed), and commit through the
-    same crash-safe move-aside swap as the dedup rewrite — readers see
-    the old or the new layout, never a partial directory.  Only
-    partitions whose file count exceeds the target are touched.
+    (re-sorting on ``cluster_by`` when given — default matches
+    ``write_day_partitioned`` so a default-args maintenance run restores
+    the same S6 clustering the write path established; silently skipped
+    for tables without that column), and commit through the shared
+    crash-safe move-aside swap — readers see the old or the new layout,
+    never a partial directory.  Crash debris from a previous run
+    (hidden ``.__old`` / ``.__new`` swap siblings) is healed/cleared
+    before iterating, and those siblings are never themselves treated as
+    partitions.
+
+    Writer coordination: ``skip_latest=True`` (default) leaves the
+    lexicographically greatest partition alone — on a date-partitioned
+    streaming table that is the one the live stream appends to, and
+    compacting it would race the appends (files added between the read
+    snapshot and the swap would be dropped).  Pass False only when no
+    writer is running.  Historic partitions are immutable once the day
+    rolls over, so compacting them is writer-safe.
+
+    Partitions compact concurrently (``max_parallel`` driver threads —
+    Spark schedules jobs from separate threads in parallel), so a
+    backlogged table is not serialized on per-job submission latency.
 
     Returns {partition_value: files_before} for the partitions rewritten.
     """
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
-    from hedera_etl_spark.fsutil import atomic_replace, heal
+    from hedera_etl_spark.fsutil import atomic_replace, heal, is_swap_sibling
 
-    compacted: dict = {}
-    wanted = {str(p) for p in partitions} if partitions is not None else None
+    # heal crash debris FIRST: restore any partition whose live dir is
+    # missing (rename-window crash), clear half-written .__new leftovers
+    import shutil
+
     for entry in sorted(os.listdir(path)):
-        if not entry.startswith("part_date="):
-            continue
+        full = os.path.join(path, entry)
+        if is_swap_sibling(entry):
+            if entry.endswith(".__old"):
+                heal(os.path.join(path, entry[1 : -len(".__old")]))
+                shutil.rmtree(full, ignore_errors=True)  # fully-swapped leftover
+            else:
+                shutil.rmtree(full, ignore_errors=True)  # half-written temp
+
+    entries = sorted(
+        e for e in os.listdir(path)
+        if e.startswith("part_date=") and not is_swap_sibling(e)
+    )
+    if skip_latest and entries:
+        entries = entries[:-1]
+    wanted = {str(p) for p in partitions} if partitions is not None else None
+
+    def compact_one(entry: str):
         value = entry.split("=", 1)[1]
         if wanted is not None and value not in wanted:
-            continue
+            return None
         part_path = os.path.join(path, entry)
-        heal(part_path)
         n_files = sum(
             1 for f in os.listdir(part_path)
             if f.endswith(".parquet") or f.startswith("part-")
         )
         if n_files <= target_files_per_partition:
-            continue
+            return None
         df = spark.read.parquet(part_path).coalesce(target_files_per_partition)
-        if cluster_by:
+        if cluster_by and cluster_by in df.columns:
             df = df.sortWithinPartitions(cluster_by)
-
-        def write(tmp: str, df=df) -> None:
-            df.write.mode("overwrite").parquet(tmp)
-
-        atomic_replace(part_path, write)
-        # spark leaves a _SUCCESS marker; harmless, but drop for tidiness
+        atomic_replace(
+            part_path, lambda tmp: df.write.mode("overwrite").parquet(tmp)
+        )
         marker = os.path.join(part_path, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
-        compacted[value] = n_files
-    return compacted
+        return value, n_files
+
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
+        results = list(pool.map(compact_one, entries))
+    return dict(r for r in results if r is not None)

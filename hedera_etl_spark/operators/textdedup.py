@@ -282,6 +282,11 @@ def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
         n_a, n_b = F.size("__set_a").cast("long"), F.size("__set_b").cast("long")
     return (
         joined.withColumn("inter", F.size(F.array_intersect("__set_a", "__set_b")).cast("long"))
+        # a zero-intersection pair is a non-candidate: the shingle-join
+        # form (and the DuckDB oracle's inner join) emit no row for it,
+        # so this form must not either — exact equivalence is pinned by
+        # test_verify_jaccard_set_and_exploded_forms_agree
+        .filter(F.col("inter") > 0)
         .withColumn("n_a", n_a)
         .withColumn("n_b", n_b)
         .withColumn(

@@ -89,7 +89,12 @@ def test_truncate_crash_leaves_a_complete_table(spark, tmp_path, monkeypatch):
     with pytest.raises(OSError):
         truncate(spark, path)
     monkeypatch.undo()
-    assert spark.read.parquet(path + ".__old").count() == 10
+    from hedera_etl_spark.fsutil import old_sibling
+
+    assert spark.read.parquet(old_sibling(path)).count() == 10
+    # and the next truncate self-heals the window, then completes
+    truncate(spark, path)
+    assert spark.read.parquet(path).count() == 0
 
 
 def test_cli_ingest_and_dedupe_roundtrip(spark, tmp_path, monkeypatch, capsys):
@@ -168,8 +173,14 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     rows_before = {tuple(r) for r in before.collect()}
     assert len(glob.glob(f"{path}/part_date=*/part-*")) > 2
 
+    # default skip_latest leaves the active (greatest) partition alone
     out = compact_partitions(spark, path, target_files_per_partition=1, cluster_by="ttype")
-    assert set(out) == {"2021-01-01", "2021-01-02"}
+    assert set(out) == {"2021-01-01"}
+    # with no live writer, compact everything
+    out = compact_partitions(
+        spark, path, target_files_per_partition=1, cluster_by="ttype", skip_latest=False
+    )
+    assert set(out) == {"2021-01-02"}
 
     after = spark.read.parquet(path)
     assert after.count() == n_before
@@ -183,4 +194,42 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
         vals = pq.read_table(files[0], columns=["ttype"])["ttype"].to_pylist()
         assert vals == sorted(vals)
     # idempotent: second run touches nothing
-    assert compact_partitions(spark, path, target_files_per_partition=1) == {}
+    assert compact_partitions(
+        spark, path, target_files_per_partition=1, skip_latest=False
+    ) == {}
+
+
+def test_compact_partitions_heals_crash_debris(spark, tmp_path):
+    """Swap siblings from a crashed run are healed, never treated as
+    partitions (a visible part_date=X.__old would be read as a partition
+    with a garbage value), and a missing live dir is restored."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.fsutil import new_sibling, old_sibling
+    from hedera_etl_spark.operators.tablemgmt import compact_partitions
+
+    path = str(tmp_path / "t")
+    for i in range(2):
+        spark.createDataFrame(
+            [(i, "2021-01-01", 1), (i, "2021-01-02", 2)], ["id", "d", "ttype"]
+        ).select("id", F.col("d").cast("date").alias("part_date"), "ttype").write.mode(
+            "append"
+        ).partitionBy("part_date").parquet(path)
+    n_rows = spark.read.parquet(path).count()
+
+    live = _os.path.join(path, "part_date=2021-01-01")
+    # crash window: live renamed aside, replacement never arrived
+    _os.rename(live, old_sibling(live))
+    # plus a half-written temp for the other partition
+    _os.makedirs(new_sibling(_os.path.join(path, "part_date=2021-01-02")))
+
+    out = compact_partitions(spark, path, skip_latest=False, cluster_by=None)
+    assert set(out) <= {"2021-01-01", "2021-01-02"}
+    assert spark.read.parquet(path).count() == n_rows  # nothing lost
+    assert not glob.glob(f"{path}/.part_date=*")  # debris gone
+    # no garbage partition values leaked into discovery
+    dates = {str(r[0]) for r in spark.read.parquet(path).select("part_date").distinct().collect()}
+    assert dates == {"2021-01-01", "2021-01-02"}

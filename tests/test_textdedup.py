@@ -90,3 +90,39 @@ def test_simhash_band_args_validated(spark, docs):
         simhash_neardups(docs, n_bands=3, max_hamming=3)  # lossy blocking
     with pytest.raises(ValueError):
         simhash_neardups(docs, n_bands=6, max_hamming=3)  # 6 doesn't divide 64
+
+
+def test_verify_jaccard_set_and_exploded_forms_agree(spark):
+    """verify_jaccard (shingle-join form) and verify_jaccard_sets
+    (array_intersect form) are the same function — pinned so the fast
+    path can never drift from the oracle-mirrored join semantics."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.textdedup import (
+        shingle_sets,
+        verify_jaccard,
+        verify_jaccard_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e f zzz"),
+            (3, "totally different words here now"),
+            (4, "a b c d e f g"),
+        ],
+        ["doc_id", "text"],
+    )
+    sets = shingle_sets(docs, 3)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    a = {tuple(r) for r in verify_jaccard(sh, pairs).collect()}
+    b = {tuple(r) for r in verify_jaccard_sets(sets, pairs).collect()}
+    assert a == b
+    # sanity: the identical pair is jaccard 1.0, the disjoint pair 0 rows
+    # (no shared shingle -> no intersection row in the join form), so the
+    # set form must also emit inter=0 rows only when the join form does
+    by_pair = {(r[0], r[1]): r[5] for r in a}
+    assert by_pair[(1, 4)] == 1.0
