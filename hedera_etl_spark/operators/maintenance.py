@@ -21,7 +21,11 @@ def insert_rows(
     schema,
     partition_by: str | None = None,
 ) -> None:
-    """Append literal rows to a parquet table (S8)."""
+    """Append literal rows to a parquet table (S8).  Heals a crashed
+    swap window first (fsutil contract: every entry point heals)."""
+    from hedera_etl_spark.fsutil import heal
+
+    heal(path)
     df = spark.createDataFrame(rows, schema)
     writer = df.write.mode("append")
     if partition_by:
@@ -49,13 +53,11 @@ def truncate(spark: SparkSession, path: str) -> None:
     )
 
 
-def heal_table(path: str) -> bool:
-    """Expose crash-window recovery to table readers (see fsutil.heal)."""
-    from hedera_etl_spark.fsutil import heal
-
-    return heal(path)
 
 
 def row_count(spark: SparkSession, path: str) -> int:
-    """SELECT count(*) (A5/S4)."""
+    """SELECT count(*) (A5/S4).  Heals a crashed swap window first."""
+    from hedera_etl_spark.fsutil import heal
+
+    heal(path)
     return spark.read.parquet(path).count()

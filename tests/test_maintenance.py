@@ -233,3 +233,18 @@ def test_compact_partitions_heals_crash_debris(spark, tmp_path):
     # no garbage partition values leaked into discovery
     dates = {str(r[0]) for r in spark.read.parquet(path).select("part_date").distinct().collect()}
     assert dates == {"2021-01-01", "2021-01-02"}
+
+
+def test_row_count_heals_crashed_swap(spark, tmp_path, monkeypatch):
+    """A reader entry point must self-repair the rename crash window."""
+    import os as _os
+
+    import pytest
+
+    from hedera_etl_spark.fsutil import old_sibling
+
+    path = str(tmp_path / "t")
+    spark.range(7).write.parquet(path)
+    _os.rename(path, old_sibling(path))  # simulate the crash window
+    assert row_count(spark, path) == 7  # healed, not PATH_NOT_FOUND
+    assert _os.path.exists(path) and not _os.path.exists(old_sibling(path))
