@@ -62,6 +62,9 @@ class IngestMetrics:
     valid_rows: int = 0
     error_rows: int = 0
     latest_event_ts: object = None
+    #: wall-clock seconds between batch processing time and the newest
+    #: event time in it — the reference's end-to-end lag Distribution
+    ingest_delay_sec: float | None = None
     history: list = field(default_factory=list)
 
 
@@ -186,10 +189,27 @@ class IngestPipeline:
             m.batches += 1
             m.valid_rows += v["rows"]
             m.error_rows += e["rows"]
+            delay = None
             if v["latest_ts"] is not None:
                 if m.latest_event_ts is None or v["latest_ts"] > m.latest_event_ts:
                     m.latest_event_ts = v["latest_ts"]
-            m.history.append({"batch_id": batch_id, "valid": v["rows"], "errors": e["rows"]})
+                import datetime
+
+                latest = v["latest_ts"]
+                if latest.tzinfo is None:
+                    latest = latest.replace(tzinfo=datetime.timezone.utc)
+                delay = (
+                    datetime.datetime.now(datetime.timezone.utc) - latest
+                ).total_seconds()
+                m.ingest_delay_sec = delay
+            m.history.append(
+                {
+                    "batch_id": batch_id,
+                    "valid": v["rows"],
+                    "errors": e["rows"],
+                    "ingest_delay_sec": delay,
+                }
+            )
         finally:
             batch_df.unpersist()
 

@@ -210,3 +210,14 @@ def test_rate_source_through_same_pipeline(spark, dirs):
     # typed wire fields parsed from the rate-shaped JSON
     fees = {r[0] for r in table.select("transaction.body.transactionFee").collect()}
     assert 0 in fees and 10 in fees
+
+
+def test_ingest_delay_metric_recorded(spark, dirs):
+    """ST7: the end-to-end lag gauge (batch wall time minus newest event
+    time) is recorded per batch and on the aggregate metrics object."""
+    (dirs["input"] / "f1.json").write_text("\n".join(tx_line(i) for i in range(3)))
+    metrics = make_pipeline(spark, dirs).run_to_completion()
+    assert metrics.ingest_delay_sec is not None
+    # fixture events are dated 2019 -> delay is huge and positive
+    assert metrics.ingest_delay_sec > 0
+    assert any(h["ingest_delay_sec"] for h in metrics.history)
