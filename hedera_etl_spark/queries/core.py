@@ -168,31 +168,36 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q05_dim_join_agg",
     f"""
-    SELECT n_name,
+    SELECT r_name, n_name,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
            COUNT(*) AS num_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    ORDER BY n_name
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
     """,
     tags=("join", "broadcast", "aggregate"),
     bench=True,
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Readable-analytics dimension join — the reason transaction_types
-    exists in the reference (scripts/create-tables.sh:38-59).  nation is
-    explicitly broadcast; customer stays under the auto-broadcast threshold
-    at any realistic scale factor, so the orders fact table never shuffles
-    for the join — only the final 25-group aggregate shuffles."""
+    """Readable-analytics dimension chain — the reason transaction_types
+    exists in the reference (scripts/create-tables.sh:38-59), extended
+    two dimension hops deep (customer -> nation -> region).  nation and
+    region are explicitly broadcast; customer stays under the
+    auto-broadcast threshold at any realistic scale factor, so the orders
+    fact table never shuffles for any of the three joins — only the final
+    25-group aggregate shuffles."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
         .agg(
             F.sum(F.col("o_totalprice").cast(DEC))
             .cast("decimal(28,2)")
@@ -200,7 +205,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
             F.count("*").alias("num_orders"),
         )
-        .orderBy("n_name")
+        .orderBy("r_name", "n_name")
     )
 
 
@@ -476,31 +481,47 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12_rollup",
     """
-    SELECT n_name, o_orderpriority, COUNT(*) AS n
-    FROM orders JOIN customer ON o_custkey = c_custkey
-                JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY ROLLUP (n_name, o_orderpriority)
-    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    SELECT n_name, p_brand, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN part     ON l_partkey = p_partkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, p_brand)
+    ORDER BY n_name NULLS FIRST, p_brand NULLS FIRST
     """,
-    tags=("rollup", "aggregate"),
+    tags=("rollup", "aggregate", "star-join"),
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregate via ROLLUP.  NULLS FIRST is explicit because
-    Spark and DuckDB default null ordering differently (Spark NULLS FIRST,
-    DuckDB NULLS LAST)."""
+    """Hierarchical aggregate via ROLLUP over a 5-table star join (the
+    classic OLAP shape: lineitem fact + orders + part/customer/nation
+    dimensions).  The fact-to-fact lineitem-orders join shuffles on the
+    order key; every dimension is broadcast, so the fact side shuffles
+    exactly once.  NULLS FIRST is explicit because Spark and DuckDB
+    default null ordering differently (Spark NULLS FIRST, DuckDB NULLS
+    LAST)."""
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
-    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
     return (
-        joined.rollup("n_name", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
-        .orderBy(
-            F.col("n_name").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
+        joined.rollup("n_name", "p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("revenue"),
         )
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
     )
 
 

@@ -59,4 +59,4 @@ def test_entry_runs_on_unconfigured_session(entry_mod, spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["n_name", "total_price", "num_orders"]
+    assert df.columns == ["r_name", "n_name", "total_price", "num_orders"]
