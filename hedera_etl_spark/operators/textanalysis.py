@@ -198,3 +198,78 @@ def char_fingerprints(
         F.substring(F.array_min(F.transform(grams, F.md5)), 1, 16).alias("fingerprint"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization shape for LLM training data (context-length packing
+    happens downstream; this is the map-side fan-out that feeds it).
+
+    Pure array math per row: tokenize once, slice [start, start+chunk)
+    windows advancing by (chunk - overlap), explode one row per chunk.
+    No shuffle at any corpus size; chunk ids are (doc_id, chunk_idx) so
+    downstream dedup/shuffling has a stable key.  A document shorter than
+    one chunk yields exactly one chunk (itself).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    # number of chunks: ceil(max(n - overlap, 1) / step), at least 1
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(F.size("__toks") - overlap, F.lit(1))) / F.lit(step)),
+        F.lit(1),
+    ).cast("long")
+    exploded = toked.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), (F.col("chunk_idx") * step + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+#: scrub patterns: (name, regex, replacement) — the email/number classes a
+#: training pipeline redacts before tokenization.  Mechanism demo: real
+#: pipelines plug presidio-style recognizers into the same projection.
+SCRUB_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("long_number", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def scrub_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII-shaped spans with chained regexp_replace — one JVM-side
+    projection, no shuffle; emits the scrubbed text plus per-class hit
+    counts so the pipeline can quarantine high-density documents instead
+    of silently keeping them."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pattern, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("scrubbed_text"),
+        *counts,
+    )

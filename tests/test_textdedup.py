@@ -126,3 +126,53 @@ def test_verify_jaccard_set_and_exploded_forms_agree(spark):
     # set form must also emit inter=0 rows only when the join form does
     by_pair = {(r[0], r[1]): r[5] for r in a}
     assert by_pair[(1, 4)] == 1.0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hedera_etl_spark.operators.textanalysis import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    # doc 1: 10 tokens, step 3 -> windows at 0,3,6 (the window at 6 spans
+    # t6..t9, covering the tail) -> 3 chunks, every token present
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert by_doc[1][2]["chunk_text"] == "t6 t7 t8 t9"
+    covered = {t for c in by_doc[1].values() for t in c["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(10)}
+    # short doc: one chunk, itself
+    assert by_doc[2][0]["chunk_text"] == "a b" and by_doc[2][0]["n_tokens"] == 2
+    # no shuffle: pure per-row fan-out
+    df = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from hedera_etl_spark.operators.textanalysis import scrub_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or call +1 (555) 123-4567 ok"),
+            (2, "card 1234567890123456 plain text"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in scrub_text(docs).collect()}
+    assert "<EMAIL>" in rows[1]["scrubbed_text"] and "@" not in rows[1]["scrubbed_text"]
+    assert "<PHONE>" in rows[1]["scrubbed_text"]
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] >= 1
+    assert "<NUM>" in rows[2]["scrubbed_text"] or "<PHONE>" in rows[2]["scrubbed_text"]
+    assert rows[3]["scrubbed_text"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_long_number"] == 0
