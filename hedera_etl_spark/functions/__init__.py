@@ -6,16 +6,11 @@ expressions stay inside whole-stage codegen — no Python UDFs in these paths.
 Cross-engine determinism: several operators (minhash, simhash, LSH) need a
 hash function that the DuckDB oracle can reproduce bit-for-bit.  Spark's
 `hash()` is murmur3 with Spark-specific seeding, DuckDB's `hash()` is its own
-— so we derive hashes from `md5()` hex digests, which are standardized and
-available in both engines:
-
-- ``md5hex(col)``           the 32-char hex digest (lexicographic min over
-                            fixed-length hex == numeric min, so minhash can
-                            run on the strings directly)
-- ``hex32(col)``            first 8 hex chars parsed as an unsigned 32-bit int
-- ``md5bit(col, j)``        the j-th "nibble high bit": 1 if hex char j is in
-                            [8-9a-f] — 32 cheap pseudo-random bits per value,
-                            used by simhash without any hex->int parsing.
+— so every hashed operator derives its values from `md5()` hex digests,
+which are standardized and available in both engines (minhash parses two
+32-bit halves for its Kirsch-Mitzenmacher family, simhash reads nibble
+high bits — both inline in operators/textdedup.py with their DuckDB twins
+in queries/_oracle.py).
 
 Array math (embeddings): folds are explicitly sequential (`F.aggregate` is a
 left fold) so floating-point results are reproducible and identical to a
@@ -26,31 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-# ---------------------------------------------------------------------------
-# deterministic cross-engine hashing
-# ---------------------------------------------------------------------------
-
-
-def md5hex(col: Column | str) -> Column:
-    """32-char md5 hex digest of a string column."""
-    return F.md5(F.col(col) if isinstance(col, str) else col)
-
-
-def hex32(col: Column | str) -> Column:
-    """First 8 md5 hex chars as an unsigned 32-bit value in a LongType.
-
-    DuckDB twin: ``('0x' || substring(md5(x), 1, 8))::BIGINT``.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
-
-
-def salted_md5(col: Column | str, salt: int | str) -> Column:
-    """md5 of ``salt || ':' || value`` — an independent hash family member."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.concat(F.lit(str(salt)), F.lit(":"), c))
-
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling

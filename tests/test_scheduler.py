@@ -90,3 +90,34 @@ def test_dedupe_schedule_cadences_and_metrics(spark, tmp_path):
     assert [j.name for j in sched.jobs] == ["incremental_dedupe", "full_dedupe"]
     assert sched.jobs[0].interval_sec == 300.0
     assert sched.jobs[1].interval_sec == 86_400.0
+
+
+def test_cli_dedupe_loop_runs_scheduled_jobs(spark, tmp_path, capsys):
+    """CLI --loop-every-sec drives the fixed-rate scheduler: N scheduled
+    incremental runs, then exit (DedupeApplication cadence parity)."""
+    import os
+
+    from hedera_etl_spark import cli
+    from tests.test_dedupe_job import ROW_SCHEMA, gen_rows
+
+    path = os.path.join(str(tmp_path), "tx")
+    spark.createDataFrame(gen_rows(30), ROW_SCHEMA).write.partitionBy(
+        "part_date"
+    ).parquet(path)
+
+    rc = cli.main(
+        [
+            "dedupe",
+            "--table", path,
+            "--state", os.path.join(str(tmp_path), "state"),
+            "--key", "consensus_timestamp",
+            "--tiebreak", "ingest_seq",
+            "--loop-every-sec", "0.2",
+            "--loop-count", "2",
+        ]
+    )
+    assert rc == 0
+    # first run removed the duplicates; the table is clean afterwards
+    final = spark.read.parquet(path)
+    assert final.count() == 30
+    assert final.select("consensus_timestamp").distinct().count() == 30
