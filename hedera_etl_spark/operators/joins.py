@@ -38,6 +38,11 @@ def range_join_bucketed(
     Each qualifying pair matches on exactly ONE exploded copy (the left
     row's bucket), so no dedup pass is needed.
     """
+    if width <= 0:
+        raise ValueError(
+            f"range_join_bucketed needs width > 0, got {width!r} (width=0 is an "
+            "exact-match request: use a plain equi-join)"
+        )
     lb = left.withColumn("__bucket", F.floor(F.col(left_on) / width).cast("long"))
     rb = (
         right.withColumn("__b0", F.floor(F.col(right_on) / width).cast("long"))
@@ -78,9 +83,10 @@ def salted_join(
     salting remains the tool when one key is so hot that even split
     partitions overflow (the classic null-key / celebrity-entity case),
     or when AQE is off (streaming joins).  The skewed (left) side gets a
-    deterministic salt derived from row content; the build (right) side
-    replicates once per salt value, so each (key, salt) shard joins
-    independently — the hot key's rows spread over ``n_salts`` tasks.
+    content-independent per-row salt (see ``salt_col``); the build
+    (right) side replicates once per salt value, so each (key, salt)
+    shard joins independently — the hot key's rows spread over
+    ``n_salts`` tasks.
 
     Right-side replication costs n_salts x its size: use for dimension-
     sized right sides or pre-filter right to the known-hot keys and union
@@ -137,9 +143,27 @@ def as_of_join(
     match is visible to the left row.  No join node at all: at 100 TB
     this is a single exchange on the key, and skew follows the key
     distribution exactly like any window.
+
+    NULL semantics match a SQL ASOF join: right rows with a NULL key
+    component or NULL timestamp can never match anything (NULL = NULL is
+    not a match; NULL <= ts is unknown) and are dropped from the right
+    side before the union — otherwise NULLS FIRST ordering would sort
+    them ahead of every real row and carry their payload as a "match" to
+    the whole partition.  NULL-key/-ts LEFT rows survive with no match
+    (kept under how='left', dropped under how='inner'), exactly like the
+    oracle.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"as_of_join supports how='left'|'inner', got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    clash = set(right_payload) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"right_payload columns {sorted(clash)} collide with left columns — "
+            "rename one side before joining (the output would carry duplicate "
+            "column names)"
+        )
 
     l_tagged = left.select(
         *keys,
@@ -149,6 +173,7 @@ def as_of_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
         F.lit(None).cast("int").alias("__r_matched"),
     )
+    right = right.na.drop(subset=[*keys, right_ts])
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),

@@ -28,6 +28,7 @@ class ScheduledJob:
     next_due: float = 0.0
     runs: int = 0
     last_result: object = None
+    last_error: object = None
 
 
 class FixedRateScheduler:
@@ -47,12 +48,28 @@ class FixedRateScheduler:
         """Run every job whose slot has arrived; returns how many ran.
         Jobs run sequentially in registration order (one scheduler
         thread), so a slow incremental simply delays the full run — the
-        reference's queueing behavior."""
+        reference's queueing behavior.
+
+        A job that raises is isolated: its exception is recorded on
+        ``job.last_error``, LATER jobs still run this pass, and the
+        failed job's slot advances so a persistent failure retries at
+        its cadence instead of hot-looping — the reference's Spring
+        scheduler likewise logs and keeps the cadence rather than dying
+        (a transient BigQuery error must not stop the 24h full dedup)."""
+        import logging
+
         ran = 0
         now = self.clock()
         for job in self.jobs:
             if now >= job.next_due:
-                job.last_result = job.fn()
+                try:
+                    job.last_result = job.fn()
+                    job.last_error = None
+                except Exception as exc:  # noqa: BLE001 — cadence survives job failure
+                    job.last_error = exc
+                    logging.getLogger(__name__).exception(
+                        "scheduled job %s failed; keeping cadence", job.name
+                    )
                 job.runs += 1
                 ran += 1
                 # fixed-rate from the ORIGINAL schedule, but skip slots

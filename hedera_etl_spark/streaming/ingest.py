@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hedera_etl_spark.schema import CORRUPT_COL, parse_schema
-from hedera_etl_spark.transform import cast_to_table
+from hedera_etl_spark.transform import cast_to_table, corrupt_predicate, errors_projection
 
 
 @dataclass
@@ -147,9 +147,9 @@ class IngestPipeline:
             if self.archive_path is not None:
                 # S5 cold archive: raw lines as text, before any parsing
                 batch_df.select("value").write.mode("append").text(self.archive_path)
-            is_bad = (
-                F.col(f"__p.{CORRUPT_COL}").isNotNull() | F.col("__p").isNull()
-            )
+            # shared definition of 'invalid' with the batch path
+            # (transform.corrupt_predicate) so the two can never drift
+            is_bad = corrupt_predicate("__p")
 
             valid_obs = Observation(f"ingest_valid_{batch_id}")
             typed = cast_to_table(batch_df.filter(~is_bad).select("__p.*"))
@@ -173,13 +173,7 @@ class IngestPipeline:
 
             err_obs = Observation(f"ingest_errors_{batch_id}")
             errors = batch_df.filter(is_bad).select(
-                F.col("value").alias("table_row"),
-                F.to_json(
-                    F.struct(
-                        F.lit("PARSE_ERROR").alias("reason"),
-                        F.lit("malformed JSON").alias("message"),
-                    )
-                ).alias("errors"),
+                *errors_projection(F.col("value"))
             )
             errors = errors.observe(err_obs, F.count(F.lit(1)).alias("rows"))
             errors.write.mode("append").parquet(self.errors_path)

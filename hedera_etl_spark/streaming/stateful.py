@@ -44,8 +44,12 @@ def _update_user_activity(
         n, last_us = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts_us"].max()))
+        # nullable longs arrive in pandas as float64; .max() over an
+        # all-NULL chunk is NaN and int(NaN) would kill the query — count
+        # such rows but leave the event-time watermark untouched
+        chunk_max = pdf["ts_us"].max()
+        if len(pdf) and pd.notna(chunk_max):
+            last_us = max(last_us, int(chunk_max))
     state.update((n, last_us))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_us": [last_us]})
 

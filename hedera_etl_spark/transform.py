@@ -62,10 +62,19 @@ def _cast_field(col: Column, spec: dict) -> Column:
     if spec["type"] != "RECORD":
         return _cast_leaf(col, spec["type"])
     if spec.get("mode") == "REPEATED":
+        # the same null-stays-null guard as the plain-record branch below:
+        # without it a NULL array ELEMENT would cast to a non-null struct
+        # of all-NULL fields
         return F.transform(
             col,
-            lambda x: F.struct(
-                *[_cast_field(x[f["name"]], f).alias(f["name"]) for f in spec["fields"]]
+            lambda x: F.when(
+                x.isNotNull(),
+                F.struct(
+                    *[
+                        _cast_field(x[f["name"]], f).alias(f["name"])
+                        for f in spec["fields"]
+                    ]
+                ),
             ),
         )
     inner = F.struct(
@@ -86,6 +95,29 @@ def cast_to_table(parsed: DataFrame, spec: list[dict] | None = None) -> DataFram
 # ---------------------------------------------------------------------------
 # the transform entry point
 # ---------------------------------------------------------------------------
+def corrupt_predicate(parsed_col: str = "__p") -> Column:
+    """True for rows the wire parse failed on — the single definition of
+    'invalid' shared by the batch and streaming ingest paths (they had
+    drifted copies)."""
+    return F.col(f"{parsed_col}.{CORRUPT_COL}").isNotNull() | F.col(parsed_col).isNull()
+
+
+def errors_projection(raw_col: Column) -> list[Column]:
+    """The errors-table row shape (errors-schema.json:1-12): the offending
+    raw line plus a JSON error object — shared by batch and streaming."""
+    return [
+        raw_col.alias("table_row"),
+        F.to_json(
+            F.struct(
+                F.lit("PARSE_ERROR").alias("reason"),
+                F.lit("malformed JSON (TransactionJsonToTableRow.java:61-65 analogue)").alias(
+                    "message"
+                ),
+            )
+        ).alias("errors"),
+    ]
+
+
 def parse_transactions(
     raw: DataFrame, value_col: str = "value"
 ) -> tuple[DataFrame, DataFrame]:
@@ -114,19 +146,9 @@ def parse_transactions(
         ).alias("__p"),
     )
 
-    is_bad = F.col(f"__p.{CORRUPT_COL}").isNotNull() | F.col("__p").isNull()
+    is_bad = corrupt_predicate("__p")
 
-    errors = parsed.filter(is_bad).select(
-        F.col("__raw").alias("table_row"),
-        F.to_json(
-            F.struct(
-                F.lit("PARSE_ERROR").alias("reason"),
-                F.lit("malformed JSON (TransactionJsonToTableRow.java:61-65 analogue)").alias(
-                    "message"
-                ),
-            )
-        ).alias("errors"),
-    )
+    errors = parsed.filter(is_bad).select(*errors_projection(F.col("__raw")))
 
     typed = cast_to_table(parsed.filter(~is_bad).select("__p.*"))
     # integer div, never float: 1.57e18 nanos does not survive a double

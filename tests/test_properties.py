@@ -180,3 +180,48 @@ def test_asof_inner_keeps_matched_row_with_null_payload(spark):
     ).collect()
     by_tag = {r["tag"]: (r["payload"], r["extra"]) for r in out}
     assert by_tag == {"matched-null": (None, 77), "matched": (42, 88)}
+
+
+def test_asof_null_keys_and_null_ts_never_match(spark):
+    """SQL ASOF semantics for NULLs: a right row with NULL key or NULL
+    timestamp matches nothing (previously NULLS FIRST ordering carried
+    its payload to the entire partition); NULL-key left rows survive a
+    left join unmatched."""
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(1, 10, "a"), (None, 10, "nullkey")], "k LONG, lts LONG, tag STRING"
+    )
+    rdf = spark.createDataFrame(
+        [(1, None, 99), (None, 3, 77)], "k LONG, rts LONG, payload LONG"
+    )
+    out = {r["tag"]: r["payload"] for r in as_of_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_payload=["payload"]
+    ).collect()}
+    assert out == {"a": None, "nullkey": None}  # nothing matched anything
+
+
+def test_asof_rejects_bad_how_and_colliding_payload(spark):
+    import pytest as _pytest
+
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([(1, 10, 5)], "k LONG, lts LONG, payload LONG")
+    rdf = spark.createDataFrame([(1, 3, 7)], "k LONG, rts LONG, payload LONG")
+    with _pytest.raises(ValueError):
+        as_of_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                   right_payload=["payload"], how="right")
+    with _pytest.raises(ValueError):
+        as_of_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                   right_payload=["payload"])  # collides with left 'payload'
+
+
+def test_range_join_bucketed_rejects_degenerate_width(spark):
+    import pytest as _pytest
+
+    from hedera_etl_spark.operators.joins import range_join_bucketed
+
+    df = spark.createDataFrame([(1.0,)], "a DOUBLE")
+    for w in (0.0, -1.0):
+        with _pytest.raises(ValueError):
+            range_join_bucketed(df, df, "a", "a", w)

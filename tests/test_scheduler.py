@@ -121,3 +121,32 @@ def test_cli_dedupe_loop_runs_scheduled_jobs(spark, tmp_path, capsys):
     final = spark.read.parquet(path)
     assert final.count() == 30
     assert final.select("consensus_timestamp").distinct().count() == 30
+
+
+def test_failing_job_keeps_cadence_and_later_jobs_run():
+    """A raising job must not abort the pass, kill later jobs, or
+    hot-loop: its error is recorded and its slot advances."""
+    from hedera_etl_spark.operators.scheduler import FixedRateScheduler
+
+    t = {"now": 0.0}
+    sched = FixedRateScheduler(clock=lambda: t["now"])
+    calls = {"bad": 0, "good": 0}
+
+    def bad():
+        calls["bad"] += 1
+        raise RuntimeError("transient")
+
+    def good():
+        calls["good"] += 1
+
+    jbad = sched.every(10.0, bad, "bad")
+    sched.every(10.0, good, "good")
+
+    sched.run_pending()
+    assert calls == {"bad": 1, "good": 1}  # good ran despite bad raising
+    assert isinstance(jbad.last_error, RuntimeError)
+    sched.run_pending()
+    assert calls["bad"] == 1  # slot advanced: no hot-loop retry
+    t["now"] = 10.5
+    sched.run_pending()
+    assert calls["bad"] == 2  # retried at its cadence

@@ -216,3 +216,35 @@ def test_invalid_base64_nulls_field_not_job(spark):
     assert errors.count() == 0
     assert rows[7]["transactionRecord"]["transactionHash"] is None
     assert bytes(rows[8]["transactionRecord"]["transactionHash"]) == b"\x82\xb2k"
+
+
+def test_null_repeated_element_stays_null(spark):
+    """A NULL element inside a REPEATED record must survive as NULL, not
+    become a struct of all-NULL fields (same invariant the plain-record
+    branch documents)."""
+    import json
+
+    from hedera_etl_spark.transform import parse_transactions
+
+    line = json.dumps(
+        {
+            "consensusTimestamp": 1_570_800_000_000_000_000,
+            "transactionType": 7,
+            "transactionRecord": {
+                "transferList": {
+                    "accountAmounts": [
+                        None,
+                        {"accountID": {"accountNum": "3"}, "amount": "5"},
+                    ]
+                }
+            },
+        }
+    )
+    raw = spark.createDataFrame([(line,)], ["value"])
+    valid, errors = parse_transactions(raw)
+    assert errors.count() == 0
+    amounts = valid.select(
+        F.col("transactionRecord.transferList.accountAmounts").alias("aa")
+    ).collect()[0]["aa"]
+    assert amounts[0] is None
+    assert amounts[1]["amount"] == 5
