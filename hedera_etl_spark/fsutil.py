@@ -47,12 +47,43 @@ def is_swap_sibling(name: str) -> bool:
 
 def heal(path: str) -> bool:
     """Restore ``path`` from its old-sibling if a crash left the live
-    directory missing.  Returns True if a restore happened."""
-    old = old_sibling(path)
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-        return True
-    return False
+    directory missing.  Returns True if a restore happened.
+
+    Also recognizes the pre-dot-prefix sibling name (``<path>.__old``)
+    that an earlier protocol version wrote, so debris from before the
+    naming change still self-repairs instead of requiring surgery.
+    """
+    restored = False
+    for old in (old_sibling(path), path + ".__old"):
+        if os.path.exists(old):
+            if not os.path.exists(path):
+                os.rename(old, path)
+                restored = True
+            else:
+                shutil.rmtree(old, ignore_errors=True)  # fully-swapped leftover
+    return restored
+
+
+def heal_partition_dirs(table_path: str, prefix: str = "part_date=") -> None:
+    """Sweep a partitioned table dir for swap debris: restore any
+    partition whose live dir is missing but whose ``.__old`` backup
+    exists, and clear fully-swapped ``.__old`` / half-written ``.__new``
+    siblings.  The single shared recovery pass for every per-partition
+    writer (the dedup rewrite and the compactor)."""
+    if not os.path.isdir(table_path):
+        return
+    for entry in os.listdir(table_path):
+        full = os.path.join(table_path, entry)
+        if not (entry.startswith(".") and entry[1:].startswith(prefix)):
+            continue
+        if entry.endswith(".__old"):
+            live = os.path.join(table_path, entry[1 : -len(".__old")])
+            if not os.path.exists(live):
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif entry.endswith(".__new"):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def atomic_replace(path: str, write_fn: Callable[[str], None]) -> None:

@@ -263,20 +263,9 @@ class DedupeJob:
         import glob
         import shutil
 
-        if not os.path.isdir(self.table_path):
-            return
-        for entry in os.listdir(self.table_path):
-            backup = os.path.join(self.table_path, entry)
-            if entry.startswith(".part_date=") and entry.endswith(".__old"):
-                live = os.path.join(self.table_path, entry[1 : -len(".__old")])
-                if not os.path.exists(live):
-                    os.rename(backup, live)
-                else:
-                    shutil.rmtree(backup, ignore_errors=True)
-            elif entry.startswith(".part_date=") and entry.endswith(".__new"):
-                # a compaction crashed mid-write: the live dir is intact,
-                # the half-written replacement is trash
-                shutil.rmtree(backup, ignore_errors=True)
+        from hedera_etl_spark.fsutil import heal_partition_dirs
+
+        heal_partition_dirs(self.table_path)
         for tmp in glob.glob(f"{self.table_path}.__rewrite-*"):
             shutil.rmtree(tmp, ignore_errors=True)
 

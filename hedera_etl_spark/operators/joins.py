@@ -157,21 +157,31 @@ def as_of_join(
         raise ValueError(f"as_of_join supports how='left'|'inner', got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
-    clash = set(right_payload) & set(lcols)
+    clash = set(right_payload) & (set(lcols) | set(keys) | {left_ts})
     if clash:
         raise ValueError(
-            f"right_payload columns {sorted(clash)} collide with left columns — "
-            "rename one side before joining (the output would carry duplicate "
-            "column names)"
+            f"right_payload columns {sorted(clash)} collide with left output "
+            "columns — rename one side before joining (the output would carry "
+            "duplicate column names)"
         )
+
+    # The ENTIRE matched right row travels as ONE struct, carried by a
+    # single last(ignorenulls=True): carrying payload columns separately
+    # would resurrect a stale older row's value wherever the true match
+    # holds a NULL, stitching together a right row that never existed
+    # (the struct is non-null for every right row even when its fields
+    # are all NULL, so it doubles as the match sentinel).
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    struct_type = "struct<" + ", ".join(
+        f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_payload
+    ) + ">"
 
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
-        F.lit(None).cast("int").alias("__r_matched"),
+        F.lit(None).cast(struct_type).alias("__r_all"),
     )
     right = right.na.drop(subset=[*keys, right_ts])
     r_tagged = right.select(
@@ -179,8 +189,7 @@ def as_of_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
-        F.lit(1).alias("__r_matched"),
+        payload_struct.alias("__r_all"),
     )
 
     w = (
@@ -189,22 +198,14 @@ def as_of_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_payload
-        ],
-        # explicit non-null match sentinel: inner-ness must not be inferred
-        # from payload values (a matched right row may carry NULL in its
-        # first payload column and would be wrongly dropped)
-        F.last("__r_matched", ignorenulls=True).over(w).alias("__m_matched"),
+        "*", F.last("__r_all", ignorenulls=True).over(w).alias("__m_all")
     )
     out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col("__m_matched").isNotNull())
+        out = out.filter(F.col("__m_all").isNotNull())
     return out.select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(c) for c in right_payload],
+        *[F.col("__m_all")[c].alias(c) for c in right_payload],
     )

@@ -85,28 +85,21 @@ def compact_partitions(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    from hedera_etl_spark.fsutil import atomic_replace, heal, is_swap_sibling
+    from hedera_etl_spark.fsutil import atomic_replace, heal_partition_dirs, is_swap_sibling
 
-    # heal crash debris FIRST: restore any partition whose live dir is
-    # missing (rename-window crash), clear half-written .__new leftovers
-    import shutil
-
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if is_swap_sibling(entry):
-            if entry.endswith(".__old"):
-                heal(os.path.join(path, entry[1 : -len(".__old")]))
-                shutil.rmtree(full, ignore_errors=True)  # fully-swapped leftover
-            else:
-                shutil.rmtree(full, ignore_errors=True)  # half-written temp
+    # heal crash debris FIRST (shared recovery pass with the dedup
+    # rewrite): restore partitions stranded mid-rename, clear leftovers
+    heal_partition_dirs(path)
 
     entries = sorted(
         e for e in os.listdir(path)
         if e.startswith("part_date=") and not is_swap_sibling(e)
     )
-    if skip_latest and entries:
-        entries = entries[:-1]
     wanted = {str(p) for p in partitions} if partitions is not None else None
+    # an explicit partition list overrides the live-writer guard: the
+    # caller is asserting those partitions are safe to rewrite
+    if skip_latest and wanted is None and entries:
+        entries = entries[:-1]
 
     def compact_one(entry: str):
         value = entry.split("=", 1)[1]

@@ -215,12 +215,14 @@ def chunk_documents(
     windows advancing by (chunk - overlap), explode one row per chunk.
     No shuffle at any corpus size; chunk ids are (doc_id, chunk_idx) so
     downstream dedup/shuffling has a stable key.  A document shorter than
-    one chunk yields exactly one chunk (itself).
+    one chunk yields exactly one chunk (itself); documents with NULL text
+    are dropped (nothing to chunk — downstream packing must never see a
+    NULL chunk_text).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
     step = chunk_tokens - overlap
-    toked = docs.select(
+    toked = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
     # number of chunks: ceil(max(n - overlap, 1) / step), at least 1
@@ -260,12 +262,18 @@ def scrub_text(
     """Redact PII-shaped spans with chained regexp_replace — one JVM-side
     projection, no shuffle; emits the scrubbed text plus per-class hit
     counts so the pipeline can quarantine high-density documents instead
-    of silently keeping them."""
+    of silently keeping them.
+
+    Each class's count runs against the text AFTER the previous classes'
+    replacements, so the counts agree with what was actually redacted —
+    counting every class against the raw text would double-count a span
+    matching two patterns (a 16-digit card number matches both the phone
+    and long-number shapes but is only ever replaced once)."""
     scrubbed = F.col(text_col)
     counts = []
     for name, pattern, repl in SCRUB_PATTERNS:
         counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long").alias(f"n_{name}")
+            F.regexp_count(scrubbed, F.lit(pattern)).cast("long").alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pattern, repl)
     return docs.select(

@@ -191,7 +191,11 @@ class IngestPipeline:
 
                 latest = v["latest_ts"]
                 if latest.tzinfo is None:
-                    latest = latest.replace(tzinfo=datetime.timezone.utc)
+                    # PySpark converts TimestampType to the DRIVER's local
+                    # wall time (not the session TZ) — astimezone() on a
+                    # naive datetime attaches the local zone, so the delta
+                    # is correct on any host TZ
+                    latest = latest.astimezone()
                 delay = (
                     datetime.datetime.now(datetime.timezone.utc) - latest
                 ).total_seconds()

@@ -248,3 +248,35 @@ def test_row_count_heals_crashed_swap(spark, tmp_path, monkeypatch):
     _os.rename(path, old_sibling(path))  # simulate the crash window
     assert row_count(spark, path) == 7  # healed, not PATH_NOT_FOUND
     assert _os.path.exists(path) and not _os.path.exists(old_sibling(path))
+
+
+def test_compact_explicit_partitions_override_skip_latest(spark, tmp_path):
+    """An explicit partitions list must compact even the greatest
+    partition (the caller asserts it is writer-safe)."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.tablemgmt import compact_partitions
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, "2021-01-02", 1)], ["id", "d", "ttype"]
+        ).select("id", F.col("d").cast("date").alias("part_date"), "ttype").write.mode(
+            "append"
+        ).partitionBy("part_date").parquet(path)
+    out = compact_partitions(
+        spark, path, target_files_per_partition=1, partitions=["2021-01-02"]
+    )
+    assert set(out) == {"2021-01-02"}
+
+
+def test_heal_recognizes_legacy_sibling_name(spark, tmp_path):
+    """Debris written by the pre-dot-prefix protocol version still
+    self-repairs."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path)
+    _os.rename(path, path + ".__old")  # legacy visible sibling
+    assert row_count(spark, path) == 5  # healed through the legacy name
+    assert not _os.path.exists(path + ".__old")

@@ -225,3 +225,31 @@ def test_range_join_bucketed_rejects_degenerate_width(spark):
     for w in (0.0, -1.0):
         with _pytest.raises(ValueError):
             range_join_bucketed(df, df, "a", "a", w)
+
+
+def test_asof_matched_null_payload_not_resurrected_from_older_row(spark):
+    """The matched right ROW travels atomically: a NULL in the true match
+    must come through as NULL, never back-filled from an older right row
+    (per-column ignorenulls carry stitched rows that never existed)."""
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([(1, 3)], "k LONG, lts LONG")
+    rdf = spark.createDataFrame(
+        [(1, 1, 5, 6), (1, 2, None, 7)], "k LONG, rts LONG, a LONG, b LONG"
+    )
+    row = as_of_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_payload=["a", "b"]
+    ).collect()[0]
+    assert (row["a"], row["b"]) == (None, 7)  # the ts=2 row, exactly
+
+
+def test_asof_collision_check_covers_keys_and_ts(spark):
+    import pytest as _pytest
+
+    from hedera_etl_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([(1, 10)], "k LONG, lts LONG")
+    rdf = spark.createDataFrame([(1, 3, 7)], "k LONG, rts LONG, lts LONG")
+    with _pytest.raises(ValueError):
+        as_of_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                   right_payload=["lts"])  # collides with the left ts name

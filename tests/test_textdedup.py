@@ -176,3 +176,25 @@ def test_scrub_text_redacts_and_counts(spark):
     assert "<NUM>" in rows[2]["scrubbed_text"] or "<PHONE>" in rows[2]["scrubbed_text"]
     assert rows[3]["scrubbed_text"] == "nothing sensitive here"
     assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_long_number"] == 0
+
+
+def test_chunk_documents_drops_null_text(spark):
+    from hedera_etl_spark.operators.textanalysis import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b"), (2, None)], "doc_id LONG, text STRING")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=0).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert all(r["chunk_text"] is not None for r in out)
+
+
+def test_scrub_counts_agree_with_replacements(spark):
+    """A span matching two classes is counted once, for the class that
+    actually replaced it."""
+    from hedera_etl_spark.operators.textanalysis import scrub_text
+
+    docs = spark.createDataFrame(
+        [(1, "card 1234567890123456 end")], ["doc_id", "text"]
+    )
+    r = scrub_text(docs).collect()[0]
+    total_tags = r["scrubbed_text"].count("<")
+    assert r["n_phone"] + r["n_long_number"] + r["n_email"] == total_tags == 1
