@@ -81,8 +81,12 @@ def tx_json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parsed(spark: SparkSession, sf_dir: str):
-    return parse_transactions(tx_json_corpus(spark, sf_dir))
+def _parsed(spark: SparkSession, sf_dir: str, fields: list[str] | None = None):
+    """Parse the corpus, optionally pushing the query's projection down
+    through the JSON parse (transform.parse_transactions(fields=...)) —
+    each query names exactly the leaf paths it consumes, like its DuckDB
+    twin's json_extract calls."""
+    return parse_transactions(tx_json_corpus(spark, sf_dir), fields=fields)
 
 
 # ---------------------------------------------------------------------------
@@ -133,11 +137,23 @@ def _parsed(spark: SparkSession, sf_dir: str):
     bench=True,
 )
 def hed_tx_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ingest transform end-to-end on the full 403-line transactions
-    schema: all-string wire parse (quoted int64s survive), spec-driven cast
-    tree, nanos->micros truncation, unknown-field drop
-    (transform.parse_transactions; TransactionJsonToTableRow.java:51-66)."""
-    valid, _ = _parsed(spark, sf_dir)
+    """The ingest transform on the 403-line transactions schema with the
+    query's projection pushed down through the parse: all-string wire parse
+    (quoted int64s survive), spec-driven cast tree pruned to the consumed
+    leaf paths, nanos->micros truncation, unknown-field drop
+    (transform.parse_transactions; TransactionJsonToTableRow.java:51-66).
+    The DuckDB twin extracts exactly the same paths via json_extract."""
+    valid, _ = _parsed(
+        spark,
+        sf_dir,
+        fields=[
+            "consensusTimestamp",
+            "transactionType",
+            "transaction.body.transactionFee",
+            "transaction.body.memo",
+            "transactionRecord.transferList.accountAmounts.amount",
+        ],
+    )
     amounts = F.col("transactionRecord.transferList.accountAmounts")
     return valid.select(
         F.expr("consensusTimestamp div 1000").alias("consensus_us"),
@@ -163,8 +179,10 @@ def hed_tx_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 dead-letter routing: the deterministic ~1% malformed lines all
     land in the errors output (table_row + errors JSON,
-    BigQueryErrorsSink.java:79-91), and nothing else does."""
-    _, errors = _parsed(spark, sf_dir)
+    BigQueryErrorsSink.java:79-91), and nothing else does.  Error routing
+    is independent of the parse projection, so the schema prunes to the
+    minimum."""
+    _, errors = _parsed(spark, sf_dir, fields=[])
     return errors.agg(F.count("*").alias("n_errors"))
 
 
@@ -191,7 +209,9 @@ def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     way to query the REPEATED records (transactions-schema.json:335-364),
     kept nested at rest per the reference's design choice
     (docs/design/1_hedera_etl.md:93-94)."""
-    valid, _ = _parsed(spark, sf_dir)
+    valid, _ = _parsed(
+        spark, sf_dir, fields=["transactionRecord.transferList.accountAmounts"]
+    )
     return (
         valid.select(
             F.explode("transactionRecord.transferList.accountAmounts").alias("aa")
@@ -292,7 +312,7 @@ def hed_tx_types_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The readable-analytics dimension join the reference ships
     transaction_types for (scripts/create-tables.sh:38-59): 21-row seed
     dimension, explicitly broadcast, so the fact side never shuffles."""
-    valid, _ = _parsed(spark, sf_dir)
+    valid, _ = _parsed(spark, sf_dir, fields=["transactionType"])
     types = transaction_types_df(spark)
     return (
         valid.join(F.broadcast(types), valid.transactionType == types.id)
