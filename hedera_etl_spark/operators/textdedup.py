@@ -57,14 +57,27 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # shingling
 # ---------------------------------------------------------------------------
 def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sh_set) with sh_set the DISTINCT shingle array per doc.
+    """(doc_id, sh_set) with sh_set the DISTINCT, NON-EMPTY shingle array
+    per doc (docs shorter than ``n`` tokens are excluded — they carry no
+    shingle evidence, matching the exploded form where they produce no
+    rows).
 
     A document's shingles all live in its own row, so the dedup is
     ``array_distinct`` — a per-row map-side operation, not a shuffle.
     Tokenizes into a projected column first so the shingle transform
     references a materialized array instead of re-splitting the text per
-    shingle (see functions.shingles)."""
-    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    shingle (see functions.shingles).
+
+    The exclusion is deliberately phrased on the TOKEN count, not
+    ``size(sh_set) > 0``: a predicate over ``sh_set`` inlines the whole
+    shingle transform when Catalyst pushes it below an exchange (e.g. the
+    ``ensure_parallelism`` repartition), silently moving the per-shingle
+    work onto the few pre-shuffle input splits.  ``size(tokens) >= n`` is
+    equivalent (t tokens yield t-n+1 >= 1 shingles) and costs one split()
+    wherever the optimizer lands it."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= n)
     return toked.select(
         "doc_id", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh_set")
     )
@@ -127,14 +140,18 @@ def minhash_signatures_from_sets(
     """MinHash signature as a pure per-row projection over ``sh_set``
     (from ``shingle_sets``): array_min over the hashed set — the whole
     doc's shingles live in its row, so no grouping shuffle exists at all.
-    Identical values to ``minhash_signatures`` (min over the same set);
-    docs with an empty set (shorter than n tokens) are excluded, matching
-    the exploded form where they simply produce no rows.
+    Identical values to ``minhash_signatures`` (min over the same set).
+    ``shingle_sets`` already excludes shingle-less docs, so NO emptiness
+    filter exists here — see its docstring for why a ``size(sh_set)``
+    predicate is a pushdown hazard (Catalyst inlines the whole shingle
+    transform below the parallelizing exchange).  A caller hand-building
+    ``sets`` with empty arrays would get NULL signature members
+    (array_min of []) rather than a dropped row.
 
     The md5 runs once per shingle into a projected (h1, h2) array; each
     family member is then an integer transform over that array.
     """
-    hashed = sets.filter(F.size("sh_set") > 0).select(
+    hashed = sets.select(
         "doc_id",
         F.size("sh_set").cast("long").alias("__n"),
         F.transform(F.col("sh_set"), _km_base).alias("__hs"),
@@ -335,8 +352,15 @@ def minhash_lsh_neardups(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-#: Salt prefixing the md5 that supplies the high 32 fingerprint bits.
-SIMHASH_HI_SALT = "hi:"
+#: Packed sign-sum lane width: 3 counters of 21 bits per BIGINT.  A lane
+#: counts bit-OCCURRENCES per doc; the packed majority test needs
+#: 2*count + bias to stay inside a lane, so the packing is exact for docs
+#: up to 2^20 - 1 = 1,048,575 tokens (~5 MB of text); beyond that a lane
+#: would carry into its neighbor.
+SIMHASH_LANE_BITS = 21
+SIMHASH_MAX_TOKENS = (1 << (SIMHASH_LANE_BITS - 1)) - 1
+#: a 1 in the low bit of each of the three lanes
+_LANE_ONES = 1 | (1 << SIMHASH_LANE_BITS) | (1 << (2 * SIMHASH_LANE_BITS))
 
 
 def simhash_fingerprints(
@@ -344,59 +368,90 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-doc 64-bit SimHash as two 32-bit halves (fp_hi, fp_lo).
 
-    Bit j of each half is set iff sum over tokens of
-    count(token) * (+/-1 from hex char j of the half's md5) is positive.
-    The low half hashes the token directly; the high half hashes
-    ``"hi:" || token`` — an independent hash-family member.
+    ONE md5 per token occurrence supplies all 64 bit-votes: fingerprint
+    bit j of the LOW half votes with hex char j+1's high bit (char in
+    8..f), bit j of the HIGH half with the same char's second bit (char
+    in 4..7, c..f) — 64 independent bits of the 128-bit digest.  Bit j is
+    set iff the vote sum over all token occurrences is positive, i.e.
+    2 * ones_j > n_tokens (identical to the classic +/-1 sum).
 
-    Two 32-bit longs instead of one 64-bit value keeps every intermediate
+    Two 32-bit longs instead of one 64-bit value keeps every output
     inside non-overflowing BIGINT arithmetic on any engine (bit 63 of a
     single value would need the sign bit).  ONE explode + ONE aggregate:
-    summing +/-1 per token OCCURRENCE equals summing count(token) * +/-1
-    per distinct token, so the intermediate (doc, token) count aggregate
-    (a second full shuffle round) is unnecessary — the per-occurrence md5
-    is marginally more hashing, all map-side, in exchange for dropping a
-    whole exchange+aggregate at any corpus size.
+    summing votes per token OCCURRENCE equals summing count(token) *
+    vote per distinct token, so no intermediate (doc, token) count
+    aggregate (a second full shuffle round) exists.
+
+    The aggregate packs the 64 ones-counters 3-per-BIGINT into 21-bit
+    lanes (22 packed sums + the token count instead of 64 signed sums):
+    a third the aggregation-buffer width and a third the expression count,
+    shrinking every partial-aggregate spill row at scale.  The majority
+    test then runs on all three lanes of a pack at once:
+    ``r_m = 2*p_m + (2^20 - n - 1) * LANE_ONES`` puts each lane at
+    ``2*ones_j - n - 1 + 2^20``, which stays in [0, 2^21) for
+    n <= SIMHASH_MAX_TOKENS, so lane bit 20 IS the indicator
+    (2*ones_j > n) with ties correctly 0 — no per-bit CASE WHEN.  Longer
+    docs would carry across lanes — pre-chunk such outliers upstream
+    (operators/textanalysis.chunk_documents) if the corpus has them.
+
+    Like transform.py's cast tree, every generated expression is SQL TEXT:
+    the node-by-node Column form costs one py4j round-trip per operator
+    (~0.9 s of pure Python build time for this query's ~1500 nodes — 15x
+    the actual Catalyst planning cost); the text form is a handful of
+    calls for an identical analyzed plan.
     """
     from hedera_etl_spark.tables import ensure_parallelism
 
-    tok = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
-        .withColumn("h_lo", F.md5("token"))
-        .withColumn("h_hi", F.md5(F.concat(F.lit(SIMHASH_HI_SALT), F.col("token"))))
+    # Hex char c's high bit is digest bit (31 - 4*(c%8)) of 32-bit chunk
+    # c//8; its second bit is one lower.  Chunks parse once via conv —
+    # integer shift/and beats per-char substring + string set membership.
+    tok = ensure_parallelism(docs).selectExpr(
+        f"{id_col} AS doc_id",
+        f"explode(split({text_col}, ' ')) AS token",
     )
-    # Parse each 32-char digest into four 32-bit longs once, then read the
-    # per-char high bits with shift/and — integer ops beat 64 substring +
-    # string-set comparisons per row (~20% on the whole fingerprint pass).
-    # Hex char j's high bit is bit (31 - 4*(j%8)) of chunk j//8.
-    for half, src in (("lo", "h_lo"), ("hi", "h_hi")):
-        for c in range(4):
-            tok = tok.withColumn(
-                f"__c_{half}_{c}",
-                F.conv(F.substring(src, 8 * c + 1, 8), 16, 10).cast("long"),
-            )
-
-    def chunk_sign(half: str, j: int) -> Column:
-        bit = F.shiftrightunsigned(
-            F.col(f"__c_{half}_{j // 8}"), 31 - 4 * (j % 8)
-        ).bitwiseAND(F.lit(1))
-        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    sums = tok.groupBy("doc_id").agg(
-        *[F.sum(chunk_sign("lo", j)).alias(f"s_lo_{j}") for j in range(32)],
-        *[F.sum(chunk_sign("hi", j)).alias(f"s_hi_{j}") for j in range(32)],
+    tok = tok.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(conv(substring(md5(token), {8 * c + 1}, 8), 16, 10) AS BIGINT) AS __c{c}"
+            for c in range(4)
+        ],
     )
 
-    def half(prefix: str) -> Column:
-        fp = F.lit(0).cast("long")
-        for j in range(32):
-            fp = fp + F.when(
-                F.col(f"{prefix}_{j}") > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return fp
+    def vote_sql(j: int) -> str:
+        """0/1 vote for global fingerprint bit j (0..31 = lo, 32..63 = hi)."""
+        top, char = (31, j) if j < 32 else (30, j - 32)
+        return f"(shiftrightunsigned(__c{char // 8}, {top - 4 * (char % 8)}) & 1)"
 
-    return sums.select("doc_id", half("s_hi").alias("fp_hi"), half("s_lo").alias("fp_lo"))
+    packs = []
+    for m in range((64 + 2) // 3):
+        terms = []
+        for j in range(3 * m, min(3 * m + 3, 64)):
+            lane = SIMHASH_LANE_BITS * (j - 3 * m)
+            terms.append(vote_sql(j) if lane == 0 else f"shiftleft({vote_sql(j)}, {lane})")
+        packs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p_{m}"))
+    sums = tok.groupBy("doc_id").agg(*packs, F.count("*").alias("__n"))
+
+    bias = f"({1 << (SIMHASH_LANE_BITS - 1)} - __n - 1)"
+    signs = sums.selectExpr(
+        "doc_id",
+        *[
+            f"p_{m} * 2 + {bias} * {_LANE_ONES} AS r_{m}"
+            for m in range((64 + 2) // 3)
+        ],
+    )
+
+    def half_sql(base: int) -> str:
+        terms = []
+        for j in range(base, base + 32):
+            pos = SIMHASH_LANE_BITS * (j % 3) + SIMHASH_LANE_BITS - 1
+            ind = f"(shiftrightunsigned(r_{j // 3}, {pos}) & 1)"
+            out = j - base
+            terms.append(ind if out == 0 else f"shiftleft({ind}, {out})")
+        return " + ".join(terms)
+
+    return signs.selectExpr(
+        "doc_id", f"{half_sql(32)} AS fp_hi", f"{half_sql(0)} AS fp_lo"
+    )
 
 
 def simhash_neardups(

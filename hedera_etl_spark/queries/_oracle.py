@@ -13,6 +13,8 @@ time) — nothing here executes anything.
 from __future__ import annotations
 
 HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+#: hex chars whose SECOND bit (value 4) is set
+HEX_BIT2_SQL = "('4','5','6','7','c','d','e','f')"
 
 
 def shingle_cte(src: str, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> str:
@@ -108,15 +110,17 @@ def jaccard_select(threshold: float) -> str:
     ORDER BY doc_a, doc_b"""
 
 
-def simhash_fp_cte(src: str, hi_salt: str = "hi:") -> str:
+def simhash_fp_cte(src: str) -> str:
     """64-bit SimHash as (fp_hi, fp_lo) 32-bit halves — twin of
-    textdedup.simhash_fingerprints (token-count-weighted sign sums from
-    md5 hex-char high bits, then threshold-at-zero per bit)."""
+    textdedup.simhash_fingerprints: ONE md5 per token; low-half bit j
+    votes with hex char j+1's HIGH bit (char in 8..f), high-half bit j
+    with the same char's SECOND bit (char in 4..7, c..f); bit set iff
+    the count-weighted vote sum is positive."""
     sum_cols = []
-    for half, col in (("lo", "h_lo"), ("hi", "h_hi")):
+    for half, charset in (("lo", HEX_HIGH_SQL), ("hi", HEX_BIT2_SQL)):
         for j in range(32):
             sum_cols.append(
-                f"sum(CASE WHEN substring({col}, {j + 1}, 1) IN {HEX_HIGH_SQL}"
+                f"sum(CASE WHEN substring(d, {j + 1}, 1) IN {charset}"
                 f" THEN cnt ELSE -cnt END) AS s_{half}_{j}"
             )
     sums = ",\n             ".join(sum_cols)
@@ -128,8 +132,7 @@ def simhash_fp_cte(src: str, hi_salt: str = "hi:") -> str:
 
     return f"""
     tok AS (
-      SELECT doc_id, token, COUNT(*) AS cnt,
-             md5(token) AS h_lo, md5('{hi_salt}' || token) AS h_hi
+      SELECT doc_id, token, COUNT(*) AS cnt, md5(token) AS d
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src})
       GROUP BY doc_id, token
     ),
