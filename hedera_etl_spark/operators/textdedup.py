@@ -31,8 +31,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hedera_etl_spark.functions import shingles, tokens
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -74,12 +72,25 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     ``ensure_parallelism`` repartition), silently moving the per-shingle
     work onto the few pre-shuffle input splits.  ``size(tokens) >= n`` is
     equivalent (t tokens yield t-n+1 >= 1 shingles) and costs one split()
-    wherever the optimizer lands it."""
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
-    ).filter(F.size("__toks") >= n)
-    return toked.select(
-        "doc_id", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh_set")
+    wherever the optimizer lands it.
+
+    Expressions are SQL text, not Column chains — higher-order-function
+    lambdas are the most expensive Columns to build over py4j (see
+    simhash_fingerprints' driver-cost note).  The transform keeps the
+    short-doc CASE guard even though the filter already excludes those
+    rows: codegen subexpression elimination can hoist a subexpression out
+    of a merged conjunction and evaluate it BEFORE the size conjunct, and
+    an unguarded ``sequence(1, size-n+1)`` then descends to [1, 0] and
+    crashes ``slice`` with start=0 on a filtered-out row."""
+    guarded = (
+        f"CASE WHEN size(__toks) < {int(n)} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__toks) - {int(n) - 1}),"
+        f" i -> array_join(slice(__toks, i, {int(n)}), ' '))) END"
+    )
+    return (
+        docs.selectExpr(f"{id_col} AS doc_id", f"split({text_col}, ' ') AS __toks")
+        .filter(f"size(__toks) >= {int(n)}")
+        .selectExpr("doc_id", f"{guarded} AS sh_set")
     )
 
 
@@ -149,26 +160,24 @@ def minhash_signatures_from_sets(
     (array_min of []) rather than a dropped row.
 
     The md5 runs once per shingle into a projected (h1, h2) array; each
-    family member is then an integer transform over that array.
+    family member is then an integer transform over that array.  SQL-text
+    expressions throughout (HOF lambdas are the priciest Columns to build
+    over py4j — see simhash_fingerprints' driver-cost note).
     """
-    hashed = sets.select(
+    hashed = sets.selectExpr(
         "doc_id",
-        F.size("sh_set").cast("long").alias("__n"),
-        F.transform(F.col("sh_set"), _km_base).alias("__hs"),
+        "CAST(size(sh_set) AS BIGINT) AS __n",
+        "transform(sh_set, s -> named_struct("
+        "'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))) AS __hs",
     )
-
-    def member(i: int):
-        # closure factory, NOT a default-arg lambda: a two-parameter lambda
-        # would be bound by F.transform as its (element, index) form
-        return lambda p: (p["h1"] + i * p["h2"]) % F.lit(_KM_MOD)
-
     cols = [
-        F.array_min(F.transform(F.col("__hs"), member(i))).alias(f"mh_{i}")
+        f"array_min(transform(__hs, p -> (p.h1 + {i} * p.h2) % {_KM_MOD})) AS mh_{i}"
         for i in range(k)
     ]
     if with_size:
-        cols.append(F.col("__n"))
-    return hashed.select("doc_id", *cols)
+        cols.append("__n")
+    return hashed.selectExpr("doc_id", *cols)
 
 
 def lsh_candidates(
