@@ -46,6 +46,38 @@ def lsh_bucket_col(vec_col, signs: list[list[int]]):
     return bucket
 
 
+def lsh_projections_col(vec_col, signs: list[list[int]]):
+    """Array of the raw hyperplane projections dot(vec, plane_p) — the
+    per-plane confidence multi-probe ranks by (|proj| ~ distance to the
+    boundary; the smallest are the likeliest sign flips)."""
+    return F.array(
+        *[
+            dot(
+                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                F.array(*[F.lit(float(s)) for s in plane]),
+            )
+            for plane in signs
+        ]
+    )
+
+
+def _cap_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop rows in oversized LSH buckets — the same production skew guard
+    as textdedup.lsh_candidates(max_bucket): one boilerplate/degenerate
+    bucket otherwise goes quadratic in the bucket join at corpus scale.
+    Costs a count-over-window on the SAME bucket key the join shuffles on,
+    so no extra exchange round."""
+    if max_bucket is None:
+        return bucketed
+    from pyspark.sql import Window as W
+
+    return (
+        bucketed.withColumn("__bn", F.count("*").over(W.partitionBy("bucket")))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
 def ivf_centroids(n_centroids: int, dims: int) -> list[list[float]]:
     """Deterministic pseudo-random centroids in [-1, 1]^dims from md5.
 
@@ -270,15 +302,31 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
-    Recall improves with multi-probe / more tables; this single-table form
-    is the scale skeleton (bucket equi-join replaces the cross join).
+    Scale guards, both on by default:
+
+    - 16 planes = 65,536 buckets, so mean occupancy stays O(corpus/65k);
+      the old 8-plane default collapsed a corpus into <= 256 buckets and
+      the bucket join went quadratic.  Small corpora (where 65k buckets
+      would isolate every vector) should pass n_planes=8 explicitly.
+    - ``max_bucket`` drops degenerate buckets outright (see
+      _cap_buckets) — without it ONE hot bucket is O((bucket size)^2).
+
+    ``n_probe`` > 1 is standard multi-probe: each query also probes the
+    buckets reached by flipping its (n_probe - 1) most-uncertain
+    hyperplane signs (smallest |projection| — the planes the vector sits
+    closest to), recovering most of the recall a single table loses
+    without growing the index.  Probe fan-out is per-QUERY work; the
+    corpus is never re-bucketed.
     """
     from pyspark.sql import Window as W
 
@@ -290,15 +338,39 @@ def lsh_ann_topk(
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(vec_col, signs).alias("bucket"),
     )
+    # queries keep their own bucket even when it is over the cap — the cap
+    # protects the JOIN's corpus side; a query in a dropped bucket simply
+    # finds no candidates there (mirrors textdedup semantics)
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
     )
+    if n_probe > 1:
+        qproj = emb.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            lsh_bucket_col(vec_col, signs).alias("bucket"),
+            F.posexplode(lsh_projections_col(vec_col, signs)).alias("plane", "proj"),
+        )
+        wflip = W.partitionBy("query_id").orderBy(F.abs(F.col("proj")).asc(), "plane")
+        flips = (
+            qproj.withColumn("fr", F.row_number().over(wflip))
+            .filter(F.col("fr") <= n_probe - 1)
+            .select(
+                "query_id",
+                "qvec",
+                F.expr("bucket ^ shiftleft(CAST(1 AS BIGINT), plane)").alias("bucket"),
+            )
+        )
+        queries = queries.unionByName(flips)
     scored = (
         F.broadcast(queries)
-        .join(bucketed, "bucket")
+        .join(_cap_buckets(bucketed, max_bucket), "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
     )
+    if n_probe > 1:
+        # multi-probe can surface the same neighbor through two buckets
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -316,23 +388,30 @@ def lsh_ann_topk(
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
-    n_planes: int = 8,
+    n_planes: int = 16,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, LSH-blocked.
 
     Near-identical vectors land in the same bucket with probability
     (1 - theta/pi)^planes ~ 1 for theta -> 0, so blocking loses only
-    borderline pairs — the standard recall/cost trade."""
+    borderline pairs — the standard recall/cost trade.  Scale guards on
+    by default: 16 planes (65,536 buckets) and a ``max_bucket`` cap —
+    the SELF-join here is the most quadratic-prone consumer of a hot
+    bucket (see _cap_buckets); small corpora pass n_planes=8."""
     from hedera_etl_spark.tables import ensure_parallelism
 
     signs = hyperplane_signs(n_planes, dims)
-    bucketed = ensure_parallelism(emb).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_col(vec_col, signs).alias("bucket"),
+    bucketed = _cap_buckets(
+        ensure_parallelism(emb).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            lsh_bucket_col(vec_col, signs).alias("bucket"),
+        ),
+        max_bucket,
     )
     left = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"

@@ -184,17 +184,20 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readable-analytics dimension chain — the reason transaction_types
     exists in the reference (scripts/create-tables.sh:38-59), extended
-    two dimension hops deep (customer -> nation -> region).  nation and
-    region are explicitly broadcast; customer stays under the
-    auto-broadcast threshold at any realistic scale factor, so the orders
-    fact table never shuffles for any of the three joins — only the final
-    25-group aggregate shuffles."""
+    two dimension hops deep (customer -> nation -> region).  Only the
+    GENUINELY fixed-size dimensions (nation: 25 rows, region: 5) carry a
+    broadcast hint; customer GROWS with the scale factor (sf x 150k
+    rows), so a hard hint would force a multi-GB broadcast build at
+    cluster scale — it broadcasts here via autoBroadcastJoinThreshold
+    (plan-asserted) and degrades gracefully to a shuffled join when it
+    outgrows the threshold, with AQE re-electing broadcast at runtime if
+    the shuffled size says otherwise."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -265,12 +268,14 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition top-k then a k-row merge on the
     driver, never a global sort.  Tie-broken on l_orderkey for determinism."""
     li = load_table(spark, sf_dir, "lineitem")
-    # orders is ~10 MB at sf0.1 — well under any sane broadcast threshold,
-    # but AQE only flips to broadcast after the first shuffle is planned;
-    # pinning the hint keeps the fact side shuffle-free at every SF where
-    # orders fits in memory (at 100 TB orders no longer broadcasts and the
-    # hint must go — the unhinted plan is the sort-merge fallback).
-    orders = F.broadcast(load_table(spark, sf_dir, "orders").select("o_orderkey"))
+    # No broadcast hint: orders is a FACT table, so a hard hint is a
+    # cluster-scale OOM (the planner would be forced to build however big
+    # orders grows).  The single-column projection sits well under
+    # autoBroadcastJoinThreshold at bench scale, so the planner still
+    # elects broadcast there (plan-asserted); past the threshold it
+    # degrades to a shuffled join and AQE re-elects broadcast at runtime
+    # only if the actual shuffle bytes justify it.
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")

@@ -39,6 +39,12 @@ N_PLANES = 8
 
 _IDS_SQL = ", ".join(str(i) for i in QUERY_IDS)
 
+#: Degenerate-bucket cap for the LSH entries — mirrored in the oracle SQL.
+#: Far above any real bucket at bench SFs (so it drops nothing here), but
+#: the guard being IN the plan is what the oracle pins: at corpus scale it
+#: is the difference between a bounded bucket join and a quadratic one.
+MAX_BUCKET = 500
+
 
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k (the exactness baseline)
@@ -86,6 +92,11 @@ _LSH_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings
     ),
+    bkeep AS (
+      SELECT vec_id, embedding, bucket FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM b)
+      WHERE bn <= {MAX_BUCKET}
+    ),
     q AS (
       SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b
       WHERE vec_id IN ({_IDS_SQL})
@@ -93,7 +104,7 @@ _LSH_ORACLE = f"""
     scored AS (
       SELECT q.query_id, b.vec_id AS neighbor_id,
              {fold_cosine('q.qvec', 'b.embedding', DIMS)} AS cos
-      FROM q JOIN b USING (bucket)
+      FROM q JOIN bkeep b USING (bucket)
       WHERE b.vec_id != q.query_id
     ),
     ranked AS (
@@ -115,10 +126,14 @@ _LSH_ORACLE = f"""
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets turn the cross join
     into a bucket equi-join — O(n*q/2^planes) candidates instead of O(n*q).
-    Single-table (no multi-probe), so recall < 1 by design; the oracle
-    reproduces the identical buckets from the same literal sign matrix."""
+    Single-probe at 8 planes (the small-corpus setting; the operator
+    defaults to 16 planes + multi-probe for corpus scale), with the
+    degenerate-bucket cap in-plan; the oracle reproduces the identical
+    buckets AND cap from the same literal sign matrix."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, QUERY_IDS, k=K, n_planes=N_PLANES, dims=DIMS)
+    return lsh_ann_topk(
+        emb, QUERY_IDS, k=K, n_planes=N_PLANES, dims=DIMS, max_bucket=MAX_BUCKET
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +213,13 @@ _NEARDUP_CORPUS_SQL = """
 
 _COS_NEARDUP_ORACLE = f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
-    b AS (
+    b0 AS (
       SELECT vec_id, embedding, {_BUCKET} AS bucket FROM corpus
+    ),
+    b AS (
+      SELECT vec_id, embedding, bucket FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM b0)
+      WHERE bn <= {MAX_BUCKET}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -222,10 +242,13 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.99) over a corpus with
     every 10th vector re-ingested under a new id.  LSH-blocked: identical
     vectors always share a bucket, so the clones are found without any
-    all-pairs comparison."""
+    all-pairs comparison; the degenerate-bucket cap rides the self-join's
+    own bucket shuffle (oracle-mirrored)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(clones)
-    return cosine_neardup_pairs(corpus, threshold=0.99, n_planes=N_PLANES, dims=DIMS)
+    return cosine_neardup_pairs(
+        corpus, threshold=0.99, n_planes=N_PLANES, dims=DIMS, max_bucket=MAX_BUCKET
+    )

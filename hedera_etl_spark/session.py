@@ -40,6 +40,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The engine deliberately does NOT hard-hint growing tables (facts,
+    # customer-scale dims) — size-aware broadcast election happens here
+    # instead, and degrades to shuffled joins past the threshold.  64 MB
+    # assumes >= 4 GB executors (build side materializes on every
+    # executor); tune down for small containers.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 
@@ -77,7 +83,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

@@ -65,6 +65,48 @@ def test_lsh_finds_near_identical_vectors(spark, emb):
     assert top1 == {q: q + 10_000 for q in QUERY_IDS}
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, emb, exact):
+    """Multi-probe (flipping the most-uncertain hyperplane signs) must
+    recover candidates a single probe misses.  Pinned deterministically:
+    with k large enough to never truncate, the multi-probe (query,
+    neighbor) set is a strict SUPERSET of the single-probe set at the
+    same 6-plane index (64 buckets, so every flipped bucket is occupied
+    on this corpus), and recall is therefore monotonically >=."""
+    from hedera_etl_spark.operators.similarity import lsh_ann_topk
+
+    kwargs = dict(k=10_000, n_planes=6, max_bucket=None)
+    single = lsh_ann_topk(emb, QUERY_IDS, n_probe=1, **kwargs).collect()
+    multi = lsh_ann_topk(emb, QUERY_IDS, n_probe=7, **kwargs).collect()
+    s_pairs = {(r["query_id"], r["neighbor_id"]) for r in single}
+    m_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi}
+    assert s_pairs < m_pairs  # strictly more candidates reached
+    assert recall(multi, exact) >= recall(single, exact)
+    assert all(q != n for q, n in m_pairs)  # never self-matches
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, emb):
+    """max_bucket is the anti-quadratic guard: with a cap of 1 every
+    multi-occupant bucket is dropped, so NO candidate pairs survive on a
+    corpus of clones (they always share a bucket); with the cap off the
+    clones are found.  Pins that the guard gates the join's corpus side."""
+    from hedera_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_ann_topk,
+    )
+
+    clones = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clones)
+    uncapped = lsh_ann_topk(corpus, QUERY_IDS, k=1, n_planes=8, max_bucket=None)
+    capped = lsh_ann_topk(corpus, QUERY_IDS, k=1, n_planes=8, max_bucket=1)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
+
+    pairs_capped = cosine_neardup_pairs(corpus, 0.99, n_planes=8, max_bucket=1)
+    assert pairs_capped.count() == 0
+
+
 def test_ivf_partitions_corpus(spark, emb):
     """Every vector lands in exactly one inverted list; lists are
     nonempty-ish and bounded (no degenerate single-bucket collapse)."""
