@@ -19,9 +19,12 @@ Methodology:
 - Each query runs three times, min reported: the first run pays
   whole-stage codegen compilation, a fixed cost invisible at real data
   scale, and the min damps ambient load noise.
-- DuckDB runs the SAME oracle SQL (min of 3, full fetchall) on views over
-  the same parquet files, after the Spark runs so both see a warm page
-  cache.
+- DuckDB runs the SAME oracle SQL (min of 3, full fetchall) in TWO
+  configurations: over views on the parquet files (cold-parquet: warm OS
+  page cache but per-run decode), and over materialized TEMP TABLEs (warm:
+  the true analogue of Spark's persisted tables — ADVICE r3 flagged the
+  views-only comparison as asymmetric).  The headline ``vs_duckdb`` ratio
+  uses the WARM configuration; the cold one is reported alongside.
 """
 
 from __future__ import annotations
@@ -80,16 +83,8 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
 
     # DuckDB twin: identical oracle SQL over the same parquet, same machine
-    duck_timings: dict[str, float] = {}
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
-            )
+    def duck_pass(con) -> dict[str, float]:
+        out: dict[str, float] = {}
         for name, spec in bench_specs.items():
             if spec.oracle is None:
                 continue
@@ -99,10 +94,34 @@ def main() -> int:
                 con.execute(spec.oracle).fetchall()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            duck_timings[name] = round(best, 3)
+            out[name] = round(best, 3)
+        return out
+
+    duck_timings: dict[str, float] = {}
+    duck_cold: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck_cold = duck_pass(con)  # warm page cache, per-run decode
+        # warm config: materialized temp tables — the honest counterpart
+        # of Spark's persisted input tables (ADVICE r3)
+        for t in TABLES:
+            con.execute(f"DROP VIEW {t}")
+            con.execute(
+                f"CREATE TEMP TABLE {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck_timings = duck_pass(con)
     except Exception:
-        duck_timings = {}
+        duck_timings = duck_cold = {}
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
+    duck_cold_total = round(sum(duck_cold.values()), 3) if duck_cold else None
 
     out = {
         "metric": "total_bench_sec",
@@ -118,6 +137,9 @@ def main() -> int:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
         out["vs_duckdb"] = round(total / duck_total, 2)
+    if duck_cold_total:
+        out["duckdb_cold_parquet_total_sec"] = duck_cold_total
+        out["vs_duckdb_cold_parquet"] = round(total / duck_cold_total, 2)
     print(json.dumps(out))
     return 0
 

@@ -86,16 +86,32 @@ def heal_partition_dirs(table_path: str, prefix: str = "part_date=") -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
-def atomic_replace(path: str, write_fn: Callable[[str], None]) -> None:
+def atomic_replace(
+    path: str,
+    write_fn: Callable[[str], None],
+    abort_unless: Callable[[], bool] | None = None,
+) -> bool:
     """Replace the directory at ``path`` with whatever ``write_fn(tmp)``
     writes, crash-safely (see module docstring).  ``path`` need not exist
-    yet (first write)."""
+    yet (first write).
+
+    ``abort_unless``: optional last-moment guard evaluated AFTER the tmp
+    write, immediately before the swap.  Returning False aborts: tmp is
+    discarded, ``path`` untouched, and this function returns False.  Used
+    by compaction to detect a concurrent writer having appended files
+    since the read snapshot (the remaining race window is the guard-to-
+    rename gap — microseconds instead of the whole rewrite).
+    """
     heal(path)
     tmp, old = new_sibling(path), old_sibling(path)
     shutil.rmtree(tmp, ignore_errors=True)
     write_fn(tmp)
+    if abort_unless is not None and not abort_unless():
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    return True

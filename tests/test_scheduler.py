@@ -150,3 +150,37 @@ def test_failing_job_keeps_cadence_and_later_jobs_run():
     t["now"] = 10.5
     sched.run_pending()
     assert calls["bad"] == 2  # retried at its cadence
+    assert jbad.failures == 2 and jbad.runs == 2  # attempts vs failures
+
+
+def test_failure_never_exposes_stale_success():
+    """A pollable health contract: after a failure, last_result is None
+    (not the previous success's value) and failures counts it; a
+    subsequent success restores last_result and clears last_error."""
+    from hedera_etl_spark.operators.scheduler import FixedRateScheduler
+
+    t = {"now": 0.0}
+    sched = FixedRateScheduler(clock=lambda: t["now"])
+    state = {"fail": False}
+
+    def flaky():
+        if state["fail"]:
+            raise RuntimeError("boom")
+        return "ok"
+
+    job = sched.every(10.0, flaky, "flaky")
+    sched.run_pending()
+    assert job.last_result == "ok" and job.failures == 0
+
+    state["fail"] = True
+    t["now"] = 10.5
+    sched.run_pending()
+    assert job.last_result is None  # stale "ok" not exposed
+    assert job.failures == 1 and job.runs == 2
+    assert isinstance(job.last_error, RuntimeError)
+
+    state["fail"] = False
+    t["now"] = 20.5
+    sched.run_pending()
+    assert job.last_result == "ok" and job.last_error is None
+    assert job.failures == 1 and job.runs == 3
