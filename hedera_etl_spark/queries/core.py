@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hedera_etl_spark.queries import query
-from hedera_etl_spark.tables import load_table
+from hedera_etl_spark.tables import ensure_parallelism, load_table
 
 DEC = "decimal(18,2)"
 
@@ -192,7 +192,10 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted) and degrades gracefully to a shuffled join when it
     outgrows the threshold, with AQE re-electing broadcast at runtime if
     the shuffled size says otherwise."""
-    orders = load_table(spark, sf_dir, "orders")
+    # round-robin spread: the whole 3-hop broadcast-join chain + partial
+    # aggregate runs below the first exchange, and the 25-group key can't
+    # drive a partitioning
+    orders = ensure_parallelism(load_table(spark, sf_dir, "orders"))
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -263,10 +266,24 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-fact join + top-k.  Both sides shuffle on orderkey (sort-merge
-    or shuffled-hash per AQE); the ORDER BY ... LIMIT plans as
+    """Fact-to-fact join + top-k.  The ORDER BY ... LIMIT plans as
     TakeOrderedAndProject — per-partition top-k then a k-row merge on the
-    driver, never a global sort.  Tie-broken on l_orderkey for determinism."""
+    driver, never a global sort.  Tie-broken on l_orderkey for determinism.
+
+    Two plan decisions the oracle can't see but the wall clock can:
+
+    - ``ensure_parallelism(by=l_orderkey)``: a single-split lineitem scan
+      would run the whole join + partial aggregate on ONE task; hashing
+      on the join==group key makes the spread shuffle double as the
+      aggregate's own exchange (ENSURE_REQUIREMENTS elided — one shuffle
+      total), and at scale it is a no-op.
+    - The revenue sum runs over integer CENTS, not DECIMAL(18,2):
+      sum(round(price*100)::BIGINT)/100.0 is the same exact rational
+      (prices are 2-decimal values; the cents are exact integers), and
+      IEEE division by 100.0 rounds once — bit-identical to the oracle's
+      DECIMAL-sum-then-cast-DOUBLE, at primitive-long aggregation speed
+      instead of 128-bit decimal buffers.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     # No broadcast hint: orders is a FACT table, so a hard hint is a
     # cluster-scale OOM (the planner would be forced to build however big
@@ -277,12 +294,11 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only if the actual shuffle bytes justify it.
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        ensure_parallelism(li, by=["l_orderkey"])
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("decimal(28,2)")
-            .cast("double")
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
             .alias("rev")
         )
         .orderBy(F.col("rev").desc(), "l_orderkey")
@@ -308,8 +324,11 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range residual: the equi part drives the shuffle/join
     strategy, the range predicate evaluates as a post-join filter — this is
-    the scalable shape (never a nested loop)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    the scalable shape (never a nested loop).  The fact side spreads via
+    ensure_parallelism (round-robin: the 5-value group key must NOT drive
+    the partitioning) so the broadcast join + date filter never serialize
+    on a single-split scan."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(

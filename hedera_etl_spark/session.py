@@ -49,14 +49,30 @@ RUNTIME_CONFS = {
 }
 
 
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply the engine's required runtime confs to an existing session."""
+    """Apply the engine's required runtime confs to an existing session.
+
+    Idempotent and memoized: every table load funnels through here, and
+    re-setting 7 confs is ~10 ms of py4j per call — measurable when a
+    query touches several tables (driver-cost note in transform.py).
+    """
+    global _CONFIGURED
+    if _CONFIGURED is None:
+        import weakref
+
+        _CONFIGURED = weakref.WeakSet()
+    if spark in _CONFIGURED:
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # Conf not settable at runtime in this build — rely on defaults.
             pass
+    _CONFIGURED.add(spark)
     return spark
 
 

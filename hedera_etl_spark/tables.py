@@ -38,8 +38,25 @@ TABLE_NAMES = [
 ]
 
 
+#: (session -> {(sf_dir, name) -> DataFrame}).  A DataFrame is an immutable
+#: logical plan — handing the same object out again skips ~100 ms of
+#: py4j/plan construction per load without touching execution semantics
+#: (every action still re-plans and re-executes the full query; this is
+#: NOT the rejected "prepared plan" shuffle reuse, see docs/PERF_NOTES.md).
+#: WeakKeyDictionary so a stopped session's plans are collectable.
+_TABLE_CACHE = None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing the events timestamp column."""
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    cached = _TABLE_CACHE.setdefault(spark, {}).get((sf_dir, name))
+    if cached is not None:
+        return cached
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -51,10 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
             .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
         )
+    _TABLE_CACHE[spark][(sf_dir, name)] = df
     return df
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
     """Small-file guard for CPU-heavy per-row stages.
 
     A parquet file is splittable only at row-group boundaries, so a small
@@ -68,11 +90,30 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     raw input rows once, which is negligible next to the per-row compute
     it parallelizes (that trade is exactly why you'd do the same on a
     cluster when input files are few).
+
+    ``by``: optional hash-partition columns.  When the downstream
+    join/aggregate keys on exactly these columns, the spread shuffle IS
+    the key exchange the plan needed anyway — Catalyst elides the later
+    ENSURE_REQUIREMENTS exchange, so the parallelism comes for free
+    (q07's join+agg on l_orderkey is the canonical use).  Without ``by``,
+    round-robin — the only safe choice when downstream keys are skewed or
+    low-cardinality (e.g. 5 distinct group values must not collapse the
+    spread to 5 partitions).
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    # memoized per DataFrame object: the .rdd conversion below eagerly
+    # builds the physical plan (~50 ms of driver time per call), and
+    # load_table hands out long-lived cached objects, so the answer for a
+    # given (df, n, by) never changes
+    key = f"_hes_ensured_{n}_{'_'.join(by) if by else ''}"
+    cached = getattr(df, key, None)
+    if cached is None:
+        if df.rdd.getNumPartitions() < n:
+            cached = df.repartition(n, *by) if by else df.repartition(n)
+        else:
+            cached = df
+        setattr(df, key, cached)
+    return cached
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
