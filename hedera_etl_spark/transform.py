@@ -209,10 +209,22 @@ def parse_transactions(
     )
 
     is_bad = corrupt_predicate("__p")
+    # Predicate PUSHDOWN BARRIER: Catalyst pushes every deterministic
+    # conjunct of a filter below exchanges/projections, and here that
+    # inlines this ENTIRE from_json (plus the corpus expression feeding
+    # it) below any upstream parallelizing exchange, re-running the whole
+    # parse serially on the few raw input splits — measured as the
+    # dominant cost of every tx query at sf0.1.  OR-ing an always-false
+    # nondeterministic term into the predicate makes the WHOLE conjunct
+    # nondeterministic-flagged (a disjunction cannot be split), pinning
+    # the filter where it is written.  spark_partition_id() is constant
+    # within a task, so the barrier costs nothing and filters identically
+    # on retry; `x OR false == x` keeps semantics exact.
+    barrier = F.spark_partition_id() < 0  # always false, never foldable
 
-    errors = parsed.filter(is_bad).select(*errors_projection(F.col("__raw")))
+    errors = parsed.filter(is_bad | barrier).select(*errors_projection(F.col("__raw")))
 
-    typed = cast_to_table(parsed.filter(~is_bad).select("__p.*"), spec)
+    typed = cast_to_table(parsed.filter((~is_bad) | barrier).select("__p.*"), spec)
     # integer div, never float: 1.57e18 nanos does not survive a double
     typed = typed.withColumn(
         "consensusTimestampTruncated",
