@@ -68,18 +68,29 @@ def main() -> int:
     # steady-state: tables hot in the executor block cache (the analogue of
     # DuckDB's warm OS page cache + open file handles)
     for t in TABLES:
-        materialize(load_table(spark, sf_dir, t).persist())
+        try:
+            materialize(load_table(spark, sf_dir, t).persist())
+        except Exception as exc:
+            print(f"bench: warmup failed for {t}: {exc}", file=sys.stderr)
 
+    # Fault isolation (r4 post-mortem): one broken query must never kill the
+    # whole harness — each spec is try/except'd, errors are reported per
+    # query, and the JSON line is ALWAYS printed.
     RUNS = 3
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in bench_specs.items():
         best = None
-        for _ in range(RUNS):
-            t0 = time.time()
-            materialize(spec.spark_fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(RUNS):
+                t0 = time.time()
+                materialize(spec.spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = str(exc).split("\n")[0][:300]
+            print(f"bench: query {name} failed: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
     # DuckDB twin: identical oracle SQL over the same parquet, same machine
@@ -89,12 +100,15 @@ def main() -> int:
             if spec.oracle is None:
                 continue
             best = None
-            for _ in range(RUNS):
-                t0 = time.time()
-                con.execute(spec.oracle).fetchall()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3)
+            try:
+                for _ in range(RUNS):
+                    t0 = time.time()
+                    con.execute(spec.oracle).fetchall()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                out[name] = round(best, 3)
+            except Exception as exc:
+                print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
         return out
 
     duck_timings: dict[str, float] = {}
@@ -140,8 +154,11 @@ def main() -> int:
     if duck_cold_total:
         out["duckdb_cold_parquet_total_sec"] = duck_cold_total
         out["vs_duckdb_cold_parquet"] = round(total / duck_cold_total, 2)
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
-    return 0
+    # nonzero rc only when NOTHING ran — a partial bench still reports
+    return 0 if timings else 1
 
 
 if __name__ == "__main__":

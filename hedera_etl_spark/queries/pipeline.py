@@ -21,7 +21,8 @@ from pyspark.sql import types as T
 
 from hedera_etl_spark.queries import query
 from hedera_etl_spark.queries.core import duped_events, _DUPED_EVENTS_SQL
-from hedera_etl_spark.tables import load_table
+from hedera_etl_spark.session import configure_session
+from hedera_etl_spark.tables import load_table, normalize_events
 
 DEC = "decimal(18,2)"
 
@@ -165,6 +166,7 @@ def hed_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hedera_etl_spark.streaming.stateful import user_activity_stream
 
+    configure_session(spark)  # nanosAsLong must be set before the schema read
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"hed_stateful_activity_{tag}"
@@ -172,10 +174,8 @@ def hed_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="hed_stateful_ckpt_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "part-0.parquet"))
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .select("user_id", F.expr("(ts div 1000)").alias("ts_us"))
+        stream = normalize_events(spark.readStream.schema(schema).parquet(stage)).select(
+            "user_id", F.expr("(ts_ns div 1000)").alias("ts_us")
         )
         q = (
             user_activity_stream(stream)
@@ -329,6 +329,7 @@ def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    configure_session(spark)  # nanosAsLong must be set before the schema read
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"hed_stream_dedup_{tag}"
@@ -336,13 +337,9 @@ def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="hed_stream_ckpt_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "part-0.parquet"))
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .withColumnRenamed("ts", "ts_ns")
-            # watermarks require TIMESTAMP (session TZ pinned to UTC), not NTZ
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-        )
+        stream = normalize_events(spark.readStream.schema(schema).parquet(stage))
+        # watermarks require TIMESTAMP (session TZ pinned to UTC), not NTZ
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
         q = (
             deduped.writeStream.outputMode("append")

@@ -18,10 +18,13 @@ Scale notes (the same code must hold on a 1000-executor cluster at ~100 TB):
 - Session timezone is pinned to UTC so timestamp semantics are stable across
   driver machines (and match the DuckDB oracle, which is UTC-naive).
 - `spark.sql.legacy.parquet.nanosAsLong` lets Spark scan parquet
-  TIMESTAMP(NANOS) columns (the `events` table) as raw int64 nanos.  This
-  mirrors the reference's own choice to keep nanosecond timestamps as INT64
+  TIMESTAMP(NANOS) columns as raw int64 nanos — without it a NANOS-flavor
+  `events` file fails to scan at all.  It is a no-op for TIMESTAMP(MICROS)
+  files (the other fixture flavor), which scan natively as TIMESTAMP_NTZ;
+  `tables.normalize_events` dispatches on whichever type actually arrived.
+  Keeping nanos as INT64 mirrors the reference's own schema choice
   (reference: hedera-etl-bigquery/src/main/resources/transactions-schema.json:7-10)
-  and derive a microsecond TIMESTAMP from them
+  and the microsecond TIMESTAMP derivation
   (reference: TransactionJsonToTableRow.java:57-58).
 """
 
@@ -66,13 +69,21 @@ def configure_session(spark: SparkSession) -> SparkSession:
         _CONFIGURED = weakref.WeakSet()
     if spark in _CONFIGURED:
         return spark
+    skipped = []
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # Conf not settable at runtime in this build — rely on defaults.
-            pass
-    _CONFIGURED.add(spark)
+        except Exception as exc:  # conf not settable at runtime in this build
+            skipped.append((key, exc))
+    if skipped:
+        # Not memoized: a transiently-failed set gets retried on the next
+        # call instead of being silently pinned as "configured".
+        import warnings
+
+        for key, exc in skipped:
+            warnings.warn(f"configure_session: could not set {key}: {exc}")
+    else:
+        _CONFIGURED.add(spark)
     return spark
 
 

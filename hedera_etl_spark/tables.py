@@ -3,15 +3,25 @@
 All queries in the registry read through ``load_table`` / ``register_views``
 so that schema quirks are normalized in exactly one place:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot scan natively;
-  with ``spark.sql.legacy.parquet.nanosAsLong`` it scans as int64 nanos.  We
-  keep the raw nanos as ``ts_ns`` (the reference keeps nano timestamps as
-  INT64 too — reference transactions-schema.json:7-10) and derive the
-  microsecond-truncated ``ts`` exactly like the reference's
-  ``consensusTimestampTruncated`` derivation (TransactionJsonToTableRow.java:57-58):
-  ``timestamp_micros(ts_ns div 1000)``.  The result is cast to TIMESTAMP_NTZ so
-  its values match what DuckDB sees when it coerces nanos to its native
-  microsecond timestamps.
+- ``events.ts`` has shipped in two parquet physical flavors across driver
+  fixture generations, and ``normalize_events`` type-dispatches on how the
+  column actually scans rather than assuming either:
+
+  * TIMESTAMP(NANOS): Spark cannot scan it natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as int64 nanos.  We
+    keep the raw nanos as ``ts_ns`` (the reference keeps nano timestamps as
+    INT64 too — reference transactions-schema.json:7-10) and derive the
+    microsecond-truncated ``ts`` exactly like the reference's
+    ``consensusTimestampTruncated`` derivation
+    (TransactionJsonToTableRow.java:57-58): ``timestamp_micros(ts_ns div
+    1000)``, cast to TIMESTAMP_NTZ so values match what DuckDB sees.
+  * TIMESTAMP(MICROS): scans natively as TIMESTAMP_NTZ (or TIMESTAMP under
+    int96/other writer settings).  ``ts`` is kept and ``ts_ns`` is derived
+    as ``unix_micros(cast(ts AS TIMESTAMP)) * 1000`` — byte-identical to
+    DuckDB's ``epoch_ns(ts)`` with the session TZ pinned UTC.
+
+  Either way every consumer sees the same contract: ``ts`` TIMESTAMP_NTZ at
+  microsecond precision plus ``ts_ns`` int64 nanoseconds.
 - every other table loads as-is (orders/lineitem date columns arrive as
   TIMESTAMP_NTZ already).
 """
@@ -47,6 +57,39 @@ TABLE_NAMES = [
 _TABLE_CACHE = None
 
 
+#: Canonical events column order after normalization.
+_EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns"]
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize an events scan (batch OR streaming) to the engine contract:
+    ``ts`` TIMESTAMP_NTZ at microsecond precision + ``ts_ns`` int64 nanos.
+
+    Dispatches on how ``ts`` actually scanned, so the engine survives the
+    fixture flipping between parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    (it has done both).  Pure column expressions — valid on streaming
+    DataFrames too, which is why the streaming readers route through here
+    instead of duplicating the logic.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) scanned under spark.sql.legacy.parquet.nanosAsLong
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
+        )
+    elif ts_type is not None and ts_type.startswith("timestamp"):
+        # TIMESTAMP(MICROS) scans natively; session TZ pinned UTC makes the
+        # NTZ->TIMESTAMP cast an identity on the underlying micros, so this
+        # matches DuckDB epoch_ns(ts) exactly.
+        df = df.withColumn("ts_ns", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+        if ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:
+        raise TypeError(f"events.ts scanned as unsupported type {ts_type!r}")
+    return df.select(*_EVENTS_COLS)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing the events timestamp column."""
     global _TABLE_CACHE
@@ -59,15 +102,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
-                "ts",
-                F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
-        )
+    if name == "events":
+        df = normalize_events(df)
     _TABLE_CACHE[spark][(sf_dir, name)] = df
     return df
 

@@ -92,8 +92,10 @@ def test_clustered_write_gives_rowgroup_stats(spark, tmp_path):
     files so min/max row-group stats enable data skipping."""
     from hedera_etl_spark.operators.tablemgmt import write_day_partitioned
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").select(
-        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias(
+    from hedera_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP)").alias(
             "consensusTimestampTruncated"
         ),
         (F.col("event_id") % 21 + 7).alias("transactionType"),
