@@ -185,15 +185,27 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs: docs sharing at least one LSH band signature.
 
-    Bands explode to (doc_id, band, sig); the self-join is an equi-join on
-    (band, sig).  ``max_bucket`` drops degenerate buckets (skew guard for
-    production corpora where boilerplate shingles collapse many docs into
-    one bucket) — implemented as a count-over-window so the guard costs one
-    shuffle on the same (band, sig) key the self-join needs, not an extra
-    aggregate+join round.
-    """
-    from pyspark.sql import Window as W
+    Bands explode to (doc_id, band, sig); bucket members are then gathered
+    with ONE hash aggregate on (band, sig) and pairs are generated inside
+    each bucket row by a sorted-array combination transform.  This is
+    deliberately NOT a bucket self-join: a self-join evaluates the
+    signature subtree twice (the two join inputs are distinct plans, so
+    Catalyst cannot reuse the exchange across them — measured at ~2x the
+    whole signature cost at sf0.1), while the grouped form pays one
+    signature pass and one shuffle, the same shuffle the join needed
+    anyway.
 
+    ``max_bucket`` drops degenerate buckets (skew guard for production
+    corpora where boilerplate shingles collapse many docs into one
+    bucket) — with the grouped form it is a plain ``size(ds)`` filter on
+    the gathered array, and it also BOUNDS the per-row pair fan-out to
+    C(max_bucket, 2), which is exactly the memory guard collect_list
+    needs at corpus scale (pass None only for exhaustive small-corpus
+    runs).  Each doc appears once per band, so buckets hold distinct
+    docs and no self-pairs arise; ``array_sort`` on the (doc_id, ...)
+    structs yields doc_a < doc_b for free.
+    """
+    carry = [c for c in sig.columns if c == "__n"]
     band_structs = F.array(
         *[
             F.struct(
@@ -203,32 +215,26 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    carry = [c for c in sig.columns if c == "__n"]
     buckets = sig.select("doc_id", *carry, F.explode(band_structs).alias("bk")).select(
         "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
-    if max_bucket is not None:
-        buckets = (
-            buckets.withColumn("__bn", F.count("*").over(W.partitionBy("band", "sig")))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
-    left = buckets.select(
-        F.col("doc_id").alias("doc_a"),
-        "band",
-        "sig",
-        *[F.col(c).alias("__n_a") for c in carry],
+    member = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
+    grouped = buckets.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_list(member)).alias("ds")
     )
-    right = buckets.select(
-        F.col("doc_id").alias("doc_b"),
-        "band",
-        "sig",
-        *[F.col(c).alias("__n_b") for c in carry],
+    size_pred = F.size("ds") >= 2
+    if max_bucket is not None:
+        size_pred = size_pred & (F.size("ds") <= max_bucket)
+    n_fields = ", '__n_a', a.__n, '__n_b', b.__n" if carry else ""
+    pair_expr = (
+        "explode(flatten(transform(ds, (a, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+        f"named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id{n_fields}))))) AS p"
     )
     return (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", *[f"__n_{s}" for s in ("a", "b") if carry])
+        grouped.filter(size_pred)
+        .selectExpr(pair_expr)
+        .select("p.doc_a", "p.doc_b", *[f"p.__n_{s}" for s in ("a", "b") if carry])
         .distinct()
     )
 
@@ -299,10 +305,35 @@ def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     integers rounded through DECIMAL(9,6) then cast DOUBLE (trailing-zero
     decimals hash differently per engine).
     """
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__set_b"))
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    if "__n_a" in pairs.columns:
+    # ONE scan of ``sets``: each pair explodes to its two member ids, the
+    # single join attaches each member's set, and a regroup on the pair
+    # key reassembles (set_a, set_b).  Joining an aliased ``sets`` per
+    # side reads (and re-shingles) the corpus twice — the two join inputs
+    # are distinct plans, so Catalyst cannot share the scan; this form
+    # halves the dominant cost.  The regroup shuffles only matched rows
+    # (2 x |pairs| — tiny by blocking construction), and AQE elects a
+    # broadcast for the pair side at runtime.
+    carry = [c for c in ("__n_a", "__n_b") if c in pairs.columns]
+    long = pairs.select(
+        "doc_a", "doc_b", *carry, F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    joined = (
+        long.join(sets, "doc_id")
+        .groupBy("doc_a", "doc_b", *carry)
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh_set")), ignorenulls=True
+            ).alias("__set_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh_set")), ignorenulls=True
+            ).alias("__set_b"),
+        )
+        # inner-join semantics of the two-join form: both members must
+        # have a shingle set (guaranteed for LSH candidates, which derive
+        # from sets — kept for hand-built pairs)
+        .filter(F.col("__set_a").isNotNull() & F.col("__set_b").isNotNull())
+    )
+    if carry:
         n_a, n_b = F.col("__n_a"), F.col("__n_b")
     else:
         n_a, n_b = F.size("__set_a").cast("long"), F.size("__set_b").cast("long")
