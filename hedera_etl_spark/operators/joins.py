@@ -234,3 +234,99 @@ def as_of_join(
         *[F.col(c) for c in lcols],
         *[F.col("__m_all")[c].alias(c) for c in right_payload],
     )
+
+
+def as_of_join_time_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    aggs: dict[str, "F.Column"],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join against the per-(key, right_ts) AGGREGATE of a raw right
+    stream, with the aggregation fused into the as-of exchange.
+
+    Equivalent to ``as_of_join(left, right.groupBy(keys, right_ts)
+    .agg(...), ...)`` but executes as ONE exchange on the key instead of
+    two (the groupBy exchange plus the window exchange):
+
+    - both sides union raw (right rows tagged ``__side=0``),
+    - an explicit ``repartition(keys)`` pins the exchange to the key
+      alone — ``HashPartitioning(keys)`` satisfies BOTH windows'
+      clustering requirements, so neither inserts another exchange,
+    - a full-frame window over (keys, __ts, __side) computes the
+      per-timestamp aggregate on the right rows in place,
+    - the usual last-ignorenulls carry window attaches it to left rows.
+
+    Every right row at the same (key, ts) carries an identical payload
+    struct, so the carry is deterministic regardless of tie order.
+
+    Scale tradeoff vs pre-aggregating (documented, not hidden): groupBy
+    partial-aggregates map-side, so when the (key, ts) grouping is
+    strongly reductive PER MAPPER the pre-agg form shuffles less data;
+    this fused form shuffles every raw right row but crosses ONE shuffle
+    barrier instead of two.  Partial aggregation only pays off when rows
+    per mapper >> distinct (key, ts) — with wide date domains (the
+    typical time-series shape) mappers see mostly-unique keys, the
+    combine is a no-op, and the fused form strictly wins.  Measure per
+    workload; both operators are first-class.
+
+    ``aggs`` maps output column name -> an UNRESOLVED aggregate Column
+    over ``right``'s columns (e.g. ``{"n": F.count("x")}``); each is
+    evaluated ``.over(...)`` the full (key, ts) frame.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"as_of_join_time_grouped supports how='left'|'inner', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rcols = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = (set(rcols) | set(aggs)) & (set(lcols) | set(keys) | {left_ts})
+    if clash:
+        raise ValueError(
+            f"right/aggregate columns {sorted(clash)} collide with left output "
+            "columns — rename one side before joining"
+        )
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    right = right.na.drop(subset=[*keys, right_ts])
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    u = l_tagged.unionByName(r_tagged).repartition(*[F.col(k) for k in keys])
+
+    w_agg = W.partitionBy(*keys, "__ts", "__side").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(*[expr.over(w_agg).alias(name) for name, expr in aggs.items()]),
+    )
+    w_carry = (
+        W.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select("*", payload.alias("__r_all")).select(
+        "*", F.last("__r_all", ignorenulls=True).over(w_carry).alias("__m_all")
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__m_all").isNotNull())
+    return out.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col("__m_all")[name].alias(name) for name in aggs],
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hedera_etl_spark.operators.joins import as_of_join
+from hedera_etl_spark.operators.joins import as_of_join_time_grouped
 from hedera_etl_spark.queries import query
 from hedera_etl_spark.tables import load_table
 
@@ -38,25 +38,31 @@ DEC = "decimal(18,2)"
 )
 def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: for every order, the most recent shipment
-    state at or before its date within the same key group.  Implemented
-    as union + last-ignorenulls window (operators/joins.py) — one shuffle
-    on the key, no join node; the oracle is DuckDB's native ASOF JOIN,
-    proving the construction's semantics."""
+    state at or before its date within the same key group.  The shipment
+    state is itself a per-(key, shipdate) aggregate of lineitem, so this
+    uses the fused form (operators/joins.py as_of_join_time_grouped):
+    union raw + in-place window aggregate + last-ignorenulls carry — one
+    exchange on the key total, no groupBy exchange, no join node.  The
+    oracle is DuckDB's native ASOF JOIN over the pre-aggregated CTE,
+    proving the fusion's semantics."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    right = li.groupBy(
-        (F.col("l_suppkey") % 25).alias("k"), "l_shipdate"
-    ).agg(F.count("*").alias("n_ship"), F.max("l_orderkey").alias("last_lok"))
+    right = li.select(
+        (F.col("l_suppkey") % 25).alias("k"), "l_shipdate", "l_orderkey"
+    )
     left = orders.select(
         (F.col("o_custkey") % 25).alias("k"), "o_orderdate", "o_orderkey"
     )
-    return as_of_join(
+    return as_of_join_time_grouped(
         left,
         right,
         on="k",
         left_ts="o_orderdate",
         right_ts="l_shipdate",
-        right_payload=["n_ship", "last_lok"],
+        aggs={
+            "n_ship": F.count("l_orderkey"),
+            "last_lok": F.max("l_orderkey"),
+        },
     ).orderBy("o_orderkey")
 
 

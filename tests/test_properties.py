@@ -253,3 +253,60 @@ def test_asof_collision_check_covers_keys_and_ts(spark):
     with _pytest.raises(ValueError):
         as_of_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
                    right_payload=["lts"])  # collides with the left ts name
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+                   min_size=0, max_size=20),
+)
+def test_asof_time_grouped_equals_preagg_form(spark, left, right):
+    """The fused as_of_join_time_grouped must equal as_of_join over the
+    explicitly pre-aggregated right side — including duplicate (key, ts)
+    right rows, the raw-stream case the fusion exists for."""
+    import pyspark.sql.functions as F
+
+    from hedera_etl_spark.operators.joins import as_of_join, as_of_join_time_grouped
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "lts", "lid"]
+    )
+    rdf = spark.createDataFrame(right, ["k", "rts", "v"]) if right else \
+        spark.createDataFrame([], "k long, rts long, v long")
+
+    pre = rdf.groupBy("k", "rts").agg(
+        F.count("v").alias("n"), F.max("v").alias("vmax")
+    )
+    want = {
+        r["lid"]: (r["n"], r["vmax"])
+        for r in as_of_join(
+            ldf, pre, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["n", "vmax"],
+        ).collect()
+    }
+    got = {
+        r["lid"]: (r["n"], r["vmax"])
+        for r in as_of_join_time_grouped(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            aggs={"n": F.count("v"), "vmax": F.max("v")},
+        ).collect()
+    }
+    assert got == want
+
+
+def test_asof_time_grouped_single_pre_window_exchange(spark):
+    """The fusion's reason to exist: exactly ONE exchange feeds both
+    windows (repartition on the key satisfies both clustering needs)."""
+    import pyspark.sql.functions as F
+
+    from hedera_etl_spark.operators.joins import as_of_join_time_grouped
+
+    ldf = spark.createDataFrame([(1, 10, 5)], "k LONG, lts LONG, lid LONG")
+    rdf = spark.createDataFrame([(1, 3, 7), (1, 3, 8)], "k LONG, rts LONG, v LONG")
+    out = as_of_join_time_grouped(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", aggs={"n": F.count("v")}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Sort" in plan
