@@ -7,8 +7,11 @@ The Spark form of the reference's entire first module
 - S1 source: file-stream of JSON lines by default, or ANY streaming
   source via ``source_fn`` (a callable returning a streaming DataFrame
   with a ``value`` string column) — the "swap one reader" claim made
-  executable; tests drive the identical transform+sinks from a rate
-  source.  The reference's broker-side best-effort dedup
+  executable.  The message-bus branch ships as
+  ``streaming.sources.kafka_source`` (options builder + binary-value
+  decode, broker-free tests in tests/test_kafka_source.py), the
+  self-hosted analogue of the reference's Pub/Sub reader; tests also
+  drive the identical transform+sinks from a rate source.  The reference's broker-side best-effort dedup
   (withIdAttribute("consensusTimestamp"),
   PubSubToBigQueryPipeline.java:41) becomes an in-stream
   ARRIVAL-time watermark + dropDuplicatesWithinWatermark on the parsed
