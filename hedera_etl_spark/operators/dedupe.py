@@ -69,6 +69,16 @@ def is_delta_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_delta_log"))
 
 
+def replace_where_predicate(touched_dates: list) -> str:
+    """The ``replaceWhere`` predicate for a partition-range rewrite: the
+    exact SQL-literal IN list Delta's overwrite commit scopes itself to
+    (the MERGE-ON-FALSE equivalent, RemoveDuplicatesTemplateQuery.java:
+    29-43).  Pure string construction, unit-tested without delta-spark
+    on the classpath."""
+    dates = ", ".join(f"'{d}'" for d in touched_dates)
+    return f"part_date IN ({dates})"
+
+
 # ---------------------------------------------------------------------------
 # state table (S4/J2: GetStateQuery / SetStateQuery)
 # ---------------------------------------------------------------------------
@@ -107,6 +117,15 @@ class StateStore:
         previous writer is healed before anything is deleted (the
         in-place overwrite this replaces could corrupt the only copy if
         the writer died mid-write)."""
+        if delta_available() and not os.path.exists(self.path):
+            # first write with delta on the classpath: CREATE the state
+            # table as Delta so the MERGE branch is reachable for
+            # self-created stores, not only pre-existing Delta tables
+            # (r4 advice — previously a fresh store always went parquet
+            # and the Delta path below could never trigger)
+            src = self.spark.createDataFrame([(name, value)], STATE_SCHEMA)
+            src.write.format("delta").save(self.path)
+            return
         if delta_available() and is_delta_table(self.path):
             # the real MERGE (SetStateQuery.java:34-40): one ACID commit
             from delta.tables import DeltaTable
@@ -375,11 +394,10 @@ class DedupeJob:
             # concurrent readers see either the old or the new snapshot,
             # never a half-swapped directory (the MERGE-equivalent path,
             # RemoveDuplicatesTemplateQuery.java:29-43)
-            dates = ", ".join(f"'{d}'" for d in touched_dates)
             (
                 replacement.write.format("delta")
                 .mode("overwrite")
-                .option("replaceWhere", f"part_date IN ({dates})")
+                .option("replaceWhere", replace_where_predicate(touched_dates))
                 .save(self.table_path)
             )
             return

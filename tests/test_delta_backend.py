@@ -1,10 +1,13 @@
 """Delta backend for the dedup engine (J1 atomic rewrite / J2 MERGE).
 
-These run ONLY when delta-spark is importable (it is not baked into this
-container): the same DedupeJob/StateStore tests as the parquet backend,
-over a Delta table, exercising the replaceWhere rewrite and the real
-MERGE upsert.  When Delta is absent the whole module skips — the parquet
-temp-path-swap fallback is covered by test_dedupe_job.py.
+These run ONLY when delta-spark is importable — it is NOT baked into
+this container and network installs are unavailable, so here they skip
+by construction.  The branch is still executed in CI terms by
+tests/test_delta_mocked.py, which injects a fake delta package and
+asserts the exact MERGE chain / replaceWhere commit the engine hands a
+real installation; the parquet temp-path-swap fallback is covered by
+test_dedupe_job.py.  On an environment with delta-spark installed this
+module runs the same DedupeJob/StateStore suite over a real Delta table.
 """
 
 from __future__ import annotations
