@@ -121,3 +121,47 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_pushdown_barrier_invariant_holds(spark):
+    """transform.py leans on two Catalyst behaviors for its pushdown
+    barrier (`pred | spark_partition_id() < 0`): (a) the disjunction is
+    nondeterministic-flagged, so the filter is NOT pushed below an
+    exchange; (b) the barrier term is always false, so semantics are
+    unchanged.  A Spark upgrade breaking either must fail HERE, loudly,
+    not as a silent perf cliff in every tx query."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).repartition(8)
+    pred = (F.col("id") % 2 == 0) | (F.spark_partition_id() < 0)
+    filtered = df.filter(pred)
+
+    # (b) never filters anything beyond the deterministic conjunct
+    assert filtered.count() == 500
+
+    # (a) the Filter must sit ABOVE the repartition in the optimized plan
+    # (deterministic filters are pushed below it; the barrier pins it)
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    f_pos = plan.index("Filter")
+    r_pos = plan.index("Repartition")
+    assert f_pos < r_pos, plan  # parent-first tree string: Filter on top
+
+    # control: WITHOUT the barrier the same filter is pushed below
+    ctrl = df.filter(F.col("id") % 2 == 0)
+    ctrl_plan = ctrl._jdf.queryExecution().optimizedPlan().toString()
+    assert ctrl_plan.index("Filter") > ctrl_plan.index("Repartition"), ctrl_plan
+
+
+def test_dataframe_memo_attribute_invariant_holds(spark):
+    """tables.ensure_parallelism memoizes via setattr on the DataFrame
+    object (a py4j wrapper).  If a Spark upgrade adds __slots__ or
+    otherwise rejects attribute assignment, every load would silently pay
+    the ~50 ms plan build per call — fail here instead."""
+    from hedera_etl_spark.tables import ensure_parallelism, load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ensure_parallelism(df)
+    b = ensure_parallelism(df)
+    assert a is b  # memo hit: same object, no second .rdd plan build
+    # the memo attribute really lives on the wrapper
+    assert any(k.startswith("_hes_ensured_") for k in vars(df))
