@@ -40,12 +40,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     Returns (keep_id, n_copies) per distinct content.  At scale, group on
     md5(text) instead of raw text to shrink shuffle width — semantics are
     identical modulo md5 collisions (2^-64 at corpus scale).
-    """
-    from hedera_etl_spark.tables import ensure_parallelism
 
+    NO ensure_parallelism spread: ONE md5 per row is not CPU-heavy enough
+    to pay for a round-robin exchange of the raw text (measured 3x slower
+    with it at sf0.1) — the groupBy's own exchange spreads the aggregate,
+    and the map side is just the digest.  Contrast minhash/simhash below,
+    whose ~100 digests per row do warrant the spread.
+    """
     return (
-        ensure_parallelism(docs)
-        .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )

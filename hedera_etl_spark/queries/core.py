@@ -192,10 +192,12 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted) and degrades gracefully to a shuffled join when it
     outgrows the threshold, with AQE re-electing broadcast at runtime if
     the shuffled size says otherwise."""
-    # round-robin spread: the whole 3-hop broadcast-join chain + partial
-    # aggregate runs below the first exchange, and the 25-group key can't
-    # drive a partitioning
-    orders = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    # NO spread: the per-row work below the first exchange is three
+    # broadcast-hash probes + a partial agg — cheap enough that
+    # round-robin-exchanging the fact to widen it costs twice what it
+    # saves (measured 0.74s -> 0.35s at sf0.1 without it); see q08a for
+    # the general rule on when spreading pays
+    orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -324,11 +326,15 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range residual: the equi part drives the shuffle/join
     strategy, the range predicate evaluates as a post-join filter — this is
-    the scalable shape (never a nested loop).  The fact side spreads via
-    ensure_parallelism (round-robin: the 5-value group key must NOT drive
-    the partitioning) so the broadcast join + date filter never serialize
-    on a single-split scan."""
-    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    the scalable shape (never a nested loop).  Deliberately NO
+    ensure_parallelism spread here: the per-row work after the scan is one
+    date comparison, so round-robin-exchanging the wide fact just to widen
+    a broadcast-join probe costs more than the narrow probe saves
+    (measured ~0.35s of the query's ~0.95s at sf0.1); spreading pays only
+    ahead of CPU-heavy per-row stages (md5/JSON — see tx/minhash paths).
+    At production scale the scan has thousands of splits and Catalyst/AQE
+    pick the join strategy from real sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(
