@@ -273,9 +273,13 @@ def brute_force_topk(
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # the corpus scan carries the O(n*q*dims) fold math — spread it even
-    # when the source file scans as one split
-    cands = ensure_parallelism(emb).select(
+    # the corpus scan carries the O(n*q*dims) fold math; spreading a
+    # narrow scan pays only when q is large enough that the per-row work
+    # dwarfs the exchange (a handful of queries is a few hundred flops
+    # per row — measured cheaper unspread; a production batch of
+    # hundreds of queries is not)
+    corpus = ensure_parallelism(emb) if len(query_ids) >= 32 else emb
+    cands = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
     scored = (

@@ -377,7 +377,17 @@ def minhash_lsh_neardups(
     from hedera_etl_spark.tables import ensure_parallelism
 
     rows = k // bands
-    sets = shingle_sets(ensure_parallelism(docs), n)
+    # The shingle sets feed TWO consumers — the signature/banding branch
+    # and the Jaccard verify — and tokenize+shingle+distinct is the
+    # pipeline's dominant per-row cost, so computing it once matters:
+    # the lazy localCheckpoint materializes sh_set on first use and the
+    # second branch reads the stored blocks (measured 1.16s -> 0.82s at
+    # sf0.1; plain persist() barely helps because both InMemoryTableScan
+    # branches of the single action race to populate the cache).  The
+    # trade, same as salted_join's pinned salt: checkpoint blocks are not
+    # recomputable, so an executor loss fails the job for a clean retry
+    # instead of silently recomputing.
+    sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
     # signatures AND set sizes are per-row array math over sh_set — the
     # shingle->signature stage has zero exchanges (the exploded+grouped
     # form paid two: distinct on (doc,shingle) and the groupBy(doc));
