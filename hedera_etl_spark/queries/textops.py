@@ -18,11 +18,14 @@ from pyspark.sql import functions as F
 
 from hedera_etl_spark.operators.textanalysis import (
     LANG_PROFILES,
+    SCRUB_PATTERNS,
     WORD_PATTERN,
     char_fingerprints,
+    chunk_documents,
     groupwise_minmax_norm,
     language_scores,
     quality_scores,
+    scrub_text,
     token_stats,
 )
 from hedera_etl_spark.operators.textdedup import (
@@ -323,6 +326,96 @@ def llm_groupwise_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic that genuinely needs imperative code."""
     docs = load_table(spark, sf_dir, "documents")
     return groupwise_minmax_norm(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunking + PII scrub (promoted to oracle-checked entries in r5; previously
+# pytest-only)
+# ---------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 128, 16
+_STEP = _CHUNK - _OVERLAP
+
+_CHUNK_ORACLE = """
+    WITH toked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             CAST(greatest(ceil(greatest(len(toks) - {overlap}, 1) / {step}.0), 1)
+                  AS BIGINT) AS n_chunks
+      FROM toked
+    ),
+    e AS (
+      SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, chunk_idx*{step} + 1, chunk_idx*{step} + {chunk}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx*{step} + 1, chunk_idx*{step} + {chunk}))
+                AS BIGINT) AS n_tokens
+    FROM e
+    ORDER BY doc_id, chunk_idx
+""".format(chunk=_CHUNK, overlap=_OVERLAP, step=_STEP)
+
+
+@query(
+    "llm_chunking",
+    _CHUNK_ORACLE,
+    tags=("llm", "chunking"),
+)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (128-token chunks, 16 overlap):
+    tokenize once, slice windows, explode — zero-shuffle map-side fan-out
+    (operators/textanalysis.py chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _scrub_oracle() -> str:
+    email, phone, num = (p for _, p, _ in SCRUB_PATTERNS)
+    return f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{phone}')) AS BIGINT) AS n_phone,
+             regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_phone,
+             CAST(len(regexp_extract_all(t2, '{num}')) AS BIGINT) AS n_long_number,
+             regexp_replace(t2, '{num}', '<NUM>', 'g') AS scrubbed_text
+      FROM s2
+    )
+    SELECT doc_id, scrubbed_text, n_email, n_phone, n_long_number
+    FROM s3 ORDER BY doc_id
+    """
+
+
+@query(
+    "llm_pii_scrub",
+    _scrub_oracle(),
+    tags=("llm", "pii", "scrub"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped span redaction (email/phone/long-number) via chained
+    regexp_replace with per-class hit counts computed against the
+    progressively scrubbed text — one JVM projection, no shuffle
+    (operators/textanalysis.py scrub_text).  The oracle chains the same
+    three classes in the same order, proving the count-after-replace
+    semantics cross-engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_text(docs).orderBy("doc_id")
 
 
 @query(
