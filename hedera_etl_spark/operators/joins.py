@@ -330,3 +330,115 @@ def as_of_join_time_grouped(
         *[F.col(c) for c in lcols],
         *[F.col("__m_all")[name].alias(name) for name in aggs],
     )
+
+
+def as_of_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    bucket_width: float,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join partitioned by (key, TIME BUCKET) — the scale
+    path when keys are few or hot.
+
+    ``as_of_join`` partitions its window by the key alone, so one key's
+    entire timeline sorts in ONE task: with a 25-value key over 100 TB,
+    that is 25 tasks however many executors exist.  This variant floors
+    the timestamp into ``bucket_width``-sized buckets and windows over
+    (key, bucket), so parallelism scales with the time span, with state
+    and sort size per task bounded by the bucket.  Bucket heads are then
+    healed with a seed join: the per-(key, bucket) LAST right payload is
+    aggregated (tiny — one row per key x bucket), prefix-carried across
+    buckets per key (a window over that tiny aggregate), and joined back
+    broadcast so rows whose match lies in an earlier bucket coalesce to
+    the carried seed.  Three narrow extra ops buy unbounded key-skew
+    tolerance; output is identical to ``as_of_join`` (property-pinned).
+
+    ``bucket_width`` is in the ts column's natural unit: DAYS for dates,
+    SECONDS for timestamps, the raw value for numerics.  Choose it so
+    keys x buckets stays far below the data size (that aggregate is
+    broadcast).  Same NULL/tie semantics and ``right`` uniqueness
+    contract as ``as_of_join``.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"as_of_join_bucketed supports how='left'|'inner', got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    clash = set(right_payload) & (set(lcols) | set(keys) | {left_ts})
+    if clash:
+        raise ValueError(
+            f"right_payload columns {sorted(clash)} collide with left output "
+            "columns — rename one side before joining"
+        )
+
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    struct_type = "struct<" + ", ".join(
+        f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_payload
+    ) + ">"
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(struct_type).alias("__r_all"),
+    )
+    r_tagged = right.na.drop(subset=[*keys, right_ts]).select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        payload_struct.alias("__r_all"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    ts_type = dict(u.dtypes)["__ts"]
+    if ts_type == "date":
+        numeric = F.unix_date(F.col("__ts"))
+    elif ts_type.startswith("timestamp"):
+        numeric = F.unix_micros(F.col("__ts").cast("timestamp")) / F.lit(1_000_000)
+    else:
+        numeric = F.col("__ts")
+    u = u.withColumn("__bkt", F.floor(numeric / F.lit(float(bucket_width))))
+
+    # in-bucket carry (exact-ts ties: right sorts before left, as always)
+    w_in = (
+        W.partitionBy(*keys, "__bkt")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select("*", F.last("__r_all", ignorenulls=True).over(w_in).alias("__m_in"))
+
+    # seed = last right payload of any EARLIER bucket, per key.  The grid
+    # covers every (key, bucket) present on either side so the prefix
+    # carry hops over right-empty buckets.
+    seed_src = (
+        u.filter(F.col("__side") == 0)
+        .groupBy(*keys, "__bkt")
+        .agg(F.max_by("__r_all", F.col("__ts")).alias("__last_r"))
+    )
+    grid = u.select(*keys, "__bkt").distinct()
+    w_seed = W.partitionBy(*keys).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    seeds = (
+        grid.join(seed_src, [*keys, "__bkt"], "left")
+        .select(*keys, "__bkt", F.last("__last_r", ignorenulls=True).over(w_seed).alias("__seed"))
+    )
+
+    out = (
+        carried.join(F.broadcast(seeds), [*keys, "__bkt"], "left")
+        .withColumn("__m_all", F.coalesce(F.col("__m_in"), F.col("__seed")))
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        out = out.filter(F.col("__m_all").isNotNull())
+    return out.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col("__m_all")[c].alias(c) for c in right_payload],
+    )

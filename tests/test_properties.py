@@ -310,3 +310,61 @@ def test_asof_time_grouped_single_pre_window_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Sort" in plan
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+                   min_size=0, max_size=12),
+    width=st.sampled_from([1, 7, 25, 100]),
+)
+def test_asof_bucketed_equals_plain_form(spark, left, right, width):
+    """The (key, time-bucket)-partitioned as-of must equal the plain
+    key-partitioned form for every bucket width — including widths that
+    put the match many empty buckets behind the left row (the seed
+    prefix-carry path) and width >= span (single bucket, pure in-bucket
+    path)."""
+    from hedera_etl_spark.operators.joins import as_of_join, as_of_join_bucketed
+
+    right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "lts", "lid"]
+    )
+    rdf = spark.createDataFrame(right, ["k", "rts", "payload"]) if right else \
+        spark.createDataFrame([], "k long, rts long, payload long")
+
+    want = {
+        r["lid"]: r["payload"]
+        for r in as_of_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_payload=["payload"]
+        ).collect()
+    }
+    got = {
+        r["lid"]: r["payload"]
+        for r in as_of_join_bucketed(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["payload"], bucket_width=width,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_asof_bucketed_inner_and_validation(spark):
+    from hedera_etl_spark.operators.joins import as_of_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [(1, 10, "m"), (1, 2, "u")], "k LONG, lts LONG, tag STRING"
+    )
+    rdf = spark.createDataFrame([(1, 5, 42)], "k LONG, rts LONG, payload LONG")
+    out = as_of_join_bucketed(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload"], bucket_width=3, how="inner",
+    ).collect()
+    assert {r["tag"] for r in out} == {"m"}
+    import pytest as _pytest
+
+    for bad in (0, -1):
+        with _pytest.raises(ValueError):
+            as_of_join_bucketed(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                                right_payload=["payload"], bucket_width=bad)
