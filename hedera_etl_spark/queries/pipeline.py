@@ -211,19 +211,17 @@ def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps instead of unseeded Random)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
     # µs-truncated nanos so the DuckDB oracle (µs timestamps) sees the
-    # same values
-    base = ev.select(
-        F.expr("(ts_ns div 1000) * 1000").alias("consensus_timestamp"),
-        F.col("event_id"),
-        F.lit(0).alias("ingest_seq"),
-    )
-    replays = ev.filter(F.col("event_id") % 5 == 0).select(
-        F.expr("(ts_ns div 1000) * 1000").alias("consensus_timestamp"),
-        F.col("event_id"),
-        F.lit(1).alias("ingest_seq"),
-    )
+    # same values; replays explode from the one scan (see duped_events)
     return (
-        base.unionByName(replays)
+        ev.select(
+            F.expr("(ts_ns div 1000) * 1000").alias("consensus_timestamp"),
+            F.col("event_id"),
+            F.explode(
+                F.when(
+                    F.col("event_id") % 5 == 0, F.array(F.lit(0), F.lit(1))
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("ingest_seq"),
+        )
         .withColumn("ts_sec", F.expr("consensus_timestamp div 1000000000"))
         .withColumn(
             "part_date",
