@@ -308,34 +308,18 @@ def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     integers rounded through DECIMAL(9,6) then cast DOUBLE (trailing-zero
     decimals hash differently per engine).
     """
-    # ONE scan of ``sets``: each pair explodes to its two member ids, the
-    # single join attaches each member's set, and a regroup on the pair
-    # key reassembles (set_a, set_b).  Joining an aliased ``sets`` per
-    # side reads (and re-shingles) the corpus twice — the two join inputs
-    # are distinct plans, so Catalyst cannot share the scan; this form
-    # halves the dominant cost.  The regroup shuffles only matched rows
-    # (2 x |pairs| — tiny by blocking construction), and AQE elects a
-    # broadcast for the pair side at runtime.
+    # Two per-side equi-joins, pairs as the streaming probe.  Callers
+    # pass CHECKPOINTED sets (minhash_lsh_neardups / ngram docstrings),
+    # so reading the plan twice costs two block reads, not two corpus
+    # re-shingles — and the pair stream never carries a shingle array
+    # through a shuffle.  (An explode-pair + single-join + regroup form
+    # was tried: one scan, but it shuffles BOTH members' sets per pair —
+    # measured 46 s vs ~3 s here when weak blocking produced 1.3M
+    # candidate pairs at sf0.1.  Joins it is.)
     carry = [c for c in ("__n_a", "__n_b") if c in pairs.columns]
-    long = pairs.select(
-        "doc_a", "doc_b", *carry, F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    joined = (
-        long.join(sets, "doc_id")
-        .groupBy("doc_a", "doc_b", *carry)
-        .agg(
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh_set")), ignorenulls=True
-            ).alias("__set_a"),
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh_set")), ignorenulls=True
-            ).alias("__set_b"),
-        )
-        # inner-join semantics of the two-join form: both members must
-        # have a shingle set (guaranteed for LSH candidates, which derive
-        # from sets — kept for hand-built pairs)
-        .filter(F.col("__set_a").isNotNull() & F.col("__set_b").isNotNull())
-    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__set_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
     if carry:
         n_a, n_b = F.col("__n_a"), F.col("__n_b")
     else:
@@ -593,18 +577,25 @@ def ngram_jaccard_neardups(
     """
     from hedera_etl_spark.tables import ensure_parallelism
 
-    sets = shingle_sets(ensure_parallelism(docs), n)
+    # checkpoint: sets feed the shingle explode AND the verify join (see
+    # minhash_lsh_neardups for the measured rationale)
+    sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
-    left = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    right = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # document-frequency filter + candidate generation in ONE aggregate:
+    # gather each shingle's (distinct-per-doc) doc list, keep 2..max_df,
+    # emit sorted combinations per row — the previous df-count + rare
+    # self-join evaluated the shingle explode three more times and paid
+    # two extra shuffles; max_df bounds the per-row fan-out to
+    # C(max_df, 2), the same cap that made the join tractable
+    grouped = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     cand = (
-        left.join(right, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .selectExpr(
+            "explode(flatten(transform(ds, (a, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+            "named_struct('doc_a', a, 'doc_b', b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return (
