@@ -28,7 +28,23 @@ import sys
 
 def _add_ingest(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("ingest", help="JSON-lines stream -> transactions + errors tables")
-    p.add_argument("--input-dir", required=True, help="streaming source directory (S1)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input-dir", help="streaming source directory (S1)")
+    src.add_argument(
+        "--kafka-bootstrap-servers",
+        help="read from Kafka instead of a directory (S1 message-bus branch; "
+        "requires --kafka-topic and the spark-sql-kafka connector JAR)",
+    )
+    p.add_argument("--kafka-topic", default=None, help="Kafka topic(s), comma-separated")
+    p.add_argument(
+        "--kafka-starting-offsets", default="earliest", choices=["earliest", "latest"]
+    )
+    p.add_argument(
+        "--kafka-max-offsets-per-trigger",
+        type=int,
+        default=None,
+        help="micro-batch size bound (backpressure for backlog replays)",
+    )
     p.add_argument(
         "--transactions-table", required=True, help="output transactions table path (S2)"
     )
@@ -106,15 +122,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "ingest":
         from hedera_etl_spark.streaming.ingest import IngestPipeline
 
+        source_fn = None
+        if args.kafka_bootstrap_servers:
+            if not args.kafka_topic:
+                print("--kafka-topic is required with --kafka-bootstrap-servers",
+                      file=sys.stderr)
+                return 2
+            from hedera_etl_spark.streaming.sources import kafka_source
+
+            source_fn = kafka_source(
+                args.kafka_bootstrap_servers,
+                args.kafka_topic.split(","),
+                starting_offsets=args.kafka_starting_offsets,
+                max_offsets_per_trigger=args.kafka_max_offsets_per_trigger,
+            )
         pipe = IngestPipeline(
             spark,
-            args.input_dir,
+            args.input_dir or "",
             args.transactions_table,
             args.errors_table,
             args.checkpoint,
             watermark=args.watermark,
             dedupe_in_stream=not args.no_dedupe,
             archive_path=args.archive_path,
+            source_fn=source_fn,
         )
         if args.continuous:
             pipe.start(available_now=False).awaitTermination()

@@ -102,3 +102,33 @@ def test_rate_json_source_runs_ingest_end_to_end(spark, tmp_path):
     assert pipe.metrics.error_rows == 0
     table = spark.read.parquet(str(tmp_path / "table"))
     assert table.filter("consensusTimestamp IS NOT NULL").count() >= 5
+
+
+def test_cli_kafka_flags_build_the_source():
+    """CLI wiring: --kafka-* flags construct a kafka source_fn with the
+    right options (validated eagerly, no broker needed) and are mutually
+    exclusive with --input-dir."""
+    import pytest as _pytest
+
+    from hedera_etl_spark.cli import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "ingest", "--kafka-bootstrap-servers", "b:9092", "--kafka-topic", "tx,tx2",
+        "--transactions-table", "t", "--errors-table", "e", "--checkpoint", "c",
+        "--kafka-max-offsets-per-trigger", "5000",
+    ])
+    assert args.kafka_bootstrap_servers == "b:9092"
+    opts = kafka_source_options(
+        args.kafka_bootstrap_servers,
+        args.kafka_topic.split(","),
+        starting_offsets=args.kafka_starting_offsets,
+        max_offsets_per_trigger=args.kafka_max_offsets_per_trigger,
+    )
+    assert opts["subscribe"] == "tx,tx2"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    with _pytest.raises(SystemExit):
+        parser.parse_args([
+            "ingest", "--input-dir", "d", "--kafka-bootstrap-servers", "b:9092",
+            "--transactions-table", "t", "--errors-table", "e", "--checkpoint", "c",
+        ])
