@@ -302,6 +302,98 @@ def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream-stream join (watermarked, time-range-bounded)
+# ---------------------------------------------------------------------------
+@query(
+    "hed_stream_join",
+    """
+    WITH receipts AS (
+      SELECT event_id, ts + INTERVAL 5 MINUTE AS rts, value * 2 AS rvalue
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT e.user_id, COUNT(*) AS n_matched,
+           CAST(CAST(SUM(CAST(r.rvalue AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE)
+             AS total_rvalue
+    FROM events e JOIN receipts r USING (event_id)
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def hed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermarked stream-stream join (streaming/joins.py): the
+    events stream joins a 5-minute-delayed receipts stream (every 3rd
+    event acknowledged at 2x value) on the unique key with a +-10 minute
+    time-range bound — the state-evicting shape.  Drained in one
+    availableNow pass, the watermark filters nothing, so the output
+    equals the batch join and the oracle is exact SQL; the eviction
+    behavior itself is pinned by tests/test_stream_join.py."""
+    import os
+    import shutil
+
+    from hedera_etl_spark.streaming.joins import stream_stream_join
+
+    configure_session(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"hed_stream_join_{tag}"
+    stage_l = tempfile.mkdtemp(prefix="hed_sjoin_l_")
+    stage_r = tempfile.mkdtemp(prefix="hed_sjoin_r_")
+    ckpt = tempfile.mkdtemp(prefix="hed_sjoin_ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage_l, "part-0.parquet"))
+        # the receipts stream is materialized once into its own staged dir
+        receipts_batch = (
+            normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .filter(F.col("event_id") % 3 == 0)
+            .select(
+                "event_id",
+                F.expr("timestamp_micros(ts_ns div 1000) + INTERVAL 5 MINUTE").alias("rts"),
+                (F.col("value") * 2).alias("rvalue"),
+            )
+        )
+        receipts_batch.write.parquet(stage_r, mode="overwrite")
+
+        left = normalize_events(spark.readStream.schema(schema).parquet(stage_l)).select(
+            "event_id",
+            F.expr("timestamp_micros(ts_ns div 1000)").alias("ts"),
+            "user_id",
+        )
+        right = spark.readStream.schema(receipts_batch.schema).parquet(stage_r)
+        joined = stream_stream_join(
+            left, right, on="event_id", left_ts="ts", right_ts="rts",
+            max_delay="10 minutes", watermark="1 hour",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(stage_l, ignore_errors=True)
+        shutil.rmtree(stage_r, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum(F.col("rvalue_r").cast(DEC))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("total_rvalue"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST2 — streaming dedup with watermark
 # ---------------------------------------------------------------------------
 @query(
