@@ -10,10 +10,13 @@ md5 over the VARCHAR).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hedera_etl_spark.operators.multimodal import (
+    audio_chunk_features,
     decode_image_metadata,
     payload_stats,
+    resize_images,
     sample_frames,
     with_payload,
 )
@@ -68,3 +71,83 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame processing of a video table."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(docs).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_audio_features",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    n AS (
+      SELECT doc_id, h,
+             CAST(greatest((len(h) // 2 + 399) // 400, 1) AS BIGINT) AS n_chunks
+      FROM hx
+    ),
+    e AS (
+      SELECT doc_id, h, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n
+    ),
+    c AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             substring(h, chunk_idx * 800 + 1, 800) AS ch
+      FROM e
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ch) // 2 AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(regexp_extract_all(ch, '..'),
+                                                 p -> ('0x' || p)::BIGINT)), 0)
+                AS BIGINT) AS energy,
+           CAST(coalesce(list_max(list_transform(regexp_extract_all(ch, '..'),
+                                                 p -> ('0x' || p)::BIGINT)), 0)
+                AS BIGINT) AS peak
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("mm", "audio", "explode"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style chunk features over the binary payload: per-400-byte
+    chunk explode + byte statistics (energy = sum, peak = max), all JVM
+    built-ins (operators/multimodal.py audio_chunk_features).  The oracle
+    reproduces the byte math at the hex level (2 hex chars per byte), so
+    the check is byte-exact for any UTF-8 content.  chunk_md5 is
+    projected out: DuckDB has no md5(BLOB)."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        audio_chunk_features(docs, chunk_bytes=400)
+        .select("doc_id", "chunk_idx", "n_bytes", "energy", "peak")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "mm_resize",
+    """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS out_width,
+           CAST(64 AS BIGINT) AS out_height,
+           CAST(256 AS BIGINT) AS n_bytes_out,
+           repeat(md5(text), 16) AS resized_hex
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("mm", "image", "pandas-udf"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-in/binary-out mapInPandas resize path, oracle-checked:
+    the deterministic fake thumbnail is the payload's md5 digest repeated
+    to 64*64//16 = 256 bytes, so its hex IS repeat(md5(text), 16) — an
+    exact cross-engine value proving the Arrow round trip carries binary
+    columns byte-for-byte (real decode stays behind real_decode=True /
+    NotImplementedError; no media libs in this container)."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        resize_images(docs, target=(64, 64))
+        .select(
+            "doc_id",
+            "out_width",
+            "out_height",
+            "n_bytes_out",
+            F.lower(F.hex("resized")).alias("resized_hex"),
+        )
+        .orderBy("doc_id")
+    )
