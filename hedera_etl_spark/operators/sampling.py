@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data pipelines.
+
+Corpus downsampling in production must be REPRODUCIBLE — re-running the
+pipeline (or re-executing a failed stage) has to select the identical
+rows, and an auditor has to be able to re-derive the sample from the raw
+table.  ``rand()``-based sampling fails all of that (per-task RNG state,
+partition-order dependence), so these operators derive the sampling
+decision from a content hash of the row's key: a row is kept iff its
+md5-derived bucket in [0, 1) falls below the rate.
+
+md5 (not xxhash64) so any engine reproduces the exact sample — the
+DuckDB oracle twin computes the same buckets from the same hex digits
+(the same cross-engine determinism contract as textdedup's signatures).
+
+Scale: pure per-row projections — no shuffle, no state; the stratified
+variant broadcasts a tiny rates map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket resolution: 8 hex digits = 32 bits → rates resolve to ~2^-32.
+_BUCKET_MOD = 1 << 32
+
+
+def hash_bucket(*cols: Column | str, salt: str = "") -> Column:
+    """Uniform [0, 1) bucket from the md5 of the concatenated key columns.
+
+    ``salt`` decorrelates independent sampling decisions over the same
+    key (e.g. a 1% eval split drawn independently of a 10% train
+    downsample) — different salts give independent buckets.
+    """
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    digest = F.md5(F.concat_ws("\x1f", F.lit(salt), *[p.cast("string") for p in parts]))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") / F.lit(
+        float(_BUCKET_MOD)
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff bucket(key) < rate — deterministic Bernoulli
+    sampling, identical under retries, re-runs and engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate!r}")
+    return df.filter(hash_bucket(*key_cols, salt=salt) < rate)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data mixture
+    knob (e.g. keep 100% of low-resource languages, 10% of the crawl).
+
+    ``rates`` maps stratum value -> keep rate; strata not listed keep
+    ``default_rate`` (0.0 = drop, 1.0 = keep all).  The decision hash
+    uses the key columns only, NOT the stratum, so a row's bucket is
+    stable even if it is re-labeled into a different stratum later.
+    """
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate!r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate!r}")
+    rate_col = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_col = F.when(F.col(strata_col) == stratum, F.lit(float(rate))).otherwise(
+            rate_col
+        )
+    return df.filter(hash_bucket(*key_cols, salt=salt) < rate_col)
