@@ -187,3 +187,19 @@ def test_range_join_broadcast_form_is_bnlj(spark):
     df = q08_range_join_broadcast(spark, SF)
     df.collect()
     assert "BroadcastNestedLoopJoin" in plan_of(df)
+
+
+def test_mapside_operators_have_no_pre_sort_exchange(spark, registry):
+    """Chunking, PII scrub, audio chunking, resize and sampling are pure
+    per-row fan-outs/projections — their plans must contain NO exchange
+    except the final presentation sort (zero-shuffle claim in the
+    operator docstrings)."""
+    for name in [
+        "llm_chunking", "llm_pii_scrub", "llm_stratified_sample",
+        "mm_audio_features", "mm_resize",
+    ]:
+        df = registry[name].spark_fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        n_range = plan.count("rangepartitioning")
+        assert n_exchanges == n_range, (name, plan)  # only the sort's
