@@ -72,6 +72,10 @@ def normalize_events(df: DataFrame) -> DataFrame:
     instead of duplicating the logic.
     """
     ts_type = dict(df.dtypes).get("ts")
+    if "ts_ns" in df.columns and ts_type == "timestamp_ntz":
+        # already normalized: re-deriving ts_ns from the µs-truncated ts
+        # would silently drop sub-microsecond digits
+        return df.select(*_EVENTS_COLS)
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) scanned under spark.sql.legacy.parquet.nanosAsLong
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(

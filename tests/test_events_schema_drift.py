@@ -86,3 +86,35 @@ def test_normalize_events_rejects_unknown_type(spark):
     df = df.selectExpr("CAST(ts AS STRING) AS ts", "ts AS event_id")
     with pytest.raises(TypeError):
         normalize_events(df)
+
+
+def test_normalize_events_is_idempotent(spark, flavor_dirs):
+    """Applying normalize_events to an already-normalized frame must be a
+    no-op — specifically it must NOT re-derive ts_ns from the
+    µs-truncated ts, which would silently drop sub-microsecond digits.
+    Pinned with a hand-built frame whose ts_ns has live nano digits."""
+    import pyspark.sql.functions as F
+
+    nanos_path, _ = flavor_dirs
+    once = normalize_events(spark.read.parquet(nanos_path))
+    twice = normalize_events(once)
+    assert once.columns == twice.columns
+    assert [r.asDict() for r in once.orderBy("event_id").collect()] == [
+        r.asDict() for r in twice.orderBy("event_id").collect()
+    ]
+
+    # sub-µs digits survive a re-normalize
+    nano = (
+        spark.range(1)
+        .select(
+            F.lit(7).alias("event_id"),
+            F.expr("CAST(timestamp_micros(1704067798778549) AS TIMESTAMP_NTZ)").alias("ts"),
+            F.lit(1).alias("user_id"),
+            F.lit("a").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+            F.lit(1704067798778549123).alias("ts_ns"),
+        )
+    )
+    out = normalize_events(nano).collect()[0]
+    assert out["ts_ns"] == 1704067798778549123

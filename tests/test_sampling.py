@@ -66,3 +66,15 @@ def test_rate_validation(spark):
         stratified_hash_sample(df, "k", {"x": -0.1}, key_cols=["k"])
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "k", {"x": 0.5}, key_cols=["k"], default_rate=2.0)
+
+
+def test_sample_composition_equals_intersection(spark):
+    """Sampling at rate r1 then filtering the result to the r2-bucket set
+    (same salt) equals sampling at min(r1, r2): the decision is a pure
+    per-row function, so composition is set intersection."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    a = hash_sample(hash_sample(df, ["k"], 0.5), ["k"], 0.2)
+    b = hash_sample(df, ["k"], 0.2)
+    assert {r["k"] for r in a.collect()} == {r["k"] for r in b.collect()}
