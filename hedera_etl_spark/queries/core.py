@@ -376,25 +376,16 @@ def q08_range_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q08_range_join",
-    """
-    SELECT s_suppkey, COUNT(*) AS n_close
-    FROM supplier JOIN customer
-      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
-    GROUP BY s_suppkey
-    ORDER BY s_suppkey
-    """,
-    tags=("join", "range", "bucketed"),
-)
 def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join as an equi-join on floor(value/width) buckets (right
     side exploded to bucket ±1, exact residual filter after) — the
     big-joins-big scale path where no side can broadcast
-    (operators/joins.py range_join_bucketed).  The oracle is the naive
-    BETWEEN join, proving the rewrite is semantics-preserving; the
-    broadcast BNLJ form lives in q08_range_join_broadcast (plan-audit
-    tested, not registered — same oracle)."""
+    (operators/joins.py range_join_bucketed).  Not a registry entry since
+    r6 (the 50-entry driver window): the rewrite is pinned instead by
+    test_plans.test_bucketed_range_join_is_equi_join (plan shape) and
+    test_bucketed_range_join_matches_bnlj_form (bit-exact equality with
+    the BNLJ form q08_range_join_broadcast, whose BETWEEN predicate is
+    the naive oracle semantics)."""
     from hedera_etl_spark.operators.joins import range_join_bucketed
 
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
@@ -445,21 +436,27 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS run_sum
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS run_sum,
+           lag(o_orderkey)  OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_orderkey
     """,
-    tags=("window", "frame"),
+    tags=("window", "frame", "analytic", "lag-lead"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-frame running aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
-    ROW) with a total-order sort key inside each partition for determinism."""
+    """Analytic window family in one entry: a sliding-frame running
+    aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) plus lag/lead
+    offsets and the inter-row gap over the SAME (partition, order) spec —
+    the W2 lag/lead surface folded in from the former q22_lag_lead entry
+    (r6 registry consolidation), still one shuffle on the partition key
+    because every function shares the window ordering.  A total-order
+    sort key inside each partition keeps all four outputs deterministic."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-2, W.currentRow)
-    )
+    ord_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = ord_w.rowsBetween(-2, W.currentRow)
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -468,6 +465,11 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,2)")
         .cast("double")
         .alias("run_sum"),
+        F.lag("o_orderkey").over(ord_w).alias("prev_ok"),
+        F.lead("o_orderkey").over(ord_w).alias("next_ok"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(ord_w)
+        ).cast("bigint").alias("days_since_prev"),
     ).orderBy("o_orderkey")
 
 
@@ -488,14 +490,20 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT
       SELECT o_custkey FROM orders
     )
+    UNION ALL
+    SELECT 'distinct' AS op, c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    )
     ORDER BY op, c_custkey
     """,
-    tags=("setop",),
+    tags=("setop", "distinct"),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT and EXCEPT, tagged and unioned into one entry — both
-    plan as a shuffle on the full row (the key) with hash-based
-    elimination, the same shape as distinct."""
+    """INTERSECT, EXCEPT and plain DISTINCT, tagged and unioned into one
+    entry — all three plan as a shuffle on the full row (the key) with
+    hash-based elimination; DISTINCT (the former q20_distinct entry,
+    folded in by the r6 registry consolidation) is the degenerate
+    single-input case of the same shape."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     okeys = orders.select(F.col("o_custkey").alias("c_custkey"))
@@ -510,7 +518,8 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.lit("except").alias("op"), "c_custkey")
     )
-    return inter.unionByName(exc).orderBy("op", "c_custkey")
+    dist = okeys.distinct().select(F.lit("distinct").alias("op"), "c_custkey")
+    return inter.unionByName(exc).unionByName(dist).orderBy("op", "c_custkey")
 
 
 # ---------------------------------------------------------------------------

@@ -192,34 +192,10 @@ def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q22_lag_lead",
-    """
-    SELECT event_id,
-           lag(event_type) OVER w AS prev_type,
-           lead(event_type) OVER w AS next_type,
-           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS us_since_prev
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY event_id
-    """,
-    tags=("window", "analytic"),
-)
-def q22_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead analytic windows (W2): previous/next event per user and
-    the inter-event gap — one shuffle on the partition key."""
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        (
-            F.expr("ts_ns div 1000") - F.lag(F.expr("ts_ns div 1000")).over(w)
-        ).alias("us_since_prev"),
-    ).orderBy("event_id")
+# lag/lead (the former q22_lag_lead entry) is driver-verified inside
+# q10_window_frame (queries/core.py), which computes lag/lead offsets and
+# the inter-row gap over the same window spec as its frame aggregate —
+# consolidated in r6 to fit the driver's 50-entry CORRECTNESS window.
 
 
 @query(
@@ -335,18 +311,7 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q20_distinct",
-    """
-    SELECT DISTINCT event_type, user_id % 10 AS ub
-    FROM events ORDER BY event_type, ub
-    """,
-    tags=("distinct",),
-)
-def q20_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select("event_type", (F.col("user_id") % 10).alias("ub"))
-        .distinct()
-        .orderBy("event_type", "ub")
-    )
+# plain DISTINCT (the former q20_distinct entry) is driver-verified as the
+# 'distinct' branch of q11_set_ops (queries/core.py) — same plan shape
+# (hash-eliminating shuffle on the key), consolidated in r6 to fit the
+# driver's 50-entry CORRECTNESS window.

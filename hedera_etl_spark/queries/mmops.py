@@ -34,22 +34,38 @@ from hedera_etl_spark.tables import load_table
            CASE (('0x' || substring(md5(text), 5, 1))::INT % 3)
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
            16 + ('0x' || substring(md5(text), 1, 2))::BIGINT AS width,
-           16 + ('0x' || substring(md5(text), 3, 2))::BIGINT AS height
+           16 + ('0x' || substring(md5(text), 3, 2))::BIGINT AS height,
+           CAST(64 AS BIGINT) AS out_width,
+           CAST(64 AS BIGINT) AS out_height,
+           CAST(256 AS BIGINT) AS n_bytes_out,
+           repeat(md5(text), 16) AS resized_hex
     FROM documents ORDER BY doc_id
     """,
-    tags=("mm", "binary", "decode", "pandas-udf"),
+    tags=("mm", "binary", "decode", "image", "pandas-udf"),
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both multimodal metadata paths in one entry, joined on the doc key:
-    decode-free binary stats (byte length / content hash / hex prefix —
-    pure JVM built-ins that never leave codegen) and the Arrow-batched
-    mapInPandas decode path, run for real with the deterministic stub
-    decoder (real decode gated behind real_decode=True /
-    NotImplementedError — no media libs in this container)."""
+    """The three multimodal image paths in one entry, joined on the doc
+    key: decode-free binary stats (byte length / content hash / hex
+    prefix — pure JVM built-ins that never leave codegen), the
+    Arrow-batched mapInPandas metadata decode, and the binary-in/
+    binary-out mapInPandas resize (the former mm_resize entry, folded in
+    by the r6 registry consolidation) whose deterministic fake thumbnail
+    is the payload's md5 repeated to 256 bytes — so resized_hex IS
+    repeat(md5(text), 16), proving the Arrow round trip carries binary
+    columns byte-for-byte.  Real decode stays gated behind
+    real_decode=True / NotImplementedError (no media libs in this
+    container)."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     stats = payload_stats(docs)
     meta = decode_image_metadata(docs).select("doc_id", "format", "width", "height")
-    return stats.join(meta, "doc_id").orderBy("doc_id")
+    thumb = resize_images(docs, target=(64, 64)).select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        "n_bytes_out",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    )
+    return stats.join(meta, "doc_id").join(thumb, "doc_id").orderBy("doc_id")
 
 
 @query(
@@ -120,25 +136,11 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_resize",
-    """
-    SELECT doc_id,
-           CAST(64 AS BIGINT) AS out_width,
-           CAST(64 AS BIGINT) AS out_height,
-           CAST(256 AS BIGINT) AS n_bytes_out,
-           repeat(md5(text), 16) AS resized_hex
-    FROM documents ORDER BY doc_id
-    """,
-    tags=("mm", "image", "pandas-udf"),
-)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The binary-in/binary-out mapInPandas resize path, oracle-checked:
-    the deterministic fake thumbnail is the payload's md5 digest repeated
-    to 64*64//16 = 256 bytes, so its hex IS repeat(md5(text), 16) — an
-    exact cross-engine value proving the Arrow round trip carries binary
-    columns byte-for-byte (real decode stays behind real_decode=True /
-    NotImplementedError; no media libs in this container)."""
+    """Standalone resize path (no longer a registry entry — its columns
+    are oracle-checked inside mm_payload_decode since the r6 registry
+    consolidation); kept for the zero-shuffle plan audit in
+    test_plans.test_mapside_operators_have_no_pre_sort_exchange."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     return (
         resize_images(docs, target=(64, 64))

@@ -1,9 +1,6 @@
 """Pipeline-parity queries: the reference's own operator shapes, run as
 registry entries so the driver's oracle validates them.
 
-- JSON parse + schema projection (P1/P2: TransactionJsonToTableRow.java:51-66)
-  demonstrated as a to_json -> from_json round trip whose oracle is DuckDB's
-  JSON extraction over the identically constructed strings.
 - The dedup pipeline end-to-end (A1+A2+J1) over a deterministically
   duplicated stream-shaped table, oracle = ROW_NUMBER()=1.
 - A real Structured Streaming query (rows-only check: streaming semantics
@@ -17,7 +14,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from hedera_etl_spark.queries import query
 from hedera_etl_spark.queries.core import duped_events, _DUPED_EVENTS_SQL
@@ -27,72 +23,12 @@ from hedera_etl_spark.tables import load_table, normalize_events
 DEC = "decimal(18,2)"
 
 
-# ---------------------------------------------------------------------------
-# P1/P2 — JSON -> typed row with lenient projection
-# ---------------------------------------------------------------------------
-_EVENT_JSON_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts_ns", T.LongType()),
-    ]
-)
-
-
-@query(
-    "hed_json_parse",
-    """
-    WITH src AS (
-      -- the driver's events view exposes ts as a microsecond TIMESTAMP;
-      -- the Spark side scans the same parquet as raw int64 nanos (ts_ns),
-      -- so the oracle derives nanos with epoch_ns.  Both sides then
-      -- truncate to micros, so sub-microsecond digits never matter.
-      SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
-    ),
-    raw AS (
-      SELECT event_id AS orig_id,
-             to_json(struct_pack(event_id := event_id, user_id := user_id,
-                                 event_type := event_type, ts_ns := ts_ns,
-                                 unknown_field := 'dropped')) AS payload
-      FROM src
-    )
-    SELECT CAST(json_extract(payload, '$.event_id') AS BIGINT) AS event_id,
-           CAST(json_extract(payload, '$.user_id') AS BIGINT) AS user_id,
-           CAST(json_extract_string(payload, '$.event_type') AS VARCHAR) AS event_type,
-           make_timestamp(CAST(json_extract(payload, '$.ts_ns') AS BIGINT) // 1000) AS ts_us
-    FROM raw
-    ORDER BY event_id
-    """,
-    tags=("json", "transform"),
-)
-def hed_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ingest transform P1/P2: parse a JSON payload with a declared
-    schema — unknown fields silently dropped, exactly the
-    ignoreUnknownValues() semantics of PubSubToBigQueryPipeline.java:46 —
-    and derive the microsecond-truncated timestamp from int64 nanos
-    (TransactionJsonToTableRow.java:57-58).  from_json is the JVM-side,
-    codegen'd replacement for the reference's Jackson per-row function."""
-    ev = load_table(spark, sf_dir, "events")
-    raw = ev.select(
-        F.to_json(
-            F.struct(
-                "event_id",
-                "user_id",
-                "event_type",
-                "ts_ns",
-                F.lit("dropped").alias("unknown_field"),
-            )
-        ).alias("payload")
-    )
-    parsed = raw.select(F.from_json("payload", _EVENT_JSON_SCHEMA).alias("d")).select("d.*")
-    return parsed.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)").alias("ts_us"),
-    ).orderBy("event_id")
-
+# P1/P2 (JSON -> typed row with lenient projection) is driver-verified by
+# ``hed_tx_transform`` (queries/txops.py), which parses the full 57-leaf
+# transaction JSON corpus through the same from_json path; the former
+# ``hed_json_parse`` entry was a 4-field subset of it and was consolidated
+# away in r6 to keep the registry inside the driver's 50-entry
+# CORRECTNESS window (VERDICT r5 task 1).
 
 # ---------------------------------------------------------------------------
 # ST4/A1/A2/J1 — the dedup pipeline end-to-end
@@ -134,14 +70,16 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the lowest ingest_seq anyway — same tiebreak as collapse_duplicates
         F.min_by("value", "ingest_seq").alias("value"),
     )
+    # post-collapse, rows == distinct keys by construction: emit the ONE
+    # count under both contract names instead of computing it twice
+    # (ADVICE r5: twin aggregates invite silent drift)
     return per_key.agg(
         F.count("*").alias("n_rows"),
-        F.count("*").alias("n_keys"),
         F.sum(F.col("value").cast(DEC))
         .cast("decimal(28,2)")
         .cast("double")
         .alias("total_value"),
-    )
+    ).select("n_rows", F.col("n_rows").alias("n_keys"), "total_value")
 
 
 # ---------------------------------------------------------------------------

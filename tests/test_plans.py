@@ -117,15 +117,31 @@ def test_clustered_write_gives_rowgroup_stats(spark, tmp_path):
         assert vals == sorted(vals), f
 
 
-def test_bucketed_range_join_is_equi_join(spark, registry):
+def test_bucketed_range_join_is_equi_join(spark):
     """The bucketized range join must plan as a hash equi-join, never a
-    nested loop — that's its entire reason to exist."""
-    df = registry["q08_range_join"].spark_fn(spark, SF)
+    nested loop — that's its entire reason to exist.  (No longer a
+    registry entry after the r6 consolidation; the function is pinned
+    here instead.)"""
+    from hedera_etl_spark.queries.core import q08c
+
+    df = q08c(spark, SF)
     df.collect()
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # broadcast- or shuffled-hash on __bucket
+
+
+def test_bucketed_range_join_matches_bnlj_form(spark):
+    """The bucketed rewrite and the naive BETWEEN (BNLJ) form must emit
+    identical rows — the semantics-preservation proof that backed the
+    former q08_range_join oracle entry, kept as a pytest pin since the
+    r6 registry consolidation."""
+    from hedera_etl_spark.queries.core import q08c, q08_range_join_broadcast
+
+    a = sorted(tuple(r) for r in q08c(spark, SF).collect())
+    b = sorted(tuple(r) for r in q08_range_join_broadcast(spark, SF).collect())
+    assert a == b and len(a) > 0
 
 
 def test_minhash_signature_stage_has_no_exchange(spark):
@@ -194,11 +210,14 @@ def test_mapside_operators_have_no_pre_sort_exchange(spark, registry):
     per-row fan-outs/projections — their plans must contain NO exchange
     except the final presentation sort (zero-shuffle claim in the
     operator docstrings)."""
+    from hedera_etl_spark.queries.mmops import mm_resize
+
     for name in [
         "llm_chunking", "llm_pii_scrub", "llm_stratified_sample",
-        "mm_audio_features", "mm_resize",
+        "mm_audio_features", mm_resize,
     ]:
-        df = registry[name].spark_fn(spark, SF)
+        fn = registry[name].spark_fn if isinstance(name, str) else name
+        df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange")
         n_range = plan.count("rangepartitioning")
