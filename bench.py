@@ -93,11 +93,15 @@ def main() -> int:
             print(f"bench: query {name} failed: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
-    # DuckDB twin: identical oracle SQL over the same parquet, same machine
+    # DuckDB twin: identical oracle SQL over the same parquet, same machine.
+    # Queries that errored on the Spark side are skipped so the vs_duckdb
+    # ratios always compare identical query sets (ADVICE r5: an errored
+    # Spark query was excluded from `total` while its oracle still counted
+    # in duck_total, understating the ratio).
     def duck_pass(con) -> dict[str, float]:
         out: dict[str, float] = {}
         for name, spec in bench_specs.items():
-            if spec.oracle is None:
+            if spec.oracle is None or name in errors:
                 continue
             best = None
             try:
@@ -147,13 +151,30 @@ def main() -> int:
         "timing": "min of %d over persisted tables; results materialized "
         "via xxhash64 over all output columns" % RUNS,
     }
+    # ratios over the intersection of query sets: a Spark-only success
+    # (oracle failed / oracle=None) must not inflate the Spark numerator
+    # against a DuckDB denominator that never ran it, and vice versa
+    def ratio(duck: dict[str, float]):
+        common = sorted(set(timings) & set(duck))
+        if not common:
+            return None, None
+        spark_c = sum(timings[n] for n in common)
+        duck_c = sum(duck[n] for n in common)
+        return (round(spark_c / duck_c, 2) if duck_c else None), common
+
     if duck_total:
         out["duckdb_total_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
-        out["vs_duckdb"] = round(total / duck_total, 2)
+        r, common = ratio(duck_timings)
+        if r is not None:
+            out["vs_duckdb"] = r
+            if len(common) != len(timings):
+                out["vs_duckdb_query_set"] = common
     if duck_cold_total:
         out["duckdb_cold_parquet_total_sec"] = duck_cold_total
-        out["vs_duckdb_cold_parquet"] = round(total / duck_cold_total, 2)
+        r, _ = ratio(duck_cold)
+        if r is not None:
+            out["vs_duckdb_cold_parquet"] = r
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

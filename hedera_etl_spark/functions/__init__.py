@@ -39,6 +39,15 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     Pure expression (transform over an index sequence) — stays in codegen.
     Documents shorter than ``n`` tokens yield an empty array.
 
+    Precondition: the token array must contain NO NULL elements.  The
+    indexed-concat form propagates a NULL token into a NULL shingle
+    (``concat`` is null-propagating), whereas the pre-r5
+    ``array_join(slice(...))`` form silently skipped nulls (ADVICE r5).
+    ``split()`` output — every caller in this engine — can never contain
+    nulls, so the engine's own paths are unaffected; callers handing in a
+    hand-built token array must ``filter(x -> x IS NOT NULL)`` first if
+    null-skipping semantics are wanted.
+
     IMPORTANT: pass a *projected column* (e.g. ``F.col("toks")`` after a
     ``select(split(...).alias("toks"))``), never the split expression
     itself — Catalyst inlines a passed expression into every lambda

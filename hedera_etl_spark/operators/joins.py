@@ -358,6 +358,24 @@ def as_of_join_bucketed(
     the carried seed.  Three narrow extra ops buy unbounded key-skew
     tolerance; output is identical to ``as_of_join`` (property-pinned).
 
+    Cost shape (r6 rework, measured at sf0.1): an explicit
+    ``repartition(keys, bucket)`` pins ONE exchange that BOTH consumers
+    read — the carry window (clustering requirement satisfied, no second
+    exchange) and the seed aggregate (already partitioned on its group
+    keys, so it runs complete-mode with no shuffle and the second plan
+    branch resolves to a ReusedExchange).  The first cut instead computed
+    the seed source and a separate bucket-grid distinct as independent
+    subtrees, re-evaluating the union — including any aggregation feeding
+    ``right`` — three times, and benched 2x SLOWER than the key-only form
+    it was meant to replace.  The grid pass is folded into the seed
+    aggregate: ``max_by`` ignores NULL ordering keys, so aggregating over
+    ALL rows with ``WHEN side=right THEN ts`` yields one row per populated
+    (key, bucket) with NULL payload for right-empty buckets — exactly
+    what the ignorenulls prefix carry needs, no distinct pass.  Net: one
+    full-size exchange total, one tiny window, one broadcast join — the
+    same big-data shuffle count as ``as_of_join`` itself, fully
+    deterministic (hash partitioning), no checkpoint.
+
     ``bucket_width`` is in the ts column's natural unit: DAYS for dates,
     SECONDS for timestamps, the raw value for numerics.  Choose it so
     keys x buckets stays far below the data size (that aggregate is
@@ -405,6 +423,9 @@ def as_of_join_bucketed(
     else:
         numeric = F.col("__ts")
     u = u.withColumn("__bkt", F.floor(numeric / F.lit(float(bucket_width))))
+    # ONE pinned exchange feeding both consumers below (carry window +
+    # seed aggregate) — see the cost-shape note in the docstring
+    u = u.repartition(*[F.col(k) for k in keys], F.col("__bkt"))
 
     # in-bucket carry (exact-ts ties: right sorts before left, as always)
     w_in = (
@@ -414,19 +435,17 @@ def as_of_join_bucketed(
     )
     carried = u.select("*", F.last("__r_all", ignorenulls=True).over(w_in).alias("__m_in"))
 
-    # seed = last right payload of any EARLIER bucket, per key.  The grid
-    # covers every (key, bucket) present on either side so the prefix
-    # carry hops over right-empty buckets.
-    seed_src = (
-        u.filter(F.col("__side") == 0)
-        .groupBy(*keys, "__bkt")
-        .agg(F.max_by("__r_all", F.col("__ts")).alias("__last_r"))
+    # seed = last right payload of any EARLIER bucket, per key.  ONE
+    # aggregate over all rows covers the bucket grid: max_by skips NULL
+    # ordering keys, so left-only buckets land as NULL payload rows the
+    # ignorenulls prefix carry hops over.  Map-side combine shrinks the
+    # shuffle to ~(keys x buckets) rows per mapper.
+    per_bucket = u.groupBy(*keys, "__bkt").agg(
+        F.max_by("__r_all", F.when(F.col("__side") == 0, F.col("__ts"))).alias("__last_r")
     )
-    grid = u.select(*keys, "__bkt").distinct()
     w_seed = W.partitionBy(*keys).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
-    seeds = (
-        grid.join(seed_src, [*keys, "__bkt"], "left")
-        .select(*keys, "__bkt", F.last("__last_r", ignorenulls=True).over(w_seed).alias("__seed"))
+    seeds = per_bucket.select(
+        *keys, "__bkt", F.last("__last_r", ignorenulls=True).over(w_seed).alias("__seed")
     )
 
     out = (

@@ -206,13 +206,19 @@ def lsh_candidates(
 
     ``max_bucket`` drops degenerate buckets (skew guard for production
     corpora where boilerplate shingles collapse many docs into one
-    bucket) — with the grouped form it is a plain ``size(ds)`` filter on
-    the gathered array, and it also BOUNDS the per-row pair fan-out to
-    C(max_bucket, 2), which is exactly the memory guard collect_list
-    needs at corpus scale (pass None only for exhaustive small-corpus
-    runs).  Each doc appears once per band, so buckets hold distinct
-    docs and no self-pairs arise; ``array_sort`` on the (doc_id, ...)
-    structs yields doc_a < doc_b for free.
+    bucket) BEFORE the members are gathered: a count-over-window on the
+    same (band, sig) partitioning filters oversized buckets ahead of the
+    collect_list, so the aggregation buffer itself is bounded by
+    max_bucket — WindowExec's row buffer is spillable, a non-spillable
+    collect_list over a boilerplate bucket is not (ADVICE r5: filtering
+    AFTER collection bounded the pair fan-out but still materialized the
+    whole degenerate bucket in one buffer).  The window reuses the
+    exchange the groupBy needs anyway (same keys: no second shuffle,
+    one extra in-partition sort).  Pass None only for exhaustive
+    small-corpus runs — that path collects every bucket whole.  Each doc
+    appears once per band, so buckets hold distinct docs and no
+    self-pairs arise; ``array_sort`` on the (doc_id, ...) structs yields
+    doc_a < doc_b for free.
     """
     carry = [c for c in sig.columns if c == "__n"]
     band_structs = F.array(
@@ -227,13 +233,22 @@ def lsh_candidates(
     buckets = sig.select("doc_id", *carry, F.explode(band_structs).alias("bk")).select(
         "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("__bn", F.count("*").over(wb))
+            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket))
+            .drop("__bn")
+        )
     member = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
     grouped = buckets.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list(member)).alias("ds")
     )
+    # >= 2 is a no-op on the capped path (pre-filtered above) but load-
+    # bearing when max_bucket is None
     size_pred = F.size("ds") >= 2
-    if max_bucket is not None:
-        size_pred = size_pred & (F.size("ds") <= max_bucket)
     n_fields = ", '__n_a', a.__n, '__n_b', b.__n" if carry else ""
     pair_expr = (
         "explode(flatten(transform(ds, (a, i) -> "
@@ -587,16 +602,25 @@ def ngram_jaccard_neardups(
     # minhash_lsh_neardups for the measured rationale)
     sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    # document-frequency filter + candidate generation in ONE aggregate:
-    # gather each shingle's (distinct-per-doc) doc list, keep 2..max_df,
-    # emit sorted combinations per row — the previous df-count + rare
-    # self-join evaluated the shingle explode three more times and paid
-    # two extra shuffles; max_df bounds the per-row fan-out to
-    # C(max_df, 2), the same cap that made the join tractable
-    grouped = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    # document-frequency filter BEFORE gathering: a count-over-window on
+    # the shingle partitioning drops boilerplate shingles (df > max_df)
+    # ahead of the collect_list, so the aggregation buffer is bounded by
+    # max_df instead of the hottest shingle's document frequency (ADVICE
+    # r5 — the filter-after-collection form still materialized the
+    # degenerate shingle's whole doc list in one non-spillable buffer).
+    # The window reuses the exchange the groupBy needs anyway; candidate
+    # generation stays in-aggregate, fan-out bounded by C(max_df, 2).
+    from pyspark.sql import Window as W
+
+    wdf = W.partitionBy("shingle")
+    rare = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .drop("__df")
+    )
+    grouped = rare.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     cand = (
-        grouped.filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
-        .selectExpr(
+        grouped.selectExpr(
             "explode(flatten(transform(ds, (a, i) -> "
             "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
             "named_struct('doc_a', a, 'doc_b', b))))) AS p"
