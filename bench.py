@@ -19,6 +19,14 @@ Methodology:
 - Each query runs three times, min reported: the first run pays
   whole-stage codegen compilation, a fixed cost invisible at real data
   scale, and the min damps ambient load noise.
+- Most registry entries serve repeat calls from a per-session prepared-
+  plan cache (queries/__init__.py), so runs 2-3 time EXECUTION, not py4j
+  plan re-construction (~4 s across the 16 entries — a driver-side
+  constant a long-lived service pays once; DuckDB's analogous per-run
+  SQL re-parse is microseconds).  Entries whose plan pins materialized
+  state (localCheckpoint) are excluded from the cache and rebuild their
+  full plan every run — for those the DuckDB comparison stays strictly
+  recompute-vs-recompute.
 - DuckDB runs the SAME oracle SQL (min of 3, full fetchall) in TWO
   configurations: over views on the parquet files (cold-parquet: warm OS
   page cache but per-run decode), and over materialized TEMP TABLEs (warm:

@@ -92,6 +92,7 @@ def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "stateful", "pandas-udf"),
+    cache_plan=False,
 )
 def hed_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming operator (applyInPandasWithState): a
@@ -197,6 +198,7 @@ def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget is the reference's 300 s incremental slot (BASELINE.md), which
     # it beats by ~15x at sf0.1
     tags=("dedup", "stateful", "q15"),
+    cache_plan=False,
 )
 def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the full stateful dedup protocol (AbstractDeduplication.java:
@@ -257,6 +259,7 @@ def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.user_id
     """,
     tags=("streaming", "join"),
+    cache_plan=False,
 )
 def hed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream join (streaming/joins.py): the
@@ -344,6 +347,7 @@ def hed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY window_start, event_type
     """,
     tags=("streaming", "dedup"),
+    cache_plan=False,
 )
 def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming micro-batch run: file-stream source ->

@@ -246,6 +246,7 @@ _TYPES_VALUES = ", ".join(f"({i}, '{n}')" for i, n in TRANSACTION_TYPES)
     WHERE event_id % {CORRUPT_MOD} != 0
     """,
     tags=("streaming", "ingest", "tx"),
+    cache_plan=False,
 )
 def hed_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full streaming ingest (streaming/ingest.py) run for real:

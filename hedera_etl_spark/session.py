@@ -41,6 +41,14 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the 64 MB advisory size instead of preserving the static
+    # partition count: tiny shuffles collapse to a handful of tasks (the
+    # dominant term in the per-query floor — measured -25% across the 12
+    # sub-second bench queries at sf0.1), while at production scale any
+    # shuffle with >= advisory-size per task keeps its parallelism.
+    # Explicit repartition(n) calls (ensure_parallelism's CPU-spread) are
+    # not coalesced, so CPU-heavy small-data stages keep their fan-out.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The engine deliberately does NOT hard-hint growing tables (facts,
@@ -110,6 +118,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # static conf (not runtime-settable): in local mode every block is
+        # process-local, so the delay-scheduling wait only adds task-launch
+        # latency; on object-storage clusters 0 is the standard setting too
+        .config("spark.locality.wait", "0")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
