@@ -25,7 +25,14 @@ def entry_mod():
 def test_queries_and_oracles_align(entry_mod):
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) >= 50
+    # EXACTLY 50: the driver records only the FIRST 50 registry entries in
+    # CORRECTNESS_r{N}.json, so entry #51 is silently unverified (this is
+    # how q20-q25 vanished from the r5 report).  Adding a new entry means
+    # consolidating or removing an old one first — see COVERAGE.md.
+    assert len(q) == 50, (
+        f"registry has {len(q)} entries; the driver verifies only the first "
+        "50 — consolidate before adding (COVERAGE.md 'Registry budget')"
+    )
     assert set(o) <= set(q)
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
