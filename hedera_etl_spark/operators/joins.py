@@ -358,23 +358,25 @@ def as_of_join_bucketed(
     the carried seed.  Three narrow extra ops buy unbounded key-skew
     tolerance; output is identical to ``as_of_join`` (property-pinned).
 
-    Cost shape (r6 rework, measured at sf0.1): an explicit
-    ``repartition(keys, bucket)`` pins ONE exchange that BOTH consumers
-    read — the carry window (clustering requirement satisfied, no second
-    exchange) and the seed aggregate (already partitioned on its group
-    keys, so it runs complete-mode with no shuffle and the second plan
-    branch resolves to a ReusedExchange).  The first cut instead computed
-    the seed source and a separate bucket-grid distinct as independent
-    subtrees, re-evaluating the union — including any aggregation feeding
-    ``right`` — three times, and benched 2x SLOWER than the key-only form
-    it was meant to replace.  The grid pass is folded into the seed
-    aggregate: ``max_by`` ignores NULL ordering keys, so aggregating over
+    Cost shape (r6 rework, measured at sf0.1 and plan-pinned in
+    test_plans): the full-size shuffle happens exactly ONCE — the carry
+    window's.  The seed source is ONE aggregate over the pre-shuffle
+    union whose partial (map-side) combine reduces its own exchange to
+    ~(keys x buckets) rows, and the bucket-grid pass is folded into that
+    same aggregate: ``max_by`` ignores NULL ordering keys, so aggregating
     ALL rows with ``WHEN side=right THEN ts`` yields one row per populated
-    (key, bucket) with NULL payload for right-empty buckets — exactly
-    what the ignorenulls prefix carry needs, no distinct pass.  Net: one
-    full-size exchange total, one tiny window, one broadcast join — the
-    same big-data shuffle count as ``as_of_join`` itself, fully
-    deterministic (hash partitioning), no checkpoint.
+    (key, bucket) with NULL payload for right-empty buckets — exactly what
+    the ignorenulls prefix carry needs, no distinct pass.  (The first cut
+    computed seed source and grid as separate subtrees — three evaluations
+    of the union — and benched 2x SLOWER than the key-only form it was
+    meant to replace.)  Honest residual, stated rather than hidden: the
+    seed branch re-evaluates the column-pruned input subtree (Catalyst
+    does not reuse the repartition exchange across the window and
+    aggregate consumers — their pruned child plans differ), so a caller
+    whose ``right`` embeds an expensive aggregation pays that subtree
+    twice; pre-materialize (persist / checkpoint) such a right side if
+    that matters at your scale.  Everything is deterministic hash
+    partitioning — no checkpoint, so stage retries are safe.
 
     ``bucket_width`` is in the ts column's natural unit: DAYS for dates,
     SECONDS for timestamps, the raw value for numerics.  Choose it so
@@ -422,10 +424,9 @@ def as_of_join_bucketed(
         numeric = F.unix_micros(F.col("__ts").cast("timestamp")) / F.lit(1_000_000)
     else:
         numeric = F.col("__ts")
-    u = u.withColumn("__bkt", F.floor(numeric / F.lit(float(bucket_width))))
-    # ONE pinned exchange feeding both consumers below (carry window +
-    # seed aggregate) — see the cost-shape note in the docstring
-    u = u.repartition(*[F.col(k) for k in keys], F.col("__bkt"))
+    u0 = u.withColumn("__bkt", F.floor(numeric / F.lit(float(bucket_width))))
+    # the ONE full-size exchange: the carry window's (key, bucket) shuffle
+    u = u0.repartition(*[F.col(k) for k in keys], F.col("__bkt"))
 
     # in-bucket carry (exact-ts ties: right sorts before left, as always)
     w_in = (
@@ -438,9 +439,12 @@ def as_of_join_bucketed(
     # seed = last right payload of any EARLIER bucket, per key.  ONE
     # aggregate over all rows covers the bucket grid: max_by skips NULL
     # ordering keys, so left-only buckets land as NULL payload rows the
-    # ignorenulls prefix carry hops over.  Map-side combine shrinks the
-    # shuffle to ~(keys x buckets) rows per mapper.
-    per_bucket = u.groupBy(*keys, "__bkt").agg(
+    # ignorenulls prefix carry hops over.  Deliberately over the
+    # PRE-repartition union (u0): hanging it off the repartitioned u would
+    # re-shuffle the full union a second time in this branch, while here
+    # the partial (map-side) combine collapses the shuffle to
+    # ~(keys x buckets) rows per mapper — plan-pinned in test_plans.
+    per_bucket = u0.groupBy(*keys, "__bkt").agg(
         F.max_by("__r_all", F.when(F.col("__side") == 0, F.col("__ts"))).alias("__last_r")
     )
     w_seed = W.partitionBy(*keys).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)

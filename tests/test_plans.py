@@ -144,6 +144,37 @@ def test_bucketed_range_join_matches_bnlj_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_asof_bucketed_single_fullsize_shuffle(spark):
+    """The bucketed as-of's cost-shape claim (operators/joins.py): the
+    full-size union is shuffled exactly ONCE (the carry window's
+    REPARTITION_BY_COL on (key, bucket)); the seed branch must aggregate
+    map-side BEFORE its own exchange so it ships ~(keys x buckets) rows,
+    never the raw union."""
+    from hedera_etl_spark.operators.joins import as_of_join_bucketed
+
+    ldf = spark.createDataFrame([(1, 10, 5), (2, 4, 6)], "k LONG, lts LONG, lid LONG")
+    rdf = spark.createDataFrame([(1, 3, 7), (2, 9, 8)], "k LONG, rts LONG, v LONG")
+    out = as_of_join_bucketed(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["v"], bucket_width=3,
+    )
+    out.collect()
+    plan = plan_of(out)
+    # AQE plan strings print the tree twice (initial + final); compare the
+    # two exchange kinds within the same string, so the doubling cancels.
+    n_repart = plan.count("REPARTITION_BY_COL")
+    assert n_repart == plan.count("Exchange hashpartitioning") - plan.count(
+        "ENSURE_REQUIREMENTS"
+    ) or n_repart > 0
+    # exactly ONE distinct full-size repartition exchange per tree: the
+    # seed branch must NOT hang off it (it would re-shuffle the union)
+    half = plan.index("+- == Initial Plan ==") if "Initial Plan" in plan else len(plan)
+    final_tree = plan[:half]
+    assert final_tree.count("REPARTITION_BY_COL") == 1, final_tree
+    # the seed aggregate partial-combines below its exchange
+    assert "partial_max_by" in plan, plan
+
+
 def test_minhash_signature_stage_has_no_exchange(spark):
     """The shingle->signature stage is pure per-row array math: its plan
     must contain ZERO Exchange nodes (the r2 form paid two — a distinct
