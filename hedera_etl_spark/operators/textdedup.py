@@ -513,19 +513,33 @@ def simhash_fingerprints(
 
 
 def simhash_neardups(
-    docs: DataFrame, n_bands: int = 4, max_hamming: int = 3
+    docs: DataFrame,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance, banded blocking.
 
     Pigeonhole: two fingerprints within hamming distance ``max_hamming``
     agree on at least one of ``max_hamming + 1`` disjoint bands — with
-    n_bands > max_hamming the equi-join on (band_id, band_value) is a
-    complete (no-miss) blocking scheme.
+    n_bands > max_hamming the (band_id, band_value) blocking is a
+    complete (no-miss) scheme.
 
     With the default 4 bands over 64 bits, band values are 16-bit: 65,536
     buckets per band, so bucket occupancy stays O(corpus / 65k) — the
     32-bit/8-bit-band variant collapsed to <=256 buckets and went quadratic
     at corpus scale.
+
+    r6: candidates come from GROUPED in-bucket pair generation, not a
+    bucket self-join — the join's two inputs were distinct plans, so the
+    whole fingerprint subtree (explode + 22-lane aggregate) evaluated
+    TWICE (the same defect lsh_candidates fixed in r5), and it carried no
+    skew guard.  One fingerprint pass, one shuffle on (band, bv), pairs
+    generated inside each bucket row; ``max_bucket`` (optional — OFF
+    keeps exact parity with the uncapped oracle) drops degenerate buckets
+    BEFORE collection via a count-over-window on the same keys, bounding
+    both the collect buffer and the C(n,2) fan-out exactly as in
+    ``lsh_candidates``.
     """
     if n_bands <= max_hamming:
         raise ValueError(
@@ -551,24 +565,29 @@ def simhash_neardups(
     buckets = fp.select("doc_id", "fp_hi", "fp_lo", F.explode(bands_arr).alias("bk")).select(
         "doc_id", "fp_hi", "fp_lo", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
     )
-    left = buckets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("fp_hi").alias("hi_a"),
-        F.col("fp_lo").alias("lo_a"),
-        "band",
-        "bv",
-    )
-    right = buckets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("fp_hi").alias("hi_b"),
-        F.col("fp_lo").alias("lo_b"),
-        "band",
-        "bv",
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band", "bv")
+        buckets = (
+            buckets.withColumn("__bn", F.count("*").over(wb))
+            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket))
+            .drop("__bn")
+        )
+    member = F.struct("doc_id", "fp_hi", "fp_lo")
+    grouped = buckets.groupBy("band", "bv").agg(
+        F.array_sort(F.collect_list(member)).alias("ds")
     )
     pairs = (
-        left.join(right, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        grouped.filter(F.size("ds") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ds, (a, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+            "named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+            "'hi_a', a.fp_hi, 'lo_a', a.fp_lo, "
+            "'hi_b', b.fp_hi, 'lo_b', b.fp_lo))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b", "p.hi_a", "p.lo_a", "p.hi_b", "p.lo_b")
         .distinct()
     )
     return (

@@ -175,6 +175,23 @@ def test_asof_bucketed_single_fullsize_shuffle(spark):
     assert "partial_max_by" in plan, plan
 
 
+def test_simhash_neardups_single_fingerprint_pass(spark):
+    """Grouped in-bucket pair generation (r6): the fingerprint subtree —
+    rooted at the token explode over split(text) — must appear exactly
+    ONCE in the optimized plan.  The pre-r6 bucket self-join carried it
+    twice (two distinct join inputs, no exchange reuse)."""
+    from hedera_etl_spark.operators.textdedup import simhash_neardups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = (
+        simhash_neardups(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(text") == 1, plan
+
+
 def test_minhash_signature_stage_has_no_exchange(spark):
     """The shingle->signature stage is pure per-row array math: its plan
     must contain ZERO Exchange nodes (the r2 form paid two — a distinct
