@@ -180,6 +180,46 @@ def groupwise_minmax_norm(
     )
 
 
+def groupwise_minmax_norm_scalable(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale twin of ``groupwise_minmax_norm`` (property-pinned equal):
+    the grouped-map form ships each WHOLE group to one executor — the
+    applyInPandas contract, fatal when ``group_col`` is low-cardinality
+    over a 100 TB corpus (3 languages = 3 tasks).  Here the per-group
+    state is just (min, max): one map-side-combined aggregate (tiny),
+    broadcast back, and the normalization is a per-row projection — fully
+    parallel at any group cardinality.  Same integer parts-per-million
+    math, so the values are bit-identical."""
+    stats = (
+        docs.groupBy(group_col)
+        .agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    )
+    vals = F.col(value_col).cast("long")
+    # integer `div` (not `/`: long / long is a DOUBLE divide in Spark, and
+    # a float floor can disagree with int64 floor-division at edge values)
+    return (
+        docs.select(id_col, group_col, value_col)
+        .join(F.broadcast(stats), group_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            group_col,
+            vals.alias("value"),
+            ((vals - F.col("__lo")) * F.lit(1_000_000)).alias("__num"),
+            (F.col("__hi") - F.col("__lo")).alias("__span"),
+        )
+        .selectExpr(
+            "doc_id",
+            group_col,
+            "value",
+            "CAST(CASE WHEN __span = 0 THEN 0 ELSE __num div __span END AS BIGINT) AS norm_ppm",
+        )
+    )
+
+
 def char_fingerprints(
     docs: DataFrame, gram: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -229,7 +229,14 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (element-based) percentiles via rank selection: the
     median/p90 are actual data values, so there is no interpolation
     arithmetic to drift between engines (interpolated quantile_cont vs
-    F.percentile differed by one ulp at a DECIMAL rounding boundary)."""
+    F.percentile differed by one ulp at a DECIMAL rounding boundary).
+
+    Scale note: the row_number window partitions by event_type (5 values
+    here), so each group's rows serialize through one task — fine at this
+    table's size, a bottleneck on a 100 TB fact.  The scale path is
+    ``percentiles_by_histogram`` below (same answers, property-pinned):
+    its only per-group serial pass runs over the compressed (group,
+    DISTINCT value, count) histogram instead of raw rows."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -325,3 +332,56 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'distinct' branch of q11_set_ops (queries/core.py) — same plan shape
 # (hash-eliminating shuffle on the key), consolidated in r6 to fit the
 # driver's 50-entry CORRECTNESS window.
+
+
+def percentiles_by_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """EXACT discrete percentiles at fact-table scale: histogram-compress,
+    then rank-select on the compressed rows.
+
+    ``q23_percentiles``' rank window serializes each group's RAW rows
+    through one task — unacceptable when a group holds billions of rows.
+    This form's first pass is a fully parallel groupBy on
+    (group, value) producing the per-group value histogram; the only
+    per-group serial pass (a cumulative-count window) then runs over
+    DISTINCT values, which for real measures is orders of magnitude
+    smaller than the row count.  Both passes shuffle on keys that include
+    the value, so no single reducer sees a whole group's raw rows.
+
+    Returns one row per group with ``p_<q>`` columns (discrete — actual
+    data values, same selection rule as q23: the value at rank
+    ceil(q * n)), plus lo/hi.  Property-pinned equal to the window form
+    in tests/test_scale_techniques.py.
+    """
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    hist = (
+        df.select(F.col(group_col).alias("g"), vcol.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "g",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("n"),
+    )
+    # rank r falls on value v iff cum-count first reaches r at v
+    picks = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("v"))
+        ).alias(f"p_{int(q * 100)}")
+        for q in quantiles
+    ]
+    return (
+        cum.groupBy("g")
+        .agg(*picks, F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .withColumnRenamed("g", group_col)
+        .orderBy(group_col)
+    )

@@ -165,3 +165,58 @@ def test_dataframe_memo_attribute_invariant_holds(spark):
     assert a is b  # memo hit: same object, no second .rdd plan build
     # the memo attribute really lives on the wrapper
     assert any(k.startswith("_hes_ensured_") for k in vars(df))
+
+
+def test_percentiles_histogram_equals_window_form(spark):
+    """The histogram-compressed exact percentile (scale path: the serial
+    pass runs over DISTINCT values, not raw rows) must select the same
+    values as q23's row_number window form."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.queries.extops import percentiles_by_histogram
+
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in [5, 3, 3, 9, 1, 7, 7, 7, 2]]
+        + [("c", 4)],  # single-row group: every quantile = the value
+        "g STRING, v LONG",
+    )
+    got = {
+        r["g"]: (r["p_50"], r["p_90"], r["lo"], r["hi"])
+        for r in percentiles_by_histogram(df, "g", "v").collect()
+    }
+    w = W.partitionBy("g").orderBy("v")
+    ranked = df.select(
+        "g", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("g")).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("v"))
+    )
+    want = {
+        r["g"]: (r["p50"], r["p90"], r["lo"], r["hi"])
+        for r in ranked.groupBy("g")
+        .agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_groupwise_norm_scalable_equals_grouped_map(spark):
+    """The broadcast-join normalization (scale path: per-group state is
+    just (min, max)) must be bit-identical to the applyInPandas form —
+    including the span=0 single-value group and exact integer ppm math."""
+    from hedera_etl_spark.operators.textanalysis import (
+        groupwise_minmax_norm,
+        groupwise_minmax_norm_scalable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 55), (3, "en", 100), (4, "de", 7), (5, "de", 7)],
+        "doc_id LONG, lang STRING, n_chars LONG",
+    )
+    a = {tuple(r) for r in groupwise_minmax_norm(df).collect()}
+    b = {tuple(r) for r in groupwise_minmax_norm_scalable(df).collect()}
+    assert a == b and len(a) == 5
