@@ -16,9 +16,11 @@ Methodology:
 - Results are materialized by aggregating xxhash64 over EVERY output
   column — a bare count() would let Catalyst prune the projections and
   under-report projection-heavy queries (ADVICE r2, bench.py:49).
-- Each query runs three times, min reported: the first run pays
-  whole-stage codegen compilation, a fixed cost invisible at real data
-  scale, and the min damps ambient load noise.
+- An untimed warmup pass over the WHOLE suite precedes timing on BOTH
+  engines: JVM JIT and the codegen cache warm globally, so without it
+  measurements depend on iteration order (see comment at the pass).
+- Each query then runs three times, min reported: the min damps ambient
+  load noise (codegen compilation is already paid by the warmup pass).
 - Most registry entries serve repeat calls from a per-session prepared-
   plan cache (queries/__init__.py), so runs 2-3 time EXECUTION, not py4j
   plan re-construction (~4 s across the 16 entries — a driver-side
@@ -81,6 +83,20 @@ def main() -> int:
         except Exception as exc:
             print(f"bench: warmup failed for {t}: {exc}", file=sys.stderr)
 
+    # Untimed warmup pass over the WHOLE suite before any timing: JVM JIT
+    # and the codegen cache warm globally, not per query — without this,
+    # queries early in the iteration order are measured against a cold JIT
+    # that their own min-of-3 never escapes (measured: three identical
+    # full sweeps on one session ran 6.8 / 5.7 / 5.4 s — a 20% artifact of
+    # measurement ORDER, not of any plan).  Steady-state is the stated
+    # methodology (persisted tables above; DuckDB's warm TEMP-TABLE config
+    # below), and the DuckDB side gets the same untimed pass for symmetry.
+    for name, spec in bench_specs.items():
+        try:
+            materialize(spec.spark_fn(spark, sf_dir))
+        except Exception:
+            pass  # the timed loop below reports the error properly
+
     # Fault isolation (r4 post-mortem): one broken query must never kill the
     # whole harness — each spec is try/except'd, errors are reported per
     # query, and the JSON line is ALWAYS printed.
@@ -108,6 +124,14 @@ def main() -> int:
     # in duck_total, understating the ratio).
     def duck_pass(con) -> dict[str, float]:
         out: dict[str, float] = {}
+        # same untimed whole-suite warmup as the Spark side
+        for name, spec in bench_specs.items():
+            if spec.oracle is None or name in errors:
+                continue
+            try:
+                con.execute(spec.oracle).fetchall()
+            except Exception:
+                pass
         for name, spec in bench_specs.items():
             if spec.oracle is None or name in errors:
                 continue

@@ -10,8 +10,11 @@
   at corpus scale this is the difference between O(n*q) and O(n*q/2^planes).
 - embedding near-dup: cosine >= threshold pairs within LSH buckets.
 
-All vector math uses explicitly sequential folds (F.aggregate) in double
-precision — see hedera_etl_spark.functions: bit-reproducible across engines.
+All vector math accumulates sequentially in double precision — see
+hedera_etl_spark.functions: bit-reproducible across engines.  When the
+embedding width is known (every call site here), the folds are UNROLLED
+into flat codegen arithmetic — same accumulation order and values as the
+interpreted F.aggregate form, ~10x faster per pair.
 """
 
 from __future__ import annotations
@@ -36,11 +39,19 @@ def hyperplane_signs(n_planes: int, dims: int) -> list[list[int]]:
 
 
 def lsh_bucket_col(vec_col, signs: list[list[int]]):
-    """Bucket id column: bit p set iff the dot(vec, plane_p) >= 0."""
+    """Bucket id column: bit p set iff the dot(vec, plane_p) >= 0.
+
+    Plane lengths are known at plan time, so each projection uses the
+    UNROLLED dot (whole-stage codegen) rather than the interpreted fold —
+    bit-identical sums, ~10x on the 64-dim corpus (functions.dot)."""
     bucket = None
     for p, plane in enumerate(signs):
         lit_plane = F.array(*[F.lit(float(s)) for s in plane])
-        proj = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, lit_plane)
+        proj = dot(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            lit_plane,
+            dims=len(plane),
+        )
         bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
     return bucket
@@ -55,6 +66,7 @@ def lsh_projections_col(vec_col, signs: list[list[int]]):
             dot(
                 F.col(vec_col) if isinstance(vec_col, str) else vec_col,
                 F.array(*[F.lit(float(s)) for s in plane]),
+                dims=len(plane),
             )
             for plane in signs
         ]
@@ -172,6 +184,7 @@ def _dots_array(vec_col, centroids: list[list[float]]):
             dot(
                 F.col(vec_col) if isinstance(vec_col, str) else vec_col,
                 F.array(*[F.lit(v) for v in plane]),
+                dims=len(plane),
             )
             for plane in centroids
         ]
@@ -237,7 +250,7 @@ def ivf_topk(
         F.broadcast(probes)
         .join(assigned, "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec"), dims))
     )
     wrank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -259,12 +272,14 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for a fixed query set.
 
     The query side is a small broadcast; scoring is one scan of the corpus;
     per-query ranking is a window over q partitions.  Ties break on
-    neighbor id for determinism.
+    neighbor id for determinism.  Pass ``dims`` when the embedding width
+    is known so the scoring fold unrolls into codegen (functions.dot).
     """
     from pyspark.sql import Window as W
 
@@ -286,7 +301,7 @@ def brute_force_topk(
         F.broadcast(queries)
         .crossJoin(cands)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec"), dims))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -370,7 +385,7 @@ def lsh_ann_topk(
         F.broadcast(queries)
         .join(_cap_buckets(bucketed, max_bucket), "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec"), dims))
     )
     if n_probe > 1:
         # multi-probe can surface the same neighbor through two buckets
@@ -426,7 +441,7 @@ def cosine_neardup_pairs(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), dims))
         .filter(F.col("cos") >= threshold)
         .select(
             "id_a", "id_b", F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim")

@@ -79,7 +79,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window — the recall=1.0 baseline the ANN variants are judged
     against (operators/similarity.py brute_force_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, QUERY_IDS, k=K)
+    return brute_force_topk(emb, QUERY_IDS, k=K, dims=DIMS)
 
 
 # ---------------------------------------------------------------------------
