@@ -379,7 +379,12 @@ def as_of_join_bucketed(
     partitioning — no checkpoint, so stage retries are safe.
 
     ``bucket_width`` is in the ts column's natural unit: DAYS for dates,
-    SECONDS for timestamps, the raw value for numerics.  Choose it so
+    SECONDS for timestamps, the raw value for numerics.  Mind the unit: a
+    date-like TIMESTAMP column with ``bucket_width=365.0`` gets 365-SECOND
+    buckets — a near-per-row bucket grid whose "broadcast" seed side is
+    comparable to the input and whose per-key seed carry re-serializes
+    exactly what the bucketing should parallelize (q17 shipped this;
+    measured 35% slower than the intended 365-day width).  Choose it so
     keys x buckets stays far below the data size (that aggregate is
     broadcast).  Same NULL/tie semantics and ``right`` uniqueness
     contract as ``as_of_join``.

@@ -68,11 +68,16 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="o_orderdate",
         right_ts="l_shipdate",
         right_payload=["n_ship", "last_lok"],
-        # 365-day buckets: 25 keys x ~7 buckets of TPC-H date span = 175
+        # 365-DAY buckets: 25 keys x ~7 buckets of TPC-H date span = 175
         # window groups (vs 25 key-only), per-task sort bounded by one
-        # key-year; narrower buckets add seed-carry overhead faster than
-        # they add useful parallelism at this span (128d measured +0.2s)
-        bucket_width=365.0,
+        # key-year.  bucket_width is in the ts column's natural unit and
+        # these columns scan as TIMESTAMP_NTZ, so the unit is SECONDS —
+        # the prior bare 365.0 meant 365-SECOND buckets: a ~55k-entry
+        # bucket grid whose "broadcast" seed side was half the fact table
+        # and whose per-key seed carry re-serialized everything the
+        # bucketing was meant to parallelize (measured 1.23 -> 0.91 s at
+        # sf0.1; outputs identical — width only shapes parallelism).
+        bucket_width=365.0 * 86400,
     ).orderBy("o_orderkey")
 
 
