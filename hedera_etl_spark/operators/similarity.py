@@ -73,6 +73,13 @@ def lsh_projections_col(vec_col, signs: list[list[int]]):
     )
 
 
+def _bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Lazy-import alias of tables.bounded_sort (avoids a module cycle)."""
+    from hedera_etl_spark.tables import bounded_sort
+
+    return bounded_sort(df, *cols)
+
+
 def _cap_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
     """Drop rows in oversized LSH buckets — the same production skew guard
     as textdedup.lsh_candidates(max_bucket): one boilerplate/degenerate
@@ -262,7 +269,8 @@ def ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
-        .orderBy("query_id", "rank")
+        # q x k rows — bounded output (tables.bounded_sort)
+        .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
     )
 
 
@@ -313,7 +321,9 @@ def brute_force_topk(
             "neighbor_id",
             F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
-        .orderBy("query_id", "rank")
+        # q x k rows — bounded output; the window exchange above keeps the
+        # scoring parallel (tables.bounded_sort)
+        .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
     )
 
 
@@ -400,7 +410,8 @@ def lsh_ann_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
         )
-        .orderBy("query_id", "rank")
+        # q x k rows — bounded output (tables.bounded_sort)
+        .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hedera_etl_spark.queries import query
-from hedera_etl_spark.tables import ensure_parallelism, load_table
+from hedera_etl_spark.tables import bounded_sort, ensure_parallelism, load_table
 
 DEC = "decimal(18,2)"
 
@@ -221,7 +221,9 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
             F.count("*").alias("num_orders"),
         )
-        .orderBy("r_name", "n_name")
+        # 25 region x nation groups — semantically bounded output, so the
+        # sort skips the RangePartitioning sampling pass (tables.bounded_sort)
+        .transform(lambda d: bounded_sort(d, "r_name", "n_name"))
     )
 
 
@@ -352,7 +354,8 @@ def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("late_lines"))
-        .orderBy("o_orderpriority")
+        # 5 priority values — bounded output (tables.bounded_sort)
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -445,6 +448,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     tags=("window", "frame", "analytic", "lag-lead"),
+    bench=True,
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window family in one entry: a sliding-frame running
@@ -600,6 +604,7 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     tags=("scalar",),
+    bench=True,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared scalar surface in one projection (SURVEY §2.6):
@@ -666,7 +671,9 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 20)
-        .orderBy("lang", "tok")
+        # vocabulary-bounded output (tokens seen >= 20 times), not
+        # data-proportional (tables.bounded_sort)
+        .transform(lambda d: bounded_sort(d, "lang", "tok"))
     )
 
 
@@ -707,5 +714,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
+        # time-grid output: hours-in-span x event types, not row count
+        # (tables.bounded_sort)
+        .transform(lambda d: bounded_sort(d, "window_start", "event_type"))
     )
