@@ -608,43 +608,84 @@ def simhash_neardups(
 def ngram_jaccard_neardups(
     docs: DataFrame, n: int = 3, max_df: int = 20, threshold: float = 0.8
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dups, blocked on rare shingles.
+    """Exact n-gram Jaccard near-dups, blocked with PREFIX FILTERING.
 
-    Candidate pairs must co-occur in a shingle with document frequency
-    <= max_df (prefix-filtering): discriminative shingles generate few
-    pairs, boilerplate shingles generate none.  The Jaccard itself is then
+    Blocking on every shingle with document frequency <= max_df is
+    recall-equivalent but quadratic in practice: EACH rare shingle emits
+    C(df, 2) pairs, and a small-vocabulary corpus makes most shingles
+    "rare" (measured 1.25M candidate pairs from 5k docs at sf0.1 — 45 s,
+    with the exact verify dwarfing everything).  The standard fix is the
+    prefix filter of the set-similarity-join literature (SSJoin/PPJoin):
+    for Jaccard >= t, any qualifying pair must share a shingle among each
+    document's first ``p = |A| - floor(t * |A|) + 1`` shingles in a GLOBAL
+    order (rarest-first: ascending df, shingle) — if A's whole prefix
+    missed B, the overlap is at most |A| - p < t|A| <= the required
+    intersection.  So only prefix shingles become blocking keys (~20% of
+    them at t=0.8), and a length filter (min size >= t * max size, another
+    Jaccard necessity) prunes survivors before the exact verify.  floor
+    rather than the tight ceil keeps the prefix a token longer — immune
+    to IEEE rounding at exact multiples of t, recall-safe by construction.
+
+    Two deliberate deviations from the textbook, both recall-safe:
+    - the 2 <= df <= max_df filter applies BEFORE ranking: removing
+      tokens from the global order only PROMOTES surviving tokens into
+      prefixes, so every pair the filtered-universe theorem guarantees is
+      still found (df=1 shingles cannot pair; df > max_df is the same
+      documented boilerplate/skew cap as before — a pair whose every
+      shared shingle is boilerplate is lost under either scheme);
+    - prefix ranks use the FULL set size |A| (from ``sh_set``), as the
+      theorem requires, not the filtered size.
+
+    Per-shingle member lists are still gathered in-aggregate with the
+    collect_list buffer bounded by max_df (ADVICE r5), and the Jaccard is
     computed over the FULL shingle sets of each candidate pair.
     """
+    from pyspark.sql import Window as W
+
     from hedera_etl_spark.tables import ensure_parallelism
 
     # checkpoint: sets feed the shingle explode AND the verify join (see
     # minhash_lsh_neardups for the measured rationale)
     sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
-    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    # document-frequency filter BEFORE gathering: a count-over-window on
-    # the shingle partitioning drops boilerplate shingles (df > max_df)
-    # ahead of the collect_list, so the aggregation buffer is bounded by
-    # max_df instead of the hottest shingle's document frequency (ADVICE
-    # r5 — the filter-after-collection form still materialized the
-    # degenerate shingle's whole doc list in one non-spillable buffer).
-    # The window reuses the exchange the groupBy needs anyway; candidate
-    # generation stays in-aggregate, fan-out bounded by C(max_df, 2).
-    from pyspark.sql import Window as W
-
+    sh = sets.select(
+        "doc_id",
+        F.size("sh_set").cast("long").alias("__sz"),
+        F.explode("sh_set").alias("shingle"),
+    )
     wdf = W.partitionBy("shingle")
     rare = (
         sh.withColumn("__df", F.count("*").over(wdf))
         .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
-        .drop("__df")
     )
-    grouped = rare.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    # rarest-first global order; (df, shingle) is unique per doc, so the
+    # rank is deterministic on both engines
+    wdoc = W.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix = (
+        rare.withColumn("__rn", F.row_number().over(wdoc))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + F.lit(1)
+        )
+        .select("doc_id", "__sz", "shingle")
+    )
+    grouped = prefix.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("__sz")))
+        ).alias("ds")
+    )
     cand = (
         grouped.selectExpr(
             "explode(flatten(transform(ds, (a, i) -> "
             "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
-            "named_struct('doc_a', a, 'doc_b', b))))) AS p"
+            "named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+            "'__n_a', a.__sz, '__n_b', b.__sz))))) AS p"
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.__n_a", "p.__n_b")
+        # length filter: Jaccard >= t forces min/max size ratio >= t
+        .filter(
+            F.least("__n_a", "__n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("__n_a", "__n_b").cast("double")
+        )
         .distinct()
     )
     return (

@@ -198,3 +198,51 @@ def test_scrub_counts_agree_with_replacements(spark):
     r = scrub_text(docs).collect()[0]
     total_tags = r["scrubbed_text"].count("<")
     assert r["n_phone"] + r["n_long_number"] + r["n_email"] == total_tags == 1
+
+
+def test_ngram_prefix_filter_recall_matches_all_pairs(spark):
+    """The prefix filter (rarest-first blocking keys + length filter) must
+    find EXACTLY the pairs a brute-force all-pairs exact Jaccard finds at
+    the same threshold — the SSJoin/PPJoin completeness guarantee the
+    operator docstring claims, pinned on a corpus with clone clusters,
+    perturbed near-dups, boilerplate overlap, and unrelated text."""
+    from hedera_etl_spark.operators.textdedup import (
+        ngram_jaccard_neardups,
+        shingle_sets,
+        verify_jaccard_sets,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    doc_id = 0
+    for cluster in range(6):
+        base = " ".join(words[(cluster + i) % len(words)] for i in range(12))
+        for member in range(cluster % 3 + 1):
+            # member 0 is the original; others perturb the tail
+            text = base if member == 0 else base + f" tail{member}"
+            rows.append((doc_id, text))
+            doc_id += 1
+    rows.append((doc_id, "totally unrelated words appear in this document only")); doc_id += 1
+    rows.append((doc_id, "short")); doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    t = 0.8
+    blocked = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in ngram_jaccard_neardups(docs, threshold=t).collect()
+    }
+
+    sets = shingle_sets(docs, 3)
+    all_pairs = (
+        sets.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(sets.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in verify_jaccard_sets(sets, all_pairs)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert blocked == brute
+    assert brute  # the corpus must actually contain qualifying pairs
