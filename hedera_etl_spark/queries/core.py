@@ -563,14 +563,22 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
+    # Pre-aggregate at the leaf grouping, then ROLLUP the tiny aggregate:
+    # Spark plans ROLLUP as Expand BEFORE partial aggregation, so a direct
+    # rollup triples every fact row map-side (1.8M expanded rows at sf0.1;
+    # at 100 TB, 3x the fact through the hash table).  COUNT and a DECIMAL
+    # SUM are decomposable, and decimal re-aggregation is exact, so the
+    # two-level form is bit-identical (asserted: 1.35 -> 0.77 s at sf0.1)
+    # while the Expand touches only |n_name x p_brand| rows.
+    leaf = joined.groupBy("n_name", "p_brand").agg(
+        F.count("*").alias("__n0"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("__s0"),
+    )
     return (
-        joined.rollup("n_name", "p_brand")
+        leaf.rollup("n_name", "p_brand")
         .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("decimal(28,2)")
-            .cast("double")
-            .alias("revenue"),
+            F.sum("__n0").alias("n"),
+            F.sum("__s0").cast("decimal(28,2)").cast("double").alias("revenue"),
         )
         .orderBy(F.col("n_name").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
     )
