@@ -102,6 +102,15 @@ def dot(a: Column, b: Column, dims: int | None = None) -> Column:
     left-to-right accumulation order, same ``0.0`` seed, and an array
     shorter than N null-poisons the sum exactly as ``zip_with``'s null
     padding does.
+
+    Use unrolling ONLY for expressions that appear ONCE per plan (the
+    per-pair scoring cosine).  Composing unrolled dots into wide arrays
+    (an LSH sign matrix, a centroid grid) multiplies the expression-tree
+    size by the fan-out and Catalyst's plan-time blows up super-linearly:
+    the 16-centroid IVF quantizer measured 21 s of driver-side planning
+    unrolled vs 1.5 s as folds (similarity.lsh_bucket_col has the
+    numbers).  Runtime per row barely differs at that width; plan time
+    dominates.
     """
     if dims is None or dims > UNROLL_MAX_DIMS:
         prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

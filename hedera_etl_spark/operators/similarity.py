@@ -11,10 +11,12 @@
 - embedding near-dup: cosine >= threshold pairs within LSH buckets.
 
 All vector math accumulates sequentially in double precision — see
-hedera_etl_spark.functions: bit-reproducible across engines.  When the
-embedding width is known (every call site here), the folds are UNROLLED
-into flat codegen arithmetic — same accumulation order and values as the
-interpreted F.aggregate form, ~10x faster per pair.
+hedera_etl_spark.functions: bit-reproducible across engines.  The single
+per-pair SCORING cosine is unrolled into flat codegen arithmetic (same
+accumulation order and values as the interpreted F.aggregate form, ~10x
+per pair); the n_planes/n_centroids-wide bucket and quantizer arrays
+deliberately keep the interpreted fold — at that width the unrolled tree
+explodes Catalyst plan time (see lsh_bucket_col).
 """
 
 from __future__ import annotations
@@ -41,17 +43,19 @@ def hyperplane_signs(n_planes: int, dims: int) -> list[list[int]]:
 def lsh_bucket_col(vec_col, signs: list[list[int]]):
     """Bucket id column: bit p set iff the dot(vec, plane_p) >= 0.
 
-    Plane lengths are known at plan time, so each projection uses the
-    UNROLLED dot (whole-stage codegen) rather than the interpreted fold —
-    bit-identical sums, ~10x on the 64-dim corpus (functions.dot)."""
+    Deliberately the FOLD form of dot, not the unrolled one: these
+    projections compose n_planes-wide (8-16 dots per row, the whole
+    matrix re-referenced by bucket + multi-probe branches), and the
+    unrolled expression tree at that width blows up Catalyst analysis
+    and codegen compile — measured 0.55 -> 4.5-6 s of PLAN time per
+    LSH entry (ivf's 16-centroid array: 1.5 -> 21 s).  The unroll pays
+    only for the single per-pair scoring cosine (see ``cosine(dims=)``
+    call sites); per-row bucket math is a few hundred interpreted ops,
+    noise next to the join it feeds."""
     bucket = None
     for p, plane in enumerate(signs):
         lit_plane = F.array(*[F.lit(float(s)) for s in plane])
-        proj = dot(
-            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-            lit_plane,
-            dims=len(plane),
-        )
+        proj = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, lit_plane)
         bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
     return bucket
@@ -60,13 +64,13 @@ def lsh_bucket_col(vec_col, signs: list[list[int]]):
 def lsh_projections_col(vec_col, signs: list[list[int]]):
     """Array of the raw hyperplane projections dot(vec, plane_p) — the
     per-plane confidence multi-probe ranks by (|proj| ~ distance to the
-    boundary; the smallest are the likeliest sign flips)."""
+    boundary; the smallest are the likeliest sign flips).  Fold-form dot
+    on purpose — see lsh_bucket_col's plan-size note."""
     return F.array(
         *[
             dot(
                 F.col(vec_col) if isinstance(vec_col, str) else vec_col,
                 F.array(*[F.lit(float(s)) for s in plane]),
-                dims=len(plane),
             )
             for plane in signs
         ]
@@ -186,12 +190,13 @@ def ivf_train_kmeans(
 
 
 def _dots_array(vec_col, centroids: list[list[float]]):
+    # fold-form dot: a 16-centroid unrolled array measured 21 s of plan
+    # time (see lsh_bucket_col's note)
     return F.array(
         *[
             dot(
                 F.col(vec_col) if isinstance(vec_col, str) else vec_col,
                 F.array(*[F.lit(v) for v in plane]),
-                dims=len(plane),
             )
             for plane in centroids
         ]
