@@ -1,0 +1,181 @@
+"""Distributed connected components — the terminal stage of near-dup
+deduplication.
+
+Every near-dup detector in this engine (MinHash/LSH, SimHash, n-gram
+Jaccard, embedding cosine — operators/textdedup.py, operators/similarity.py)
+emits verified PAIRS.  A training-data pipeline then needs the transitive
+closure: doc A ~ B and B ~ C must collapse to ONE kept document even when
+(A, C) was never scored.  That closure is connected components over the
+pair graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-native formulation:
+
+- large-star: every node points its LARGER neighbors at the smallest
+  member of its neighborhood (including itself);
+- small-star: every node points its smaller-or-equal neighbors (and
+  itself) at that minimum.
+
+Each round is a groupBy-free window aggregate + filter over the edge
+list; the edge set provably converges to per-component stars whose
+center is the component minimum in O(log^2 n) rounds (O(log n) in
+practice), INDEPENDENT of graph diameter — plain min-label propagation
+needs O(diameter) rounds and dies on chain topologies.  No step ever
+materializes a component on one machine or on the driver: per-round
+driver traffic is one (count, checksum) row for the fixpoint test.
+
+Scale properties:
+- per-round shuffle is O(|E|); edges only ever point toward smaller ids,
+  so |E| is non-increasing after the first round;
+- per-node state in a round is its neighbor MIN (a window min over the
+  grouping exchange), never a collected neighbor list — a celebrity node
+  with 10^8 neighbors costs a wide window partition, not a buffer;
+- lineage is cut every round with an eager localCheckpoint (the same
+  iterate-then-pin pattern as ivf_train_kmeans's driver-side centroids);
+  without it round k replans the whole k-deep join tree.
+
+Reference parity note: the reference system has no graph stage — its
+dedup is exact-key only (RemoveDuplicatesTemplateQuery.java:29-43).
+This operator extends the engine's LLM-pipeline surface (SURVEY §2
+extras), composing with the near-dup detectors' pair outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u=min, v=max), self-loops dropped."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .na.drop()
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(N(u) + {u}).
+
+    The neighborhood minimum is a window min over the symmetrized edge
+    list — the window's partition exchange on u is the only shuffle.
+    """
+    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    m = F.least(F.col("a"), F.min("b").over(W.partitionBy("a")))
+    starred = sym.select("a", "b", m.alias("m"))
+    return (
+        starred.filter(F.col("b") > F.col("a"))
+        .select(F.col("m").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v <= u plus u itself, m = that minimum.
+
+    Operates on the (min, max)-oriented edges: grouping key is the LARGER
+    endpoint, so each node links its smaller neighbors (and itself) to
+    the smallest of them.
+    """
+    m = F.min("u").over(W.partitionBy("v"))  # all u < v by canonical orientation
+    starred = edges.select("u", "v", m.alias("m"))
+    relink = starred.select(F.col("m").alias("u"), F.col("u").alias("v"))
+    self_link = starred.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given as edge pairs.
+
+    Returns (node, component) for every node APPEARING IN AN EDGE, where
+    ``component`` is the smallest node id in its component (the
+    deterministic cluster representative every dedup keeper rule wants).
+    Component roots map to themselves.  Isolated nodes never appear in
+    ``edges`` and so not in the output — union the node universe in the
+    caller (``collapse_components`` does).
+
+    ``max_iterations`` is a safety rail, not a tuning knob: convergence
+    is O(log^2 n) worst-case, so 25 rounds covers any realistic graph;
+    hitting the rail raises rather than returning a half-merged
+    clustering (a silent partial merge would under-deduplicate).
+    """
+    cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
+
+    def state(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        return int(row["n"]), int(row["sig"])
+
+    prev = state(cur)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        now = state(nxt)
+        cur = nxt
+        if now == prev:
+            break
+        prev = now
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (expected only on graphs "
+            "far beyond O(log^2 n) = 25 rounds, i.e. never)"
+        )
+
+    # fixpoint edges are (root, member) stars; roots point to themselves
+    members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = cur.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def collapse_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keeper decision per document from near-dup pairs.
+
+    ``ids``: one row per document (the corpus universe); ``pairs``: the
+    verified near-dup pairs from any detector.  Returns
+    (id_col, component, keep) where ``component`` is the cluster
+    representative (min id; singletons are their own cluster) and
+    ``keep`` marks exactly one row per component — the min-id keeper
+    rule, matching exact_duplicates' deterministic choice.
+
+    The join against components is a LEFT join on the id: documents in
+    no pair stay singletons without ever entering the graph shuffle.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        ids.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("keep"),
+    )
