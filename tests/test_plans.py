@@ -270,3 +270,47 @@ def test_mapside_operators_have_no_pre_sort_exchange(spark, registry):
         n_exchanges = plan.count("Exchange")
         n_range = plan.count("rangepartitioning")
         assert n_exchanges == n_range, (name, plan)  # only the sort's
+
+
+def test_q12_expand_sits_above_leaf_aggregate(spark, registry):
+    """ROLLUP must Expand the (n_name, p_brand) LEAF AGGREGATE, not the
+    joined fact rows: Spark plans Expand below the rollup's partial
+    aggregation, so a direct rollup triples every fact row map-side.
+    The pre-aggregated form pins Expand's input to a HashAggregate —
+    a regression here is 3x the fact through the hash table at 100 TB."""
+    df = registry["q12_rollup"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "Expand" in plan
+    # the Expand's child must be an aggregate, not a join/scan: in the
+    # tree string the first Expand is followed by HashAggregate before
+    # any join operator appears
+    after_expand = plan.split("Expand", 1)[1]
+    first_agg = after_expand.find("HashAggregate")
+    first_join = after_expand.find("BroadcastHashJoin")
+    assert first_agg != -1 and (first_join == -1 or first_agg < first_join)
+
+
+def test_bounded_sort_skips_range_exchange(spark, registry):
+    """bounded_sort entries (q05 et al.) must plan NO RangePartitioning
+    exchange — the single-partition merge sort replaces the sampling
+    pass + range shuffle — while keeping the upstream aggregation's
+    hash exchange (the parallelism-preserving part of the contract)."""
+    df = registry["q05_dim_join_agg"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+    # and the output really is totally ordered
+    rows = df.collect()
+    keys = [(r["r_name"], r["n_name"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_unbounded_outputs_keep_global_sort(spark, registry):
+    """The data-proportional entries must NOT have been converted to a
+    single-task sort: q17's 150k-row output keeps RangePartitioning."""
+    df = registry["q17_asof_join"].spark_fn(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan.lower()
