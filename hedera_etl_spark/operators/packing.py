@@ -1,0 +1,158 @@
+"""Sequence packing — fill fixed token-budget bins with whole documents.
+
+The training-data step between dedup/filtering and the trainer: examples
+are concatenated into fixed-length contexts, and packing documents into
+as few max_tokens bins as possible (without splitting documents) is a
+bin-packing problem.  Exact global first-fit is inherently sequential, so
+the distributed form trades a bounded amount of packing quality for full
+parallelism:
+
+1. docs hash into ``n_groups`` deterministic groups (same md5-bucket
+   family as :mod:`sampling` — any engine reproduces the grouping);
+2. each group packs INDEPENDENTLY with first-fit-decreasing (FFD), the
+   classic 11/9·OPT + 6/9 guarantee per group;
+3. bin ids compose (group, local bin) into one global BIGINT.
+
+Scale notes (docs/SCALE.md):
+- per-task state is one group's (doc_id, n_tokens) pairs — the TEXT
+  column is projected away BEFORE the Arrow transfer, so group size
+  bounds memory by ids+counts, never corpus bytes;
+- groups are independent: 1000 executors pack 1000 groups concurrently,
+  and ``n_groups`` scales with corpus size (docs-per-group stays
+  constant), keeping the per-task FFD loop O(group · bins_in_group);
+- the quality loss vs a global FFD is the per-group rounding (≤ one
+  underfull bin per group); with docs-per-group in the thousands the
+  aggregate fill rate is within a fraction of a percent of global FFD.
+
+Documents longer than ``max_tokens`` cannot fit any bin: they are
+flagged ``oversize`` and emitted one-per-bin so the caller decides the
+policy (truncate / split / drop) — silently dropping them would make
+"every doc assigned exactly once" unverifiable downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: local-bin capacity inside the composed global id; groups would need
+#: more than a billion bins each to collide, which max_tokens >= 1 and
+#: bounded group size make impossible.
+_BIN_STRIDE = 1_000_000_000
+
+_OUT_SCHEMA = (
+    "doc_id long, n_tokens long, group_id int, bin_id long, oversize boolean"
+)
+
+
+def _pack_group(pdfs: Iterator[pd.DataFrame], max_tokens: int) -> Iterator[pd.DataFrame]:
+    """FFD-pack one hash group (runs inside applyInPandas).
+
+    Deterministic: docs sort by (-n_tokens, doc_id); first-fit scans bins
+    in creation order.  Linear-scan first-fit is O(docs · bins) per
+    group — fine at the documented docs-per-group scale (thousands); a
+    capacity-indexed tree drops it to O(docs · log bins) if groups grow.
+    """
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        group = int(pdf["group_id"].iloc[0])
+        base = group * _BIN_STRIDE
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        fits = pdf["n_tokens"] <= max_tokens
+        bins: list[int] = []  # remaining capacity per local bin
+        out_bin = []
+        for n in pdf.loc[fits, "n_tokens"]:
+            for i, cap in enumerate(bins):
+                if n <= cap:
+                    bins[i] = cap - n
+                    out_bin.append(base + i)
+                    break
+            else:
+                bins.append(max_tokens - n)
+                out_bin.append(base + len(bins) - 1)
+        over = pdf.loc[~fits]
+        over_bins = [base + len(bins) + i for i in range(len(over))]
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.concat([pdf.loc[fits, "doc_id"], over["doc_id"]]),
+                "n_tokens": pd.concat([pdf.loc[fits, "n_tokens"], over["n_tokens"]]),
+                "group_id": group,
+                "bin_id": out_bin + over_bins,
+                "oversize": [False] * len(out_bin) + [True] * len(over_bins),
+            }
+        )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Optional[str] = None,
+) -> DataFrame:
+    """Assign every document to a token-budget bin.
+
+    ``count_col`` names a precomputed token-count column; otherwise
+    whitespace tokens of ``text_col`` are counted JVM-side.  Returns
+    (doc_id, n_tokens, group_id, bin_id, oversize) — one row per input
+    document, ``bin_id`` globally unique across groups.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if count_col:
+        n = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
+    else:
+        # whitespace token count; empty/null text counts 0 (split of ""
+        # yields [""] — size 1 — so the empty case needs its own branch)
+        n = F.coalesce(
+            F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim(text_col), "\\s+"))
+            ),
+            F.lit(0),
+        ).cast("long")
+    # md5-bucket grouping (sampling.hash_bucket family): deterministic,
+    # engine-independent, uniform.  Project to (id, count, group) BEFORE
+    # the grouped-map so Arrow never ships document text.
+    counted = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_groups),
+        )
+        .cast("int")
+        .alias("group_id"),
+    )
+    return counted.groupBy("group_id").applyInPandas(
+        lambda pdf: pd.concat(list(_pack_group(iter([pdf]), max_tokens))),
+        schema=_OUT_SCHEMA,
+    )
+
+
+def packing_stats(assignments: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row fill report over a ``pack_sequences`` result: bin count,
+    mean fill rate of regular bins, and the oversize tally — the numbers
+    a pipeline gates on before writing shards."""
+    per_bin = (
+        assignments.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+    )
+    reg = per_bin.agg(
+        F.count("*").alias("n_bins"),
+        (F.avg("fill") / F.lit(float(max_tokens))).alias("fill_rate"),
+        F.max("fill").alias("max_fill"),
+    )
+    over = assignments.agg(
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.count("*").alias("n_docs"),
+    )
+    return reg.crossJoin(over)  # two one-row aggregates

@@ -1,0 +1,95 @@
+"""Sequence packing: capacity, totality, determinism, oversize policy,
+fill quality, and the documents-table integration path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.packing import pack_sequences, packing_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # varied sizes incl. an oversize doc and an empty doc
+    rows = [(i, "tok " * (5 + (i * 37) % 90)) for i in range(200)]
+    rows.append((200, "big " * 500))  # oversize vs max_tokens=128
+    rows.append((201, ""))  # zero tokens
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_every_doc_assigned_exactly_once(spark, corpus):
+    out = pack_sequences(corpus, max_tokens=128, n_groups=8)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(202))
+
+
+def test_no_regular_bin_exceeds_capacity(spark, corpus):
+    out = pack_sequences(corpus, max_tokens=128, n_groups=8)
+    fills = (
+        out.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .collect()
+    )
+    assert fills and all(r["fill"] <= 128 for r in fills)
+
+
+def test_oversize_flagged_and_alone(spark, corpus):
+    out = pack_sequences(corpus, max_tokens=128, n_groups=8)
+    over = out.filter(F.col("oversize")).collect()
+    assert [r["doc_id"] for r in over] == [200]
+    # its bin contains only itself
+    bin_members = out.filter(F.col("bin_id") == over[0]["bin_id"]).count()
+    assert bin_members == 1
+
+
+def test_deterministic_across_runs(spark, corpus):
+    a = sorted(map(tuple, pack_sequences(corpus, 128, n_groups=8).collect()))
+    b = sorted(map(tuple, pack_sequences(corpus, 128, n_groups=8).collect()))
+    assert a == b
+
+
+def test_zero_token_doc_packs_without_consuming_budget(spark, corpus):
+    out = pack_sequences(corpus, max_tokens=128, n_groups=8)
+    row = out.filter(F.col("doc_id") == 201).collect()[0]
+    assert row["n_tokens"] == 0 and not row["oversize"]
+
+
+def test_bin_ids_unique_across_groups(spark, corpus):
+    out = pack_sequences(corpus, max_tokens=128, n_groups=8)
+    pairs = out.select("group_id", "bin_id").distinct().collect()
+    by_bin = {}
+    for r in pairs:
+        assert by_bin.setdefault(r["bin_id"], r["group_id"]) == r["group_id"]
+
+
+def test_ffd_fill_quality(spark):
+    # uniform 32-token docs into 128-token bins: every bin must hold
+    # exactly 4 docs (FFD is optimal here), so fill_rate == 1.0 for all
+    # full bins and the bin count is within one-per-group of total/4
+    docs = spark.createDataFrame(
+        [(i, "w " * 32) for i in range(256)], ["doc_id", "text"]
+    )
+    out = pack_sequences(docs, max_tokens=128, n_groups=4)
+    stats = packing_stats(out, 128).collect()[0]
+    assert stats["n_docs"] == 256 and stats["n_oversize"] == 0
+    assert stats["max_fill"] == 128
+    # 256 docs / 4 per bin = 64 optimal; per-group rounding adds < n_groups
+    assert stats["n_bins"] <= 64 + 4
+
+
+def test_precounted_column_path(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 120)], ["doc_id", "n_tok"]
+    )
+    out = pack_sequences(docs, 128, n_groups=2, count_col="n_tok").collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in out} == {1: 10, 2: 20, 3: 120}
+
+
+def test_documents_table_integration(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_sequences(docs, max_tokens=512, n_groups=16)
+    stats = packing_stats(out, 512).collect()[0]
+    assert stats["n_docs"] == docs.count()
+    assert 0.5 < stats["fill_rate"] <= 1.0
