@@ -368,3 +368,39 @@ def test_asof_bucketed_inner_and_validation(spark):
         with _pytest.raises(ValueError):
             as_of_join_bucketed(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
                                 right_payload=["payload"], bucket_width=bad)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: capacity + totality for ANY corpus shape
+# ---------------------------------------------------------------------------
+@settings(**SPARK_SETTINGS)
+@given(
+    counts=st.lists(st.integers(0, 300), min_size=1, max_size=60),
+    max_tokens=st.integers(1, 128),
+    n_groups=st.integers(1, 7),
+)
+def test_packing_capacity_and_totality_any_corpus(spark, counts, max_tokens, n_groups):
+    """For any token-count distribution, budget, and group count: every
+    doc is assigned exactly once; a doc is oversize iff it exceeds the
+    budget; no regular bin's fill exceeds the budget; oversize bins hold
+    exactly one doc."""
+    from hedera_etl_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id LONG, n_tok LONG"
+    )
+    out = pack_sequences(
+        docs, max_tokens, n_groups=n_groups, count_col="n_tok"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(counts)))
+    fills: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for r in out:
+        assert r["oversize"] == (counts[r["doc_id"]] > max_tokens)
+        members[r["bin_id"]] = members.get(r["bin_id"], 0) + 1
+        if not r["oversize"]:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(f <= max_tokens for f in fills.values())
+    for r in out:
+        if r["oversize"]:
+            assert members[r["bin_id"]] == 1
