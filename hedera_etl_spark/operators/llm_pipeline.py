@@ -1,0 +1,126 @@
+"""The canonical LLM training-data preparation pipeline, as one API.
+
+Composes the engine's stages in the standard order:
+
+    exact dedup -> near-dup collapse (MinHash+LSH pairs -> connected
+    components -> min-id keeper) -> quality floor -> deterministic
+    sample -> sequence packing -> shard export
+
+Each stage is the independently-tested operator; this module pins the
+composition (output schema of stage N is the input contract of N+1) and
+gives pipelines one place to set the knobs.  Every stage is either a
+pure DataFrame transformation or a bounded-state distributed operator —
+the composition inherits every per-stage scale property documented in
+docs/SCALE.md, and nothing here adds driver-side state.
+
+Determinism end to end: every stage is a pure function of document
+content/ids (md5 buckets, min-id keepers, FFD packing), so a re-run —
+or a different engine computing the same definitions — reproduces the
+same shards byte-for-byte (modulo parquet encoding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.components import collapse_components
+from hedera_etl_spark.operators.export import export_shards
+from hedera_etl_spark.operators.packing import pack_sequences
+from hedera_etl_spark.operators.sampling import hash_sample
+from hedera_etl_spark.operators.textanalysis import quality_scores
+from hedera_etl_spark.operators.textdedup import exact_duplicates, minhash_lsh_neardups
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+    shingle_n: int = 3,
+    minhash_k: int = 9,
+    lsh_bands: int = 3,
+    max_bucket: int | None = 500,
+    min_tokens: int = 5,
+    sample_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Dedup + filter + sample: returns the surviving documents (same
+    schema as ``docs``).
+
+    Stages: exact content dedup (min-id keeper), MinHash+LSH near-dup
+    pairs at ``near_threshold`` collapsed transitively via connected
+    components (min-id keeper per cluster), quality floor
+    (``min_tokens`` whitespace tokens), deterministic md5 Bernoulli
+    sample at ``sample_rate`` (salt-decorrelated from other splits).
+    Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
+    ``sample_rate=1.0`` to keep everything.
+    """
+    keepers = exact_duplicates(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    out = docs.join(keepers, id_col, "left_semi")
+
+    if near_threshold is not None:
+        pairs = minhash_lsh_neardups(
+            out.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            n=shingle_n,
+            k=minhash_k,
+            bands=lsh_bands,
+            threshold=near_threshold,
+            max_bucket=max_bucket,
+        )
+        decision = collapse_components(
+            out.select(F.col(id_col).alias("doc_id")), pairs
+        )
+        out = out.join(
+            decision.filter("keep").select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+
+    if min_tokens > 0:
+        q = quality_scores(out, text_col, id_col)
+        out = out.join(
+            q.filter(F.col("n_tokens") >= min_tokens).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+
+    if sample_rate < 1.0:
+        out = hash_sample(out, [id_col], sample_rate, salt=salt)
+    return out
+
+
+def prepare_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    max_tokens: int,
+    n_shards: int,
+    pack_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **corpus_kwargs,
+) -> DataFrame:
+    """Full pipeline through packing + shard export; returns the shard
+    manifest.  ``corpus_kwargs`` forward to
+    :func:`prepare_training_corpus`.  The exported rows carry the input
+    columns plus (n_tokens, bin_id) so a trainer can reassemble packed
+    contexts by bin."""
+    corpus = prepare_training_corpus(
+        docs, id_col=id_col, text_col=text_col, **corpus_kwargs
+    )
+    packed = pack_sequences(
+        corpus, max_tokens, n_groups=pack_groups, id_col=id_col, text_col=text_col
+    )
+    enriched = corpus.join(
+        packed.select(
+            F.col("doc_id").alias(id_col), "n_tokens", "bin_id"
+        ),
+        id_col,
+    )
+    return export_shards(
+        enriched, out_dir, n_shards, key_col=id_col, token_count_col="n_tokens"
+    )
