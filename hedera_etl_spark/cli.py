@@ -11,6 +11,9 @@ application mains.
   one-shot invocation: ``--mode incremental`` (the 5-minute cadence job)
   or ``--mode full`` (the 24-hour safety net), with ``--loop`` running
   the fixed-rate scheduler in-process.
+- ``prepare`` the LLM training-data pipeline (operators/llm_pipeline.py):
+  dedup -> near-dup collapse -> quality floor -> sample -> pack ->
+  checksummed shard export, one command.
 - ``bench``   runs the registry's bench-tagged queries (bench.py's
   harness is importable; this is the user-facing wrapper).
 
@@ -18,6 +21,8 @@ Usage:
     python -m hedera_etl_spark.cli ingest --input-dir IN --transactions-table T \
         --errors-table E --checkpoint C [--continuous] [--archive-path A]
     python -m hedera_etl_spark.cli dedupe --table T --state S [--mode full]
+    python -m hedera_etl_spark.cli prepare --input DOCS --out-dir OUT \
+        --max-tokens 2048 --n-shards 64 [--sample-rate R] [--exact-only]
 """
 
 from __future__ import annotations
@@ -86,6 +91,31 @@ def _add_dedupe(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--loop-count", type=int, default=None, help="stop after N scheduled runs")
 
 
+def _add_prepare(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "prepare",
+        help="training-data pipeline: dedup -> collapse -> filter -> "
+        "sample -> pack -> checksummed shards (operators/llm_pipeline.py)",
+    )
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--out-dir", required=True, help="export directory (shards + _manifest)")
+    p.add_argument("--max-tokens", type=int, required=True, help="packing budget per context")
+    p.add_argument("--n-shards", type=int, required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--near-threshold",
+        type=float,
+        default=0.5,
+        help="MinHash near-dup Jaccard threshold; --exact-only skips the stage",
+    )
+    p.add_argument("--exact-only", action="store_true")
+    p.add_argument("--min-tokens", type=int, default=5, help="quality floor (0 disables)")
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--salt", default="", help="decorrelates this sample from other splits")
+    p.add_argument("--pack-groups", type=int, default=64)
+
+
 def _add_bench(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("bench", help="run the bench-tagged registry queries")
     p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
@@ -96,6 +126,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_ingest(sub)
     _add_dedupe(sub)
+    _add_prepare(sub)
     _add_bench(sub)
     return parser
 
@@ -154,6 +185,36 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"batches={m.batches} valid_rows={m.valid_rows} error_rows={m.error_rows}"
             )
+        return 0
+
+    if args.command == "prepare":
+        from pyspark.sql import functions as F
+
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_shards
+
+        docs = spark.read.parquet(args.input)
+        manifest = prepare_training_shards(
+            docs,
+            args.out_dir,
+            max_tokens=args.max_tokens,
+            n_shards=args.n_shards,
+            pack_groups=args.pack_groups,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            near_threshold=None if args.exact_only else args.near_threshold,
+            min_tokens=args.min_tokens,
+            sample_rate=args.sample_rate,
+            salt=args.salt,
+        )
+        totals = manifest.agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.count("*").alias("shards"),
+        ).collect()[0]
+        print(
+            f"shards={totals['shards']} rows={totals['rows']} tokens={totals['tokens']} "
+            f"out={args.out_dir}"
+        )
         return 0
 
     if args.command == "dedupe":

@@ -92,3 +92,29 @@ def test_exact_only_mode_keeps_near_variants(spark, corpus):
     # exact clones still collapse; near-dup variants (distinct content) survive
     assert not {1_000_001, 1_000_002} & ids
     assert {1_000_003, 1_000_004} <= ids
+
+
+def test_cli_prepare_roundtrip(spark, corpus, tmp_path, capsys):
+    """`prepare` subcommand end-to-end through argv parsing: exports
+    verifiable shards and prints the manifest summary."""
+    from hedera_etl_spark import cli
+
+    src = str(tmp_path / "docs")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "prep")
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", src,
+            "--out-dir", out,
+            "--max-tokens", "256",
+            "--n-shards", "4",
+            "--sample-rate", "0.8",
+            "--salt", "e2e",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "shards=4" in printed and f"out={out}" in printed
+    checks = verify_shards(spark, out).collect()
+    assert len(checks) == 4 and all(r["ok"] for r in checks)
