@@ -28,19 +28,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver records only the FIRST 50 entries, so this exposes the
+    curated driver window (``spec.driver_visible``); entries outside it
+    are transitively verified by an in-window entry AND still checked by
+    the full local replica (``tools/verify_oracle.py`` iterates the whole
+    registry).  A pytest pins the window at ≤50 so a new entry can never
+    silently evict an old one again (the r5 failure mode)."""
     from hedera_etl_spark.queries import load_registry
 
-    return {name: spec.spark_fn for name, spec in load_registry().items()}
+    return {
+        name: spec.spark_fn
+        for name, spec in load_registry().items()
+        if spec.driver_visible
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twin for every hash-checkable registry entry (entries
-    with ``oracle=None`` are streaming/stateful — rows-only checks)."""
+    """DuckDB oracle twin for every hash-checkable driver-window entry
+    (entries with ``oracle=None`` are streaming/stateful — rows-only
+    checks)."""
     from hedera_etl_spark.queries import load_registry
 
     return {
         name: spec.oracle
         for name, spec in load_registry().items()
-        if spec.oracle is not None
+        if spec.oracle is not None and spec.driver_visible
     }

@@ -1,0 +1,120 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation/benchmark set on word n-grams.
+
+The standard training-data hygiene step (GPT-3 appendix C / Llama-style
+13-gram decontamination): a training document is contaminated when it
+shares at least one word n-gram with any document in the held-out
+evaluation set.  Published pipelines sweep this with exact n-gram match
+because near-dup thresholds under-fire on short benchmark items.
+
+Spark-first shape (operators, not a port of any reference code):
+
+- Both sides reuse ``textdedup.doc_shingles`` — per-row DISTINCT shingle
+  sets exploded map-side, ZERO shuffle to produce either side.
+- The eval side collapses to a distinct-shingle dimension.  Benchmarks
+  are dimension-sized next to a training corpus (thousands of items vs
+  billions of documents), so the contamination probe is a BROADCAST hash
+  join against the corpus shingles: the 100 TB side is never shuffled.
+  ``broadcast_eval=False`` degrades to a shuffled equi-join for the
+  rare giant-eval-set case — still linear, never all-pairs.
+- Hit counting and shingle counting happen in ONE aggregate over the
+  left-joined shingles (count(*) + sum(hit flag)), so the corpus is
+  scanned once and the only shuffle in the whole operator is the
+  per-doc_id hash aggregate, which AQE sizes from real bytes.
+
+Determinism: md5-free — pure set overlap on shingle strings, so the
+DuckDB oracle reproduces every count exactly; the contamination ratio is
+a single IEEE division of exact integers rounded through DECIMAL(9,6)
+(house canonicalization rule, queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.textdedup import doc_shingles
+
+
+def contamination_profile(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination profile against an evaluation set.
+
+    Returns (doc_id, n_grams, n_hits, contamination) where ``n_grams``
+    is the document's distinct n-gram count, ``n_hits`` how many of
+    those also occur anywhere in ``eval_docs``, and ``contamination`` =
+    n_hits / n_grams.  Documents shorter than ``n`` tokens have no
+    n-grams and produce no row (they cannot be contaminated under this
+    definition; ``decontaminate`` keeps them).
+    """
+    eval_text_col = eval_text_col or text_col
+    corpus_sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # eval ids are irrelevant — only the union of eval n-grams matters,
+    # so collapse to a distinct-shingle dimension before the join
+    eval_sh = (
+        doc_shingles(
+            eval_docs.select(F.lit(0).alias("doc_id"), F.col(eval_text_col).alias("__t")),
+            n=n,
+            text_col="__t",
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    return (
+        corpus_sh.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            (F.col("n_hits") / F.col("n_grams")).cast("decimal(9,6)").cast("double"),
+        )
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """doc_ids whose eval-overlapping n-gram count reaches ``min_hits``."""
+    return (
+        contamination_profile(docs, eval_docs, n=n, **kwargs)
+        .filter(F.col("n_hits") >= min_hits)
+        .select("doc_id")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """``docs`` minus contaminated documents (same schema as ``docs``).
+
+    Anti-join against the contaminated-id set; documents with fewer than
+    ``n`` tokens survive by construction (no n-grams → no profile row →
+    nothing to anti-join on).
+    """
+    bad = contaminated_ids(
+        docs, eval_docs, n=n, min_hits=min_hits, text_col=text_col, id_col=id_col, **kwargs
+    ).withColumnRenamed("doc_id", id_col)
+    return docs.join(bad, id_col, "left_anti")

@@ -28,6 +28,12 @@ class QuerySpec:
     doc: str = ""
     tags: tuple = ()
     bench: bool = False  # include in bench.py headline set
+    #: Exposed through __spark_entry__.queries() — the driver records only
+    #: the FIRST 50 entries it sees, so the driver window is a curated
+    #: ≤50-entry subset.  An entry leaves the window ONLY when another
+    #: entry transitively verifies its values (documented at the entry);
+    #: it stays in REGISTRY for bench.py and tools/verify_oracle.py.
+    driver_visible: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -61,6 +67,7 @@ def query(
     tags: tuple = (),
     bench: bool = False,
     cache_plan: bool = True,
+    driver_visible: bool = True,
 ):
     """Decorator registering a Spark query implementation.
 
@@ -89,7 +96,9 @@ def query(
             run.__doc__ = fn.__doc__
         else:
             run = fn
-        REGISTRY[name] = QuerySpec(name, run, oracle, doc or fn.__doc__ or "", tags, bench)
+        REGISTRY[name] = QuerySpec(
+            name, run, oracle, doc or fn.__doc__ or "", tags, bench, driver_visible
+        )
         return fn
 
     return wrap

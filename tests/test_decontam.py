@@ -1,0 +1,101 @@
+"""Benchmark decontamination (operators/decontam.py): exact n-gram
+overlap against an eval set — correctness, edge cases, and the
+broadcast-probe plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.decontam import (
+    contaminated_ids,
+    contamination_profile,
+    decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            # exact copy of the eval item -> fully contaminated
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            # contains the eval 5-gram inside fresh text -> partial hit
+            Row(doc_id=2, text="intro words then the quick brown fox jumps and more tail text"),
+            # clean document, same vocabulary, different order
+            Row(doc_id=3, text="dog lazy the over jumps fox brown quick the"),
+            # shorter than n tokens: no n-grams, must survive
+            Row(doc_id=4, text="tiny doc"),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+
+
+def test_profile_counts_exact_overlap(spark, corpus, eval_set):
+    prof = {
+        r["doc_id"]: r
+        for r in contamination_profile(corpus, eval_set, n=5).collect()
+    }
+    # doc 1 is the eval item verbatim: every 5-gram hits
+    assert prof[1]["n_hits"] == prof[1]["n_grams"] == 5
+    assert prof[1]["contamination"] == 1.0
+    # doc 2 embeds exactly one eval 5-gram ("the quick brown fox jumps")
+    assert prof[2]["n_hits"] == 1
+    assert 0 < prof[2]["contamination"] < 1
+    # doc 3 shares vocabulary but no 5-gram
+    assert prof[3]["n_hits"] == 0
+    # doc 4 has no 5-grams at all -> no profile row
+    assert 4 not in prof
+
+
+def test_decontaminate_drops_hits_keeps_short_docs(spark, corpus, eval_set):
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, eval_set, n=5).collect())
+    assert kept == [3, 4]
+    # schema passes through untouched
+    assert decontaminate(corpus, eval_set, n=5).columns == corpus.columns
+
+
+def test_min_hits_threshold(spark, corpus, eval_set):
+    # requiring >=2 overlapping grams exonerates the single-gram doc 2
+    ids = sorted(
+        r["doc_id"] for r in contaminated_ids(corpus, eval_set, n=5, min_hits=2).collect()
+    )
+    assert ids == [1]
+
+
+def test_eval_probe_broadcasts_and_stays_jvm(spark, corpus, eval_set):
+    """Scale shape: the corpus side is probed by a BROADCAST join (the
+    100 TB side is never shuffled for the probe) and no Python UDF leaks
+    into the plan."""
+    df = contamination_profile(corpus, eval_set, n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" not in opt and "PythonUDF" not in opt
+
+
+def test_shuffled_fallback_matches_broadcast(spark, corpus, eval_set):
+    a = sorted(
+        tuple(r)
+        for r in contamination_profile(corpus, eval_set, n=5, broadcast_eval=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in contamination_profile(corpus, eval_set, n=5, broadcast_eval=False).collect()
+    )
+    assert a == b
+
+
+def test_self_decontamination_flags_everything(spark, corpus):
+    """Using the corpus as its own eval set contaminates every doc that
+    has at least one n-gram."""
+    with_grams = corpus.filter(F.size(F.split("text", " ")) >= 5)
+    survivors = decontaminate(corpus, corpus, n=5)
+    assert survivors.join(with_grams, "doc_id", "left_semi").count() == 0
