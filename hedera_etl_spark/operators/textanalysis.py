@@ -220,6 +220,140 @@ def groupwise_minmax_norm_scalable(
     )
 
 
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_lines`` / ``dup_line_frac``: newline-split lines and the
+      fraction of them that are repeats of an earlier line (boilerplate
+      navigation, log spam);
+    - ``top_token_frac``: occurrences of the most frequent token over
+      total tokens (keyword stuffing);
+    - ``top_bigram_char_frac``: characters covered by the
+      highest-coverage word 2-gram (count x bigram length over doc
+      chars) — the Rae et al. (Gopher) "fraction of characters in the
+      most frequent 2-gram" filter, with coverage (not raw count) as
+      the deterministic tie-free maximand.
+
+    All pure per-row array expressions — ZERO shuffle at any corpus
+    size.  The distinct x occurrences counting is O(d·n) per row, fine
+    for web-scale documents (d ≤ a few thousand); corpora of
+    pathologically long documents should chunk first
+    (``chunk_documents``) or use ``repetition_scores_scalable``, the
+    explode+aggregate twin (linear work, two narrow shuffles) pinned
+    bit-equal in tests.
+
+    Ratios divide exact integers rounded through DECIMAL(9,6) (house
+    canonicalization), so the DuckDB oracle reproduces every value.
+    """
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        )
+    )
+
+    def frac(num, den):
+        return (num / den).cast("decimal(9,6)").cast("double")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
+        t.alias("__t"),
+        bigrams.alias("__bg"),
+        F.length(text_col).cast("long").alias("__chars"),
+    )
+    top_token = F.array_max(
+        F.transform(
+            F.array_distinct("__t"),
+            lambda x: F.size(F.filter("__t", lambda y: y == x)),
+        )
+    )
+    top_bigram_chars = F.array_max(
+        F.transform(
+            F.array_distinct("__bg"),
+            lambda x: F.size(F.filter("__bg", lambda y: y == x)) * F.length(x),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        frac(F.col("n_lines") - F.col("__dl"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(top_token, F.size("__t")).alias("top_token_frac"),
+        frac(F.coalesce(top_bigram_chars, F.lit(0)), F.col("__chars")).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+
+
+def repetition_scores_scalable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scale twin of ``repetition_scores`` (pinned bit-equal in tests):
+    token/bigram mode counts via explode + (doc, gram) hash aggregate +
+    per-doc max — linear in document length where the per-row form is
+    O(d·n), at the price of two narrow shuffles.  Use for corpora whose
+    individual documents are pathologically long (a 10M-token doc costs
+    the per-row form ~distinct×n comparisons inside ONE task; here the
+    same doc spreads across the cluster as (doc_id, gram) rows)."""
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        )
+    )
+
+    def mode_stat(col, agg_expr):
+        """Per-doc max over (doc, gram) counts; agg_expr maps (cnt, gram)
+        to the maximand."""
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(agg_expr.alias("stat"))
+        )
+
+    tok_top = mode_stat(t, F.max("cnt"))
+    bg_top = mode_stat(bigrams, F.max(F.col("cnt") * F.length("g")))
+
+    def frac(num, den):
+        return (num / den).cast("decimal(9,6)").cast("double")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
+        F.size(t).cast("long").alias("__nt"),
+        F.length(text_col).cast("long").alias("__chars"),
+    )
+    return (
+        base.join(tok_top.withColumnRenamed("stat", "__topt"), "doc_id", "left")
+        .join(bg_top.withColumnRenamed("stat", "__topbg"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            frac(F.col("n_lines") - F.col("__dl"), F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            frac(F.col("__topt"), F.col("__nt")).alias("top_token_frac"),
+            frac(F.coalesce(F.col("__topbg"), F.lit(0)), F.col("__chars")).alias(
+                "top_bigram_char_frac"
+            ),
+        )
+    )
+
+
 def char_fingerprints(
     docs: DataFrame, gram: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

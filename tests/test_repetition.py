@@ -1,0 +1,76 @@
+"""Gopher-style repetition quality signals
+(operators/textanalysis.repetition_scores + its explode-based scale twin)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from hedera_etl_spark.operators.textanalysis import (
+    repetition_scores,
+    repetition_scores_scalable,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # 4 lines, one exact repeat -> dup_line_frac 1/4
+            Row(doc_id=1, text="nav home\nreal content here\nnav home\nfooter"),
+            # keyword stuffing: 'buy' is 4 of 6 tokens
+            Row(doc_id=2, text="buy buy buy buy now cheap"),
+            # repeated bigram 'ha ho': 3 occurrences x 5 chars over 17 chars
+            Row(doc_id=3, text="ha ho ha ho ha ho"),
+            # clean single-line prose, all tokens distinct
+            Row(doc_id=4, text="every token here is entirely unique"),
+            # single token: no bigrams at all
+            Row(doc_id=5, text="word"),
+        ]
+    )
+
+
+def test_dup_line_frac(spark, docs):
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_frac"] == 0.25
+    assert rows[4]["n_lines"] == 1 and rows[4]["dup_line_frac"] == 0.0
+
+
+def test_top_token_frac(spark, docs):
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert rows[2]["top_token_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    assert rows[4]["top_token_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert rows[5]["top_token_frac"] == 1.0
+
+
+def test_top_bigram_char_frac(spark, docs):
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    # doc 3: "ha ho" occurs 3x, 5 chars each, text is 17 chars
+    assert rows[3]["top_bigram_char_frac"] == pytest.approx(15 / 17, abs=1e-6)
+    # no bigrams -> 0, not NULL
+    assert rows[5]["top_bigram_char_frac"] == 0.0
+
+
+def test_scalable_twin_is_bit_equal(spark, docs):
+    a = sorted(tuple(r) for r in repetition_scores(docs).collect())
+    b = sorted(tuple(r) for r in repetition_scores_scalable(docs).collect())
+    assert a == b
+
+
+def test_scalable_twin_on_real_table(spark):
+    from hedera_etl_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = sorted(tuple(r) for r in repetition_scores(d).collect())
+    b = sorted(tuple(r) for r in repetition_scores_scalable(d).collect())
+    assert a == b
+    assert len(a) == d.count()
+
+
+def test_per_row_form_has_no_shuffle(spark, docs):
+    """The per-row form must stay a pure projection — zero exchanges."""
+    plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
