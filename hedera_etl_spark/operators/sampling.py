@@ -76,3 +76,70 @@ def stratified_hash_sample(
             rate_col
         )
     return df.filter(hash_bucket(*key_cols, salt=salt) < rate_col)
+
+
+def mixture_rates(
+    docs: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Per-domain keep-rates that reshape the corpus into a target
+    mixture — the training-data composition knob (e.g. "40% web, 30%
+    code, 30% books" BY TOKENS, not by accident of crawl size).
+
+    Downsampling only (rates ≤ 1): the achievable output size is
+    ``T = min_d(c_d / w_d)`` over the targeted domains (c_d = the
+    domain's current mass — row count, or ``sum(weight_col)`` when
+    given, e.g. a token count column), and each domain keeps
+    ``r_d = w_d * T / c_d``.  The scarcest domain relative to its
+    target weight is binding: its rate is exactly 1.0, every other
+    domain downsamples to match.  A targeted domain absent from the
+    corpus (or with zero mass) makes the mixture unachievable → raises.
+
+    The per-domain totals aggregate is the ONLY driver materialization:
+    one row per domain — dimension-sized by definition, safe at any
+    corpus size (same bounded-collect discipline as the IVF k-means
+    stats, operators/similarity.py).
+    """
+    bad = {d: w for d, w in target_weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"target weights must be positive, got {bad!r}")
+    total_w = sum(target_weights.values())
+    mass = F.count("*") if weight_col is None else F.sum(weight_col)
+    counts = {
+        r["d"]: r["c"]
+        for r in docs.filter(F.col(domain_col).isin(list(target_weights)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(mass.cast("long").alias("c"))
+        .collect()
+    }
+    missing = [d for d in target_weights if not counts.get(d)]
+    if missing:
+        raise ValueError(
+            f"domains {missing!r} have no mass in the corpus; the target "
+            "mixture is unachievable by downsampling"
+        )
+    norm = {d: w / total_w for d, w in target_weights.items()}
+    t_out = min(counts[d] / w for d, w in norm.items())
+    return {d: min(w * t_out / counts[d], 1.0) for d, w in norm.items()}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    key_cols: list[str],
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample ``docs`` to the target domain mixture:
+    ``mixture_rates`` solves for per-domain keep-rates, then the standard
+    md5-bucket stratified sample applies them (domains outside the target
+    drop entirely).  Expected output composition matches
+    ``target_weights`` up to Bernoulli noise; the realized sample is
+    exactly reproducible across retries, re-runs, and engines."""
+    rates = mixture_rates(docs, domain_col, target_weights, weight_col)
+    return stratified_hash_sample(
+        docs, domain_col, rates, key_cols=key_cols, default_rate=0.0, salt=salt
+    )

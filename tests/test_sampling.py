@@ -78,3 +78,78 @@ def test_sample_composition_equals_intersection(spark):
     a = hash_sample(hash_sample(df, ["k"], 0.5), ["k"], 0.2)
     b = hash_sample(df, ["k"], 0.2)
     assert {r["k"] for r in a.collect()} == {r["k"] for r in b.collect()}
+
+
+def test_mixture_rates_solve_target_composition(spark):
+    """300 web / 200 code / 100 books rows; target 40/30/30 by rows.
+    books is binding (100/0.3 is smallest), so T = 333.3: books keeps
+    100%, web keeps (0.4*333.3)/300, code keeps (0.3*333.3)/200."""
+    from hedera_etl_spark.operators.sampling import mixture_rates
+
+    rows = (
+        [("web", i) for i in range(300)]
+        + [("code", i) for i in range(200)]
+        + [("books", i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["domain", "k"])
+    r = mixture_rates(df, "domain", {"web": 0.4, "code": 0.3, "books": 0.3})
+    assert r["books"] == 1.0
+    assert r["web"] == pytest.approx((0.4 * (100 / 0.3)) / 300)
+    assert r["code"] == pytest.approx((0.3 * (100 / 0.3)) / 200)
+
+
+def test_mixture_sample_hits_target_and_reproduces(spark):
+    from hedera_etl_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [("web", i) for i in range(6000)]
+        + [("code", i) for i in range(2000)]
+        + [("books", i) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, ["domain", "k"])
+    out = mixture_sample(df, "domain", {"web": 0.5, "code": 0.25, "books": 0.25}, ["k"])
+    counts = {r["domain"]: r["c"] for r in out.groupBy("domain").agg(F.count("*").alias("c")).collect()}
+    total = sum(counts.values())
+    # books binds: all 1000 kept; web/code within Bernoulli noise of target
+    assert counts["books"] == 1000
+    assert counts["web"] / total == pytest.approx(0.5, abs=0.05)
+    assert counts["code"] / total == pytest.approx(0.25, abs=0.05)
+    # exact reproducibility
+    again = mixture_sample(df, "domain", {"web": 0.5, "code": 0.25, "books": 0.25}, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mixture_sample_weighted_by_tokens(spark):
+    """Weighting by a token-count column targets TOKEN share, not row
+    share: long web docs force a lower web keep-rate than row-weighting
+    would."""
+    from hedera_etl_spark.operators.sampling import mixture_rates
+
+    rows = [("web", i, 1000) for i in range(100)] + [
+        ("books", i, 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["domain", "k", "n_tokens"])
+    r = mixture_rates(df, "domain", {"web": 0.5, "books": 0.5}, weight_col="n_tokens")
+    # books: 10k tokens binding at weight .5 -> T=20k; web keeps 10k/100k
+    assert r["books"] == 1.0
+    assert r["web"] == pytest.approx(0.1)
+
+
+def test_mixture_unachievable_and_invalid_weights(spark):
+    from hedera_etl_spark.operators.sampling import mixture_rates
+
+    df = spark.createDataFrame([("web", 1)], ["domain", "k"])
+    with pytest.raises(ValueError):
+        mixture_rates(df, "domain", {"web": 0.5, "missing": 0.5})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "domain", {"web": -1.0})
+
+
+def test_mixture_untargeted_domains_drop(spark):
+    from hedera_etl_spark.operators.sampling import mixture_sample
+
+    rows = [("web", i) for i in range(100)] + [("spam", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["domain", "k"])
+    out = mixture_sample(df, "domain", {"web": 1.0}, ["k"])
+    assert out.filter(F.col("domain") == "spam").count() == 0
+    assert out.count() == 100
