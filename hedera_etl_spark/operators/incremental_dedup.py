@@ -1,0 +1,310 @@
+"""Incremental corpus deduplication against a persistent signature store.
+
+The LLM-corpus analogue of the reference's incremental transaction dedup
+(DedupeJob / dedupe_state, hedera-deduplication-bigquery
+SetStateQuery.java:34-40): a crawl arrives in batches, and each batch
+must be deduplicated against EVERYTHING accepted so far — without ever
+re-reading, re-shingling, or re-signing the historical corpus.  What the
+store keeps per accepted document is tiny and fixed-width (one md5
+content hash + a k-component MinHash signature), so the store scales as
+O(accepted docs), not O(corpus bytes): at 100 TB of text the signature
+store is a few hundred GB of parquet, and a batch run touches the store
+with ONE broadcast-or-shuffle join per stage.
+
+Batch protocol (effectively-once under retries):
+
+- Batches are committed as per-batch subdirectories (``content/batch=X``,
+  ``sigs/batch=X``) made live by a single directory rename each — the
+  same commit primitive as ``fsutil.atomic_replace``.  A caller-supplied
+  ``batch_id`` names the directory, so a RETRY of a crashed or re-queued
+  batch sees the already-committed directory and returns the recorded
+  decision instead of double-inserting (the at-least-once → exactly-once
+  discipline of streaming/ingest.py, applied to a batch job).
+- The two tables commit in ``content`` → ``sigs`` order; a crash between
+  the renames leaves a content dir with no sigs sibling, which ``open``
+  heals by discarding the orphan (the batch then simply re-runs).
+
+Dedup semantics per batch:
+
+1. exact: min-id keeper per md5(text) WITHIN the batch, then drop any
+   doc whose content hash is already in the store;
+2. near: MinHash signatures for the survivors; LSH-banded candidate
+   pairs against (store ∪ batch) signatures, skew-capped exactly as
+   ``textdedup.lsh_candidates``; pair similarity is the SIGNATURE
+   ESTIMATE (fraction of agreeing components) — the store keeps no
+   shingles, so the estimator trades ±1/k resolution for an O(k)-bytes
+   store; a batch doc matching any stored doc is dropped;
+3. survivors' remaining in-batch pairs collapse transitively via
+   connected components with the min-id keeper rule
+   (``components.collapse_components``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hedera_etl_spark.operators.components import collapse_components
+from hedera_etl_spark.operators.textdedup import (
+    lsh_candidates,
+    minhash_signatures_from_sets,
+    shingle_sets,
+)
+
+
+def _content_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+
+
+def _sig_schema(k: int) -> T.StructType:
+    return T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(k)]
+    )
+
+
+@dataclass
+class BatchStats:
+    batch_id: str
+    rows_in: int
+    exact_in_batch: int
+    exact_vs_store: int
+    near_vs_store: int
+    near_in_batch: int
+    accepted: int
+    already_committed: bool = False
+
+
+class CorpusSignatureStore:
+    """Parquet signature store: ``content/batch=X`` + ``sigs/batch=X``
+    subdirectories, one pair per committed batch (append-only — a batch
+    commit never rewrites earlier batches)."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int = 9):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.content_dir = os.path.join(path, "content")
+        self.sigs_dir = os.path.join(path, "sigs")
+        os.makedirs(self.content_dir, exist_ok=True)
+        os.makedirs(self.sigs_dir, exist_ok=True)
+        self._heal()
+
+    # -- commit protocol ----------------------------------------------------
+    def _batch_dirs(self, root: str) -> set[str]:
+        return {
+            e for e in os.listdir(root)
+            if e.startswith("batch=") and not e.startswith(".")
+        }
+
+    def _heal(self) -> None:
+        """Drop half-committed batches (content live, sigs missing — the
+        crash window between the two renames) and stale staging dirs."""
+        for root in (self.content_dir, self.sigs_dir):
+            for e in os.listdir(root):
+                if e.startswith(".") and e.endswith(".__new"):
+                    shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+        orphans = self._batch_dirs(self.content_dir) - self._batch_dirs(self.sigs_dir)
+        for e in orphans:
+            shutil.rmtree(os.path.join(self.content_dir, e), ignore_errors=True)
+
+    def committed_batches(self) -> set[str]:
+        return self._batch_dirs(self.content_dir) & self._batch_dirs(self.sigs_dir)
+
+    def has_batch(self, batch_id: str) -> bool:
+        return f"batch={batch_id}" in self.committed_batches()
+
+    def commit_batch(self, batch_id: str, content: DataFrame, sigs: DataFrame) -> None:
+        """Stage both tables, then rename content → sigs.  Idempotent:
+        an already-committed batch is left untouched."""
+        if self.has_batch(batch_id):
+            return
+        entry = f"batch={batch_id}"
+        staged = []
+        for root, df in ((self.content_dir, content), (self.sigs_dir, sigs)):
+            tmp = os.path.join(root, f".{entry}.__new")
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            staged.append((tmp, os.path.join(root, entry)))
+        for tmp, live in staged:  # content first, sigs second
+            if os.path.exists(live):  # lost race with a concurrent retry
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.rename(tmp, live)
+
+    # -- reads --------------------------------------------------------------
+    def _read(self, root: str, schema: T.StructType) -> DataFrame:
+        batches = sorted(self._batch_dirs(root) & self.committed_batches())
+        if not batches:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(root, b) for b in batches]
+        )
+
+    def content(self) -> DataFrame:
+        return self._read(self.content_dir, _content_schema())
+
+    def signatures(self) -> DataFrame:
+        return self._read(self.sigs_dir, _sig_schema(self.k))
+
+    def batch_doc_ids(self, batch_id: str) -> DataFrame:
+        return self.spark.read.schema(_content_schema()).parquet(
+            os.path.join(self.content_dir, f"batch={batch_id}")
+        ).select("doc_id")
+
+
+def signature_estimate_pairs(
+    sigs: DataFrame, k: int, bands: int, rows: int, max_bucket: int | None
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard: the fraction of the k
+    MinHash components on which the two signatures agree (the classic
+    unbiased estimator, resolution 1/k).  Same banding and skew cap as
+    the shingle-verified path; the verify stage needs only the two
+    signature rows, so the store never keeps shingles."""
+    pairs = lsh_candidates(sigs, bands=bands, rows=rows, max_bucket=max_bucket)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
+
+
+def incremental_dedup_batch(
+    store: CorpusSignatureStore,
+    new_docs: DataFrame,
+    batch_id: str,
+    n: int = 3,
+    bands: int = 3,
+    rows: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, BatchStats]:
+    """Deduplicate one batch against the store and everything earlier in
+    the batch; commit the accepted documents' hashes + signatures.
+
+    Returns (accepted docs — same schema as ``new_docs`` — and stats).
+    Retrying an already-committed ``batch_id`` replays the recorded
+    decision without touching the store.
+    """
+    k = store.k
+    if store.has_batch(batch_id):
+        accepted = new_docs.join(
+            store.batch_doc_ids(batch_id).withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_semi",
+        )
+        n_acc = accepted.count()
+        return accepted, BatchStats(
+            batch_id, new_docs.count(), 0, 0, 0, 0, n_acc, already_committed=True
+        )
+
+    docs = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    rows_in = docs.count()
+
+    # 1. exact, within batch then vs store
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    in_batch_keep = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact_in_batch = rows_in - in_batch_keep.count()
+    survivors = in_batch_keep.join(
+        store.content().select("content_hash"), "content_hash", "left_anti"
+    )
+    n_after_store = survivors.count()
+    exact_vs_store = (rows_in - exact_in_batch) - n_after_store
+
+    # 2. near vs store: batch signatures + stored signatures, one LSH pass.
+    #    localCheckpoint pins the signatures — they feed the pair join, the
+    #    store commit, AND the keeper decision, and recomputing the
+    #    md5-per-shingle stage three times dominates batch cost otherwise.
+    batch_docs = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    batch_sigs = minhash_signatures_from_sets(
+        shingle_sets(batch_docs, n=n), k=k
+    ).localCheckpoint()
+    old_sigs = store.signatures()
+    est = signature_estimate_pairs(
+        batch_sigs.unionByName(old_sigs), k=k, bands=bands, rows=rows, max_bucket=max_bucket
+    ).filter(F.col("est_jaccard") >= threshold)
+
+    new_ids = batch_sigs.select("doc_id")
+    # lsh_candidates orders doc_a < doc_b; stored ids may be larger or
+    # smaller than batch ids, so classify by membership, not position
+    est = (
+        est.join(new_ids.withColumnRenamed("doc_id", "doc_a").withColumn("__na", F.lit(1)), "doc_a", "left")
+        .join(new_ids.withColumnRenamed("doc_id", "doc_b").withColumn("__nb", F.lit(1)), "doc_b", "left")
+    )
+    vs_store = est.filter(F.col("__na").isNull() | F.col("__nb").isNull())
+    dropped_vs_store = (
+        vs_store.select(
+            F.when(F.col("__na").isNotNull(), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        ).distinct()
+    )
+    near_vs_store = dropped_vs_store.count()
+    remaining = new_ids.join(dropped_vs_store, "doc_id", "left_anti")
+
+    # 3. in-batch transitive collapse among the remaining docs
+    in_batch_pairs = est.filter(
+        F.col("__na").isNotNull() & F.col("__nb").isNotNull()
+    ).join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi").join(
+        remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+    )
+    decision = collapse_components(remaining, in_batch_pairs.select("doc_a", "doc_b"))
+    kept_ids = decision.filter("keep").select("doc_id")
+    near_in_batch = remaining.count() - kept_ids.count()
+    # docs shorter than n tokens have no shingles, hence no signature row:
+    # they cannot near-dup under this definition and must pass through
+    # (they already survived exact dedup) rather than silently vanish
+    sigless = survivors.select("doc_id").join(
+        batch_sigs.select("doc_id"), "doc_id", "left_anti"
+    )
+    kept_ids = kept_ids.unionByName(sigless)
+
+    accepted_content = hashed.join(kept_ids, "doc_id", "left_semi").select(
+        "content_hash", "doc_id"
+    )
+    accepted_sigs = batch_sigs.join(kept_ids, "doc_id", "left_semi")
+    store.commit_batch(batch_id, accepted_content, accepted_sigs)
+
+    accepted = new_docs.join(
+        kept_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    return accepted, BatchStats(
+        batch_id,
+        rows_in,
+        exact_in_batch,
+        exact_vs_store,
+        near_vs_store,
+        near_in_batch,
+        accepted=kept_ids.count(),
+    )
