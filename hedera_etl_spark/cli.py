@@ -111,6 +111,25 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--exact-only", action="store_true")
     p.add_argument("--min-tokens", type=int, default=5, help="quality floor (0 disables)")
+    p.add_argument(
+        "--eval-input",
+        default=None,
+        help="benchmark/eval parquet; enables n-gram decontamination",
+    )
+    p.add_argument("--decontam-n", type=int, default=13, help="decontamination n-gram width")
+    p.add_argument(
+        "--max-dup-line-frac", type=float, default=None, help="Gopher repetition cap"
+    )
+    p.add_argument(
+        "--max-top-bigram-frac", type=float, default=None, help="Gopher repetition cap"
+    )
+    p.add_argument(
+        "--mixture",
+        default=None,
+        help="target domain mixture, e.g. 'web=0.5,code=0.3,books=0.2' "
+        "(solved to per-domain keep-rates; untargeted domains drop)",
+    )
+    p.add_argument("--domain-col", default="source", help="mixture stratum column")
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--salt", default="", help="decorrelates this sample from other splits")
     p.add_argument("--pack-groups", type=int, default=64)
@@ -193,6 +212,12 @@ def main(argv: list[str] | None = None) -> int:
         from hedera_etl_spark.operators.llm_pipeline import prepare_training_shards
 
         docs = spark.read.parquet(args.input)
+        mixture = None
+        if args.mixture:
+            mixture = {
+                part.split("=")[0]: float(part.split("=")[1])
+                for part in args.mixture.split(",")
+            }
         manifest = prepare_training_shards(
             docs,
             args.out_dir,
@@ -202,7 +227,13 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             near_threshold=None if args.exact_only else args.near_threshold,
+            eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
+            decontam_n=args.decontam_n,
             min_tokens=args.min_tokens,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_bigram_frac=args.max_top_bigram_frac,
+            mixture=mixture,
+            domain_col=args.domain_col,
             sample_rate=args.sample_rate,
             salt=args.salt,
         )

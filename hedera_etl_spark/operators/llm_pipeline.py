@@ -3,8 +3,10 @@
 Composes the engine's stages in the standard order:
 
     exact dedup -> near-dup collapse (MinHash+LSH pairs -> connected
-    components -> min-id keeper) -> quality floor -> deterministic
-    sample -> sequence packing -> shard export
+    components -> min-id keeper) -> benchmark decontamination ->
+    quality floor (token count + Gopher repetition signals) ->
+    target-mixture resample -> deterministic sample ->
+    sequence packing -> shard export
 
 Each stage is the independently-tested operator; this module pins the
 composition (output schema of stage N is the input contract of N+1) and
@@ -25,10 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hedera_etl_spark.operators.components import collapse_components
+from hedera_etl_spark.operators.decontam import decontaminate
 from hedera_etl_spark.operators.export import export_shards
 from hedera_etl_spark.operators.packing import pack_sequences
-from hedera_etl_spark.operators.sampling import hash_sample
-from hedera_etl_spark.operators.textanalysis import quality_scores
+from hedera_etl_spark.operators.sampling import hash_sample, mixture_sample
+from hedera_etl_spark.operators.textanalysis import quality_scores, repetition_scores
 from hedera_etl_spark.operators.textdedup import exact_duplicates, minhash_lsh_neardups
 
 
@@ -41,17 +44,27 @@ def prepare_training_corpus(
     minhash_k: int = 9,
     lsh_bands: int = 3,
     max_bucket: int | None = 500,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
     min_tokens: int = 5,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    mixture: dict[str, float] | None = None,
+    domain_col: str = "source",
     sample_rate: float = 1.0,
     salt: str = "",
 ) -> DataFrame:
-    """Dedup + filter + sample: returns the surviving documents (same
-    schema as ``docs``).
+    """Dedup + decontaminate + filter + resample: returns the surviving
+    documents (same schema as ``docs``).
 
     Stages: exact content dedup (min-id keeper), MinHash+LSH near-dup
     pairs at ``near_threshold`` collapsed transitively via connected
-    components (min-id keeper per cluster), quality floor
-    (``min_tokens`` whitespace tokens), deterministic md5 Bernoulli
+    components (min-id keeper per cluster), benchmark decontamination
+    against ``eval_docs`` (exact ``decontam_n``-gram overlap — skipped
+    when None), quality floor (``min_tokens`` whitespace tokens, plus
+    optional Gopher repetition caps ``max_dup_line_frac`` /
+    ``max_top_bigram_frac``), target-``mixture`` resample over
+    ``domain_col`` (skipped when None), deterministic md5 Bernoulli
     sample at ``sample_rate`` (salt-decorrelated from other splits).
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
     ``sample_rate=1.0`` to keep everything.
@@ -79,6 +92,11 @@ def prepare_training_corpus(
             "left_semi",
         )
 
+    if eval_docs is not None:
+        out = decontaminate(
+            out, eval_docs, n=decontam_n, text_col=text_col, id_col=id_col
+        )
+
     if min_tokens > 0:
         q = quality_scores(out, text_col, id_col)
         out = out.join(
@@ -88,6 +106,22 @@ def prepare_training_corpus(
             id_col,
             "left_semi",
         )
+
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        rep = repetition_scores(out, text_col, id_col)
+        keep = F.lit(True)
+        if max_dup_line_frac is not None:
+            keep = keep & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            keep = keep & (F.col("top_bigram_char_frac") <= max_top_bigram_frac)
+        out = out.join(
+            rep.filter(keep).select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+
+    if mixture is not None:
+        out = mixture_sample(out, domain_col, mixture, key_cols=[id_col], salt=salt)
 
     if sample_rate < 1.0:
         out = hash_sample(out, [id_col], sample_rate, salt=salt)

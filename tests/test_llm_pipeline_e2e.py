@@ -118,3 +118,44 @@ def test_cli_prepare_roundtrip(spark, corpus, tmp_path, capsys):
     assert "shards=4" in printed and f"out={out}" in printed
     checks = verify_shards(spark, out).collect()
     assert len(checks) == 4 and all(r["ok"] for r in checks)
+
+
+def test_full_hygiene_stages(spark, corpus):
+    """Decontamination + repetition caps + target mixture, composed."""
+    # domains: alternate web/code by id parity; eval set = 3 real docs
+    domained = corpus.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    )
+    eval_docs = corpus.filter(F.col("doc_id").isin([5, 6, 7]))
+    out = prepare_training_corpus(
+        domained,
+        near_threshold=0.5,
+        min_tokens=5,
+        eval_docs=eval_docs,
+        decontam_n=5,
+        max_top_bigram_frac=0.9,
+        mixture={"web": 0.5, "code": 0.5},
+        sample_rate=1.0,
+        salt="hyg",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    # the leaked eval docs are gone
+    assert ids.isdisjoint({5, 6, 7})
+    # clones/near-dups still collapse
+    assert ids.isdisjoint({1_000_001, 1_000_002, 1_000_003, 1_000_004})
+    # both domains survive the mixture stage
+    doms = {r["source"] for r in out.collect()}
+    assert doms == {"web", "code"}
+    # reproducible end to end
+    again = prepare_training_corpus(
+        domained,
+        near_threshold=0.5,
+        min_tokens=5,
+        eval_docs=eval_docs,
+        decontam_n=5,
+        max_top_bigram_frac=0.9,
+        mixture={"web": 0.5, "code": 0.5},
+        sample_rate=1.0,
+        salt="hyg",
+    )
+    assert ids == {r["doc_id"] for r in again.collect()}
