@@ -220,6 +220,31 @@ def groupwise_minmax_norm_scalable(
     )
 
 
+def _repetition_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared projection for the repetition twins: tokenize ONCE into
+    ``__t``, then derive the bigram array from the PROJECTED column (a
+    second select — see the inlining hazard note in both callers)."""
+    t = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
+        t.alias("__t"),
+        F.length(text_col).cast("long").alias("__chars"),
+    )
+    tc = F.col("__t")
+    bigrams = F.when(F.size(tc) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: F.concat(
+                F.element_at(tc, i), F.lit(" "), F.element_at(tc, i + 1)
+            ),
+        )
+    )
+    return toked.withColumn("__bg", bigrams)
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -246,29 +271,17 @@ def repetition_scores(
 
     Ratios divide exact integers rounded through DECIMAL(9,6) (house
     canonicalization), so the DuckDB oracle reproduces every value.
+
+    IMPORTANT (the shingles() inlining hazard): tokens are PROJECTED
+    once and the bigram array is built from the projected column in a
+    second select — building it straight off ``split(text)`` inlines the
+    split into every ``element_at`` lambda reference, re-tokenizing each
+    document ~2n times (measured 10x on this exact operator).
     """
-    t = tokens(text_col)
-    lines = F.split(F.col(text_col), "\n")
-    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-            ),
-        )
-    )
+    base = _repetition_base(docs, text_col, id_col)
 
     def frac(num, den):
         return (num / den).cast("decimal(9,6)").cast("double")
-
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
-        t.alias("__t"),
-        bigrams.alias("__bg"),
-        F.length(text_col).cast("long").alias("__chars"),
-    )
     top_token = F.array_max(
         F.transform(
             F.array_distinct("__t"),
@@ -301,41 +314,46 @@ def repetition_scores_scalable(
     O(d·n), at the price of two narrow shuffles.  Use for corpora whose
     individual documents are pathologically long (a 10M-token doc costs
     the per-row form ~distinct×n comparisons inside ONE task; here the
-    same doc spreads across the cluster as (doc_id, gram) rows)."""
-    t = tokens(text_col)
-    lines = F.split(F.col(text_col), "\n")
-    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-            ),
-        )
-    )
+    same doc spreads across the cluster as (doc_id, gram) rows).
 
-    def mode_stat(col, agg_expr):
+    Same inlining discipline as the per-row form: grams explode from the
+    PROJECTED token/bigram columns of ``_repetition_base``."""
+    pre = _repetition_base(docs, text_col, id_col)
+
+    def mode_stat(col_name, agg_expr):
         """Per-doc max over (doc, gram) counts; agg_expr maps (cnt, gram)
-        to the maximand."""
+        to the maximand.
+
+        explode_OUTER + post-filter, not plain explode: for a plain
+        explode Catalyst's InferFiltersFromGenerate synthesizes
+        ``size(arr) > 0 AND isnotnull(arr)`` and pushes it below the
+        projections, INLINING the whole bigram construction (split and
+        all) into a per-row Filter — the array then builds twice per row
+        and the filter copy re-tokenizes per element (measured 4.6 s vs
+        0.27 s for this explode alone at sf0.1).  The rule skips outer
+        generates, and the null row an empty array emits is dropped by a
+        cheap filter on the OUTPUT column."""
         return (
-            docs.select(F.col(id_col).alias("doc_id"), F.explode(col).alias("g"))
+            pre.select("doc_id", F.explode_outer(col_name).alias("g"))
+            .filter(F.col("g").isNotNull())
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("cnt"))
             .groupBy("doc_id")
             .agg(agg_expr.alias("stat"))
         )
 
-    tok_top = mode_stat(t, F.max("cnt"))
-    bg_top = mode_stat(bigrams, F.max(F.col("cnt") * F.length("g")))
+    tok_top = mode_stat("__t", F.max("cnt"))
+    bg_top = mode_stat("__bg", F.max(F.col("cnt") * F.length("g")))
 
     def frac(num, den):
         return (num / den).cast("decimal(9,6)").cast("double")
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
-        F.size(t).cast("long").alias("__nt"),
-        F.length(text_col).cast("long").alias("__chars"),
+    base = pre.select(
+        "doc_id",
+        "n_lines",
+        "__dl",
+        F.size("__t").cast("long").alias("__nt"),
+        "__chars",
     )
     return (
         base.join(tok_top.withColumnRenamed("stat", "__topt"), "doc_id", "left")
