@@ -74,3 +74,30 @@ def test_per_row_form_has_no_shuffle(spark, docs):
     """The per-row form must stay a pure projection — zero exchanges."""
     plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scalable_plan_never_inlines_construction_into_filters(spark):
+    """Regression pin for the InferFiltersFromGenerate hazard: a plain
+    explode gets a synthesized size(arr)>0 filter pushed below the
+    projections, inlining the whole bigram construction (split included)
+    into a per-row Filter — 5x measured.  The healthy plan has OUTER
+    generates and no Filter evaluating a transform()."""
+    from hedera_etl_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    plan = (
+        repetition_scores_scalable(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Filter" in line and "transform(" in line
+    ]
+    assert not bad, bad
+    gens = [line for line in plan.splitlines() if "Generate explode" in line]
+    assert gens and all(", true, " in g for g in gens), gens  # outer=true
