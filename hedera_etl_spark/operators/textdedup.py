@@ -109,9 +109,21 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     Derived by exploding the per-row distinct shingle set — the whole
     thing is a map-side projection with ZERO shuffle (the previous form
     exploded raw shingles then ran a global ``.distinct()``, paying a full
-    exchange on (doc_id, shingle) for a dedup that is local to each row)."""
-    return shingle_sets(docs, n, text_col, id_col).select(
-        "doc_id", F.explode("sh_set").alias("shingle")
+    exchange on (doc_id, shingle) for a dedup that is local to each row).
+
+    explode_OUTER, not explode: a plain explode triggers Catalyst's
+    InferFiltersFromGenerate, which synthesizes ``size(sh_set) > 0`` and
+    pushes it below the projection — inlining the ENTIRE shingle
+    transform into a per-row Filter that then evaluates a second time in
+    the Project (the same 5x hazard pinned for the repetition operators,
+    test_repetition.py).  shingle_sets' token-count filter already
+    guarantees non-empty sets, so the outer generate emits no null rows;
+    the null filter on the OUTPUT column is a correctness backstop that
+    cannot be pushed below the Generate."""
+    return (
+        shingle_sets(docs, n, text_col, id_col)
+        .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
