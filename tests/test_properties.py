@@ -404,3 +404,71 @@ def test_packing_capacity_and_totality_any_corpus(spark, counts, max_tokens, n_g
     for r in out:
         if r["oversize"]:
             assert members[r["bin_id"]] == 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination: set-theoretic invariants for any corpus/eval pair
+# ---------------------------------------------------------------------------
+word = st.text(alphabet="abcdef", min_size=1, max_size=3)
+doc_text = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    corpus=st.lists(doc_text, min_size=1, max_size=8),
+    eval_set=st.lists(doc_text, min_size=1, max_size=4),
+)
+def test_decontaminate_is_a_subset_and_idempotent(spark, corpus, eval_set):
+    """Survivors are a subset of the input; decontaminating twice equals
+    once (the operator is a pure filter); profile rows only for docs
+    with >= n tokens."""
+    from hedera_etl_spark.operators.decontam import (
+        contamination_profile,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(eval_set)], ["doc_id", "text"]
+    )
+    once = decontaminate(docs, ev, n=2)
+    ids_once = {r["doc_id"] for r in once.collect()}
+    assert ids_once <= set(range(len(corpus)))
+    twice = decontaminate(once, ev, n=2)
+    assert {r["doc_id"] for r in twice.collect()} == ids_once
+    prof = contamination_profile(docs, ev, n=2).collect()
+    for r in prof:
+        assert 0 <= r["n_hits"] <= r["n_grams"]
+        assert r["contamination"] == pytest.approx(
+            r["n_hits"] / r["n_grams"], abs=1e-6
+        )
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    masses=st.lists(st.integers(10, 500), min_size=2, max_size=4),
+    weights=st.lists(st.integers(1, 5), min_size=2, max_size=4),
+)
+def test_mixture_rates_always_valid_and_one_binding(spark, masses, weights):
+    """For any corpus masses and positive weights: every solved rate is
+    in (0, 1], at least one domain binds at 1.0, and expected output
+    masses are proportional to the target weights."""
+    from hedera_etl_spark.operators.sampling import mixture_rates
+
+    k = min(len(masses), len(weights))
+    masses, weights = masses[:k], weights[:k]
+    rows = [
+        (f"d{i}", j) for i, m in enumerate(masses) for j in range(m)
+    ]
+    df = spark.createDataFrame(rows, ["domain", "key"])
+    target = {f"d{i}": float(w) for i, w in enumerate(weights)}
+    rates = mixture_rates(df, "domain", target)
+    assert all(0 < r <= 1.0 for r in rates.values())
+    assert any(abs(r - 1.0) < 1e-9 for r in rates.values())
+    total_w = sum(weights)
+    expected = {d: masses[int(d[1:])] * rates[d] for d in rates}
+    t_out = sum(expected.values())
+    for d, w in target.items():
+        assert expected[d] / t_out == pytest.approx(w / total_w, rel=1e-6)
