@@ -1,0 +1,166 @@
+"""Continuous corpus ingestion: streaming documents -> incremental dedup
+-> quality floor -> append-only corpus table.
+
+The reference's whole architecture — at-least-once streaming ingest plus
+a stateful dedup healer (PubSubToBigQueryPipeline + DedupeJob) — applied
+to LLM training data: documents arrive as a JSON-lines stream, and every
+micro-batch is deduplicated against EVERYTHING accepted so far through
+the persistent signature store (operators/incremental_dedup.py) before
+appending to the corpus table.
+
+Exactly-once acceptance under replays: foreachBatch delivers each epoch
+at-least-once with a STABLE ``batch_id``; ``incremental_dedup_batch``
+commits per-batch store directories named by that id, so a replayed
+epoch replays the recorded decision instead of re-deciding; and the
+corpus table itself is written as per-batch directories committed by
+single renames (write-if-absent).  The three commit points (store,
+corpus batch dir, checkpoint) can each crash in between — every window
+re-runs idempotently: a replay recomputes the identical decision from
+the store, re-stages the corpus batch only if its directory is missing,
+and never double-appends.
+
+Scale: per batch, the store is touched by one anti-join (content hashes)
+and one LSH bucket join (signatures) — both against O(accepted docs) of
+fixed-width rows, never against corpus text; history is never re-read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from hedera_etl_spark.operators.incremental_dedup import (
+    CorpusSignatureStore,
+    incremental_dedup_batch,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class CorpusIngestMetrics:
+    batches: int = 0
+    rows_in: int = 0
+    accepted: int = 0
+    dropped_exact: int = 0
+    dropped_near: int = 0
+    replayed_batches: int = 0
+    history: list = field(default_factory=list)
+
+
+class CorpusIngestPipeline:
+    """File-stream of document JSON lines -> deduped corpus table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        corpus_table: str,
+        store_path: str,
+        checkpoint: str,
+        min_tokens: int = 0,
+        near_threshold: float = 0.5,
+        shingle_n: int = 3,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.corpus_table = corpus_table
+        self.store = CorpusSignatureStore(spark, store_path)
+        self.checkpoint = checkpoint
+        self.min_tokens = min_tokens
+        self.near_threshold = near_threshold
+        self.shingle_n = shingle_n
+        self.max_files_per_trigger = max_files_per_trigger
+        self.metrics = CorpusIngestMetrics()
+
+    def _read(self) -> DataFrame:
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        lines = reader.load(self.input_dir)
+        return lines.select(
+            F.from_json(F.col("value"), DOC_SCHEMA).alias("d")
+        ).select("d.doc_id", "d.text").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+
+    def _commit_corpus_batch(self, accepted: DataFrame, bid: str) -> None:
+        """Idempotent per-batch corpus append: stage to a hidden sibling,
+        rename in only if the live batch directory is absent.  Covers the
+        crash window where the store committed but the append had not
+        (the replayed decision regenerates the identical rows), and the
+        window where the append landed but the checkpoint had not (the
+        directory exists — nothing is written twice).  Directory names
+        avoid ``key=value`` so partition inference never misreads them;
+        ``read_corpus`` lists them recursively."""
+        import os
+        import shutil
+
+        live = os.path.join(self.corpus_table, f"batch-{bid}")
+        if os.path.exists(live):
+            return
+        tmp = os.path.join(self.corpus_table, f".batch-{bid}.__new")
+        shutil.rmtree(tmp, ignore_errors=True)
+        accepted.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(live):
+            os.rename(tmp, live)
+        else:  # lost race with a concurrent attempt
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def read_corpus(self) -> DataFrame:
+        return (
+            self.spark.read.schema(DOC_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.corpus_table)
+        )
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        m = self.metrics
+        bid = f"stream-{batch_id}"
+        if self.min_tokens > 0:
+            batch = batch.filter(
+                F.size(F.split("text", " ")) >= self.min_tokens
+            )
+        replay = self.store.has_batch(bid)
+        accepted, stats = incremental_dedup_batch(
+            self.store,
+            batch,
+            bid,
+            n=self.shingle_n,
+            threshold=self.near_threshold,
+        )
+        m.batches += 1
+        m.rows_in += stats.rows_in
+        m.history.append(stats)
+        if replay:
+            m.replayed_batches += 1
+        else:
+            m.accepted += stats.accepted
+            m.dropped_exact += stats.exact_in_batch + stats.exact_vs_store
+            m.dropped_near += stats.near_vs_store + stats.near_in_batch
+        self._commit_corpus_batch(accepted.select("doc_id", "text"), bid)
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        writer = (
+            self._read()
+            .writeStream.option("checkpointLocation", self.checkpoint)
+            .foreachBatch(self._process_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_drained(self) -> CorpusIngestMetrics:
+        q = self.start(available_now=True)
+        q.awaitTermination()
+        return self.metrics
