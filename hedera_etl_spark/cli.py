@@ -91,6 +91,28 @@ def _add_dedupe(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--loop-count", type=int, default=None, help="stop after N scheduled runs")
 
 
+def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "corpus-ingest",
+        help="streaming document JSON lines -> incremental dedup vs the "
+        "signature store -> append-only corpus table (streaming/corpus.py)",
+    )
+    p.add_argument("--input-dir", required=True, help="JSON-lines source directory")
+    p.add_argument("--corpus-table", required=True, help="output corpus table path")
+    p.add_argument("--store", required=True, help="signature store directory")
+    p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    p.add_argument("--min-tokens", type=int, default=0, help="quality floor (0 disables)")
+    p.add_argument("--near-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
+    )
+    p.add_argument(
+        "--continuous",
+        action="store_true",
+        help="run until interrupted (default: drain available input, then exit)",
+    )
+
+
 def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser(
         "prepare",
@@ -145,6 +167,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_ingest(sub)
     _add_dedupe(sub)
+    _add_corpus_ingest(sub)
     _add_prepare(sub)
     _add_bench(sub)
     return parser
@@ -204,6 +227,29 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"batches={m.batches} valid_rows={m.valid_rows} error_rows={m.error_rows}"
             )
+        return 0
+
+    if args.command == "corpus-ingest":
+        from hedera_etl_spark.streaming.corpus import CorpusIngestPipeline
+
+        pipeline = CorpusIngestPipeline(
+            spark,
+            input_dir=args.input_dir,
+            corpus_table=args.corpus_table,
+            store_path=args.store,
+            checkpoint=args.checkpoint,
+            min_tokens=args.min_tokens,
+            near_threshold=args.near_threshold,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        if args.continuous:
+            pipeline.start(available_now=False).awaitTermination()
+            return 0
+        m = pipeline.run_until_drained()
+        print(
+            f"batches={m.batches} rows_in={m.rows_in} accepted={m.accepted} "
+            f"dropped_exact={m.dropped_exact} dropped_near={m.dropped_near}"
+        )
         return 0
 
     if args.command == "prepare":

@@ -95,3 +95,23 @@ def test_lost_append_window_heals_on_replay(spark, dirs):
     batch = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
     p._process_batch(batch, 0)
     assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [1, 2]
+
+
+def test_cli_corpus_ingest_roundtrip(spark, dirs, capsys):
+    from hedera_etl_spark import cli
+
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"), [(1, BASE), (2, BASE), (3, OTHER)]
+    )
+    rc = cli.main(
+        [
+            "corpus-ingest",
+            "--input-dir", dirs["in"],
+            "--corpus-table", dirs["corpus"],
+            "--store", dirs["store"],
+            "--checkpoint", dirs["ckpt"],
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "accepted=2" in out and "dropped_exact=1" in out
