@@ -407,11 +407,20 @@ def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q09_window_rank",
     """
-    SELECT o_custkey, o_orderkey, r
+    SELECT o_custkey, o_orderkey, r, dr,
+           CAST(CAST(pr AS DECIMAL(9,6)) AS DOUBLE) AS pct_rank,
+           CAST(CAST(cd AS DECIMAL(9,6)) AS DOUBLE) AS cume,
+           nt
     FROM (
       SELECT o_custkey, o_orderkey,
-             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r
+             RANK()         OVER w AS r,
+             DENSE_RANK()   OVER w AS dr,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST()    OVER w AS cd,
+             CAST(NTILE(4) OVER wt AS BIGINT) AS nt
       FROM orders
+      WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+             wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     )
     WHERE r <= 3
     ORDER BY o_custkey, r, o_orderkey
@@ -422,13 +431,28 @@ def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group via ranking window — one shuffle on the partition key,
     sort within partitions, no global sort.  The reference's first-per-group
-    dedup (A2) is the rn=1 special case of this."""
+    dedup (A2) is the rn=1 special case of this.  Carries the full ranking
+    family on the same exchange: rank / dense_rank / percent_rank /
+    cume_dist over the tie-full ordering, ntile over a TIE-BROKEN ordering
+    (o_orderkey appended) — ntile assigns by row position, so a tie-full
+    ordering would make its output engine-dependent; the tie-free window
+    reuses the same hash exchange with one extra in-partition sort."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wt = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
         orders.withColumn("r", F.rank().over(w))
+        .withColumn("dr", F.dense_rank().over(w))
+        .withColumn(
+            "pct_rank",
+            F.percent_rank().over(w).cast("decimal(9,6)").cast("double"),
+        )
+        .withColumn(
+            "cume", F.cume_dist().over(w).cast("decimal(9,6)").cast("double")
+        )
+        .withColumn("nt", F.ntile(4).over(wt).cast("long"))
         .filter(F.col("r") <= 3)
-        .select("o_custkey", "o_orderkey", "r")
+        .select("o_custkey", "o_orderkey", "r", "dr", "pct_rank", "cume", "nt")
         .orderBy("o_custkey", "r", "o_orderkey")
     )
 
