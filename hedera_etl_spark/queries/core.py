@@ -466,7 +466,12 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS run_sum,
            lag(o_orderkey)  OVER w AS prev_ok,
            lead(o_orderkey) OVER w AS next_ok,
-           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_orderkey
@@ -498,6 +503,15 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lag("o_orderdate").over(ord_w)
         ).cast("bigint").alias("days_since_prev"),
+        # boundary navigation: first_value over the default running frame;
+        # last_value needs the FULL frame (the default frame's last row IS
+        # the current row — both engines agree on that trap, so the entry
+        # pins the unbounded form users actually want); nth over running
+        F.first("o_orderkey").over(ord_w).alias("first_ok"),
+        F.last("o_orderkey")
+        .over(ord_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(ord_w).alias("second_ok"),
     ).orderBy("o_orderkey")
 
 
