@@ -56,24 +56,41 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q02_groupby_having",
     """
-    SELECT o_custkey, COUNT(*) AS num
+    SELECT o_custkey, COUNT(*) AS num,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) > 12
     ORDER BY o_custkey
     """,
-    tags=("aggregate", "having"),
+    tags=("aggregate", "having", "listagg"),
     bench=True,
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-detection aggregate: GROUP BY key HAVING count>N — the exact
     shape of GetDuplicatesTemplateQuery.java:33-36.  Spark plans partial
     (map-side) + final HashAggregate, so the shuffle carries one row per
-    (partition, key), not per input row."""
+    (partition, key), not per input row.  Rides the aggregate-flavor
+    surface on the same exchange: conditional aggregate (SUM CASE — the
+    count_if shape), grouped COUNT(DISTINCT), and ordered listagg
+    (array_join over array_sort(collect_list) — sorted, so tie order is
+    irrelevant and the string matches any engine's ORDER BY agg)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.count("*").alias("num"))
+        .agg(
+            F.count("*").alias("num"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderpriority")), ","
+            ).alias("prios"),
+        )
         .filter(F.col("num") > 12)
         .orderBy("o_custkey")
     )
