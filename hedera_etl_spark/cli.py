@@ -146,6 +146,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "--max-top-bigram-frac", type=float, default=None, help="Gopher repetition cap"
     )
     p.add_argument(
+        "--quality-weights",
+        default=None,
+        help="JSON weight file (qualityfilter.save_weights); enables the "
+        "trained-classifier quality floor",
+    )
+    p.add_argument("--min-quality-prob", type=float, default=0.5)
+    p.add_argument(
         "--mixture",
         default=None,
         help="target domain mixture, e.g. 'web=0.5,code=0.3,books=0.2' "
@@ -258,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
         from hedera_etl_spark.operators.llm_pipeline import prepare_training_shards
 
         docs = spark.read.parquet(args.input)
+        quality_weights = None
+        if args.quality_weights:
+            from hedera_etl_spark.operators.qualityfilter import load_weights
+
+            quality_weights = load_weights(args.quality_weights)
         mixture = None
         if args.mixture:
             mixture = {
@@ -278,6 +290,8 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_bigram_frac=args.max_top_bigram_frac,
+            quality_weights=quality_weights,
+            min_quality_prob=args.min_quality_prob,
             mixture=mixture,
             domain_col=args.domain_col,
             sample_rate=args.sample_rate,

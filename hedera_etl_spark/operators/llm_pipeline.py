@@ -49,6 +49,8 @@ def prepare_training_corpus(
     min_tokens: int = 5,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    quality_weights: list[float] | None = None,
+    min_quality_prob: float = 0.5,
     mixture: dict[str, float] | None = None,
     domain_col: str = "source",
     sample_rate: float = 1.0,
@@ -63,7 +65,9 @@ def prepare_training_corpus(
     against ``eval_docs`` (exact ``decontam_n``-gram overlap — skipped
     when None), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
-    ``max_top_bigram_frac``), target-``mixture`` resample over
+    ``max_top_bigram_frac``), optional trained-classifier floor
+    (``quality_weights`` from qualityfilter.train_quality_lr /
+    load_weights at ``min_quality_prob``), target-``mixture`` resample over
     ``domain_col`` (skipped when None), deterministic md5 Bernoulli
     sample at ``sample_rate`` (salt-decorrelated from other splits).
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
@@ -118,6 +122,14 @@ def prepare_training_corpus(
             rep.filter(keep).select(F.col("doc_id").alias(id_col)),
             id_col,
             "left_semi",
+        )
+
+    if quality_weights is not None:
+        from hedera_etl_spark.operators.qualityfilter import filter_by_quality
+
+        out = filter_by_quality(
+            out, quality_weights, min_prob=min_quality_prob,
+            text_col=text_col, id_col=id_col,
         )
 
     if mixture is not None:

@@ -159,5 +159,28 @@ def filter_by_quality(
     return docs.join(keep, id_col, "left_semi")
 
 
+def save_weights(weights: list[float], path: str) -> None:
+    """Persist a weight vector with its feature contract — scoring with
+    stored weights is exactly reproducible anywhere (training is not,
+    see module docstring)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump({"features": FEATURES, "weights": list(map(float, weights))}, fh)
+
+
+def load_weights(path: str) -> list[float]:
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("features") != FEATURES:
+        raise ValueError(
+            f"weight file {path} was trained on features {obj.get('features')}; "
+            f"this build expects {FEATURES}"
+        )
+    return [float(w) for w in obj["weights"]]
+
+
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))

@@ -94,3 +94,37 @@ def test_feature_stage_matches_contract(spark):
     docs, _ = _corpus(spark)
     cols = quality_features(docs).columns
     assert cols == ["doc_id", *FEATURES]
+
+
+def test_weights_round_trip_and_contract_guard(spark, trained, tmp_path):
+    from hedera_etl_spark.operators.qualityfilter import load_weights, save_weights
+
+    docs, labels, feats, w = trained
+    path = str(tmp_path / "weights.json")
+    save_weights(w, path)
+    assert load_weights(path) == [float(x) for x in w]
+    # contract mismatch must refuse loudly, not mis-apply weights
+    import json
+
+    bad = {"features": ["other"], "weights": [0.0]}
+    badpath = str(tmp_path / "bad.json")
+    with open(badpath, "w") as fh:
+        json.dump(bad, fh)
+    with pytest.raises(ValueError):
+        load_weights(badpath)
+
+
+def test_pipeline_applies_trained_filter(spark, trained):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs, labels, feats, w = trained
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=None,
+        min_tokens=0,
+        quality_weights=w,
+        min_quality_prob=0.5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    bad_ids = {r["doc_id"] for r in labels.filter("label = 0.0").collect()}
+    assert len(kept & bad_ids) <= 0.1 * len(bad_ids)
