@@ -662,7 +662,12 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(pow(o_orderkey % 10, 2) AS BIGINT) AS sq,
            CAST(CAST(ln(o_totalprice) AS DECIMAL(12,6)) AS DOUBLE) AS log_price,
            nullif(o_orderstatus, 'O') AS status_or_null,
-           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS prio_dist,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           translate(o_orderpriority, '-', '_') AS prio_snake,
+           reverse(o_orderstatus) AS status_rev,
+           CAST(length(trim(o_orderpriority)) AS BIGINT) AS prio_len
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -706,6 +711,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
             "status_label"
         ),
+        F.levenshtein("o_orderpriority", F.lit("1-URGENT")).cast("long").alias("prio_dist"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.translate("o_orderpriority", "-", "_").alias("prio_snake"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.length(F.trim(F.col("o_orderpriority"))).cast("long").alias("prio_len"),
     ).orderBy("o_orderkey")
 
 
