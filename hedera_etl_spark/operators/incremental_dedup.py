@@ -162,6 +162,53 @@ class CorpusSignatureStore:
             os.path.join(self.content_dir, f"batch={batch_id}")
         ).select("doc_id")
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        """Merge ALL committed batch directories into one (file-count
+        maintenance: after many small batches, per-batch listing and the
+        multi-path reads dominate open cost — the same micro-batch
+        small-file problem ``tablemgmt.compact_partitions`` solves for
+        day partitions).  Returns the number of batches merged (0 when
+        there is nothing to do).
+
+        Crash-safe without coordination: the target batch name derives
+        from the md5 of the merged SET, and it commits through the normal
+        two-rename protocol BEFORE any source is removed.  A crash in
+        between leaves rows duplicated across target and leftovers —
+        harmless by construction (every store read is
+        duplicate-insensitive: the exact stage anti-joins on
+        content_hash, the near stage drops on ANY matching pair), the
+        retry derives a NEW target folding everything, and the merge
+        dropDuplicates()es, so row counts never creep.  Caveat: replay
+        lookups by original batch id (``batch_doc_ids``) no longer
+        resolve after compaction — run only past the replay horizon (a
+        drained/checkpointed stream).
+        """
+        import hashlib
+
+        old = sorted(self.committed_batches())
+        if len(old) <= 1:
+            return 0
+        target = "compacted-" + hashlib.md5("|".join(old).encode()).hexdigest()[:12]
+        content = (
+            self.spark.read.schema(_content_schema())
+            .parquet(*[os.path.join(self.content_dir, b) for b in old])
+            .dropDuplicates()
+        )
+        sigs = (
+            self.spark.read.schema(_sig_schema(self.k))
+            .parquet(*[os.path.join(self.sigs_dir, b) for b in old])
+            .dropDuplicates(["doc_id"])
+        )
+        # materialize BEFORE deleting sources (the read is lazy)
+        self.commit_batch(target, content.localCheckpoint(), sigs.localCheckpoint())
+        merged_entry = f"batch={target}"
+        for b in old:
+            if b != merged_entry:
+                shutil.rmtree(os.path.join(self.content_dir, b), ignore_errors=True)
+                shutil.rmtree(os.path.join(self.sigs_dir, b), ignore_errors=True)
+        return len(old)
+
 
 def signature_estimate_pairs(
     sigs: DataFrame, k: int, bands: int, rows: int, max_bucket: int | None

@@ -116,3 +116,55 @@ def test_transitive_in_batch_chain_keeps_min_id(spark, store):
     )
     accepted, _ = incremental_dedup_batch(store, docs, "b1", threshold=0.4)
     assert [r["doc_id"] for r in accepted.collect()] == [30]
+
+
+def test_compact_preserves_dedup_behavior(spark, store):
+    incremental_dedup_batch(store, _docs(spark, [(1, BASE)]), "b1")
+    incremental_dedup_batch(
+        store, _docs(spark, [(2, "second batch unrelated content here")]), "b2"
+    )
+    incremental_dedup_batch(
+        store, _docs(spark, [(3, "third batch of totally other words")]), "b3"
+    )
+    before_content = sorted(map(tuple, store.content().collect()))
+    assert store.compact() == 3
+    assert len(store.committed_batches()) == 1
+    assert sorted(map(tuple, store.content().collect())) == before_content
+    assert store.signatures().count() == 3
+    # dedup against the compacted history still fires
+    accepted, stats = incremental_dedup_batch(
+        store, _docs(spark, [(10, BASE), (11, BASE + " zzz")]), "b4"
+    )
+    assert accepted.count() == 0
+    assert stats.exact_vs_store == 1 and stats.near_vs_store == 1
+    # idempotent when single batch... b4 added a second dir; compact again
+    assert store.compact() == 2
+    assert store.compact() == 0
+
+
+def test_compact_crash_window_converges(spark, store):
+    """Crash after target commit, before source removal: a re-run folds
+    the leftovers into a fresh target without row duplication."""
+    import os
+    import shutil
+
+    incremental_dedup_batch(store, _docs(spark, [(1, BASE)]), "b1")
+    incremental_dedup_batch(
+        store, _docs(spark, [(2, "other unrelated prose lives here")]), "b2"
+    )
+    # simulate: run compact but resurrect one source batch afterwards to
+    # mimic "removal never happened"
+    import hashlib
+
+    old = sorted(store.committed_batches())
+    store.compact()
+    target = next(iter(store.committed_batches()))
+    # duplicate a copy of the target under another batch name (pretend a
+    # leftover source survived with overlapping rows)
+    for root in (store.content_dir, store.sigs_dir):
+        shutil.copytree(os.path.join(root, target), os.path.join(root, "batch=left"))
+    assert len(store.committed_batches()) == 2
+    store.compact()
+    assert len(store.committed_batches()) == 1
+    assert store.content().count() == 2  # dropDuplicates folded the overlap
+    assert store.signatures().count() == 2
