@@ -756,38 +756,63 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q16_window_tumbling",
     """
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+    SELECT 'tumble' AS kind,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hop' AS kind,
+           CAST(ws AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 2, 3
+    ORDER BY kind, window_start, event_type
     """,
     tags=("window-agg", "streaming"),
     bench=True,
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window via F.window — the identical expression
-    runs under Structured Streaming with a watermark (see
-    streaming/ingest.py); here it executes in batch mode for the oracle."""
+    """Tumbling + hopping event-time windows via F.window, tagged union —
+    the identical expressions run under Structured Streaming with a
+    watermark (see streaming/ingest.py); here they execute in batch mode
+    for the oracle.  The hopping form (2-hour window sliding by 1 hour)
+    fans each event into window/slide rows BEFORE the aggregate — the
+    same map-side explode Spark's streaming planner emits; the oracle
+    mirrors it with an explicit 2-element unnest."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC))
-            .cast("decimal(28,2)")
-            .cast("double")
-            .alias("total_value"),
+
+    def agg_windows(wspec, kind):
+        return (
+            events.groupBy(wspec.alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast(DEC))
+                .cast("decimal(28,2)")
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
         )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
-        # time-grid output: hours-in-span x event types, not row count
-        # (tables.bounded_sort)
-        .transform(lambda d: bounded_sort(d, "window_start", "event_type"))
+
+    out = agg_windows(F.window("ts", "1 hour"), "tumble").unionByName(
+        agg_windows(F.window("ts", "2 hours", "1 hour"), "hop")
     )
+    # time-grid output: hours-in-span x event types x 3, not row count
+    # (tables.bounded_sort)
+    return out.transform(lambda d: bounded_sort(d, "kind", "window_start", "event_type"))
