@@ -134,6 +134,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--exact-only", action="store_true")
     p.add_argument("--min-tokens", type=int, default=5, help="quality floor (0 disables)")
     p.add_argument(
+        "--span-dedup-n",
+        type=int,
+        default=None,
+        help="cut verbatim token spans of this width recurring in the "
+        "corpus (keeps the canonical first occurrence)",
+    )
+    p.add_argument(
         "--eval-input",
         default=None,
         help="benchmark/eval parquet; enables n-gram decontamination",
@@ -285,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             near_threshold=None if args.exact_only else args.near_threshold,
+            span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,
             min_tokens=args.min_tokens,

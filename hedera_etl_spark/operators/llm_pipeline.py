@@ -44,6 +44,8 @@ def prepare_training_corpus(
     minhash_k: int = 9,
     lsh_bands: int = 3,
     max_bucket: int | None = 500,
+    span_dedup_n: int | None = None,
+    span_keep_first: bool = True,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     min_tokens: int = 5,
@@ -61,7 +63,9 @@ def prepare_training_corpus(
 
     Stages: exact content dedup (min-id keeper), MinHash+LSH near-dup
     pairs at ``near_threshold`` collapsed transitively via connected
-    components (min-id keeper per cluster), benchmark decontamination
+    components (min-id keeper per cluster), repeated-span removal at
+    ``span_dedup_n`` tokens (skipped when None; ``span_keep_first``
+    keeps the canonical occurrence), benchmark decontamination
     against ``eval_docs`` (exact ``decontam_n``-gram overlap — skipped
     when None), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
@@ -94,6 +98,14 @@ def prepare_training_corpus(
             decision.filter("keep").select(F.col("doc_id").alias(id_col)),
             id_col,
             "left_semi",
+        )
+
+    if span_dedup_n is not None:
+        from hedera_etl_spark.operators.spandedup import remove_repeated_spans
+
+        out = remove_repeated_spans(
+            out, n=span_dedup_n, keep_first=span_keep_first,
+            text_col=text_col, id_col=id_col,
         )
 
     if eval_docs is not None:

@@ -89,3 +89,22 @@ def test_no_python_and_outer_generate(spark, docs):
         if "Filter" in line and "xxhash64(concat_ws" in line
     ]
     assert not bad, bad  # the span construction never inlines into a Filter
+
+
+def test_pipeline_span_stage(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{HEADER} first unique body content words"),
+            Row(doc_id=2, text=f"{HEADER} second unique body different words"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in prepare_training_corpus(
+            docs, near_threshold=None, min_tokens=0, span_dedup_n=6
+        ).collect()
+    }
+    assert out[1].startswith(HEADER)  # canonical occurrence kept
+    assert out[2] == "second unique body different words"
