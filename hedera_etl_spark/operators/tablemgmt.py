@@ -148,3 +148,88 @@ def compact_partitions(
     with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
         results = list(pool.map(compact_one, entries))
     return dict(r for r in results if r is not None)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-column data skipping)
+# ---------------------------------------------------------------------------
+def zorder_value(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of pre-scaled column values — the sort
+    key behind lakehouse OPTIMIZE ZORDER.
+
+    Single-column clustering gives row-group min/max skipping on ONE
+    column and destroys it for every other; interleaving the top ``bits``
+    bits of each column's scaled value yields files that are small
+    hyper-rectangles in the combined space, so predicates on ANY of the
+    z-ordered columns skip most files.  Inputs must already be scaled to
+    the [0, 2^bits) integer range (``_scale_to_bits``); the interleave is
+    a flat chain of shift/mask terms — whole-stage-codegen'd, no UDF.
+    """
+    terms = []
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def _scale_to_bits(col, lo, hi, bits: int):
+    """Scale a numeric/timestamp column to [0, 2^bits) by min-max range
+    (documented simplification of Delta's range-id approach: rank-based
+    scaling resists skew better but costs a global sort; min-max costs
+    one tiny aggregate)."""
+    span = F.lit(hi) - F.lit(lo)
+    scaled = F.when(
+        span <= 0, F.lit(0)
+    ).otherwise(
+        ((col.cast("double") - F.lit(lo)) / span * F.lit((1 << bits) - 1)).cast("long")
+    )
+    return F.greatest(F.lit(0), F.least(scaled, F.lit((1 << bits) - 1)))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out in Z-order over ``zorder_by`` columns:
+    one tiny min/max aggregate per column (driver-side scalars), the
+    Morton key as a pure projection, then range-repartition + sort on
+    the key so each output file covers a compact z-range.  Predicates on
+    any z-ordered column then skip most files via parquet row-group
+    stats — the multi-column generalization of ``write_day_partitioned``'s
+    single-column clustering."""
+    stats = df.agg(
+        *[
+            f
+            for c in zorder_by
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    scaled = [
+        _scale_to_bits(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+        for c in zorder_by
+    ]
+    zv = zorder_value(scaled, bits=bits)
+    (
+        df.withColumn("__z", zv)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
