@@ -44,23 +44,55 @@ def export_shards(
     n_shards: int,
     key_col: str = "doc_id",
     token_count_col: str | None = None,
+    fmt: str = "parquet",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
-    """Write ``df`` as ``n_shards`` deterministic parquet shards plus a
+    """Write ``df`` as ``n_shards`` deterministic shards plus a
     ``_manifest`` parquet; returns the manifest DataFrame.
+
+    ``fmt``: ``parquet`` (default) or ``jsonl`` — one JSON object per
+    line, the wire format most training loaders consume directly; the
+    manifest stays parquet and its checksum is computed over the same
+    typed columns either way, so ``verify_shards`` needs the format only
+    to re-read.
+
+    ``shuffle_salt``: when set, rows inside each shard are ordered by
+    md5(salt || key) — the deterministic corpus shuffle trainers want
+    (stable across re-exports and engines, re-drawable with a new salt),
+    instead of whatever order the upstream stages produced.
 
     Manifest columns: shard_id, n_rows, n_tokens (0 when no
     ``token_count_col``), checksum (bit_xor of per-row xxhash64 across
-    every exported column).
+    every exported column — order-insensitive, so the shuffle does not
+    affect it).
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     cols = df.columns
     sharded = df.withColumn("shard_id", shard_id(key_col, n_shards))
     # all rows of one shard land in one task; partitionBy splits a task
     # holding several shards into per-shard files -> 1 file per shard
-    sharded.repartition(n_shards, "shard_id").write.mode("error").partitionBy(
-        "shard_id"
-    ).parquet(f"{out_dir}/shards")
+    writable = sharded.repartition(n_shards, "shard_id")
+    if shuffle_salt is not None:
+        writable = writable.sortWithinPartitions(
+            "shard_id",
+            F.md5(F.concat_ws("\x1f", F.lit(shuffle_salt), F.col(key_col).cast("string"))),
+        )
+    if fmt == "jsonl":
+        (
+            writable.select(
+                "shard_id", F.to_json(F.struct(*cols)).alias("value")
+            )
+            .write.mode("error")
+            .partitionBy("shard_id")
+            .text(f"{out_dir}/shards")
+        )
+    else:
+        writable.write.mode("error").partitionBy("shard_id").parquet(
+            f"{out_dir}/shards"
+        )
 
     tok = (
         F.sum(F.col(token_count_col).cast("long"))
@@ -80,13 +112,32 @@ def export_shards(
     return manifest
 
 
-def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+def verify_shards(
+    spark: SparkSession, out_dir: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
     """Re-read an export and recompute the manifest from the shard files;
     returns per-shard rows with ``ok`` = recomputed == manifest.  One
     scan + one aggregation — the integrity check a pipeline runs before
-    handing shards to a trainer."""
+    handing shards to a trainer.
+
+    ``fmt='jsonl'`` requires the exported ``schema`` (without shard_id)
+    to re-type the lines; note a JSON round-trip is bit-exact for
+    integral/string/bool columns but can perturb the last ulp of DOUBLE
+    columns — keep float payloads in parquet exports when the checksum
+    must prove byte identity."""
     manifest = spark.read.parquet(f"{out_dir}/_manifest")
-    data = spark.read.parquet(f"{out_dir}/shards")
+    if fmt == "jsonl":
+        if schema is None:
+            raise ValueError("verify_shards(fmt='jsonl') needs the export schema")
+        raw = spark.read.text(f"{out_dir}/shards")
+        data = raw.select(
+            F.from_json("value", schema).alias("d"),
+            F.regexp_extract(F.input_file_name(), r"shard_id=(\d+)", 1)
+            .cast("int")
+            .alias("shard_id"),
+        ).select("d.*", "shard_id")
+    else:
+        data = spark.read.parquet(f"{out_dir}/shards")
     cols = [c for c in data.columns if c != "shard_id"]
     recomputed = data.groupBy("shard_id").agg(
         F.count("*").alias("r_rows"),
