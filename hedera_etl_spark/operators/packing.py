@@ -106,6 +106,27 @@ def pack_sequences(
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
+    counted = _counted_docs(docs, n_groups, id_col, text_col, count_col)
+    return counted.groupBy("group_id").applyInPandas(
+        lambda pdf: pd.concat(list(_pack_group(iter([pdf]), max_tokens))),
+        schema=_OUT_SCHEMA,
+    )
+
+
+def _counted_docs(
+    docs: DataFrame,
+    n_groups: int,
+    id_col: str,
+    text_col: str,
+    count_col: Optional[str],
+) -> DataFrame:
+    """(doc_id, n_tokens, group_id) projection shared by both packers.
+
+    md5-bucket grouping (sampling.hash_bucket family): deterministic,
+    engine-independent, uniform.  Projects to (id, count, group) BEFORE
+    any grouped stage so neither Arrow nor the shuffle ever ships
+    document text.
+    """
     if count_col:
         n = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
     else:
@@ -117,10 +138,7 @@ def pack_sequences(
             ),
             F.lit(0),
         ).cast("long")
-    # md5-bucket grouping (sampling.hash_bucket family): deterministic,
-    # engine-independent, uniform.  Project to (id, count, group) BEFORE
-    # the grouped-map so Arrow never ships document text.
-    counted = docs.select(
+    return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         n.alias("n_tokens"),
         F.pmod(
@@ -131,9 +149,62 @@ def pack_sequences(
         .cast("int")
         .alias("group_id"),
     )
-    return counted.groupBy("group_id").applyInPandas(
-        lambda pdf: pd.concat(list(_pack_group(iter([pdf]), max_tokens))),
-        schema=_OUT_SCHEMA,
+
+
+def pack_concat(
+    docs: DataFrame,
+    max_tokens: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Optional[str] = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out end-to-end in
+    (group, doc_id) order and the token stream is cut every
+    ``max_tokens`` — the GPT-style pretraining layout where a document
+    may straddle a boundary (``split_across`` marks those).
+
+    This is the zero-loss twin of :func:`pack_sequences`: FFD keeps
+    documents whole at the cost of underfull bins; concat-and-chunk
+    wastes zero tokens (every bin except each group's last is exactly
+    full) at the cost of split documents.  Both are deterministic and
+    engine-reproducible; which one a pipeline wants depends on whether
+    the trainer masks cross-document attention.
+
+    The whole computation is one window prefix-sum over (group_id,
+    doc_id) — no Python, no grouped-map: ``start`` = running token count
+    before the doc, ``bin_id`` = group-composed ``start // max_tokens``.
+    Scale: the prefix sum is sequential WITHIN a group and parallel
+    across groups, the same parallelism contract as the FFD packer (one
+    task per group, n_groups scales with the corpus).
+
+    Returns (doc_id, n_tokens, group_id, start_offset, bin_id,
+    split_across) — one row per input document.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    from pyspark.sql import Window as W
+
+    counted = _counted_docs(docs, n_groups, id_col, text_col, count_col)
+    w = (
+        W.partitionBy("group_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = counted.select("doc_id", "n_tokens", "group_id", start)
+    first_bin = F.floor(F.col("start_offset") / max_tokens)
+    last_bin = F.floor(
+        (F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+        / max_tokens
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "group_id",
+        "start_offset",
+        (F.col("group_id").cast("long") * _BIN_STRIDE + first_bin).alias("bin_id"),
+        ((F.col("n_tokens") > 0) & (last_bin > first_bin)).alias("split_across"),
     )
 
 

@@ -110,6 +110,51 @@ def jaccard_select(threshold: float) -> str:
     ORDER BY doc_a, doc_b"""
 
 
+def ngram_pairs_cte(threshold: float = 0.8, max_df: int = 20) -> str:
+    """Prefix-filtered exact-Jaccard near-dup PAIRS as a ``pairs`` CTE —
+    the CTE-composable form of the blocking + verify chain that
+    ``textops._NGRAM_ORACLE`` inlines (twin of
+    textdedup.ngram_jaccard_neardups): blocking keys are each doc's
+    first ``sz - floor(t*sz) + 1`` surviving shingles in rarest-first
+    global order, 2 <= df <= max_df applies before ranking, then the
+    exact shingle-Jaccard verify at DECIMAL(9,6).  Assumes a ``sh``
+    (doc_id, shingle) CTE is in scope."""
+    return f"""
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND {max_df}),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle, s.sz,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                ORDER BY d.df, sh.shingle) AS rn
+      FROM sh JOIN dfc d USING (shingle) JOIN szs s USING (doc_id)
+    ),
+    pre AS (SELECT doc_id, shingle, sz FROM ranked
+            WHERE rn <= sz - floor({threshold} * sz) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pre a JOIN pre b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+        AND CAST(LEAST(a.sz, b.sz) AS DOUBLE)
+            >= {threshold} * CAST(GREATEST(a.sz, b.sz) AS DOUBLE)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE CAST(i.inter / (na.n + nb.n - i.inter) AS DECIMAL(9,6)) >= {threshold}
+    )"""
+
+
 def simhash_fp_cte(src: str) -> str:
     """64-bit SimHash as (fp_hi, fp_lo) 32-bit halves — twin of
     textdedup.simhash_fingerprints: ONE md5 per token; low-half bit j

@@ -1,0 +1,175 @@
+"""Corpus-assembly registry entries: duplicate-cluster collapse
+(connected components over near-dup pairs) and sequence packing — the
+two stages between near-dup detection and shard export in a training
+-data pipeline (SURVEY §2 extras; the reference's dedup is exact-key
+only, RemoveDuplicatesTemplateQuery.java:29-43, so both operators extend
+the engine's LLM-pipeline surface).
+
+Both entries carry full DuckDB oracles:
+- the cluster entry's oracle computes the SAME prefix-filtered exact
+  -Jaccard pairs (queries/_oracle.ngram_pairs_cte) and then the
+  transitive closure with a recursive CTE — closing the loop on the one
+  semantic the pair detectors cannot check themselves (A ~ B ~ C must
+  collapse even though (A, C) was never scored);
+- the packing entry uses the concat-and-chunk packer, whose prefix-sum
+  form is window-expressible in ANSI SQL (the FFD packer is inherently
+  procedural and stays pytest-verified — tests/test_packing.py pins FFD
+  against concat-and-chunk on fill-rate and assignment invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.components import collapse_components
+from hedera_etl_spark.operators.packing import _BIN_STRIDE, pack_concat
+from hedera_etl_spark.operators.textdedup import ngram_jaccard_neardups
+from hedera_etl_spark.queries import query
+from hedera_etl_spark.queries._oracle import ngram_pairs_cte, shingle_cte
+from hedera_etl_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# dup-cluster corpus: orig + two nested append-mutants per 13th doc.
+# Appending 3 then 6 tokens makes the three shingle sets NESTED
+# (A ⊂ B ⊂ C), so with s = |A| the pair similarities are s/(s+3),
+# (s+3)/(s+6), s/(s+6): docs of 14-25 tokens clear 0.8 on the adjacent
+# pairs but NOT on (A, C) — a genuine transitive chain the closure must
+# merge; longer docs merge on all three edges, 11-13-token docs merge
+# only (B, C).  All three regimes exist in the testdata length mix, so
+# the oracle exercises multi-hop closure, full triangles, and partial
+# clusters at once.
+# ---------------------------------------------------------------------------
+_CHAIN_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zza zzb zzc' AS text
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' zza zzb zzc zzd zze zzf' AS text
+      FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained-mutant corpus — explode-copies form (one scan, see
+    textops._explode_copies)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = F.struct(F.col("doc_id"), F.col("text"))
+    m1 = F.struct(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zza zzb zzc")).alias("text"),
+    )
+    m2 = F.struct(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zza zzb zzc zzd zze zzf")).alias("text"),
+    )
+    copies = F.when(F.col("doc_id") % 13 == 0, F.array(orig, m1, m2)).otherwise(
+        F.array(orig)
+    )
+    return docs.select(F.explode(copies).alias("d")).select("d.doc_id", "d.text")
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE corpus AS ({_CHAIN_DOCS_SQL}),
+    {shingle_cte('corpus')},
+    {ngram_pairs_cte(threshold=0.8, max_df=20)},
+    sym AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION ALL
+      SELECT doc_b AS n, doc_a AS m FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n
+    ),
+    comp AS (
+      SELECT n AS doc_id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+    )
+    SELECT c.doc_id,
+           COALESCE(k.component, c.doc_id) AS component,
+           (COALESCE(k.component, c.doc_id) = c.doc_id) AS keep
+    FROM corpus c LEFT JOIN comp k USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_dup_clusters",
+    _CLUSTERS_ORACLE,
+    tags=("llm", "dedup", "components", "graph"),
+    # localCheckpoint per closure round — a cached plan would pin
+    # round-1 materializations (same rule as minhash/ngram entries).
+    cache_plan=False,
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup stage: exact-Jaccard near-dup pairs (prefix
+    -filtered blocking, textdedup.ngram_jaccard_neardups) fed through
+    alternating large-star/small-star connected components
+    (operators/components.py) and collapsed to a per-document keeper
+    decision — (doc_id, component, keep), component = min-id member,
+    exactly one keep per cluster.  The oracle recomputes the identical
+    pairs and takes their transitive closure with a recursive CTE, so
+    the hash check covers the multi-hop merges no pair detector sees."""
+    docs = chain_docs(spark, sf_dir)
+    pairs = ngram_jaccard_neardups(docs, n=3, max_df=20, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    return collapse_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk form)
+# ---------------------------------------------------------------------------
+_PACK_MAX_TOKENS = 512
+_PACK_GROUPS = 8
+
+_PACK_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(COALESCE(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END, 0) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % {_PACK_GROUPS} AS INT) AS group_id
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n_tokens, group_id,
+             CAST(SUM(n_tokens) OVER (PARTITION BY group_id ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
+      FROM c
+    )
+    SELECT doc_id, n_tokens, group_id, start_offset,
+           CAST(CAST(group_id AS BIGINT) * {_BIN_STRIDE}
+                + start_offset // {_PACK_MAX_TOKENS} AS BIGINT) AS bin_id,
+           (n_tokens > 0 AND
+            (start_offset + greatest(n_tokens - 1, 0)) // {_PACK_MAX_TOKENS}
+              > start_offset // {_PACK_MAX_TOKENS}) AS split_across
+    FROM w
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "llm_pack_chunks",
+    _PACK_ORACLE,
+    tags=("llm", "packing", "window"),
+    bench=True,
+)
+def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.pack_concat):
+    documents lay out end-to-end within deterministic md5 hash groups and
+    the token stream is cut every 512 tokens — one window prefix-sum,
+    sequential within a group, parallel across groups (n_groups scales
+    with the corpus).  ``split_across`` marks documents straddling a cut,
+    the rows a cross-document-attention-masking trainer re-reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_concat(
+        docs, max_tokens=_PACK_MAX_TOKENS, n_groups=_PACK_GROUPS
+    ).orderBy("doc_id")

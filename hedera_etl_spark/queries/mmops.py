@@ -120,6 +120,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, chunk_idx
     """,
     tags=("mm", "audio", "explode"),
+    # Out of the 50-entry driver window since r6 (slot ceded to
+    # llm_pack_chunks, a NEW family): the multimodal family keeps two
+    # driver rows (mm_payload_decode exercises the same hex-level byte
+    # math; mm_frame_sample the same per-row index-sequence explode),
+    # and this entry's own oracle still runs under
+    # tools/verify_oracle.py.
+    driver_visible=False,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style chunk features over the binary payload: per-400-byte

@@ -93,3 +93,47 @@ def test_documents_table_integration(spark):
     stats = packing_stats(out, 512).collect()[0]
     assert stats["n_docs"] == docs.count()
     assert 0.5 < stats["fill_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk packer (pack_concat) — the window-form zero-loss twin
+# ---------------------------------------------------------------------------
+def test_concat_every_doc_assigned_once(spark, corpus):
+    from hedera_etl_spark.operators.packing import pack_concat
+
+    out = pack_concat(corpus, max_tokens=128, n_groups=8)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(202))
+
+
+def test_concat_offsets_are_contiguous_within_groups(spark, corpus):
+    from hedera_etl_spark.operators.packing import pack_concat
+
+    out = pack_concat(corpus, max_tokens=128, n_groups=8).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r["group_id"], r["doc_id"])):
+        expect = by_group.get(r["group_id"], 0)
+        assert r["start_offset"] == expect
+        by_group[r["group_id"]] = expect + r["n_tokens"]
+
+
+def test_concat_bin_and_split_flags(spark, corpus):
+    from hedera_etl_spark.operators.packing import pack_concat
+
+    for r in pack_concat(corpus, max_tokens=128, n_groups=8).collect():
+        first = r["start_offset"] // 128
+        last = (r["start_offset"] + max(r["n_tokens"] - 1, 0)) // 128
+        assert r["bin_id"] == r["group_id"] * 1_000_000_000 + first
+        assert r["split_across"] == (r["n_tokens"] > 0 and last > first)
+
+
+def test_concat_wastes_no_tokens(spark, corpus):
+    """Every bin except each group's LAST is exactly full: total tokens
+    per group == (bins - 1) * max + last-bin fill."""
+    from hedera_etl_spark.operators.packing import pack_concat
+
+    out = pack_concat(corpus, max_tokens=128, n_groups=4).collect()
+    for g in {r["group_id"] for r in out}:
+        rows = [r for r in out if r["group_id"] == g]
+        total = sum(r["n_tokens"] for r in rows)
+        assert (max(r["start_offset"] + r["n_tokens"] for r in rows)) == total
