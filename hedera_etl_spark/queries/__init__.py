@@ -114,5 +114,6 @@ def load_registry() -> dict[str, QuerySpec]:
     from hedera_etl_spark.queries import txops  # noqa: F401
     from hedera_etl_spark.queries import extops  # noqa: F401
     from hedera_etl_spark.queries import corpusops  # noqa: F401
+    from hedera_etl_spark.queries import tsops  # noqa: F401
 
     return REGISTRY

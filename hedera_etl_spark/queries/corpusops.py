@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hedera_etl_spark.operators.components import collapse_components
 from hedera_etl_spark.operators.packing import _BIN_STRIDE, pack_concat
+from hedera_etl_spark.operators.retrieval import C1, C2, C3, bm25_topk
 from hedera_etl_spark.operators.textdedup import ngram_jaccard_neardups
 from hedera_etl_spark.queries import query
 from hedera_etl_spark.queries._oracle import ngram_pairs_cte, shingle_cte
@@ -173,3 +174,80 @@ def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat(
         docs, max_tokens=_PACK_MAX_TOKENS, n_groups=_PACK_GROUPS
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("vector", "merge", "window", "spark", "filter")
+_BM25_K = 25
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Float discipline: every arithmetic step below is ONE correctly-rounded
+# IEEE-754 double operation on exact inputs, associated EXACTLY as the
+# Spark expression in operators/retrieval.bm25_topk (idf * (tf * C1)) /
+# (tf + (C2 + C3 * (dl / avgdl))); the pre-folded constants arrive as
+# repr() literals behind CAST(... AS DOUBLE).  Per-term contributions
+# round to DECIMAL(12,6) BEFORE the per-doc sum so the aggregate is
+# order-free.
+_BM25_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    post AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, len(t) AS dl,
+               unnest(list_filter(t, x -> x IN ({_BM25_TERMS_SQL}))) AS term
+        FROM base
+      )
+      GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(
+               (((CAST(s.n_docs - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                * (CAST(p.tf AS DOUBLE) * CAST('{C1!r}' AS DOUBLE)))
+               / (CAST(p.tf AS DOUBLE)
+                  + (CAST('{C2!r}' AS DOUBLE)
+                     + CAST('{C3!r}' AS DOUBLE)
+                       * (CAST(p.dl AS DOUBLE)
+                          / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+               AS DECIMAL(12,6)) AS contrib
+      FROM post p
+      JOIN dfreq f USING (term)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(CAST(SUM(contrib) AS DECIMAL(18,6)) AS DOUBLE) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+"""
+
+
+@query(
+    "llm_bm25_topk",
+    _BM25_ORACLE,
+    tags=("llm", "retrieval", "bm25", "topk"),
+    bench=True,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.py): top-25 documents
+    for a 5-term query — per-row term filter bounds the explode, one
+    corpus-sized (doc, term) aggregate, dimension-sized df/stats
+    broadcasts, TakeOrderedAndProject top-k.  Rational-idf scoring with
+    per-term DECIMAL rounding makes the score hash engine-portable (the
+    module docstring derives why)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
