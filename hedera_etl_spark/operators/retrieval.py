@@ -56,20 +56,21 @@ C2 = K1 * (1.0 - B)    # length-norm intercept
 C3 = K1 * B            # length-norm slope
 
 
-def term_postings(
+def _tokenized_base(
     docs: DataFrame,
     terms: Sequence[str],
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) for every query term occurring in a doc.
-
-    ``dl`` is the doc's whitespace token count (its BM25 length).  The
-    per-row filter keeps the explode bounded by len(terms), and the
-    count aggregate is the one corpus-sized shuffle in the whole scorer.
-    """
+    """(doc_id, dl, __q) — ONE tokenize pass over the corpus: the doc's
+    whitespace token count (its BM25 length) plus its query-term matches,
+    text projected away.  Every downstream statistic (postings, corpus
+    stats, document frequencies) derives from this compact projection, so
+    the expensive tokenization is paid once however many consumers fork
+    off it (the naive three-consumer form re-tokenized the corpus three
+    times — Catalyst does not share subtrees across join inputs)."""
     lits = F.array(*[F.lit(t) for t in terms])
-    toks = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("__t"),
     ).select(
@@ -77,12 +78,27 @@ def term_postings(
         F.size("__t").cast("long").alias("dl"),
         F.filter("__t", lambda x: F.array_contains(lits, x)).alias("__q"),
     )
+
+
+def _postings_of(base: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) from a tokenized base — explode bounded by
+    the per-row match count, one hash aggregate."""
     return (
-        toks.select("doc_id", "dl", F.explode_outer("__q").alias("term"))
+        base.select("doc_id", "dl", F.explode_outer("__q").alias("term"))
         .filter(F.col("term").isNotNull())
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+
+
+def term_postings(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, dl) for every query term occurring in a doc."""
+    return _postings_of(_tokenized_base(docs, terms, id_col, text_col))
 
 
 def bm25_topk(
@@ -96,40 +112,70 @@ def bm25_topk(
 
     Returns (doc_id, n_terms_hit, score) — score is the DECIMAL-summed
     BM25, ties broken by doc_id ascending for a total order.
+
+    Scale shape — ZERO corpus-sized shuffles: the tokenized base is
+    localCheckpoint'ed (lazy) so tokenization is paid once; each doc's
+    (term, tf) pairs are built IN ITS OWN ROW (array_distinct + count
+    over the match array — no postings groupBy); document frequencies
+    and corpus stats reduce to one map-side-combined aggregate each and
+    come back as one-row broadcasts; the per-doc score is a sequential
+    in-row fold over DECIMAL(12,6) term contributions (exact, order
+    -free); top-k is TakeOrderedAndProject.  The only exchanges left
+    carry |terms| rows and 1 row respectively.  Lineage note: the
+    checkpoint means callers must not cache this plan across input
+    changes (the registry entry sets cache_plan=False, same rule as the
+    minhash entries).
+
+    Every float op is one correctly-rounded IEEE double operation whose
+    association the oracle mirrors literally; the constants are repr()
+    literals CAST from strings on BOTH sides (see queries/corpusops).
     """
-    post = term_postings(docs, terms, id_col, text_col)
-    stats = docs.select(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(
-            F.size(F.split(F.col(text_col), " ")).cast("long")
-        ).alias("sum_dl"),
+    base = _tokenized_base(docs, terms, id_col, text_col).localCheckpoint(
+        eager=False
     )
-    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))  # one-row corpus stats
-        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
-        .withColumn(
-            "idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # per-term df + corpus stats, each one tiny aggregate -> 1-row map
+    dfmap = (
+        _postings_of(base)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "df"))
+            ).alias("__dfmap")
         )
-        # every op here is one correctly-rounded IEEE double operation;
-        # the oracle mirrors the EXACT association (see queries/corpusops)
-        .withColumn(
-            "contrib",
-            (
-                (F.col("idf") * (F.col("tf") * F.lit(C1)))
-                / (
-                    F.col("tf")
-                    + (F.lit(C2) + F.lit(C3) * (F.col("dl") / F.col("avgdl")))
-                )
-            ).cast("decimal(12,6)"),
-        )
+    )
+    stats = base.select(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    contrib = (
+        "CAST((((CAST(n_docs - element_at(__dfmap, x.term) AS DOUBLE) + 0.5D)"
+        "       / (CAST(element_at(__dfmap, x.term) AS DOUBLE) + 0.5D))"
+        f"      * (CAST(x.tf AS DOUBLE) * CAST('{C1!r}' AS DOUBLE)))"
+        "     / (CAST(x.tf AS DOUBLE)"
+        f"        + (CAST('{C2!r}' AS DOUBLE)"
+        f"           + CAST('{C3!r}' AS DOUBLE)"
+        "             * (CAST(dl AS DOUBLE)"
+        "                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        " AS DECIMAL(12,6))"
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_terms_hit"),
-            F.sum("contrib").cast("decimal(18,6)").cast("double").alias("score"),
+        base.filter(F.size("__q") > 0)
+        .selectExpr(
+            "doc_id",
+            "dl",
+            "transform(array_distinct(__q), t -> named_struct("
+            "'term', t, 'tf', CAST(size(filter(__q, x -> x = t)) AS BIGINT)"
+            ")) AS __tfs",
+        )
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfmap))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(__tfs) AS BIGINT) AS n_terms_hit",
+            "CAST(CAST(aggregate(__tfs, CAST(0 AS DECIMAL(12,6)),"
+            f" (acc, x) -> CAST(acc + {contrib} AS DECIMAL(12,6)))"
+            " AS DECIMAL(18,6)) AS DOUBLE) AS score",
         )
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)

@@ -241,6 +241,9 @@ _BM25_ORACLE = f"""
     _BM25_ORACLE,
     tags=("llm", "retrieval", "bm25", "topk"),
     bench=True,
+    # the scorer localCheckpoints its tokenized base — a cached plan
+    # would pin that materialization (same rule as the minhash entries)
+    cache_plan=False,
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/retrieval.py): top-25 documents
