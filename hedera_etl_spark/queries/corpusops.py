@@ -254,3 +254,51 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring derives why)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# repeated-span flags (operators/spandedup.py) — substring-level dedup.
+# The Spark side counts span frequencies by xxhash64 (64-bit, collision
+# odds ~n_spans^2/2^64); the oracle counts the literal span STRINGS, so
+# a hash-match additionally certifies collision-freedom on this corpus.
+# 3-token spans (not the production 50) because the synthetic vocabulary
+# is small enough that 3-grams genuinely repeat across documents.
+# ---------------------------------------------------------------------------
+_SPAN_N = 3
+
+_SPAN_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {_SPAN_N - 1}, 0))) AS pos,
+             t
+      FROM toks
+    ),
+    named AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos,
+             array_to_string(t[pos:pos+{_SPAN_N - 1}], ' ') AS span
+      FROM spans
+    ),
+    flagged AS (SELECT span FROM named GROUP BY span HAVING COUNT(*) >= 2)
+    SELECT n.doc_id, n.pos
+    FROM named n JOIN flagged f USING (span)
+    ORDER BY doc_id, pos
+"""
+
+
+@query(
+    "llm_span_flags",
+    _SPAN_ORACLE,
+    tags=("llm", "dedup", "spans"),
+    driver_visible=False,
+)
+def llm_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection (operators/spandedup.repeated_spans): the
+    ExactSubstr-style substring dedup stage — per-doc span fan-out off
+    one tokenization, one hash aggregate on the span hash, join back to
+    (doc, pos).  The rebuilt-text cut path is pytest-pinned
+    (tests/test_spandedup.py); this entry hash-checks the flag set."""
+    from hedera_etl_spark.operators.spandedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_spans(docs, n=_SPAN_N, min_count=2).orderBy("doc_id", "pos")

@@ -144,3 +144,67 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tick_ts").cast("long").alias("tick_sec"),
         F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("value_u"),
     ).orderBy("user_id", "tick_sec")
+
+
+# ---------------------------------------------------------------------------
+# table profiler (operators/profile.py) — exact mode over hash-portable
+# statistic kinds.  The profile's doubles (mean/stddev/approx quantiles,
+# Python-rounded null_frac) are excluded from the hashed projection:
+# distributed double sums are order-dependent and percentile_approx is a
+# sketch, neither is cross-engine canon.  What IS hashed pins the
+# one-pass shape end-to-end: row counts, null accounting, exact
+# cardinalities, and string-rendered integer/string ranges.
+# ---------------------------------------------------------------------------
+_PROFILE_ORACLE = """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nid,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS did,
+             CAST(MIN(event_id) AS VARCHAR) AS mnid,
+             CAST(MAX(event_id) AS VARCHAR) AS mxid,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nuid,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS duid,
+             CAST(MIN(user_id) AS VARCHAR) AS mnuid,
+             CAST(MAX(user_id) AS VARCHAR) AS mxuid,
+             CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nty,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS dty,
+             CAST(MIN(event_type) AS VARCHAR) AS mnty,
+             CAST(MAX(event_type) AS VARCHAR) AS mxty
+      FROM events
+    )
+    SELECT 'event_id' AS "column", 'bigint' AS dtype, n_rows,
+           nid AS n_nulls, did AS approx_distinct, mnid AS "min", mxid AS "max"
+    FROM a
+    UNION ALL
+    SELECT 'event_type', 'string', n_rows, nty, dty, mnty, mxty FROM a
+    UNION ALL
+    SELECT 'user_id', 'bigint', n_rows, nuid, duid, mnuid, mxuid FROM a
+    ORDER BY "column"
+"""
+
+
+@query(
+    "llm_profile",
+    _PROFILE_ORACLE,
+    tags=("profile", "stats", "aggregate"),
+    driver_visible=False,
+    # profile_table is EAGER (one aggregate collect + driver-side
+    # unpivot); caching its local-DataFrame result would freeze a
+    # materialization, same rule as the streaming entries.
+    cache_plan=False,
+)
+def llm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profile.profile_table,
+    exact=True) over the events id/type columns: every statistic is an
+    aggregate expression in ONE scan + one one-row shuffle; the tidy
+    unpivot is driver-side, bounded by column count.  Hashed projection
+    excludes the order-dependent doubles (see module comment)."""
+    from hedera_etl_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    prof = profile_table(ev, exact=True)
+    return prof.select(
+        "column", "dtype", "n_rows", "n_nulls", "approx_distinct", "min", "max"
+    ).orderBy("column")
