@@ -302,3 +302,77 @@ def llm_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repeated_spans(docs, n=_SPAN_N, min_count=2).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-corpus statistics (operators/vocab.py)
+# ---------------------------------------------------------------------------
+_VOCAB_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    r AS (
+      SELECT term, tf, df,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+             SUM(tf) OVER (ORDER BY tf DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS cumtf,
+             SUM(tf) OVER () AS tot
+      FROM c
+    )
+    SELECT term, tf, df, rank, cumtf / tot AS cum_frac
+    FROM r ORDER BY rank
+"""
+
+
+@query(
+    "llm_vocab_stats",
+    _VOCAB_ORACLE,
+    tags=("llm", "vocab", "tokenizer", "window"),
+    driver_visible=False,
+)
+def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary table (operators/vocab.vocab_stats):
+    term/document frequencies plus the rank-ordered coverage curve (the
+    vocab-size knob).  One explode + one hash aggregate produce a
+    VOCABULARY-sized table; the ranking window is single-partition over
+    that dimension, never over the corpus.  cum_frac is one exact-long
+    division per row — engine-portable."""
+    from hedera_etl_spark.operators.vocab import vocab_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_stats(docs).orderBy("rank")
+
+
+_PAIR_ORACLE = """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> struct_pack(l := t[i], r := t[i + 1]))) AS pr
+      FROM toks
+    )
+    SELECT pr.l AS "left", pr.r AS "right", CAST(COUNT(*) AS BIGINT) AS tf
+    FROM p GROUP BY pr.l, pr.r
+    ORDER BY "left", "right"
+"""
+
+
+@query(
+    "llm_pair_stats",
+    _PAIR_ORACLE,
+    tags=("llm", "vocab", "tokenizer", "bpe"),
+    driver_visible=False,
+)
+def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies (operators/vocab.pair_stats) —
+    the seed statistic of BPE's first merge round: pairs built per-row
+    off one tokenization, exploded outer, one hash aggregate keyed by
+    the pair (output is pair-vocabulary-sized)."""
+    from hedera_etl_spark.operators.vocab import pair_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pair_stats(docs).orderBy("left", "right")
