@@ -193,10 +193,12 @@ def pack_concat(
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
     out = counted.select("doc_id", "n_tokens", "group_id", start)
-    first_bin = F.floor(F.col("start_offset") / max_tokens)
-    last_bin = F.floor(
-        (F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
-        / max_tokens
+    # exact integer division: Spark's `/` on longs is IEEE double division,
+    # which can round across an integer near 2^53 for non-power-of-two
+    # divisors; `div` matches the oracle's `//` for every max_tokens.
+    first_bin = F.expr(f"start_offset div {int(max_tokens)}")
+    last_bin = F.expr(
+        f"(start_offset + greatest(n_tokens - 1, 0)) div {int(max_tokens)}"
     )
     return out.select(
         "doc_id",

