@@ -15,8 +15,9 @@ trades the exact minimal-cut of a suffix array for a fixed span width
    discipline of textdedup/textanalysis);
 2. one hash aggregate counts each span hash's corpus frequency; spans at
    or above ``min_count`` become the repeated-span dimension.  Frequency
-   counting uses xxhash64(span) — a 64-bit collision risk of ~n_spans²/2⁶⁴
-   (≪1 even at 10¹² spans), and a collision only over-cuts one span;
+   counting uses xxhash64 over the span's per-token-hash slice — a
+   64-bit collision risk of ~n_spans²/2⁶⁴, and a collision only
+   over-cuts one span;
 3. join flagged hashes back to (doc, position) — broadcastable when the
    repeated dimension is small, shuffled equi-join otherwise, linear
    either way;
@@ -44,21 +45,37 @@ def _span_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(doc_id, pos, span_hash) for every n-token span (pos is 1-based
-    token position of the span start)."""
+    token position of the span start).
+
+    Hashing: one per-token xxhash64 pass projects the document into an
+    ``array<long>``, then each span hashes the n-long SLICE of that
+    array — two interpreted higher-order calls per span (slice +
+    xxhash64), each a native JVM loop.  The r7 A/B at sf0.1/n=50
+    (docs/PERF_NOTES.md) ranked the alternatives: per-span 50-token
+    concat_ws + xxhash64 (the r6 form) 1.38 s, an unrolled dual-31-bit
+    polynomial 2.84 s (HOF lambdas evaluate INTERPRETED, so ~300
+    interpreted expression evals per span lose to 2 calls that dispatch
+    native), slice over the string tokens 1.02 s, slice over the
+    token-hash longs 0.88 s — shipped.  Collision odds are unchanged
+    (64-bit hash over the token-hash sequence, ~n_spans pairs / 2^64;
+    a collision only over-cuts one span).  The hash array is a PROJECTED
+    column so the span lambda references it without re-tokenizing (the
+    textanalysis inlining hazard)."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("__nt"),
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__h"),
     )
-    tc = F.col("__toks")
     spans = F.when(
-        F.size(tc) < n, F.array().cast("array<struct<pos:int,h:bigint>>")
+        F.col("__nt") < n, F.array().cast("array<struct<pos:int,h:bigint>>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(tc) - F.lit(n - 1)),
+            F.sequence(F.lit(1), F.col("__nt") - F.lit(n - 1)),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.xxhash64(
-                    F.concat_ws(" ", *[F.element_at(tc, i + j) for j in range(n)])
-                ).alias("h"),
+                F.xxhash64(F.slice("__h", i, n)).alias("h"),
             ),
         )
     )
@@ -78,8 +95,19 @@ def repeated_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, pos) of every n-token span whose verbatim content occurs
-    at least ``min_count`` times across the corpus."""
-    rows = _span_rows(docs, n, text_col, id_col)
+    at least ``min_count`` times across the corpus.
+
+    The span-rows subtree feeds BOTH the frequency aggregate and the
+    join-back; Catalyst evaluates a shared subtree once per consumer, so
+    without intervention the corpus pays tokenize + span-hash twice.
+    The lazy localCheckpoint materializes it once (the minhash
+    discipline) — r7 A/B at sf0.1/n=50: 0.89 s double-eval vs 0.65 s
+    checkpointed (docs/PERF_NOTES.md).  At 100 TB the checkpoint writes
+    ~20 B/token to executor disk, comparable to the shuffle the
+    frequency aggregate performs anyway and cheaper than re-running the
+    span fan-out.  Callers must not cache this plan across input
+    changes (registry entries set cache_plan=False)."""
+    rows = _span_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     flagged = (
         rows.groupBy("h")
         .agg(F.count("*").alias("cnt"))
@@ -102,8 +130,13 @@ def remove_repeated_spans(
     Returns the input schema with ``text_col`` rewritten (documents with
     no repeated span pass through byte-identical).  ``keep_first`` keeps
     the single deterministic min-(doc_id, pos) occurrence of each span
-    uncut (one extra aggregate electing the owner)."""
-    rows = _span_rows(docs, n, text_col, id_col)
+    uncut (one extra aggregate electing the owner).
+
+    Single-pass discipline: the span-rows subtree has two consumers
+    (frequency count + join-back; three with ``keep_first``), so it is
+    lazily localCheckpoint'ed — see :func:`repeated_spans` for the A/B
+    and the 100 TB accounting."""
+    rows = _span_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     counted = rows.groupBy("h").agg(F.count("*").alias("cnt"))
     flagged = rows.join(
         counted.filter(F.col("cnt") >= min_count).select("h"), "h"

@@ -288,7 +288,9 @@ _SPAN_ORACLE = f"""
     "llm_span_flags",
     _SPAN_ORACLE,
     tags=("llm", "dedup", "spans"),
-    driver_visible=False,
+    # the operator localCheckpoints its span rows — a cached plan would
+    # pin that materialization (same rule as the minhash entries)
+    cache_plan=False,
 )
 def llm_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span detection (operators/spandedup.repeated_spans): the
@@ -331,7 +333,7 @@ _VOCAB_ORACLE = """
     "llm_vocab_stats",
     _VOCAB_ORACLE,
     tags=("llm", "vocab", "tokenizer", "window"),
-    driver_visible=False,
+    # rotated into the driver window r7
 )
 def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary table (operators/vocab.vocab_stats):

@@ -72,6 +72,10 @@ MAX_BUCKET = 500
     ORDER BY query_id, rank
     """,
     tags=("sim", "ann", "baseline"),
+    # parked r7: the ANN family keeps three driver rows (lsh/ivf/cosine);
+    # the brute-force baseline stays benched + local-oracled, and the
+    # bucketed variants are property-pinned against it in pytest.
+    driver_visible=False,
     bench=True,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,7 @@ _TS_BASE = f"""
 
 
 @query(
-    "ts_gapfill_locf",
+    "ts_gapfill_locf",  # rotated into the driver window r7
     f"""
     WITH {_TS_BASE},
     f AS (
@@ -64,8 +64,7 @@ _TS_BASE = f"""
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "locf", "window"),
-    driver_visible=False,
-)
+    )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap-fill onto an hourly grid: one aggregate for the per-key
     range, map-side sequence explode for the ticks, one keyed window
@@ -89,7 +88,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ts_gapfill_linear",
+    "ts_gapfill_linear",  # rotated into the driver window r7
     f"""
     WITH {_TS_BASE},
     f AS (
@@ -118,8 +117,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "lerp", "window"),
-    driver_visible=False,
-)
+    )
 def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap-fill: bracketing observations via running
     last/first over the shared keyed window, exact lerp between them, no
@@ -184,11 +182,10 @@ _PROFILE_ORACLE = """
 
 
 @query(
-    "llm_profile",
+    "llm_profile",  # rotated into the driver window r7
     _PROFILE_ORACLE,
     tags=("profile", "stats", "aggregate"),
-    driver_visible=False,
-    # profile_table is EAGER (one aggregate collect + driver-side
+        # profile_table is EAGER (one aggregate collect + driver-side
     # unpivot); caching its local-DataFrame result would freeze a
     # materialization, same rule as the streaming entries.
     cache_plan=False,

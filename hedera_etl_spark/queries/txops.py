@@ -203,6 +203,10 @@ def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY account_num ORDER BY account_num
     """,
     tags=("tx", "explode"),
+    # parked r7: the explode/REPEATED family keeps q14_explode_tokens;
+    # the tx wire-schema parity keeps hed_tx_transform + hed_tx_errors.
+    # Stays local-oracled.
+    driver_visible=False,
 )
 def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(transactionRecord.transferList.accountAmounts) — the only
