@@ -1,13 +1,15 @@
-"""Tokenizer-corpus statistics: vocabulary frequency tables, the
-coverage curve, and adjacent-pair counts.
+"""Tokenizer-corpus statistics and BPE training: vocabulary frequency
+tables, the coverage curve, adjacent-pair counts, and the full
+byte-pair-encoding merge loop.
 
 The pre-tokenizer audit a training pipeline runs before fitting a BPE /
 unigram vocabulary: term and document frequencies, the rank-ordered
 coverage curve ("the top-k types cover X% of the token stream" — where
-to cap the vocab), and adjacent-pair frequencies (the seed statistic of
-BPE's first merge round).  The reference system has no tokenizer
-surface; this extends the engine's LLM-pipeline operators (SURVEY §2
-extras).
+to cap the vocab), adjacent-pair frequencies (the seed statistic of
+BPE's first merge round), and :func:`bpe_merges` — the iterated merge
+loop itself (Sennrich et al. 2016), with :func:`bpe_segment` as its
+inference half.  The reference system has no tokenizer surface; this
+extends the engine's LLM-pipeline operators (SURVEY §2 extras).
 
 Scale shape: both statistics are one explode + one hash aggregate over
 the corpus (map-side combined, shuffle keyed by term / pair — the
@@ -94,3 +96,133 @@ def pair_stats(
         .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
         .agg(F.count("*").alias("tf"))
     )
+
+
+def _adjacent_pair_counts(state: DataFrame) -> DataFrame:
+    """(lhs, rhs, tf) over the symbolized word table — pair frequency
+    weighted by word count.  Vocabulary-sized input, pair-sized output."""
+    syms = F.col("__syms")
+    pairs = F.when(
+        F.size(syms) < 2, F.array().cast("array<struct<l:string,r:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        )
+    )
+    return (
+        state.select("cnt", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+        .agg(F.sum("cnt").alias("tf"))
+    )
+
+
+def _apply_merge(syms, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (lhs, rhs)
+    symbol pairs — the standard BPE application rule.  A sequential fold:
+    append each symbol, but when the accumulator ends in ``lhs`` and the
+    incoming symbol is ``rhs``, replace that tail with the merged symbol.
+    Leftmost-first falls out naturally: once merged, the tail equals
+    lhs||rhs != lhs, so a chained occurrence (e.g. 'a a a' under (a, a))
+    does not re-merge — matching the scan-left-to-right canon."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The BPE merge TABLE: k rounds of (most-frequent adjacent symbol
+    pair -> merge), the complete byte-pair-encoding training loop over
+    the corpus (extends :func:`pair_stats`, which is round one's
+    statistic only).
+
+    Returns (step, lhs, rhs, merged, tf) — one row per merge, in order.
+    Ties break deterministically by (tf DESC, lhs ASC, rhs ASC).
+
+    Scale shape (the kmeans/qualityfilter bounded-driver pattern): BPE
+    statistics depend only on the (word, count) table, so ONE corpus
+    -sized aggregate runs up front and every merge round operates on the
+    VOCABULARY-sized symbolized-word table — per round: one pair
+    aggregate (vocab x word-length input), one LIMIT-1 argmax of which
+    exactly ONE ROW reaches the driver, and a lazy localCheckpoint of
+    the updated state so plan depth stays bounded across rounds (the
+    connected-components discipline).  Driver state is the merge list
+    alone.  Word-internal merging is embarrassingly parallel; no
+    corpus-sized stage repeats after round zero.
+
+    Words start as character sequences (no end-of-word sentinel —
+    documented choice: the synthetic corpus is whitespace-tokenized, so
+    word boundaries are already explicit in the word table)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    chars = F.filter(F.split(F.col("term"), ""), lambda c: c != F.lit(""))
+    state = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt", chars.alias("__syms"))
+        .localCheckpoint(eager=False)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    for step in range(1, k + 1):
+        best = (
+            _adjacent_pair_counts(state)
+            .orderBy(F.col("tf").desc(), F.col("lhs"), F.col("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged — corpus exhausted
+            break
+        lhs, rhs, tf = best[0]["lhs"], best[0]["rhs"], best[0]["tf"]
+        merges.append((step, lhs, rhs, lhs + rhs, tf))
+        state = state.select(
+            "cnt", _apply_merge(F.col("__syms"), lhs, rhs).alias("__syms")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, tf bigint"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list to the corpus: (doc_id, term, pieces).
+    One pass, per-row folds — the inference half of the BPE story."""
+    out = _tokens(docs, text_col, id_col).select(
+        "doc_id",
+        "term",
+        F.filter(F.split(F.col("term"), ""), lambda c: c != F.lit("")).alias(
+            "pieces"
+        ),
+    )
+    for m in merges:
+        lhs, rhs = m[1], m[2]
+        out = out.select(
+            "doc_id",
+            "term",
+            _apply_merge(F.col("pieces"), lhs, rhs).alias("pieces"),
+        )
+    return out

@@ -376,3 +376,106 @@ def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return pair_stats(docs).orderBy("left", "right")
+
+
+# ---------------------------------------------------------------------------
+# the full BPE merge loop (operators/vocab.bpe_merges).  The oracle is a
+# k-step UNROLLED CTE chain: each round computes weighted adjacent-pair
+# frequencies over the symbolized word table, takes the deterministic
+# argmax (tf DESC, lhs, rhs), and applies the merge with the greedy
+# left-to-right non-overlap rule — expressed relationally as
+# gaps-and-islands: a candidate position merges iff its offset within
+# its run of CONSECUTIVE candidate positions is even (runs only occur
+# when lhs == rhs, where overlapping candidates chain).  That rule is
+# provably the same scan-left-to-right application the Spark fold
+# performs, so the two engines agree round by round.
+# ---------------------------------------------------------------------------
+_BPE_K = 8
+
+
+def _bpe_oracle(k: int) -> str:
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    # reference, and this chain references each s{r} three times — the
+    # inlining compounds exponentially across rounds (observed as "Too
+    # many open files" from thousands of parquet re-opens).  Every CTE
+    # here is vocabulary-sized, so forced materialization is free.
+    ctes = ["""w AS MATERIALIZED (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    )""", """s0 AS MATERIALIZED (
+      SELECT term, cnt, CAST(i AS INT) AS pos,
+             list_extract(string_split(term, ''), i) AS sym
+      FROM w, unnest(generate_series(1, len(string_split(term, '')))) AS u(i)
+    )"""]
+    for r in range(k):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT a.sym AS lhs, b.sym AS rhs, SUM(a.cnt) AS tf
+      FROM s{r} a JOIN s{r} b ON a.term = b.term AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""best{r} AS MATERIALIZED (
+      SELECT lhs, rhs, tf FROM p{r} ORDER BY tf DESC, lhs, rhs LIMIT 1
+    )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+      SELECT s.term, s.cnt, s.pos, s.sym,
+             lead(s.sym) OVER (PARTITION BY s.term ORDER BY s.pos) AS nxt,
+             COALESCE(s.sym = b.lhs AND
+                      lead(s.sym) OVER (PARTITION BY s.term ORDER BY s.pos)
+                        = b.rhs, FALSE) AS cand
+      FROM s{r} s LEFT JOIN best{r} b ON TRUE
+    )""")
+        ctes.append(f"""a{r} AS MATERIALIZED (
+      SELECT term, pos,
+             (pos - MIN(pos) OVER (PARTITION BY term, grp)) % 2 = 0 AS applied
+      FROM (SELECT term, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY term ORDER BY pos) AS grp
+            FROM c{r} WHERE cand)
+    )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+      SELECT term, cnt, pos, sym, nxt, applied,
+             COALESCE(lag(applied) OVER (PARTITION BY term ORDER BY pos),
+                      FALSE) AS consumed
+      FROM (SELECT c.term, c.cnt, c.pos, c.sym, c.nxt,
+                   COALESCE(a.applied, FALSE) AS applied
+            FROM c{r} c LEFT JOIN a{r} a USING (term, pos))
+    )""")
+        ctes.append(f"""s{r + 1} AS MATERIALIZED (
+      SELECT term, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY pos) AS INT)
+               AS pos,
+             CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
+      FROM m{r} WHERE NOT consumed
+    )""")
+    steps = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({r + 1} AS INT) AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(tf AS BIGINT) AS tf FROM best{r}"
+        for r in range(k)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
+@query(
+    "llm_bpe_merges",
+    _bpe_oracle(_BPE_K),
+    tags=("llm", "vocab", "tokenizer", "bpe", "iterative"),
+    # out of the 50-entry driver window (budget) — local-oracled via
+    # tools/verify_oracle.py; r8 rotation candidate with llm_pair_stats.
+    driver_visible=False,
+    # iterative: per-round localCheckpoints during construction
+    cache_plan=False,
+)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete BPE training loop (operators/vocab.bpe_merges): 8
+    merge rounds over the corpus, each round = one vocabulary-sized pair
+    aggregate + a one-row argmax to the driver + a greedy left-to-right
+    merge fold — the kmeans/qualityfilter bounded-driver pattern.  The
+    oracle unrolls the identical 8 rounds as a CTE chain with the
+    gaps-and-islands form of the non-overlap rule."""
+    from hedera_etl_spark.operators.vocab import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_merges(docs, k=_BPE_K).orderBy("step")
