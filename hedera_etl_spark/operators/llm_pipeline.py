@@ -46,6 +46,14 @@ def prepare_training_corpus(
     max_bucket: int | None = 500,
     span_dedup_n: int | None = None,
     span_keep_first: bool = True,
+    embeddings: DataFrame | None = None,
+    embedding_index_path: str | None = None,
+    embedding_threshold: float = 0.95,
+    embedding_n_probe: int = 2,
+    embedding_centroids: int = 16,
+    embedding_dims: int = 64,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     min_tokens: int = 5,
@@ -65,7 +73,12 @@ def prepare_training_corpus(
     pairs at ``near_threshold`` collapsed transitively via connected
     components (min-id keeper per cluster), repeated-span removal at
     ``span_dedup_n`` tokens (skipped when None; ``span_keep_first``
-    keeps the canonical occurrence), benchmark decontamination
+    keeps the canonical occurrence), SEMANTIC near-dup collapse when
+    ``embeddings`` is given (cosine >= ``embedding_threshold`` against
+    the persisted IVF index at ``embedding_index_path`` — built on the
+    first call, probed and appended on every later batch, so cross-batch
+    semantic dups drop against corpus history; within-batch clusters
+    reuse the connected-components keeper), benchmark decontamination
     against ``eval_docs`` (exact ``decontam_n``-gram overlap — skipped
     when None), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
@@ -106,6 +119,39 @@ def prepare_training_corpus(
         out = remove_repeated_spans(
             out, n=span_dedup_n, keep_first=span_keep_first,
             text_col=text_col, id_col=id_col,
+        )
+
+    if embeddings is not None:
+        if embedding_index_path is None:
+            raise ValueError(
+                "embeddings given without embedding_index_path — the "
+                "semantic stage is index-backed (build once, probe per "
+                "batch); pass a directory for the persisted IVF index"
+            )
+        from hedera_etl_spark.operators.vectorindex import (
+            semantic_dedup_decisions,
+        )
+
+        # index only the vectors of documents still alive after the
+        # lexical stages, keyed by the document id
+        batch_emb = embeddings.join(
+            out.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+        )
+        decisions = semantic_dedup_decisions(
+            docs.sparkSession,
+            batch_emb,
+            embedding_index_path,
+            threshold=embedding_threshold,
+            n_probe=embedding_n_probe,
+            n_centroids=embedding_centroids,
+            dims=embedding_dims,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+        )
+        out = out.join(
+            decisions.filter("keep").select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_semi",
         )
 
     if eval_docs is not None:

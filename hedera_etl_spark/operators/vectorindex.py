@@ -169,3 +169,165 @@ class IVFIndex:
             )
             .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
         )
+
+
+def probe_rows(
+    emb: DataFrame,
+    centroids,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, vec, bucket): each vector fanned out to its ``n_probe``
+    nearest centroid buckets — IN ITS OWN ROW (dots + an in-row sort of
+    the k-element (neg-dot, idx) structs), no corpus-sized window.  The
+    first probe equals ``ivf_assign``'s primary bucket (same first-max
+    tiebreak: struct sort falls back to idx ascending)."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    dots = _dots_array(vec_col, centroids)
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                dots,
+                lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    return (
+        ensure_parallelism(emb)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(F.transform(ranked, lambda s: s["i"] + 1)).alias("bucket"),
+        )
+    )
+
+
+def semantic_dedup_decisions(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    n_centroids: int = 16,
+    dims: int = 64,
+    train: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-dup decisions for one batch against a
+    PERSISTED IVF index — the incremental-dedup analogue for semantic
+    dedup (build the index once, probe per batch).
+
+    Returns (vec_id, keep): within-batch clusters (cosine >= threshold,
+    IVF-bucket-blocked) collapse transitively via connected components
+    to a min-id keeper, and any vector matching an already-indexed
+    vector from a PRIOR batch is dropped outright (its keeper already
+    lives in the corpus).  Surviving vectors append into the index's
+    bucket partitions, so the next batch probes them.
+
+    Scale shape: candidate generation is a bucket equi-join (probe rows
+    x inverted lists / primary assignments — never all-pairs), history
+    probing reads only probed-bucket partitions, the decision set is
+    batch-sized, and the only driver state is the centroid matrix.
+    Recall is the standard IVF trade: a pair is seen iff one side
+    probes the other's primary bucket (n_probe raises it).  The
+    decisions checkpoint EAGERLY before the index append so the append
+    and the returned frame agree even though the append mutates the
+    lists the plan read.
+    """
+    meta = os.path.join(index_path, "_meta.json")
+    idx = IVFIndex(spark, index_path) if os.path.exists(meta) else None
+    if idx is not None:
+        centroids = idx.centroids
+        n_centroids, dims = idx.n_centroids, idx.dims
+    else:
+        centroids = (
+            ivf_train_kmeans(emb, n_centroids, dims, vec_col=vec_col)
+            if train
+            else ivf_centroids(n_centroids, dims)
+        )
+
+    probes = probe_rows(emb, centroids, n_probe, id_col, vec_col)
+    primary = ivf_assign(emb, centroids, id_col, vec_col)
+
+    # within-batch candidate pairs: a sees b iff a probes b's primary
+    # bucket; normalize to (least, greatest) so either orientation counts
+    cand = (
+        probes.select(
+            F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        )
+        .join(
+            primary.select(
+                F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+            ),
+            "bucket",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), dims))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    from hedera_etl_spark.operators.components import collapse_components
+
+    decisions = collapse_components(
+        emb.select(F.col(id_col).alias("vec_id")),
+        cand,
+        id_col="vec_id",
+        src="src",
+        dst="dst",
+    ).select("vec_id", "keep")
+
+    if idx is not None:
+        lists = idx.lists().select(
+            F.col("vec_id").alias("hist_id"),
+            F.col("vec").alias("hist_vec"),
+            "bucket",
+        )
+        hits = (
+            probes.join(lists, "bucket")
+            .withColumn("cos", cosine(F.col("vec"), F.col("hist_vec"), dims))
+            .filter(F.col("cos") >= threshold)
+            .select("vec_id")
+            .distinct()
+        )
+        decisions = decisions.join(
+            hits.withColumn("__hit", F.lit(True)), "vec_id", "left"
+        ).select(
+            "vec_id",
+            (F.col("keep") & F.col("__hit").isNull()).alias("keep"),
+        )
+
+    decisions = decisions.localCheckpoint(eager=True)
+    kept_emb = emb.join(
+        decisions.filter("keep").select(F.col("vec_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    if idx is None:
+        # write the artifacts with the centroids chosen above (build()
+        # would re-derive them, and a trained matrix must persist as-is)
+        os.makedirs(index_path, exist_ok=True)
+        cdf = spark.createDataFrame(
+            [(b + 1, c) for b, c in enumerate(centroids)],
+            ["bucket", "centroid"],
+        )
+        cdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, "centroids")
+        )
+        ivf_assign(kept_emb, centroids, id_col, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(index_path, "lists"))
+        with open(meta, "w") as fh:
+            json.dump({"dims": dims, "n_centroids": n_centroids}, fh)
+    else:
+        idx.add_vectors(kept_emb, id_col, vec_col)
+    return decisions
