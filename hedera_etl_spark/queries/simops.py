@@ -256,3 +256,100 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
         corpus, threshold=0.99, n_planes=N_PLANES, dims=DIMS, max_bucket=MAX_BUCKET
     )
+
+
+# ---------------------------------------------------------------------------
+# index-backed semantic dedup (operators/vectorindex.semantic_dedup
+# _decisions) — the within-batch decision path, single-batch form: the
+# oracle reproduces the IVF probe blocking (each vector's top-2 centroid
+# buckets vs every vector's primary bucket), the cosine threshold, and
+# the transitive min-id collapse with a recursive CTE.  The CROSS-batch
+# path (probe against the persisted index, append survivors) is
+# inherently stateful across calls and stays pytest-pinned
+# (tests/test_semantic_dedup.py); this entry hash-checks the decision
+# semantics the stateful path reuses verbatim.
+# ---------------------------------------------------------------------------
+_SEM_THRESHOLD = 0.99
+
+_SEM_ORACLE = f"""
+    WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}),
+    a AS MATERIALIZED (
+      SELECT vec_id, embedding, {_DOTS_SQL} AS dots FROM corpus
+    ),
+    prim AS MATERIALIZED (
+      SELECT vec_id, embedding AS vec,
+             CAST(list_position(dots, list_max(dots)) AS BIGINT) AS bucket
+      FROM a
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id, qvec, bucket FROM (
+        SELECT vec_id, embedding AS qvec, idx AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS pr
+        FROM (SELECT vec_id, embedding, unnest(dots) AS d,
+                     CAST(generate_subscripts(dots, 1) AS BIGINT) AS idx
+              FROM a)
+      ) WHERE pr <= {N_PROBE}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT least(p.vec_id, c.vec_id) AS src,
+                      greatest(p.vec_id, c.vec_id) AS dst
+      FROM probes p JOIN prim c USING (bucket)
+      WHERE p.vec_id != c.vec_id
+        AND {fold_cosine('p.qvec', 'c.vec', DIMS)} >= {_SEM_THRESHOLD}
+    ),
+    sym AS (
+      SELECT src AS n, dst AS m FROM cand
+      UNION ALL
+      SELECT dst AS n, src AS m FROM cand
+    ),
+    reach(n, m) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n
+    ),
+    comp AS (
+      SELECT n AS vec_id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+    )
+    SELECT c.vec_id,
+           (COALESCE(k.component, c.vec_id) = c.vec_id) AS keep
+    FROM corpus c LEFT JOIN comp k USING (vec_id)
+    ORDER BY vec_id
+"""
+
+
+@query(
+    "sim_semantic_dedup",
+    _SEM_ORACLE,
+    tags=("sim", "dedup", "ivf", "components"),
+    # out of the 50-entry driver window (budget) — local-oracled; the
+    # function builds a throwaway index directory per call (side effect),
+    # so its plan must never be served from the prepared-plan cache.
+    driver_visible=False,
+    cache_plan=False,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed semantic dedup decisions (first-batch form) over the
+    clone-injected embeddings corpus: IVF-bucket-blocked cosine pairs at
+    0.99 collapse transitively to a min-id keeper via connected
+    components — (vec_id, keep).  The oracle mirrors the probe blocking
+    from the same literal centroid grid and closes pairs with a
+    recursive CTE."""
+    import tempfile
+
+    from hedera_etl_spark.operators.vectorindex import semantic_dedup_decisions
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    path = tempfile.mkdtemp(prefix="semdedup_ivf_")
+    return semantic_dedup_decisions(
+        spark,
+        corpus,
+        path,
+        threshold=_SEM_THRESHOLD,
+        n_probe=N_PROBE,
+        n_centroids=N_CENTROIDS,
+        dims=DIMS,
+    ).orderBy("vec_id")
