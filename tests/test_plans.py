@@ -314,3 +314,40 @@ def test_unbounded_outputs_keep_global_sort(spark, registry):
     df.collect()
     plan = plan_of(df)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_bm25_topk_no_corpus_shuffle(spark, registry):
+    """The r7 two-scan BM25 plan (operators/retrieval.bm25_topk): the
+    only exchanges are the one-row stats aggregate (SinglePartition +
+    its broadcast) and TakeOrderedAndProject's result collection — a
+    corpus-keyed hashpartitioning exchange or a sort-merge join here
+    means the postings groupBy crept back in."""
+    df = registry["llm_bm25_topk"].spark_fn(spark, SF)
+    df.collect()
+    # AQE's toString appends an "== Initial Plan ==" copy — audit the
+    # final plan section only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+
+
+def test_span_rows_single_tokenization_via_checkpoint(spark):
+    """repeated_spans' two consumers must share ONE materialized span
+    subtree (the lazy localCheckpoint): the executed plan reads the
+    checkpoint RDD on both sides instead of re-running tokenize +
+    span-hash fan-out."""
+    from hedera_etl_spark.operators.spandedup import repeated_spans
+    from hedera_etl_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = repeated_spans(docs, n=3)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # both consumers scan the checkpointed RDD; the raw parquet + the
+    # span Generate appear ZERO times in the executed plan
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "FileScan parquet" not in plan
+    assert "Generate explode" not in plan
