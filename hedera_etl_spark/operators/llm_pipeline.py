@@ -61,6 +61,8 @@ def prepare_training_corpus(
     max_top_bigram_frac: float | None = None,
     quality_weights: list[float] | None = None,
     min_quality_prob: float = 0.5,
+    lm_model: DataFrame | None = None,
+    lm_min_avg_logp: float | None = None,
     mixture: dict[str, float] | None = None,
     domain_col: str = "source",
     sample_rate: float = 1.0,
@@ -84,7 +86,10 @@ def prepare_training_corpus(
     optional Gopher repetition caps ``max_dup_line_frac`` /
     ``max_top_bigram_frac``), optional trained-classifier floor
     (``quality_weights`` from qualityfilter.train_quality_lr /
-    load_weights at ``min_quality_prob``), target-``mixture`` resample over
+    load_weights at ``min_quality_prob``), LM-perplexity floor at
+    ``lm_min_avg_logp`` (against ``lm_model`` — a reference-corpus
+    bigram LM per CCNet — or self-trained on the survivors when None;
+    skipped when the threshold is None), target-``mixture`` resample over
     ``domain_col`` (skipped when None), deterministic md5 Bernoulli
     sample at ``sample_rate`` (salt-decorrelated from other splits).
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
@@ -188,6 +193,18 @@ def prepare_training_corpus(
         out = filter_by_quality(
             out, quality_weights, min_prob=min_quality_prob,
             text_col=text_col, id_col=id_col,
+        )
+
+    if lm_min_avg_logp is not None:
+        from hedera_etl_spark.operators.lmscore import bigram_lm, perplexity_filter
+
+        # CCNet shape: score against a reference-corpus LM when given;
+        # self-train on the current survivors otherwise (in-domain floor)
+        model = lm_model if lm_model is not None else bigram_lm(
+            out, text_col=text_col, id_col=id_col
+        )
+        out = perplexity_filter(
+            out, model, lm_min_avg_logp, text_col=text_col, id_col=id_col
         )
 
     if mixture is not None:

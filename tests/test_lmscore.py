@@ -70,3 +70,43 @@ def test_perplexity_filter_drops_surprising_docs(spark):
     # short docs pass through unjudged
     shorties = _docs(spark, [(200, "solo")])
     assert perplexity_filter(shorties, model, min_avg_logp=0.0).count() == 1
+
+
+def test_pipeline_lm_floor(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    # distinct fluent texts (identical ones would exact-dedup away) +
+    # one rare-phrasing doc; self-trained LM ranks it lowest
+    fluent = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog")
+        for i in range(8)
+    ]
+    weird = [(100, "dog the over fox quick jumps lazy brown the")]
+    docs = _docs(spark, fluent + weird)
+    model = bigram_lm(docs)
+    scores = {r.doc_id: r.avg_logp for r in lm_scores(docs, model).collect()}
+    assert scores[100] == min(scores.values())
+    cut = (scores[100] + sorted(scores.values())[1]) / 2
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=0, lm_min_avg_logp=cut
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == list(range(8))
+
+
+def test_pipeline_lm_floor_with_reference_model(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    ref = _docs(spark, [(i, "a b c d a b c d") for i in range(4)])
+    model = bigram_lm(ref)
+    docs = _docs(spark, [(1, "a b c d"), (2, "q w e r")])
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=None,
+        min_tokens=0,
+        lm_model=model,
+        # doc 1 scores ~ln(0.85) ~ -0.16; doc 2 is all unseen contexts
+        # at p = 1/V = 0.25 -> avg ~ -1.386
+        lm_min_avg_logp=-0.7,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
