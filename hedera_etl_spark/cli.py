@@ -169,6 +169,33 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--salt", default="", help="decorrelates this sample from other splits")
     p.add_argument("--pack-groups", type=int, default=64)
+    p.add_argument(
+        "--embeddings-input",
+        default=None,
+        help="embeddings parquet (vec_id, embedding) keyed by the doc id; "
+        "enables the semantic near-dup stage",
+    )
+    p.add_argument(
+        "--embedding-index",
+        default=None,
+        help="persisted IVF index directory (built on first run, probed "
+        "and appended on later batches); required with --embeddings-input",
+    )
+    p.add_argument("--embedding-threshold", type=float, default=0.95)
+    p.add_argument("--embedding-n-probe", type=int, default=2)
+    p.add_argument(
+        "--lm-min-avg-logp",
+        type=float,
+        default=None,
+        help="mean bigram ln-probability floor (CCNet-style perplexity "
+        "gate); enables the LM quality stage",
+    )
+    p.add_argument(
+        "--lm-ref-input",
+        default=None,
+        help="reference corpus parquet to train the bigram LM on "
+        "(default: self-train on the pipeline survivors)",
+    )
 
 
 def _add_bench(sub: argparse._SubParsersAction) -> None:
@@ -304,6 +331,26 @@ def main(argv: list[str] | None = None) -> int:
             domain_col=args.domain_col,
             sample_rate=args.sample_rate,
             salt=args.salt,
+            embeddings=(
+                spark.read.parquet(args.embeddings_input)
+                if args.embeddings_input
+                else None
+            ),
+            embedding_index_path=args.embedding_index,
+            embedding_threshold=args.embedding_threshold,
+            embedding_n_probe=args.embedding_n_probe,
+            lm_min_avg_logp=args.lm_min_avg_logp,
+            lm_model=(
+                __import__(
+                    "hedera_etl_spark.operators.lmscore", fromlist=["bigram_lm"]
+                ).bigram_lm(
+                    spark.read.parquet(args.lm_ref_input),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                )
+                if args.lm_ref_input
+                else None
+            ),
         )
         totals = manifest.agg(
             F.sum("n_rows").alias("rows"),
