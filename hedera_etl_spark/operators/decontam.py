@@ -118,3 +118,100 @@ def decontaminate(
         docs, eval_docs, n=n, min_hits=min_hits, text_col=text_col, id_col=id_col, **kwargs
     ).withColumnRenamed("doc_id", id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def fuzzy_contamination_pairs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate contamination: (doc_id, eval_id, jaccard) for
+    every corpus document whose n-gram shingle set has exact Jaccard >=
+    ``threshold`` with some eval document.
+
+    Exact-match decontamination (``decontaminate``) catches verbatim
+    leakage; the fuzzy form catches paraphrased/reformatted eval items
+    (whitespace changes, reordered answer options, light rewording) the
+    way the GPT-3/Llama-style sweeps pair the two.  Unlike the
+    corpus-corpus near-dup detectors this needs NO LSH banding: the
+    eval side is dimension-sized, so its full (shingle, eval_id, size)
+    postings broadcast and candidate generation is a map-side hash join
+    against one corpus scan.  The per-pair intersection count is exact
+    (every shared shingle counts — no blocking filter to undermine the
+    verify), and the only shuffle is the (doc, eval) pair aggregate,
+    bounded by genuinely-overlapping pairs.  Skew note: a shingle
+    occurring in many eval items fans out by its eval df; at the default
+    n=5 shingles are specific enough that eval dfs stay ~1 — the same
+    dimension-side judgment ``contamination_profile`` documents.
+
+    Jaccard rounds through DECIMAL(9,6) (house rule) so the threshold
+    comparison is engine-portable.
+    """
+    from hedera_etl_spark.operators.textdedup import shingle_sets
+
+    eval_text_col = eval_text_col or text_col
+
+    def _sized(src: DataFrame, tcol: str, icol: str, sz: str) -> DataFrame:
+        # per-row set -> in-row size -> map-side explode: sizes ride
+        # along with ZERO shuffle (a groupBy-count + join-back would put
+        # a corpus-sized exchange in front of the probe)
+        sets = shingle_sets(src, n=n, text_col=tcol, id_col=icol)
+        return sets.select(
+            "doc_id",
+            F.size("sh_set").cast("long").alias(sz),
+            F.explode("sh_set").alias("shingle"),
+        )
+
+    corpus_sized = _sized(docs, text_col, id_col, "sz_a")
+    eval_sized = _sized(
+        eval_docs.select(
+            F.col(eval_id_col).alias("doc_id"), F.col(eval_text_col).alias("__t")
+        ),
+        "__t",
+        "doc_id",
+        "sz_b",
+    ).withColumnRenamed("doc_id", "eval_id")
+    if broadcast_eval:
+        eval_sized = F.broadcast(eval_sized)
+    inter = (
+        corpus_sized.join(eval_sized, "shingle")
+        .groupBy("doc_id", "eval_id", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .cast("decimal(9,6)")
+        .cast("double")
+    )
+    return inter.select(
+        "doc_id", "eval_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """``docs`` minus documents near-duplicating any eval item (same
+    schema as ``docs``); short documents survive by construction."""
+    bad = (
+        fuzzy_contamination_pairs(
+            docs, eval_docs, n=n, threshold=threshold,
+            text_col=text_col, id_col=id_col, **kwargs
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return docs.join(bad, id_col, "left_anti")

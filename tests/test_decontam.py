@@ -99,3 +99,70 @@ def test_self_decontamination_flags_everything(spark, corpus):
     with_grams = corpus.filter(F.size(F.split("text", " ")) >= 5)
     survivors = decontaminate(corpus, corpus, n=5)
     assert survivors.join(with_grams, "doc_id", "left_semi").count() == 0
+
+
+class TestFuzzyDecontamination:
+    """operators/decontam.fuzzy_contamination_pairs / fuzzy_decontaminate."""
+
+    def _pairs(self, spark, docs_rows, eval_rows, n=3, threshold=0.5):
+        from hedera_etl_spark.operators.decontam import fuzzy_contamination_pairs
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        evals = spark.createDataFrame(eval_rows, "eval_id long, text string")
+        return fuzzy_contamination_pairs(
+            docs, evals, n=n, threshold=threshold, eval_id_col="eval_id"
+        ).collect()
+
+    def test_hand_computed_jaccard(self, spark):
+        # doc shingles (n=3): {a b c, b c d, c d e} ; eval: {a b c, b c d}
+        # inter=2, union=3 -> J = 0.666667 (DECIMAL(9,6) HALF_UP)
+        rows = self._pairs(
+            spark,
+            [(1, "a b c d e")],
+            [(10, "a b c d")],
+            threshold=0.5,
+        )
+        assert len(rows) == 1
+        assert rows[0].doc_id == 1 and rows[0].eval_id == 10
+        assert rows[0].jaccard == 0.666667
+
+    def test_threshold_boundary_exclusive_below(self, spark):
+        # same geometry, threshold just above the value -> no pair
+        assert self._pairs(
+            spark, [(1, "a b c d e")], [(10, "a b c d")], threshold=0.67
+        ) == []
+
+    def test_identical_doc_scores_one(self, spark):
+        rows = self._pairs(spark, [(1, "a b c d")], [(10, "a b c d")], threshold=0.99)
+        assert rows[0].jaccard == 1.0
+
+    def test_fuzzy_decontaminate_drops_and_keeps(self, spark):
+        from hedera_etl_spark.operators.decontam import fuzzy_decontaminate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six"),
+                (3, "xs"),  # too short for any shingle: must survive
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            # near-dup of doc 1 (prepended token), nothing like doc 2
+            [(7, "pre alpha beta gamma delta epsilon zeta")],
+            "eval_id long, text string",
+        )
+        out = fuzzy_decontaminate(
+            docs, evals, n=3, threshold=0.7, eval_id_col="eval_id"
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+    def test_no_banding_loss_multi_eval(self, spark):
+        # one doc can hit several eval items; all pairs surface
+        rows = self._pairs(
+            spark,
+            [(1, "a b c d e f")],
+            [(10, "a b c d e f"), (11, "z a b c d e f")],
+            threshold=0.5,
+        )
+        assert sorted((r.doc_id, r.eval_id) for r in rows) == [(1, 10), (1, 11)]
