@@ -147,6 +147,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--decontam-n", type=int, default=13, help="decontamination n-gram width")
     p.add_argument(
+        "--fuzzy-decontam-threshold",
+        type=float,
+        default=None,
+        help="additionally drop NEAR-duplicates of eval items at this "
+        "shingle-Jaccard (exact overlap alone misses paraphrases)",
+    )
+    p.add_argument("--fuzzy-decontam-n", type=int, default=5)
+    p.add_argument(
         "--max-dup-line-frac", type=float, default=None, help="Gopher repetition cap"
     )
     p.add_argument(
@@ -322,6 +330,8 @@ def main(argv: list[str] | None = None) -> int:
             span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,
+            fuzzy_decontam_threshold=args.fuzzy_decontam_threshold,
+            fuzzy_decontam_n=args.fuzzy_decontam_n,
             min_tokens=args.min_tokens,
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_bigram_frac=args.max_top_bigram_frac,

@@ -56,6 +56,8 @@ def prepare_training_corpus(
     emb_vec_col: str = "embedding",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
+    fuzzy_decontam_threshold: float | None = None,
+    fuzzy_decontam_n: int = 5,
     min_tokens: int = 5,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
@@ -82,7 +84,8 @@ def prepare_training_corpus(
     semantic dups drop against corpus history; within-batch clusters
     reuse the connected-components keeper), benchmark decontamination
     against ``eval_docs`` (exact ``decontam_n``-gram overlap — skipped
-    when None), quality floor (``min_tokens`` whitespace tokens, plus
+    when None; ``fuzzy_decontam_threshold`` additionally drops
+    near-duplicates of eval items at that shingle-Jaccard), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
     ``max_top_bigram_frac``), optional trained-classifier floor
     (``quality_weights`` from qualityfilter.train_quality_lr /
@@ -163,6 +166,14 @@ def prepare_training_corpus(
         out = decontaminate(
             out, eval_docs, n=decontam_n, text_col=text_col, id_col=id_col
         )
+        if fuzzy_decontam_threshold is not None:
+            from hedera_etl_spark.operators.decontam import fuzzy_decontaminate
+
+            out = fuzzy_decontaminate(
+                out, eval_docs, n=fuzzy_decontam_n,
+                threshold=fuzzy_decontam_threshold,
+                text_col=text_col, id_col=id_col,
+            )
 
     if min_tokens > 0:
         q = quality_scores(out, text_col, id_col)

@@ -166,3 +166,29 @@ class TestFuzzyDecontamination:
             threshold=0.5,
         )
         assert sorted((r.doc_id, r.eval_id) for r in rows) == [(1, 10), (1, 11)]
+
+    def test_pipeline_fuzzy_stage(self, spark):
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(7, "pre alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        # exact 13-gram decontam misses the paraphrase; the fuzzy stage
+        # catches it
+        exact_only = prepare_training_corpus(
+            docs, near_threshold=None, min_tokens=0, eval_docs=evals
+        )
+        assert sorted(r.doc_id for r in exact_only.collect()) == [1, 2]
+        fuzzy = prepare_training_corpus(
+            docs, near_threshold=None, min_tokens=0, eval_docs=evals,
+            fuzzy_decontam_threshold=0.7, fuzzy_decontam_n=3,
+        )
+        assert sorted(r.doc_id for r in fuzzy.collect()) == [2]
