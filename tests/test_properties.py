@@ -472,3 +472,124 @@ def test_mixture_rates_always_valid_and_one_binding(spark, masses, weights):
     t_out = sum(expected.values())
     for d, w in target.items():
         assert expected[d] / t_out == pytest.approx(w / total_w, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# r7 operators: BPE merge loop, fuzzy decontamination, LM scoring
+# ---------------------------------------------------------------------------
+_word = st.text(alphabet="abcd", min_size=1, max_size=5)
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(**SPARK_SETTINGS)
+@given(texts=st.lists(_doc, min_size=1, max_size=6), k=st.integers(1, 6))
+def test_bpe_matches_reference_trainer_any_corpus(spark, texts, k):
+    """The distributed merge loop equals the sequential dict-based BPE
+    trainer (same argmax tie-break, same greedy non-overlap rule) on
+    arbitrary corpora — including all-same-char words where overlap
+    chains are everywhere."""
+    from hedera_etl_spark.operators.vocab import bpe_merges
+    from tests.test_bpe import _py_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.tf)
+        for r in bpe_merges(docs, k=k).collect()
+    ]
+    assert got == _py_bpe(texts, k)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    corpus=st.lists(_doc, min_size=1, max_size=6),
+    evals=st.lists(_doc, min_size=1, max_size=3),
+    threshold=st.sampled_from([0.25, 0.5, 0.75]),
+)
+def test_fuzzy_pairs_match_bruteforce_jaccard(spark, corpus, evals, threshold):
+    """Every (doc, eval) pair at shingle-Jaccard >= t surfaces, none
+    below it — against a brute-force set computation (the operator's
+    broadcast-probe plan must lose NO pair: no banding, no blocking)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hedera_etl_spark.operators.decontam import fuzzy_contamination_pairs
+
+    n = 2
+
+    def sets(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    expected = set()
+    for i, d in enumerate(corpus):
+        for j, e in enumerate(evals):
+            a, b = sets(d), sets(e)
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            jac = float(
+                Decimal(repr(jac)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            if jac >= threshold:
+                expected.add((i, j))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(evals)], "eval_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.eval_id)
+        for r in fuzzy_contamination_pairs(
+            docs, edf, n=n, threshold=threshold, eval_id_col="eval_id"
+        ).collect()
+    }
+    assert got == expected
+
+
+@settings(**SPARK_SETTINGS)
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+def test_lm_scores_match_reference_model(spark, texts):
+    """Self-scored corpus: every document's (n_bigrams, sum_logp) equals
+    the sequential reference computation under the same DECIMAL(12,6)
+    per-term rounding."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hedera_etl_spark.operators.lmscore import bigram_lm, lm_scores
+
+    bgs = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bgs += [(i, toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+    c2 = Counter((w1, w2) for _, w1, w2 in bgs)
+    c1 = Counter(w1 for _, w1, _ in bgs)
+    vocab = {w for _, w1, w2 in bgs for w in (w1, w2)}
+    v = len(vocab)
+
+    def lp(w1, w2):
+        p = (c2[(w1, w2)] + 0.5) / (c1[w1] + 0.5 * v)
+        return Decimal(repr(math.log(p))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+
+    expected = {}
+    for i, _ in enumerate(texts):
+        doc_bgs = [(w1, w2) for d, w1, w2 in bgs if d == i]
+        if doc_bgs:
+            expected[i] = (
+                len(doc_bgs),
+                float(sum(lp(w1, w2) for w1, w2 in doc_bgs)),
+            )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_logp)
+        for r in lm_scores(docs, bigram_lm(docs)).collect()
+    }
+    assert got == expected
