@@ -473,3 +473,92 @@ def scrub_text(
         scrubbed.alias("scrubbed_text"),
         *counts,
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive hashes, select each window's minimum,
+    and keep the DISTINCT selected values as the document's fingerprint
+    set — (doc_id, fp) rows.
+
+    ``char_fingerprints`` keeps ONE global-min hash per document (a
+    whole-document identity signal); winnowing keeps a density-guaranteed
+    SET: any shared token run of length >= w + k - 1 between two
+    documents forces at least one shared fingerprint (the winnowing
+    guarantee, property-pinned in tests), which is what plagiarism-style
+    containment detection needs — overlap sharing works through the
+    ordinary shared-fp equi-join, never a pairwise text comparison.
+
+    All per-row expressions off ONE tokenization (the projected-column
+    discipline): gram hashes are 60-bit md5 prefixes (the packing/
+    sampling cross-engine hash canon — DuckDB twin
+    ``('0x' || substring(md5(g), 1, 15))::BIGINT``); windows are an
+    index-sequence transform over the hash array with truncating slices,
+    so documents with fewer than ``w`` grams contribute their single
+    whole-array minimum.  Zero shuffles: tokenize, hash, select, and
+    dedupe all happen inside the document's own row; the explode is
+    map-side.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("__t")
+    )
+    tc = F.col("__t")
+    grams = F.when(
+        F.size(tc) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(tc, i + j) for j in range(k)]),
+        )
+    )
+    hashed = toked.select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ).alias("__h"),
+    )
+    hc = F.col("__h")
+    fps = F.when(F.size(hc) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(hc) - F.lit(w - 1), F.lit(1))),
+                lambda j: F.array_min(F.slice(hc, j, w)),
+            )
+        )
+    )
+    return (
+        hashed.select("doc_id", F.explode_outer(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def fingerprint_overlap(
+    fps_a: DataFrame, fps_b: DataFrame | None = None, min_shared: int = 1
+) -> DataFrame:
+    """(doc_a, doc_b, shared) — document pairs sharing at least
+    ``min_shared`` winnowing fingerprints, from (doc_id, fp) rows: one
+    equi-join on the fingerprint value + one pair aggregate, the
+    standard containment-candidate detector.  Self mode (``fps_b``
+    None) emits each unordered pair once (doc_a < doc_b)."""
+    a = fps_a.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = (fps_b if fps_b is not None else fps_a).select(
+        F.col("doc_id").alias("doc_b"), "fp"
+    )
+    joined = a.join(b, "fp")
+    if fps_b is None:
+        joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        joined.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
