@@ -126,6 +126,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument(
+        "--normalize-form",
+        default=None,
+        choices=["NFC", "NFKC", "NFD", "NFKD"],
+        help="Unicode-normalize text before any dedup hashing",
+    )
+    p.add_argument("--normalize-lowercase", action="store_true")
+    p.add_argument(
         "--near-threshold",
         type=float,
         default=0.5,
@@ -326,6 +333,8 @@ def main(argv: list[str] | None = None) -> int:
             pack_groups=args.pack_groups,
             id_col=args.id_col,
             text_col=args.text_col,
+            normalize_form=args.normalize_form,
+            normalize_lowercase=args.normalize_lowercase,
             near_threshold=None if args.exact_only else args.near_threshold,
             span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,

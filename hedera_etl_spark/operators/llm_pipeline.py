@@ -39,6 +39,8 @@ def prepare_training_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize_form: str | None = None,
+    normalize_lowercase: bool = False,
     near_threshold: float = 0.5,
     shingle_n: int = 3,
     minhash_k: int = 9,
@@ -98,6 +100,16 @@ def prepare_training_corpus(
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
     ``sample_rate=1.0`` to keep everything.
     """
+    if normalize_form is not None:
+        from hedera_etl_spark.operators.textnorm import normalize_text
+
+        # canonicalize BEFORE any hashing so composed/decomposed
+        # spellings of the same rendered text dedup together
+        docs = normalize_text(
+            docs, form=normalize_form, lowercase=normalize_lowercase,
+            text_col=text_col,
+        )
+
     keepers = exact_duplicates(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )

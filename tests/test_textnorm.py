@@ -53,3 +53,24 @@ def test_bad_form_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+def test_pipeline_normalization_unifies_dedup(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Caf\u00e9 au lait fort"),   # composed
+            (2, "Cafe\u0301 au lait fort"),  # decomposed twin   # decomposed twin
+            (3, "something else entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    # without normalization the twins are byte-different: both survive
+    plain = prepare_training_corpus(docs, near_threshold=None, min_tokens=0)
+    assert sorted(r.doc_id for r in plain.collect()) == [1, 2, 3]
+    # with NFC they exact-dedup to the min-id keeper
+    normed = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=0, normalize_form="NFC"
+    )
+    assert sorted(r.doc_id for r in normed.collect()) == [1, 3]
