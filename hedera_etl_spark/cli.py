@@ -312,6 +312,7 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from hedera_etl_spark.operators.llm_pipeline import prepare_training_shards
+        from hedera_etl_spark.operators.lmscore import bigram_lm
 
         docs = spark.read.parquet(args.input)
         quality_weights = None
@@ -360,9 +361,7 @@ def main(argv: list[str] | None = None) -> int:
             embedding_n_probe=args.embedding_n_probe,
             lm_min_avg_logp=args.lm_min_avg_logp,
             lm_model=(
-                __import__(
-                    "hedera_etl_spark.operators.lmscore", fromlist=["bigram_lm"]
-                ).bigram_lm(
+                bigram_lm(
                     spark.read.parquet(args.lm_ref_input),
                     text_col=args.text_col,
                     id_col=args.id_col,

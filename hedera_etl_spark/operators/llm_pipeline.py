@@ -104,10 +104,26 @@ def prepare_training_corpus(
         from hedera_etl_spark.operators.textnorm import normalize_text
 
         # canonicalize BEFORE any hashing so composed/decomposed
-        # spellings of the same rendered text dedup together
+        # spellings of the same rendered text dedup together.  Lazy
+        # localCheckpoint: the normalized frame feeds every downstream
+        # stage (exact dedup, minhash, spans, decontam, quality, LM) and
+        # Catalyst does not share subtrees across consumers — without
+        # the checkpoint the pandas-UDF normalization would re-run over
+        # the corpus once PER STAGE (the spandedup/minhash discipline).
         docs = normalize_text(
             docs, form=normalize_form, lowercase=normalize_lowercase,
             text_col=text_col,
+        ).localCheckpoint(eager=False)
+
+    if fuzzy_decontam_threshold is not None and eval_docs is None:
+        raise ValueError(
+            "fuzzy_decontam_threshold given without eval_docs — the fuzzy "
+            "stage scrubs against the eval set; pass eval_docs"
+        )
+    if lm_model is not None and lm_min_avg_logp is None:
+        raise ValueError(
+            "lm_model given without lm_min_avg_logp — the LM stage is "
+            "keyed on the threshold; pass the mean-ln-probability floor"
         )
 
     keepers = exact_duplicates(docs, text_col, id_col).select(
@@ -152,7 +168,7 @@ def prepare_training_corpus(
             semantic_dedup_decisions,
         )
 
-        # index only the vectors of documents still alive after the
+        # judge only the vectors of documents still alive after the
         # lexical stages, keyed by the document id
         batch_emb = embeddings.join(
             out.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
@@ -167,11 +183,21 @@ def prepare_training_corpus(
             dims=embedding_dims,
             id_col=emb_id_col,
             vec_col=emb_vec_col,
+            # the pipeline appends its FINAL survivors below — indexing
+            # a doc the quality/decontam floors later drop would
+            # suppress novel near-twins of text that never reached the
+            # corpus
+            append=False,
         )
+        # ANTI-join on the drop set: documents WITHOUT an embedding row
+        # pass through unjudged (a semi-join on keepers would silently
+        # delete them — partial embedding coverage is the normal case)
         out = out.join(
-            decisions.filter("keep").select(F.col("vec_id").alias(id_col)),
+            decisions.filter(~F.col("keep")).select(
+                F.col("vec_id").alias(id_col)
+            ),
             id_col,
-            "left_semi",
+            "left_anti",
         )
 
     if eval_docs is not None:
@@ -185,6 +211,8 @@ def prepare_training_corpus(
                 out, eval_docs, n=fuzzy_decontam_n,
                 threshold=fuzzy_decontam_threshold,
                 text_col=text_col, id_col=id_col,
+                # eval rows share the corpus id column name
+                eval_id_col=id_col,
             )
 
     if min_tokens > 0:
@@ -235,6 +263,21 @@ def prepare_training_corpus(
 
     if sample_rate < 1.0:
         out = hash_sample(out, [id_col], sample_rate, salt=salt)
+
+    if embeddings is not None:
+        # commit the FINAL survivors' vectors to the index (write-once
+        # per content-derived batch id — retries re-commit nothing).
+        # The eager checkpoint pins `out` so the append and the caller
+        # share ONE evaluation of the full pipeline instead of two.
+        from hedera_etl_spark.operators.vectorindex import IVFIndex
+
+        out = out.localCheckpoint(eager=True)
+        final_emb = embeddings.join(
+            out.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+        )
+        IVFIndex(docs.sparkSession, embedding_index_path).add_vectors(
+            final_emb, id_col=emb_id_col, vec_col=emb_vec_col
+        )
     return out
 
 

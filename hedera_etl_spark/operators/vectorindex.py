@@ -63,22 +63,30 @@ class IVFIndex:
     def build(
         spark: SparkSession,
         path: str,
-        emb: DataFrame,
+        emb: DataFrame | None,
         n_centroids: int = 16,
         dims: int = 64,
         train: bool = False,
         train_iters: int = 5,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centroids=None,
     ) -> "IVFIndex":
         """Quantize ``emb`` and write the index. ``train=True`` runs
         spherical k-means first (better-balanced lists); False uses the
-        deterministic md5 centroid grid (engine-reproducible)."""
-        centroids = (
-            ivf_train_kmeans(emb, n_centroids, dims, train_iters, vec_col)
-            if train
-            else ivf_centroids(n_centroids, dims)
-        )
+        deterministic md5 centroid grid (engine-reproducible).  Pass
+        ``centroids`` to persist an externally-derived matrix as-is (the
+        single owner of the index layout — callers must not hand-write
+        the artifacts).  ``emb=None`` creates an EMPTY index (centroids
+        only) for append-later flows."""
+        if centroids is None:
+            if train and emb is None:
+                raise ValueError("train=True requires emb to train on")
+            centroids = (
+                ivf_train_kmeans(emb, n_centroids, dims, train_iters, vec_col)
+                if train
+                else ivf_centroids(n_centroids, dims)
+            )
         os.makedirs(path, exist_ok=True)
         cdf = spark.createDataFrame(
             [(b + 1, c) for b, c in enumerate(centroids)], ["bucket", "centroid"]
@@ -86,29 +94,79 @@ class IVFIndex:
         cdf.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         )
-        assigned = ivf_assign(emb, centroids, id_col, vec_col)
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(path, "lists"))
-        )
+        lists_dir = os.path.join(path, "lists")
+        if emb is not None:
+            assigned = ivf_assign(emb, centroids, id_col, vec_col)
+            (
+                assigned.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(lists_dir)
+            )
+        else:
+            os.makedirs(lists_dir, exist_ok=True)
         with open(os.path.join(path, "_meta.json"), "w") as fh:
             json.dump({"dims": dims, "n_centroids": n_centroids}, fh)
         return IVFIndex(spark, path)
 
     def add_vectors(
-        self, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: str | None = None,
     ) -> None:
         """Append a new batch into its bucket partitions (existing files
         untouched — the standard partitioned-fact append)."""
         assigned = ivf_assign(emb, self.centroids, id_col, vec_col)
-        assigned.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(self.path, "lists")
-        )
+        self.add_assigned(assigned, batch_id=batch_id)
+
+    def add_assigned(
+        self, assigned: DataFrame, batch_id: str | None = None
+    ) -> None:
+        """Append already-quantized (vec_id, vec, bucket) rows — the
+        no-recompute path for callers that hold an assignment (e.g. the
+        semantic-dedup stage, whose probe rows carry the primary bucket).
+
+        ``batch_id`` makes the append WRITE-ONCE: a marker under
+        ``_batches/`` skips a replayed batch entirely.  When None, a
+        content-derived id (order-free bit_xor of xxhash64(vec_id)) is
+        computed from the batch itself, so job retries with identical
+        inputs are idempotent without caller bookkeeping.  Crash window:
+        the marker lands AFTER the append, so a crash in between can
+        leave one batch's rows duplicated in the lists — which changes
+        NO dedup decision (history probes dedup hits by vec_id and
+        exclude self-ids) and costs only that batch's storage until the
+        next compaction; the alternative (marker first) would silently
+        LOSE the batch from history and under-deduplicate forever."""
+        if batch_id is None:
+            row = assigned.agg(
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(vec_id))"), F.lit(0)
+                ).alias("sig"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            batch_id = f"auto-{row['n']}-{row['sig'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        marker = os.path.join(self.path, "_batches", batch_id)
+        if os.path.exists(marker):
+            return
+        assigned.select("vec_id", "vec", "bucket").write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(os.path.join(self.path, "lists"))
+        os.makedirs(marker, exist_ok=True)
 
     # -- reads --------------------------------------------------------------
     def lists(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "lists"))
+        """(vec_id, vec, bucket) — empty-but-typed when the index holds
+        no vectors yet (an empty parquet dir cannot be read directly)."""
+        path = os.path.join(self.path, "lists")
+        has_files = any(
+            files for _, _, files in os.walk(path)
+        )
+        if not has_files:
+            return self.spark.createDataFrame(
+                [], "vec_id bigint, vec array<float>, bucket bigint"
+            )
+        return self.spark.read.parquet(path)
 
     def bucket_stats(self) -> DataFrame:
         """Inverted-list balance report (reads list lengths only)."""
@@ -178,11 +236,14 @@ def probe_rows(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, vec, bucket): each vector fanned out to its ``n_probe``
-    nearest centroid buckets — IN ITS OWN ROW (dots + an in-row sort of
-    the k-element (neg-dot, idx) structs), no corpus-sized window.  The
-    first probe equals ``ivf_assign``'s primary bucket (same first-max
-    tiebreak: struct sort falls back to idx ascending)."""
+    """(vec_id, vec, bucket, prank): each vector fanned out to its
+    ``n_probe`` nearest centroid buckets — IN ITS OWN ROW (dots + an
+    in-row sort of the k-element (neg-dot, idx) structs), no corpus
+    -sized window.  ``prank`` is the 1-based probe rank; rank 1 equals
+    ``ivf_assign``'s primary bucket (same first-max tiebreak: struct
+    sort falls back to idx ascending), so callers needing BOTH probes
+    and primary assignments pay the n_centroids x dims dot fold ONCE
+    and filter rank 1 instead of re-assigning."""
     from hedera_etl_spark.tables import ensure_parallelism
 
     dots = _dots_array(vec_col, centroids)
@@ -201,8 +262,11 @@ def probe_rows(
         .select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
-            F.explode(F.transform(ranked, lambda s: s["i"] + 1)).alias("bucket"),
+            F.posexplode(F.transform(ranked, lambda st: st["i"] + 1)).alias(
+                "__p", "bucket"
+            ),
         )
+        .select("vec_id", "vec", "bucket", (F.col("__p") + 1).alias("prank"))
     )
 
 
@@ -217,6 +281,8 @@ def semantic_dedup_decisions(
     train: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    append: bool = True,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Embedding-level near-dup decisions for one batch against a
     PERSISTED IVF index — the incremental-dedup analogue for semantic
@@ -226,33 +292,47 @@ def semantic_dedup_decisions(
     IVF-bucket-blocked) collapse transitively via connected components
     to a min-id keeper, and any vector matching an already-indexed
     vector from a PRIOR batch is dropped outright (its keeper already
-    lives in the corpus).  Surviving vectors append into the index's
-    bucket partitions, so the next batch probes them.
+    lives in the corpus).  With ``append=True`` surviving vectors
+    append into the index's bucket partitions (write-once per
+    ``batch_id`` — see ``IVFIndex.add_assigned``), so the next batch
+    probes them; pipelines that filter further downstream pass
+    ``append=False`` and append their FINAL survivors instead
+    (indexing a document that later fails a quality floor would
+    suppress novel near-twins of something that never reached the
+    corpus).
 
-    Scale shape: candidate generation is a bucket equi-join (probe rows
-    x inverted lists / primary assignments — never all-pairs), history
-    probing reads only probed-bucket partitions, the decision set is
-    batch-sized, and the only driver state is the centroid matrix.
-    Recall is the standard IVF trade: a pair is seen iff one side
-    probes the other's primary bucket (n_probe raises it).  The
-    decisions checkpoint EAGERLY before the index append so the append
-    and the returned frame agree even though the append mutates the
-    lists the plan read.
+    Retry-safe by construction: history hits exclude the vector's OWN
+    id (a replayed batch whose vectors already landed in the index
+    re-derives the identical decisions instead of dropping everything
+    as self-duplicates), and the append skips committed batch ids.
+
+    Scale shape: ONE n_centroids x dims dot fold per vector (probe
+    rows carry the primary bucket as rank 1), candidate generation is
+    a bucket equi-join (probe rows x inverted lists / primary
+    assignments — never all-pairs), the decision set is batch-sized,
+    and the only driver state is the centroid matrix plus one
+    batch-fingerprint row.  Recall is the standard IVF trade: a pair
+    is seen iff one side probes the other's primary bucket (n_probe
+    raises it).
     """
     meta = os.path.join(index_path, "_meta.json")
-    idx = IVFIndex(spark, index_path) if os.path.exists(meta) else None
-    if idx is not None:
-        centroids = idx.centroids
-        n_centroids, dims = idx.n_centroids, idx.dims
+    if os.path.exists(meta):
+        idx = IVFIndex(spark, index_path)
+        first_batch = False
     else:
-        centroids = (
-            ivf_train_kmeans(emb, n_centroids, dims, vec_col=vec_col)
-            if train
-            else ivf_centroids(n_centroids, dims)
+        idx = IVFIndex.build(
+            spark, index_path, None,
+            n_centroids=n_centroids, dims=dims,
+            centroids=(
+                ivf_train_kmeans(emb, n_centroids, dims, vec_col=vec_col)
+                if train
+                else None
+            ),
         )
+        first_batch = True
 
-    probes = probe_rows(emb, centroids, n_probe, id_col, vec_col)
-    primary = ivf_assign(emb, centroids, id_col, vec_col)
+    probes = probe_rows(emb, idx.centroids, n_probe, id_col, vec_col)
+    primary = probes.filter(F.col("prank") == 1)
 
     # within-batch candidate pairs: a sees b iff a probes b's primary
     # bucket; normalize to (least, greatest) so either orientation counts
@@ -267,7 +347,7 @@ def semantic_dedup_decisions(
             "bucket",
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), dims))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), idx.dims))
         .filter(F.col("cos") >= threshold)
         .select(
             F.least("id_a", "id_b").alias("src"),
@@ -286,7 +366,7 @@ def semantic_dedup_decisions(
         dst="dst",
     ).select("vec_id", "keep")
 
-    if idx is not None:
+    if not first_batch:
         lists = idx.lists().select(
             F.col("vec_id").alias("hist_id"),
             F.col("vec").alias("hist_vec"),
@@ -294,7 +374,10 @@ def semantic_dedup_decisions(
         )
         hits = (
             probes.join(lists, "bucket")
-            .withColumn("cos", cosine(F.col("vec"), F.col("hist_vec"), dims))
+            # self-id guard: a replayed batch's own vectors in the index
+            # must not count as "history" — retry idempotence
+            .filter(F.col("vec_id") != F.col("hist_id"))
+            .withColumn("cos", cosine(F.col("vec"), F.col("hist_vec"), idx.dims))
             .filter(F.col("cos") >= threshold)
             .select("vec_id")
             .distinct()
@@ -306,28 +389,12 @@ def semantic_dedup_decisions(
             (F.col("keep") & F.col("__hit").isNull()).alias("keep"),
         )
 
-    decisions = decisions.localCheckpoint(eager=True)
-    kept_emb = emb.join(
-        decisions.filter("keep").select(F.col("vec_id").alias(id_col)),
-        id_col,
-        "left_semi",
-    )
-    if idx is None:
-        # write the artifacts with the centroids chosen above (build()
-        # would re-derive them, and a trained matrix must persist as-is)
-        os.makedirs(index_path, exist_ok=True)
-        cdf = spark.createDataFrame(
-            [(b + 1, c) for b, c in enumerate(centroids)],
-            ["bucket", "centroid"],
+    if append:
+        # eager checkpoint: the append mutates the lists this plan read,
+        # so decisions must be pinned before the write
+        decisions = decisions.localCheckpoint(eager=True)
+        kept = primary.join(
+            decisions.filter("keep").select("vec_id"), "vec_id", "left_semi"
         )
-        cdf.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, "centroids")
-        )
-        ivf_assign(kept_emb, centroids, id_col, vec_col).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(index_path, "lists"))
-        with open(meta, "w") as fh:
-            json.dump({"dims": dims, "n_centroids": n_centroids}, fh)
-    else:
-        idx.add_vectors(kept_emb, id_col, vec_col)
+        idx.add_assigned(kept, batch_id=batch_id)
     return decisions

@@ -163,3 +163,131 @@ def test_embeddings_without_path_raises(spark):
         prepare_training_corpus(
             docs, near_threshold=None, embeddings=_emb(spark, [(1, _unit(1))])
         )
+
+
+def test_retry_idempotence_same_batch(spark, tmp_path):
+    """A replayed batch (job retry after its append landed) must
+    re-derive the SAME decisions — not drop everything as history
+    duplicates of itself — and must not re-append (code-review r7)."""
+    path = str(tmp_path / "ivf")
+    b = _emb(spark, [(1, _unit(5)), (2, _unit(5, bump=0.02)), (3, _unit(77))])
+    d1 = {r["vec_id"]: r["keep"] for r in semantic_dedup_decisions(
+        spark, b, path, threshold=0.99, n_probe=2, n_centroids=4, dims=DIMS
+    ).collect()}
+    assert d1 == {1: True, 2: False, 3: True}
+    n_after_first = IVFIndex(spark, path).lists().count()
+    # replay: identical inputs, same index path
+    d2 = {r["vec_id"]: r["keep"] for r in semantic_dedup_decisions(
+        spark, b, path, threshold=0.99, n_probe=2, n_centroids=4, dims=DIMS
+    ).collect()}
+    assert d2 == d1
+    assert IVFIndex(spark, path).lists().count() == n_after_first
+
+
+def test_pipeline_retry_idempotent(spark, tmp_path):
+    """Full-pipeline retry with the same inputs returns the same docs
+    (the r7 code-review repro: the second run used to return [])."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    path = str(tmp_path / "ivf")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma one"), (2, "different text two"), (3, "third doc three")],
+        "doc_id long, text string",
+    )
+    emb = _emb(spark, [(1, _unit(5)), (2, _unit(33)), (3, _unit(5, bump=0.01))])
+    kw = dict(
+        near_threshold=None, min_tokens=0, embeddings=emb,
+        embedding_index_path=path, embedding_threshold=0.99,
+        embedding_centroids=4, embedding_dims=DIMS,
+    )
+    first = sorted(r["doc_id"] for r in prepare_training_corpus(docs, **kw).collect())
+    second = sorted(r["doc_id"] for r in prepare_training_corpus(docs, **kw).collect())
+    assert first == second == [1, 2]
+    assert IVFIndex(spark, path).lists().count() == 2
+
+
+def test_docs_without_embeddings_pass_through(spark, tmp_path):
+    """Partial embedding coverage: unembedded docs are unjudged, never
+    dropped (code-review r7: the semi-join deleted them)."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta one"), (2, "gamma delta two"), (3, "no embedding three")],
+        "doc_id long, text string",
+    )
+    emb = _emb(spark, [(1, _unit(5)), (2, _unit(33))])  # 3 has no vector
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=0, embeddings=emb,
+        embedding_index_path=str(tmp_path / "ivf"),
+        embedding_threshold=0.99, embedding_centroids=4, embedding_dims=DIMS,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_index_holds_final_survivors_not_prequality(spark, tmp_path):
+    """A doc that passes semantic dedup but fails a later quality floor
+    must NOT enter the index (it never reached the corpus, so it must
+    not suppress future near-twins) — code-review r7."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    path = str(tmp_path / "ivf")
+    docs = spark.createDataFrame(
+        [(1, "long enough document with many tokens here"), (2, "short")],
+        "doc_id long, text string",
+    )
+    emb = _emb(spark, [(1, _unit(5)), (2, _unit(33))])
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=3, embeddings=emb,
+        embedding_index_path=path, embedding_threshold=0.99,
+        embedding_centroids=4, embedding_dims=DIMS,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    assert [r["vec_id"] for r in IVFIndex(spark, path).lists().collect()] == [1]
+    # a later batch semantically equal to the REJECTED doc 2 is novel
+    out2 = prepare_training_corpus(
+        spark.createDataFrame(
+            [(50, "fresh quality text with plenty of tokens")],
+            "doc_id long, text string",
+        ),
+        near_threshold=None, min_tokens=3,
+        embeddings=_emb(spark, [(50, _unit(33, bump=0.005))]),
+        embedding_index_path=path, embedding_threshold=0.99,
+        embedding_centroids=4, embedding_dims=DIMS,
+    )
+    assert [r["doc_id"] for r in out2.collect()] == [50]
+
+
+def test_stage_combination_guards(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="eval_docs"):
+        prepare_training_corpus(
+            docs, near_threshold=None, fuzzy_decontam_threshold=0.8
+        )
+    with pytest.raises(ValueError, match="lm_min_avg_logp"):
+        prepare_training_corpus(
+            docs, near_threshold=None,
+            lm_model=spark.createDataFrame(
+                [("a", "b", 1, 1, 2)], "w1 string, w2 string, c2 long, c1 long, v long"
+            ),
+        )
+
+
+def test_fuzzy_decontam_custom_id_col(spark):
+    """code-review r7: a non-default id_col used to crash the fuzzy
+    stage with UNRESOLVED_COLUMN doc_id."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "my_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(9, "pre alpha beta gamma delta epsilon")], "my_id long, text string"
+    )
+    out = prepare_training_corpus(
+        docs, id_col="my_id", near_threshold=None, min_tokens=0,
+        eval_docs=evals, fuzzy_decontam_threshold=0.6, fuzzy_decontam_n=3,
+    )
+    assert sorted(r["my_id"] for r in out.collect()) == [2]

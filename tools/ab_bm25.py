@@ -66,12 +66,19 @@ def _score_over(base: DataFrame, dfmap: DataFrame, stats: DataFrame) -> DataFram
     )
 
 
+_LIVE_BASES = []
+
+
 def shared_base_form(docs: DataFrame, mode: str) -> DataFrame:
     base = _tokenized_base(docs, TERMS)
     if mode == "checkpoint":
         base = base.localCheckpoint(eager=False)
     elif mode == "persist":
         base = base.persist()
+        # r7 code-review fix: the harness must unpersist the BASE after
+        # each run (is_cached on the top-k result is always False), or
+        # every run leaks a cached corpus and skews later timings
+        _LIVE_BASES.append(base)
     dfmap = (
         _postings_of(base)
         .groupBy("term")
@@ -105,8 +112,8 @@ def main() -> None:
             df = build()
             out = df.collect()
             ts.append(time.perf_counter() - t0)
-            if df.is_cached:
-                df.unpersist()
+            while _LIVE_BASES:
+                _LIVE_BASES.pop().unpersist()
         print(f"{label:28s} min={min(ts):.3f}s  runs={sorted(round(t,3) for t in ts)}  rows={len(rows)}")
         return rows
 

@@ -80,7 +80,9 @@ def main() -> None:
     # hash A/B: count the flag set either way
     timed(f"hash=concat+xxhash64 flags (n={n})",
           lambda: flags_of(_span_rows_concat(docs, n)), count)
-    timed(f"hash=dual-Horner flags (n={n})",
+    # label note: this times whatever spandedup._span_rows SHIPS (the
+    # slice-of-token-hashes form since r7), not the rejected polynomial
+    timed(f"hash=shipped _span_rows flags (n={n})",
           lambda: flags_of(spandedup._span_rows(docs, n, "text", "doc_id")), count)
 
     # plan A/B on the full cut path: double-eval vs lazy checkpoint
