@@ -353,3 +353,71 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         dims=DIMS,
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance (operators/embedpca.py) — the one-aggregate stage
+# PCA builds on.  Hash-matching a floating-point covariance across
+# engines works because every product of two float32 components is
+# EXACT in float64 (48-bit product < 53-bit mantissa), each product
+# rounds ONCE to DECIMAL(38,12), and the sums are then exact and
+# order-free; the final cov derivation is three correctly-rounded
+# double ops mirrored literally.  dims=16 keeps the entry's expression
+# count at 152 (the operator takes any d; PCA itself is pytest-pinned
+# against numpy — eigenvectors are not SQL-expressible).
+# ---------------------------------------------------------------------------
+_PCA_DIMS = 16
+
+
+def _cov_oracle(dims: int) -> str:
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(1, dims + 1):
+        sums.append(
+            f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE)"
+            f" AS DECIMAL(38,12))) AS s_{i}"
+        )
+    for i in range(1, dims + 1):
+        for j in range(i, dims + 1):
+            sums.append(
+                f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE)"
+                f" * CAST(embedding[{j}] AS DOUBLE)"
+                f" AS DECIMAL(38,12))) AS p_{i}_{j}"
+            )
+    cells = ",\n        ".join(
+        f"({i}, {j}, CAST(CAST(p_{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - (CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f"   * (CAST(s_{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" AS DECIMAL(18,12)))"
+        for i in range(1, dims + 1)
+        for j in range(i, dims + 1)
+    )
+    return f"""
+    WITH sums AS MATERIALIZED (
+      SELECT {', '.join(sums)} FROM embeddings
+    ),
+    cells(i, j, cov) AS (
+      SELECT u.* FROM sums, (VALUES
+        {cells}) AS u(i, j, cov)
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(cov AS DOUBLE) AS cov
+    FROM cells ORDER BY i, j
+"""
+
+
+@query(
+    "sim_pca_covariance",
+    _cov_oracle(_PCA_DIMS),
+    tags=("sim", "pca", "covariance", "aggregate"),
+    # out of the 50-entry driver window (budget) — local-oracled.
+    driver_visible=False,
+)
+def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance of the first 16 embedding dimensions in ONE
+    map-side-combined aggregate (operators/embedpca.covariance_matrix) —
+    the corpus-touching stage of PCA; the eigendecomposition runs on the
+    driver over this d x d result (bounded-driver pattern)."""
+    from hedera_etl_spark.operators.embedpca import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, dims=_PCA_DIMS).orderBy("i", "j")
