@@ -92,3 +92,43 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         pca_components(empty, DIMS, k=1)
+
+
+def test_pca_composes_with_persisted_ivf(spark, tmp_path):
+    """The pre-ANN reduction claim end-to-end: project to k dims, build
+    the persisted IVF index over projections, query it.  With n_probe =
+    n_centroids the probe is exhaustive, so IVF top-k must EQUAL brute
+    -force top-k in projected space."""
+    from hedera_etl_spark.functions import cosine
+    from hedera_etl_spark.operators.vectorindex import IVFIndex
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows, emb = _corpus(spark, n=80)
+    k_dims, n_cent, topk = 3, 4, 5
+    comps, _ = pca_components(emb, DIMS, k=k_dims)
+    proj = pca_project(emb, comps).select(
+        "vec_id", F.col("proj").cast("array<float>").alias("embedding")
+    )
+    idx = IVFIndex.build(
+        spark, str(tmp_path / "ivf"), proj, n_centroids=n_cent, dims=k_dims
+    )
+    queries = proj.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in idx.query(queries, k=topk, n_probe=n_cent).collect()
+    }
+    # brute force in projected space
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    brute = {
+        (r.query_id, r.rank): r.vec_id
+        for r in queries.crossJoin(proj)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("embedding"), k_dims))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .collect()
+    }
+    assert got == brute
