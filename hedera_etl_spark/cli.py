@@ -139,6 +139,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         help="MinHash near-dup Jaccard threshold; --exact-only skips the stage",
     )
     p.add_argument("--exact-only", action="store_true")
+    p.add_argument(
+        "--near-dup-method",
+        default="minhash",
+        choices=["minhash", "winnow"],
+        help="near-dup detector: MinHash+LSH set similarity, or winnowing "
+        "fingerprint overlap (catches containment of long verbatim runs)",
+    )
+    p.add_argument("--winnow-min-shared", type=int, default=3)
     p.add_argument("--min-tokens", type=int, default=5, help="quality floor (0 disables)")
     p.add_argument(
         "--span-dedup-n",
@@ -337,6 +345,8 @@ def main(argv: list[str] | None = None) -> int:
             normalize_form=args.normalize_form,
             normalize_lowercase=args.normalize_lowercase,
             near_threshold=None if args.exact_only else args.near_threshold,
+            near_dup_method=args.near_dup_method,
+            winnow_min_shared=args.winnow_min_shared,
             span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,

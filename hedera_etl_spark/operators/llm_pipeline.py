@@ -42,10 +42,14 @@ def prepare_training_corpus(
     normalize_form: str | None = None,
     normalize_lowercase: bool = False,
     near_threshold: float = 0.5,
+    near_dup_method: str = "minhash",
     shingle_n: int = 3,
     minhash_k: int = 9,
     lsh_bands: int = 3,
     max_bucket: int | None = 500,
+    winnow_k: int = 4,
+    winnow_w: int = 5,
+    winnow_min_shared: int = 3,
     span_dedup_n: int | None = None,
     span_keep_first: bool = True,
     embeddings: DataFrame | None = None,
@@ -132,14 +136,39 @@ def prepare_training_corpus(
     out = docs.join(keepers, id_col, "left_semi")
 
     if near_threshold is not None:
-        pairs = minhash_lsh_neardups(
-            out.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-            n=shingle_n,
-            k=minhash_k,
-            bands=lsh_bands,
-            threshold=near_threshold,
-            max_bucket=max_bucket,
+        renamed = out.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
+        if near_dup_method == "minhash":
+            pairs = minhash_lsh_neardups(
+                renamed,
+                n=shingle_n,
+                k=minhash_k,
+                bands=lsh_bands,
+                threshold=near_threshold,
+                max_bucket=max_bucket,
+            )
+        elif near_dup_method == "winnow":
+            # winnowing detector: docs sharing >= winnow_min_shared
+            # selected fingerprints pair up — catches long verbatim RUNS
+            # (the containment case set-Jaccard under-scores: a page
+            # embedded in a much larger one) where minhash needs the
+            # whole sets to be similar.  near_threshold still gates the
+            # stage on/off; the strength knob is winnow_min_shared.
+            from hedera_etl_spark.operators.textanalysis import (
+                fingerprint_overlap,
+                winnow_fingerprints,
+            )
+
+            fps = winnow_fingerprints(renamed, k=winnow_k, w=winnow_w)
+            pairs = fingerprint_overlap(
+                fps, min_shared=winnow_min_shared
+            ).select("doc_a", "doc_b")
+        else:
+            raise ValueError(
+                f"unknown near_dup_method: {near_dup_method!r} "
+                "(expected 'minhash' or 'winnow')"
+            )
         decision = collapse_components(
             out.select(F.col(id_col).alias("doc_id")), pairs
         )

@@ -106,3 +106,38 @@ def test_any_corpus_matches_reference(spark, texts, k, w):
     got = _fps(spark, texts, k=k, w=w)
     for i, t in enumerate(texts):
         assert got.get(i, set()) == _py_winnow(t, k, w), (i, t)
+
+
+def test_pipeline_winnow_detector(spark):
+    """near_dup_method='winnow' catches CONTAINMENT (a page embedded in
+    a larger doc) that set-Jaccard minhash under-scores."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    page = " ".join(f"p{i}" for i in range(30))
+    docs = _docs(
+        spark,
+        [
+            page,  # doc 0: the page alone
+            "intro words " + page + " plus a long unrelated tail "
+            + " ".join(f"t{i}" for i in range(40)),  # doc 1: contains it
+            "completely different content " + " ".join(f"z{i}" for i in range(25)),
+        ],
+    )
+    # minhash at 0.5: jaccard(page, doc1) ~ 30/95 < 0.5 -> no collapse
+    mh = prepare_training_corpus(
+        docs, id_col="doc_id", min_tokens=0, near_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in mh.collect()) == [0, 1, 2]
+    # winnow: the shared 30-token run forces shared fingerprints
+    wn = prepare_training_corpus(
+        docs, id_col="doc_id", min_tokens=0, near_threshold=0.5,
+        near_dup_method="winnow", winnow_min_shared=3,
+    )
+    assert sorted(r.doc_id for r in wn.collect()) == [0, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup_method"):
+        prepare_training_corpus(
+            docs, min_tokens=0, near_threshold=0.5, near_dup_method="nope"
+        ).collect()
