@@ -283,6 +283,7 @@ def semantic_dedup_decisions(
     vec_col: str = "embedding",
     append: bool = True,
     batch_id: str | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-level near-dup decisions for one batch against a
     PERSISTED IVF index — the incremental-dedup analogue for semantic
@@ -331,8 +332,18 @@ def semantic_dedup_decisions(
         )
         first_batch = True
 
+    from hedera_etl_spark.operators.similarity import _cap_buckets
+
     probes = probe_rows(emb, idx.centroids, n_probe, id_col, vec_col)
     primary = probes.filter(F.col("prank") == 1)
+    # degenerate-bucket skew guard (the minhash/LSH production rule): a
+    # hot bucket — every all-zeros or boilerplate embedding quantizes to
+    # the same centroid — would make the probes x primary join quadratic
+    # in the bucket.  Cap the PRIMARY side before collection-free join;
+    # rows in over-cap buckets keep their within-batch decision from the
+    # remaining buckets and are never silently dropped from the corpus
+    # (a missed pair under-merges, the documented recall trade).
+    capped_primary = _cap_buckets(primary, max_bucket)
 
     # within-batch candidate pairs: a sees b iff a probes b's primary
     # bucket; normalize to (least, greatest) so either orientation counts
@@ -341,7 +352,7 @@ def semantic_dedup_decisions(
             F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
         )
         .join(
-            primary.select(
+            capped_primary.select(
                 F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
             ),
             "bucket",
@@ -367,7 +378,9 @@ def semantic_dedup_decisions(
     ).select("vec_id", "keep")
 
     if not first_batch:
-        lists = idx.lists().select(
+        lists = _cap_buckets(
+            idx.lists(), max_bucket
+        ).select(
             F.col("vec_id").alias("hist_id"),
             F.col("vec").alias("hist_vec"),
             "bucket",

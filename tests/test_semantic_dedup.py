@@ -291,3 +291,27 @@ def test_fuzzy_decontam_custom_id_col(spark):
         eval_docs=evals, fuzzy_decontam_threshold=0.6, fuzzy_decontam_n=3,
     )
     assert sorted(r["my_id"] for r in out.collect()) == [2]
+
+
+def test_degenerate_bucket_cap(spark, tmp_path):
+    """All-identical vectors land in ONE bucket; with max_bucket below
+    the batch size the quadratic within-bucket join is skipped (rows
+    keep their own decision, nothing is silently dropped)."""
+    same = _unit(42)
+    rows = [(i, same) for i in range(1, 9)]
+    dec = semantic_dedup_decisions(
+        spark, _emb(spark, rows), str(tmp_path / "ivf"),
+        threshold=0.99, n_probe=1, n_centroids=4, dims=DIMS,
+        max_bucket=4,
+    )
+    got = {r["vec_id"]: r["keep"] for r in dec.collect()}
+    # the hot bucket was skipped: every row survives as its own keeper
+    assert got == {i: True for i in range(1, 9)}
+    # with the cap off, the clones collapse to the min-id keeper
+    dec2 = semantic_dedup_decisions(
+        spark, _emb(spark, rows), str(tmp_path / "ivf2"),
+        threshold=0.99, n_probe=1, n_centroids=4, dims=DIMS,
+        max_bucket=None,
+    )
+    got2 = {r["vec_id"]: r["keep"] for r in dec2.collect()}
+    assert got2 == {i: (i == 1) for i in range(1, 9)}
