@@ -79,9 +79,13 @@ def prepare_training_corpus(
     """Dedup + decontaminate + filter + resample: returns the surviving
     documents (same schema as ``docs``).
 
-    Stages: exact content dedup (min-id keeper), MinHash+LSH near-dup
-    pairs at ``near_threshold`` collapsed transitively via connected
-    components (min-id keeper per cluster), repeated-span removal at
+    Stages: optional Unicode canonicalization (``normalize_form``),
+    exact content dedup (min-id keeper), near-dup pairs collapsed
+    transitively via connected components (min-id keeper per cluster) —
+    detector per ``near_dup_method``: MinHash+LSH set similarity at
+    ``near_threshold`` (default) or winnowing fingerprint overlap at
+    ``winnow_min_shared`` shared fingerprints (the containment case
+    set-Jaccard under-scores) — repeated-span removal at
     ``span_dedup_n`` tokens (skipped when None; ``span_keep_first``
     keeps the canonical occurrence), SEMANTIC near-dup collapse when
     ``embeddings`` is given (cosine >= ``embedding_threshold`` against
