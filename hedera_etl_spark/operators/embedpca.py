@@ -1,9 +1,14 @@
 """Embedding PCA: covariance + principal components + projection.
 
-Dimension reduction is the standard pre-ANN step for embedding columns
-(project 768-dim vectors to 64 before bucketing: smaller index, faster
-dot products, ~same recall).  The decomposition follows the engine's
-bounded-driver pattern (kmeans / quality-LR / BPE):
+Dimension reduction is the standard pre-ANN step for embedding
+columns (smaller index, faster dot products, ~same recall).  The
+decomposition follows the engine's bounded-driver pattern (kmeans /
+quality-LR / BPE).  Scale of d: the exact-decimal aggregate builds
+d(d+1)/2 + d expressions — fine through d ~= 128 (8.3k expressions; the
+repo's vector math already unrolls at this order), guarded loudly above
+that.  Very-high-dim sources (768+) should arrive pre-sliced or use a
+two-level blocked covariance (not implemented — raising beats silently
+compiling a 300k-expression plan).  Stages:
 
 1. :func:`covariance_matrix` — every pairwise covariance in ONE
    aggregate over the corpus.  Products of two float32 components are
@@ -32,9 +37,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_MAX_DIMS = 128
+
+
 def _sum_exprs(dims: int, vec_col: str) -> list[str]:
-    """n, per-dim decimal sums, per-pair decimal product sums (i <= j)."""
-    exprs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    """n, n_valid, per-dim decimal sums, per-pair decimal product sums
+    (i <= j).  ``n_valid`` counts rows whose vector is non-null with at
+    least ``dims`` elements — rows SUM would silently skip while
+    COUNT(*) includes them, biasing every mean/cov with no error; the
+    consumers compare the two and fail LOUDLY on mismatch."""
+    if not 1 <= dims <= _MAX_DIMS:
+        raise ValueError(
+            f"dims must be in [1, {_MAX_DIMS}] (the exact-decimal "
+            "aggregate is quadratic in dims; see the module docstring)"
+        )
+    exprs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(COUNT(CASE WHEN size({vec_col}) >= {dims} THEN 1 END)"
+        " AS BIGINT) AS n_valid",
+    ]
     for i in range(1, dims + 1):
         exprs.append(
             f"SUM(CAST(CAST(element_at({vec_col}, {i}) AS DOUBLE)"
@@ -74,12 +95,21 @@ def covariance_matrix(
         f" CAST(CAST(p_{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE)"
         f" - (CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE))"
         f"   * (CAST(s_{j} AS DOUBLE) / CAST(n AS DOUBLE))"
-        f" AS DECIMAL(18,12)) )"
+        f" AS DECIMAL(38,12)) )"
         for i in range(1, dims + 1)
         for j in range(i, dims + 1)
     )
-    return sums.selectExpr(f"explode(array({cells})) AS c").selectExpr(
-        "c.i AS i", "c.j AS j", "CAST(c.cov AS DOUBLE) AS cov"
+    # the guard rides INSIDE the output expression so column pruning can
+    # never drop it: null/short vectors -> loud error, not biased stats
+    return sums.selectExpr(
+        "CASE WHEN n = n_valid THEN 1"
+        " ELSE raise_error(concat('covariance_matrix: ', CAST(n - n_valid"
+        " AS STRING), ' rows have null/short vectors — clean or filter"
+        " them first')) END AS __ok",
+        f"explode(array({cells})) AS c",
+    ).selectExpr(
+        "c.i AS i", "c.j AS j",
+        "CAST(IF(__ok = 1, c.cov, NULL) AS DOUBLE) AS cov",
     )
 
 
@@ -98,6 +128,12 @@ def pca_components(
     n = row["n"]
     if n == 0:
         raise ValueError("cannot fit PCA on an empty corpus")
+    if row["n_valid"] != n:
+        raise ValueError(
+            f"{n - row['n_valid']} of {n} rows have null/short vectors — "
+            "SUM would silently skip them while COUNT(*) includes them, "
+            "biasing every covariance; clean or filter them first"
+        )
     mean = np.array([float(row[f"s_{i}"]) / n for i in range(1, dims + 1)])
     cov = np.empty((dims, dims))
     for i in range(1, dims + 1):
@@ -129,6 +165,6 @@ def pca_project(
     from hedera_etl_spark.operators.similarity import _dots_array
 
     return emb.select(
-        F.col(id_col).alias("vec_id"),
+        F.col(id_col),
         _dots_array(vec_col, components).alias(out_col),
     )

@@ -50,6 +50,7 @@ def prepare_training_corpus(
     winnow_k: int = 4,
     winnow_w: int = 5,
     winnow_min_shared: int = 3,
+    winnow_max_fp: int | None = 500,
     span_dedup_n: int | None = None,
     span_keep_first: bool = True,
     embeddings: DataFrame | None = None,
@@ -58,6 +59,7 @@ def prepare_training_corpus(
     embedding_n_probe: int = 2,
     embedding_centroids: int = 16,
     embedding_dims: int = 64,
+    embedding_max_bucket: int | None = 10_000,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
     eval_docs: DataFrame | None = None,
@@ -166,7 +168,7 @@ def prepare_training_corpus(
 
             fps = winnow_fingerprints(renamed, k=winnow_k, w=winnow_w)
             pairs = fingerprint_overlap(
-                fps, min_shared=winnow_min_shared
+                fps, min_shared=winnow_min_shared, max_fp=winnow_max_fp
             ).select("doc_a", "doc_b")
         else:
             raise ValueError(
@@ -216,6 +218,7 @@ def prepare_training_corpus(
             dims=embedding_dims,
             id_col=emb_id_col,
             vec_col=emb_vec_col,
+            max_bucket=embedding_max_bucket,
             # the pipeline appends its FINAL survivors below — indexing
             # a doc the quality/decontam floors later drop would
             # suppress novel near-twins of text that never reached the

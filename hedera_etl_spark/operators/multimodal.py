@@ -281,6 +281,10 @@ def cdc_chunks(
     binary dataset columns (shifted/re-encoded media payloads dedup at
     the chunk level even when whole-file hashes differ).
 
+    NULL payloads produce zero chunk rows (the null-propagating choice
+    of this module's other operators; a crash inside mapInPandas would
+    kill the job for one unpopulated row).
+
     Executor shape: Arrow-batched ``mapInPandas``; per payload the gear
     hash is VECTORIZED in numpy (h_i = sum over the window of
     gear[b_(i-j)] << j, uint64 wraparound — ``window`` shifted
@@ -329,6 +333,8 @@ def cdc_chunks(
             out = {"doc_id": [], "chunk_idx": [], "offset": [],
                    "n_bytes": [], "chunk_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 start = 0
                 for idx, cut in enumerate(boundaries(data)):

@@ -543,17 +543,41 @@ def winnow_fingerprints(
 
 
 def fingerprint_overlap(
-    fps_a: DataFrame, fps_b: DataFrame | None = None, min_shared: int = 1
+    fps_a: DataFrame,
+    fps_b: DataFrame | None = None,
+    min_shared: int = 1,
+    max_fp: int | None = 500,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) — document pairs sharing at least
     ``min_shared`` winnowing fingerprints, from (doc_id, fp) rows: one
     equi-join on the fingerprint value + one pair aggregate, the
     standard containment-candidate detector.  Self mode (``fps_b``
-    None) emits each unordered pair once (doc_a < doc_b)."""
+    None) emits each unordered pair once (doc_a < doc_b).
+
+    ``max_fp`` is the degenerate-fingerprint skew guard (the
+    minhash/LSH production rule): a boilerplate k-gram selected as a
+    window minimum across N documents would make the fp equi-join
+    quadratic in N; fingerprints held by more than ``max_fp`` documents
+    are dropped from pairing (a count-over-window on the same fp key
+    the join shuffles on — missed pairs under-merge, the documented
+    recall trade)."""
+    from pyspark.sql import Window as W
+
     a = fps_a.select(F.col("doc_id").alias("doc_a"), "fp")
     b = (fps_b if fps_b is not None else fps_a).select(
         F.col("doc_id").alias("doc_b"), "fp"
     )
+    if max_fp is not None:
+        a = (
+            a.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
+            .filter(F.col("__fn") <= max_fp)
+            .drop("__fn")
+        )
+        b = (
+            b.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
+            .filter(F.col("__fn") <= max_fp)
+            .drop("__fn")
+        )
     joined = a.join(b, "fp")
     if fps_b is None:
         joined = joined.filter(F.col("doc_a") < F.col("doc_b"))

@@ -378,9 +378,31 @@ def semantic_dedup_decisions(
     ).select("vec_id", "keep")
 
     if not first_batch:
-        lists = _cap_buckets(
-            idx.lists(), max_bucket
-        ).select(
+        # Probed buckets collect to a literal (bounded by n_centroids) so
+        # the lists scan is PARTITION-PRUNED to them; the skew cap runs
+        # as a count-only aggregate over (bucket, vec_id) — never a
+        # window over the full vector payload, which would shuffle the
+        # whole index every batch — and EXCLUDES this batch's own ids so
+        # a replayed batch (rows already appended) computes the same
+        # over-cap set as the first run (retry idempotence).
+        probed = sorted(
+            r["bucket"] for r in probes.select("bucket").distinct().collect()
+        )
+        lists_all = idx.lists().filter(F.col("bucket").isin(probed))
+        if max_bucket is not None:
+            batch_ids = emb.select(F.col(id_col).alias("vec_id"))
+            hot = sorted(
+                r["bucket"]
+                for r in lists_all.select("bucket", "vec_id")
+                .join(batch_ids, "vec_id", "left_anti")
+                .groupBy("bucket")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > max_bucket)
+                .collect()
+            )
+            if hot:
+                lists_all = lists_all.filter(~F.col("bucket").isin(hot))
+        lists = lists_all.select(
             F.col("vec_id").alias("hist_id"),
             F.col("vec").alias("hist_vec"),
             "bucket",

@@ -370,7 +370,11 @@ _PCA_DIMS = 16
 
 
 def _cov_oracle(dims: int) -> str:
-    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    sums = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(COUNT(CASE WHEN len(embedding) >= {dims} THEN 1 END)"
+        " AS BIGINT) AS n_valid",
+    ]
     for i in range(1, dims + 1):
         sums.append(
             f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE)"
@@ -387,7 +391,7 @@ def _cov_oracle(dims: int) -> str:
         f"({i}, {j}, CAST(CAST(p_{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE)"
         f" - (CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE))"
         f"   * (CAST(s_{j} AS DOUBLE) / CAST(n AS DOUBLE))"
-        f" AS DECIMAL(18,12)))"
+        f" AS DECIMAL(38,12)))"
         for i in range(1, dims + 1)
         for j in range(i, dims + 1)
     )
@@ -395,12 +399,15 @@ def _cov_oracle(dims: int) -> str:
     WITH sums AS MATERIALIZED (
       SELECT {', '.join(sums)} FROM embeddings
     ),
-    cells(i, j, cov) AS (
-      SELECT u.* FROM sums, (VALUES
+    cells(i, j, cov, ok) AS (
+      SELECT u.i, u.j, u.cov,
+             CASE WHEN n = n_valid THEN 1
+                  ELSE error('covariance: null/short vectors') END AS ok
+      FROM sums, (VALUES
         {cells}) AS u(i, j, cov)
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           CAST(cov AS DOUBLE) AS cov
+           CAST(CASE WHEN ok = 1 THEN cov END AS DOUBLE) AS cov
     FROM cells ORDER BY i, j
 """
 

@@ -125,3 +125,12 @@ def test_dedup_stats(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         cdc_chunks(_payloads(spark, [b"x"]), min_size=0)
+
+
+def test_null_payload_yields_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world bytes")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = cdc_chunks(df, **KW).collect()
+    assert {r.doc_id for r in rows} == {1}

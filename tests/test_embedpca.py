@@ -132,3 +132,46 @@ def test_pca_composes_with_persisted_ivf(spark, tmp_path):
         .collect()
     }
     assert got == brute
+
+
+def test_null_and_short_vectors_fail_loud(spark):
+    """r7 second-review finding: SUM silently skips rows COUNT(*)
+    includes, biasing covariance — every consumer must raise instead.
+    NULL vectors trip the n_valid guard (element_at(NULL) is silently
+    NULL); short vectors are already loud under ANSI (element_at OOB
+    throws before the guard) — both paths asserted."""
+    nulls = spark.createDataFrame(
+        [(1, [1.0] * DIMS), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null/short"):
+        pca_components(nulls, DIMS, k=1)
+    with pytest.raises(Exception, match="null/short"):
+        covariance_matrix(nulls, DIMS).collect()
+    short = spark.createDataFrame(
+        [(1, [1.0] * DIMS), (3, [1.0] * (DIMS - 1))],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception):  # ANSI ArrayIndexOutOfBounds — loud
+        covariance_matrix(short, DIMS).collect()
+
+
+def test_dims_guard(spark):
+    _, emb = _corpus(spark, n=5)
+    with pytest.raises(ValueError, match="dims"):
+        pca_components(emb, 129, k=1)
+
+
+def test_project_honors_id_col(spark):
+    df = spark.createDataFrame(
+        [(7, [1.0] * DIMS)], "my_id long, embedding array<float>"
+    )
+    comps, _ = pca_components(
+        spark.createDataFrame(
+            [(1, [float(i) for i in range(DIMS)]), (2, [float(-i) for i in range(DIMS)])],
+            "my_id long, embedding array<float>",
+        ),
+        DIMS, k=1,
+    )
+    out = pca_project(df, comps, id_col="my_id")
+    assert out.columns == ["my_id", "proj"]

@@ -141,3 +141,16 @@ def test_pipeline_winnow_detector(spark):
         prepare_training_corpus(
             docs, min_tokens=0, near_threshold=0.5, near_dup_method="nope"
         ).collect()
+
+
+def test_hot_fingerprint_cap(spark):
+    """r7 second-review finding: a boilerplate fingerprint shared by N
+    docs must not go quadratic — over-cap fps drop from pairing."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = _docs(spark, [f"d{i} filler {shared}" for i in range(6)])
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    capped = fingerprint_overlap(fps, min_shared=1, max_fp=3).collect()
+    uncapped = fingerprint_overlap(fps, min_shared=1, max_fp=None).collect()
+    assert len(uncapped) == 15  # all C(6,2) pairs via the shared run
+    # the shared-run fps exceed the cap; only doc-specific overlap remains
+    assert len(capped) < len(uncapped)
