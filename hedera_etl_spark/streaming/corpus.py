@@ -101,13 +101,15 @@ class CorpusIngestPipeline:
         (the replayed decision regenerates the identical rows), and the
         window where the append landed but the checkpoint had not (the
         directory exists — nothing is written twice).  Directory names
-        avoid ``key=value`` so partition inference never misreads them;
-        ``read_corpus`` lists them recursively."""
+        avoid ``key=value`` so partition inference never misreads them.
+        A batch RETIRED by compaction counts as present (its rows live in
+        the compacted target), so a very late replay cannot resurrect
+        it as a duplicate directory."""
         import os
         import shutil
 
         live = os.path.join(self.corpus_table, f"batch-{bid}")
-        if os.path.exists(live):
+        if os.path.exists(live) or f"batch-{bid}" in self._retired_batches():
             return
         tmp = os.path.join(self.corpus_table, f".batch-{bid}.__new")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -117,12 +119,107 @@ class CorpusIngestPipeline:
         else:  # lost race with a concurrent attempt
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def read_corpus(self) -> DataFrame:
-        return (
-            self.spark.read.schema(DOC_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(self.corpus_table)
+    def _retired_batches(self) -> set:
+        """Batch dirs folded into a compacted target WHOSE TARGET EXISTS
+        — the existence check is what makes the compaction manifest a
+        commit point rather than a promise (a manifest written before
+        the target rename is inert until the rename lands)."""
+        import json
+        import os
+
+        mdir = os.path.join(self.corpus_table, "_compaction")
+        retired: set = set()
+        if not os.path.isdir(mdir):
+            return retired
+        for f in os.listdir(mdir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            if os.path.exists(os.path.join(self.corpus_table, m["target"])):
+                retired.update(m["sources"])
+        return retired
+
+    def _live_batch_dirs(self) -> list:
+        import os
+
+        if not os.path.isdir(self.corpus_table):
+            return []
+        retired = self._retired_batches()
+        return sorted(
+            d
+            for d in os.listdir(self.corpus_table)
+            if d.startswith("batch-") and d not in retired
         )
+
+    def read_corpus(self) -> DataFrame:
+        """The corpus as one DataFrame: explicit per-batch paths (live
+        batches minus compaction-retired ones) rather than a blind
+        recursive read, so the crash window between a compaction
+        target's rename and its sources' removal never double-counts."""
+        dirs = self._live_batch_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], DOC_SCHEMA)
+        import os
+
+        return self.spark.read.schema(DOC_SCHEMA).parquet(
+            *[os.path.join(self.corpus_table, d) for d in dirs]
+        )
+
+    def compact_corpus(self) -> int:
+        """Fold all live per-batch corpus directories into one (the
+        file-count maintenance the signature store's ``compact()``
+        performs for its side: after many micro-batches, per-batch
+        listing dominates open cost).  Returns the number of batch dirs
+        folded (0 when there is nothing to do).
+
+        Crash-safe without coordination, via a manifest commit point:
+        (1) stage the merged rows; (2) write ``_compaction/<target>.json``
+        naming the sources (atomic rename); (3) rename the staged dir to
+        the live target; (4) delete the sources.  A crash after (2) is
+        inert (no target yet — sources still read); after (3) the
+        manifest + existing target EXCLUDE the sources from every read,
+        so no window double-counts; a retry after any crash re-derives a
+        NEW target from the then-live set.  ``dropDuplicates(doc_id)``
+        guards the merge (corpus rows are unique by the effectively-once
+        invariant; the guard keeps a violated invariant from compounding).
+        Caveat (same as the store): run past the replay horizon of a
+        drained/checkpointed stream — replays of retired batches are
+        absorbed by the ``_commit_corpus_batch`` retired check."""
+        import hashlib
+        import json
+        import os
+        import shutil
+
+        batches = self._live_batch_dirs()
+        if len(batches) <= 1:
+            return 0
+        target = (
+            "batch-compacted-"
+            + hashlib.md5("|".join(batches).encode()).hexdigest()[:12]
+        )
+        merged = (
+            self.spark.read.schema(DOC_SCHEMA)
+            .parquet(*[os.path.join(self.corpus_table, b) for b in batches])
+            .dropDuplicates(["doc_id"])
+        )
+        tmp = os.path.join(self.corpus_table, f".{target}.__new")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        mdir = os.path.join(self.corpus_table, "_compaction")
+        os.makedirs(mdir, exist_ok=True)
+        mtmp = os.path.join(mdir, f".{target}.json.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump({"target": target, "sources": batches}, fh)
+        os.rename(mtmp, os.path.join(mdir, f"{target}.json"))
+        live = os.path.join(self.corpus_table, target)
+        if not os.path.exists(live):
+            os.rename(tmp, live)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+        for b in batches:
+            shutil.rmtree(os.path.join(self.corpus_table, b), ignore_errors=True)
+        return len(batches)
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         m = self.metrics

@@ -115,3 +115,101 @@ def test_cli_corpus_ingest_roundtrip(spark, dirs, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "accepted=2" in out and "dropped_exact=1" in out
+
+
+class TestCorpusCompaction:
+    """compact_corpus: fold batch dirs, crash-window reads, retired
+    replay absorption (r7)."""
+
+    def _pipe(self, spark, tmp_path, name="c"):
+        import os
+
+        from hedera_etl_spark.streaming.corpus import CorpusIngestPipeline
+
+        base = str(tmp_path / name)
+        os.makedirs(os.path.join(base, "in"))
+        return CorpusIngestPipeline(
+            spark,
+            os.path.join(base, "in"),
+            os.path.join(base, "corpus"),
+            os.path.join(base, "store"),
+            os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+
+    def _feed(self, pipe, name, docs):
+        import json
+        import os
+
+        tmp = os.path.join(os.path.dirname(pipe.input_dir), f".{name}")
+        with open(tmp, "w") as fh:
+            for d, t in docs:
+                fh.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+        os.rename(tmp, os.path.join(pipe.input_dir, name))
+
+    def test_compact_folds_batches_preserving_rows(self, spark, tmp_path):
+        pipe = self._pipe(spark, tmp_path)
+        self._feed(pipe, "a.jsonl", [(1, "alpha one"), (2, "beta two")])
+        pipe.run_until_drained()
+        self._feed(pipe, "b.jsonl", [(3, "gamma three")])
+        pipe.run_until_drained()
+        before = sorted(
+            (r["doc_id"], r["text"]) for r in pipe.read_corpus().collect()
+        )
+        assert len(pipe._live_batch_dirs()) == 2
+        assert pipe.compact_corpus() == 2
+        assert len(pipe._live_batch_dirs()) == 1
+        after = sorted(
+            (r["doc_id"], r["text"]) for r in pipe.read_corpus().collect()
+        )
+        assert after == before
+        assert pipe.compact_corpus() == 0  # idempotent when nothing to do
+
+    def test_crash_window_never_double_counts(self, spark, tmp_path):
+        """Simulate the crash AFTER the target rename but BEFORE source
+        removal: manifest + target + sources all present — reads must
+        exclude the sources."""
+        import json
+        import os
+        import shutil
+
+        pipe = self._pipe(spark, tmp_path)
+        self._feed(pipe, "a.jsonl", [(1, "alpha one"), (2, "beta two")])
+        pipe.run_until_drained()
+        self._feed(pipe, "b.jsonl", [(3, "gamma three")])
+        pipe.run_until_drained()
+        sources = pipe._live_batch_dirs()
+        # build the compacted target + manifest by hand, KEEP the sources
+        merged = pipe.read_corpus()
+        target = "batch-compacted-crashsim"
+        merged.write.parquet(os.path.join(pipe.corpus_table, ".t"))
+        os.rename(
+            os.path.join(pipe.corpus_table, ".t"),
+            os.path.join(pipe.corpus_table, target),
+        )
+        mdir = os.path.join(pipe.corpus_table, "_compaction")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"{target}.json"), "w") as fh:
+            json.dump({"target": target, "sources": sources}, fh)
+        # sources still on disk, but reads see each row exactly once
+        assert pipe.read_corpus().count() == 3
+        # a manifest WITHOUT its target is inert (crash before rename)
+        shutil.rmtree(os.path.join(pipe.corpus_table, target))
+        assert sorted(pipe._live_batch_dirs()) == sorted(sources)
+        assert pipe.read_corpus().count() == 3
+
+    def test_retired_batch_replay_does_not_resurrect(self, spark, tmp_path):
+        import os
+
+        pipe = self._pipe(spark, tmp_path)
+        self._feed(pipe, "a.jsonl", [(1, "alpha one")])
+        pipe.run_until_drained()
+        self._feed(pipe, "b.jsonl", [(2, "beta two")])
+        pipe.run_until_drained()
+        pipe.compact_corpus()
+        n_dirs = len(pipe._live_batch_dirs())
+        # very late replay of an already-compacted batch id
+        row = pipe.read_corpus().limit(1)
+        pipe._commit_corpus_batch(row, "stream-0")
+        assert len(pipe._live_batch_dirs()) == n_dirs
+        assert pipe.read_corpus().count() == 2
