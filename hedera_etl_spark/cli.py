@@ -111,6 +111,12 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         action="store_true",
         help="run until interrupted (default: drain available input, then exit)",
     )
+    p.add_argument(
+        "--compact-after",
+        action="store_true",
+        help="after draining, fold the per-batch corpus directories into "
+        "one (crash-safe; run past the replay horizon)",
+    )
 
 
 def _add_prepare(sub: argparse._SubParsersAction) -> None:
@@ -314,6 +320,9 @@ def main(argv: list[str] | None = None) -> int:
             f"batches={m.batches} rows_in={m.rows_in} accepted={m.accepted} "
             f"dropped_exact={m.dropped_exact} dropped_near={m.dropped_near}"
         )
+        if args.compact_after:
+            folded = pipeline.compact_corpus()
+            print(f"compacted={folded} batch dirs")
         return 0
 
     if args.command == "prepare":
