@@ -143,3 +143,41 @@ def mixture_sample(
     return stratified_hash_sample(
         docs, domain_col, rates, key_cols=key_cols, default_rate=0.0, salt=salt
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_cols: list[str],
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row ``train`` / ``val`` / ``test`` by disjoint md5
+    bucket ranges — the deterministic three-way split a training
+    pipeline cuts exactly once.
+
+    One bucket, three ranges (``[0, test) -> test``, ``[test,
+    test+val) -> val``, rest train), so membership is a pure function of
+    the key + salt: stable under retries, re-runs, engines, data
+    arrival order, and CORPUS GROWTH — a document's split never changes
+    when more data arrives (the property random splits lack, and the
+    reason eval contamination sneaks in when splits are re-rolled).
+    Change ``salt`` to draw an independent split; the same salt in
+    ``hash_sample`` draws correlated subsets, so keep split salts
+    distinct from sampling salts.
+
+    Zero shuffles — one projection; filter on ``split_col`` for the
+    subsets or write partitioned by it.
+    """
+    if not 0.0 <= val_frac <= 1.0 or not 0.0 <= test_frac <= 1.0:
+        raise ValueError("val_frac and test_frac must be in [0, 1]")
+    if val_frac + test_frac > 1.0:
+        raise ValueError("val_frac + test_frac must not exceed 1.0")
+    b = hash_bucket(*key_cols, salt=salt)
+    return df.withColumn(
+        split_col,
+        F.when(b < test_frac, F.lit("test"))
+        .when(b < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

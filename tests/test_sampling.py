@@ -153,3 +153,53 @@ def test_mixture_untargeted_domains_drop(spark):
     out = mixture_sample(df, "domain", {"web": 1.0}, ["k"])
     assert out.filter(F.col("domain") == "spam").count() == 0
     assert out.count() == 100
+
+
+class TestTrainValTestSplit:
+    def _docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_partition_is_total_and_disjoint(self, spark):
+        from hedera_etl_spark.operators.sampling import train_val_test_split
+
+        out = train_val_test_split(
+            self._docs(spark), ["doc_id"], val_frac=0.1, test_frac=0.1
+        )
+        counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        assert sum(counts.values()) == 400
+        assert set(counts) == {"train", "val", "test"}
+        # deterministic: identical on re-run
+        again = train_val_test_split(
+            self._docs(spark), ["doc_id"], val_frac=0.1, test_frac=0.1
+        )
+        a = sorted((r.doc_id, r.split) for r in out.collect())
+        b = sorted((r.doc_id, r.split) for r in again.collect())
+        assert a == b
+
+    def test_stable_under_corpus_growth(self, spark):
+        from hedera_etl_spark.operators.sampling import train_val_test_split
+
+        small = train_val_test_split(self._docs(spark, 100), ["doc_id"])
+        big = train_val_test_split(self._docs(spark, 400), ["doc_id"])
+        small_map = {r.doc_id: r.split for r in small.collect()}
+        big_map = {r.doc_id: r.split for r in big.collect()}
+        assert all(big_map[d] == s for d, s in small_map.items())
+
+    def test_salt_draws_independent_split(self, spark):
+        from hedera_etl_spark.operators.sampling import train_val_test_split
+
+        a = {r.doc_id: r.split for r in train_val_test_split(
+            self._docs(spark), ["doc_id"], salt="s1").collect()}
+        b = {r.doc_id: r.split for r in train_val_test_split(
+            self._docs(spark), ["doc_id"], salt="s2").collect()}
+        assert a != b
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hedera_etl_spark.operators.sampling import train_val_test_split
+
+        with pytest.raises(ValueError):
+            train_val_test_split(self._docs(spark, 5), ["doc_id"], val_frac=0.6, test_frac=0.6)
