@@ -77,6 +77,7 @@ def prepare_training_corpus(
     domain_col: str = "source",
     sample_rate: float = 1.0,
     salt: str = "",
+    stage_observations: dict | None = None,
 ) -> DataFrame:
     """Dedup + decontaminate + filter + resample: returns the surviving
     documents (same schema as ``docs``).
@@ -136,10 +137,24 @@ def prepare_training_corpus(
             "keyed on the threshold; pass the mean-ln-probability floor"
         )
 
+    def _observed(stage: str, df: DataFrame) -> DataFrame:
+        # ST7-style per-stage gauges: when the caller passes a dict, each
+        # enabled stage's surviving-row count rides an Observation on the
+        # caller's OWN action (one scalar aggregate in the plan, zero
+        # extra jobs) — read obs.get["rows"] after collecting/writing.
+        if stage_observations is None:
+            return df
+        from pyspark.sql import Observation
+
+        obs = Observation(f"prepare.{stage}")
+        stage_observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
     keepers = exact_duplicates(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
     out = docs.join(keepers, id_col, "left_semi")
+    out = _observed("exact_dedup", out)
 
     if near_threshold is not None:
         renamed = out.select(
@@ -183,6 +198,7 @@ def prepare_training_corpus(
             id_col,
             "left_semi",
         )
+        out = _observed("near_dedup", out)
 
     if span_dedup_n is not None:
         from hedera_etl_spark.operators.spandedup import remove_repeated_spans
@@ -235,6 +251,7 @@ def prepare_training_corpus(
             id_col,
             "left_anti",
         )
+        out = _observed("semantic_dedup", out)
 
     if eval_docs is not None:
         out = decontaminate(
@@ -250,6 +267,7 @@ def prepare_training_corpus(
                 # eval rows share the corpus id column name
                 eval_id_col=id_col,
             )
+        out = _observed("decontam", out)
 
     if min_tokens > 0:
         q = quality_scores(out, text_col, id_col)
@@ -293,12 +311,14 @@ def prepare_training_corpus(
         out = perplexity_filter(
             out, model, lm_min_avg_logp, text_col=text_col, id_col=id_col
         )
+        out = _observed("lm_floor", out)
 
     if mixture is not None:
         out = mixture_sample(out, domain_col, mixture, key_cols=[id_col], salt=salt)
 
     if sample_rate < 1.0:
         out = hash_sample(out, [id_col], sample_rate, salt=salt)
+    out = _observed("final", out)
 
     if embeddings is not None:
         # commit the FINAL survivors' vectors to the index (write-once

@@ -159,3 +159,29 @@ def test_full_hygiene_stages(spark, corpus):
         salt="hyg",
     )
     assert ids == {r["doc_id"] for r in again.collect()}
+
+
+def test_stage_observations_ride_the_callers_action(spark):
+    """ST7 gauges for the batch pipeline: per-stage surviving-row counts
+    via Observation — no extra jobs, values land with the caller's own
+    collect (r7)."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon tokens here"),
+            (2, "alpha beta gamma delta epsilon tokens here"),  # exact dup
+            (3, "totally different text with several words too"),
+            (4, "tiny"),  # fails min_tokens
+        ],
+        "doc_id long, text string",
+    )
+    obs = {}
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=3, stage_observations=obs
+    )
+    survivors = sorted(r.doc_id for r in out.collect())
+    assert survivors == [1, 3]
+    assert obs["exact_dedup"].get["rows"] == 3   # dup 2 collapsed
+    assert obs["final"].get["rows"] == 2         # 4 failed the floor
+    assert set(obs) == {"exact_dedup", "final"}  # skipped stages absent
