@@ -300,6 +300,10 @@ def prepare_training_corpus(
             text_col=text_col, id_col=id_col,
         )
 
+    if min_tokens > 0 or max_dup_line_frac is not None \
+            or max_top_bigram_frac is not None or quality_weights is not None:
+        out = _observed("quality_floor", out)
+
     if lm_min_avg_logp is not None:
         from hedera_etl_spark.operators.lmscore import bigram_lm, perplexity_filter
 

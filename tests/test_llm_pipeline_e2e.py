@@ -183,5 +183,7 @@ def test_stage_observations_ride_the_callers_action(spark):
     survivors = sorted(r.doc_id for r in out.collect())
     assert survivors == [1, 3]
     assert obs["exact_dedup"].get["rows"] == 3   # dup 2 collapsed
-    assert obs["final"].get["rows"] == 2         # 4 failed the floor
-    assert set(obs) == {"exact_dedup", "final"}  # skipped stages absent
+    assert obs["quality_floor"].get["rows"] == 2  # 4 failed the floor
+    assert obs["final"].get["rows"] == 2
+    # skipped stages leave no entry
+    assert set(obs) == {"exact_dedup", "quality_floor", "final"}
