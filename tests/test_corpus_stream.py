@@ -213,3 +213,12 @@ class TestCorpusCompaction:
         pipe._commit_corpus_batch(row, "stream-0")
         assert len(pipe._live_batch_dirs()) == n_dirs
         assert pipe.read_corpus().count() == 2
+
+    def test_compact_on_empty_or_single_batch_is_noop(self, spark, tmp_path):
+        pipe = self._pipe(spark, tmp_path, name="noop")
+        assert pipe.compact_corpus() == 0
+        assert pipe.read_corpus().count() == 0
+        self._feed(pipe, "a.jsonl", [(1, "alpha one")])
+        pipe.run_until_drained()
+        assert pipe.compact_corpus() == 0  # single dir: nothing to fold
+        assert pipe.read_corpus().count() == 1

@@ -203,3 +203,12 @@ class TestTrainValTestSplit:
 
         with pytest.raises(ValueError):
             train_val_test_split(self._docs(spark, 5), ["doc_id"], val_frac=0.6, test_frac=0.6)
+
+    def test_degenerate_fractions(self, spark):
+        from hedera_etl_spark.operators.sampling import train_val_test_split
+
+        docs = self._docs(spark, 50)
+        all_train = train_val_test_split(docs, ["doc_id"], val_frac=0.0, test_frac=0.0)
+        assert {r.split for r in all_train.collect()} == {"train"}
+        all_test = train_val_test_split(docs, ["doc_id"], val_frac=0.0, test_frac=1.0)
+        assert {r.split for r in all_test.collect()} == {"test"}
