@@ -313,6 +313,11 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
         )
         if args.continuous:
+            if args.compact_after:
+                raise SystemExit(
+                    "--compact-after requires a drained run (the compaction "
+                    "caveat: past the replay horizon) — drop --continuous"
+                )
             pipeline.start(available_now=False).awaitTermination()
             return 0
         m = pipeline.run_until_drained()

@@ -207,6 +207,7 @@ def prepare_training_corpus(
             out, n=span_dedup_n, keep_first=span_keep_first,
             text_col=text_col, id_col=id_col,
         )
+        out = _observed("span_dedup", out)
 
     if embeddings is not None:
         if embedding_index_path is None:

@@ -119,25 +119,63 @@ class CorpusIngestPipeline:
         else:  # lost race with a concurrent attempt
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _retired_batches(self) -> set:
-        """Batch dirs folded into a compacted target WHOSE TARGET EXISTS
-        — the existence check is what makes the compaction manifest a
-        commit point rather than a promise (a manifest written before
-        the target rename is inert until the rename lands)."""
+    def _manifests(self) -> list:
+        """Every compaction manifest as a (filename, dict) list."""
         import json
         import os
 
         mdir = os.path.join(self.corpus_table, "_compaction")
-        retired: set = set()
         if not os.path.isdir(mdir):
-            return retired
-        for f in os.listdir(mdir):
+            return []
+        out = []
+        for f in sorted(os.listdir(mdir)):
             if not f.endswith(".json"):
                 continue
             with open(os.path.join(mdir, f)) as fh:
-                m = json.load(fh)
+                out.append((f, json.load(fh)))
+        return out
+
+    def _retired_batches(self) -> set:
+        """Batch dirs folded into a compacted target WHOSE TARGET EXISTS
+        — the existence check is what makes the compaction manifest a
+        commit point rather than a promise (a manifest written before
+        the target rename is inert until the rename lands).  Retirement
+        is TRANSITIVE by construction: every new manifest subsumes all
+        previously-retired names (see ``compact_corpus``), so deleting a
+        superseded target never revives its sources.  Cached per
+        process (``compact_corpus`` is the only in-process writer and
+        invalidates it); cross-process compactions fall under the same
+        drained-stream caveat as the store's compact().  The cache keys
+        on the manifest-dir listing, so one cheap listdir per call and a
+        JSON re-parse only when the manifest set actually changed (an
+        unconditional per-batch re-parse would grow with compaction
+        history; an unkeyed cache would miss externally-written
+        manifests)."""
+        import os
+
+        mdir = os.path.join(self.corpus_table, "_compaction")
+        key = (
+            tuple(sorted(os.listdir(mdir))) if os.path.isdir(mdir) else (),
+            # target EXISTENCE is part of retirement (a manifest without
+            # its target is inert), so target dirs join the cache key
+            tuple(
+                sorted(
+                    d
+                    for d in os.listdir(self.corpus_table)
+                    if d.startswith("batch-compacted-")
+                )
+            )
+            if os.path.isdir(self.corpus_table)
+            else (),
+        )
+        cached = getattr(self, "_retired_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        retired: set = set()
+        for _, m in self._manifests():
             if os.path.exists(os.path.join(self.corpus_table, m["target"])):
                 retired.update(m["sources"])
+        self._retired_cache = (key, retired)
         return retired
 
     def _live_batch_dirs(self) -> list:
@@ -191,6 +229,14 @@ class CorpusIngestPipeline:
         import os
         import shutil
 
+        # cleanup pass: a prior crash between target-rename and source
+        # -delete leaves retired source dirs orphaned on disk (reads
+        # already exclude them) — remove them now so the file count
+        # actually shrinks and no later manifest shuffle can see them
+        self._retired_cache = None
+        for b in self._retired_batches():
+            shutil.rmtree(os.path.join(self.corpus_table, b), ignore_errors=True)
+
         batches = self._live_batch_dirs()
         if len(batches) <= 1:
             return 0
@@ -208,9 +254,18 @@ class CorpusIngestPipeline:
         merged.write.mode("overwrite").parquet(tmp)
         mdir = os.path.join(self.corpus_table, "_compaction")
         os.makedirs(mdir, exist_ok=True)
+        # TRANSITIVE retirement: the new manifest subsumes every name any
+        # prior manifest retired (a later compaction deletes superseded
+        # targets, so retirement must not depend on them surviving) —
+        # once retired, always retired
+        prior = self._manifests()
+        all_retired = set(batches)
+        for _, m in prior:
+            all_retired.update(m["sources"])
+        all_retired.discard(target)
         mtmp = os.path.join(mdir, f".{target}.json.tmp")
         with open(mtmp, "w") as fh:
-            json.dump({"target": target, "sources": batches}, fh)
+            json.dump({"target": target, "sources": sorted(all_retired)}, fh)
         os.rename(mtmp, os.path.join(mdir, f"{target}.json"))
         live = os.path.join(self.corpus_table, target)
         if not os.path.exists(live):
@@ -219,6 +274,12 @@ class CorpusIngestPipeline:
             shutil.rmtree(tmp, ignore_errors=True)
         for b in batches:
             shutil.rmtree(os.path.join(self.corpus_table, b), ignore_errors=True)
+        # superseded manifests are now redundant (the new one subsumes
+        # them) — drop them so per-batch commits parse ONE file, not
+        # O(#compactions ever)
+        for f, _ in prior:
+            os.remove(os.path.join(mdir, f))
+        self._retired_cache = None
         return len(batches)
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:

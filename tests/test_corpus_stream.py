@@ -222,3 +222,32 @@ class TestCorpusCompaction:
         pipe.run_until_drained()
         assert pipe.compact_corpus() == 0  # single dir: nothing to fold
         assert pipe.read_corpus().count() == 1
+
+    def test_second_compaction_keeps_retirement_transitive(self, spark, tmp_path):
+        """r7 third-review finding: compaction 2 deletes compaction 1's
+        target; manifest subsumption must keep 1's sources retired (a
+        late replay of them must not resurrect, and orphans from 1's
+        crash window must not revive)."""
+        import os
+        import shutil
+
+        pipe = self._pipe(spark, tmp_path, name="t")
+        self._feed(pipe, "a.jsonl", [(1, "alpha one")])
+        pipe.run_until_drained()
+        self._feed(pipe, "b.jsonl", [(2, "beta two")])
+        pipe.run_until_drained()
+        assert pipe.compact_corpus() == 2  # -> target X retires a, b
+        # simulate compaction-1 crash leftovers: re-create a source dir
+        orphan = os.path.join(pipe.corpus_table, "batch-stream-0")
+        os.makedirs(orphan, exist_ok=True)
+        self._feed(pipe, "c.jsonl", [(3, "gamma three")])
+        pipe.run_until_drained()
+        assert pipe.compact_corpus() == 2  # folds X + c, deletes X
+        # one subsuming manifest; the replay/orphan cannot come back
+        mdir = os.path.join(pipe.corpus_table, "_compaction")
+        assert len([f for f in os.listdir(mdir) if f.endswith(".json")]) == 1
+        assert not os.path.exists(orphan)
+        assert pipe.read_corpus().count() == 3
+        row = pipe.read_corpus().limit(1)
+        pipe._commit_corpus_batch(row, "stream-0")  # very late replay
+        assert pipe.read_corpus().count() == 3
