@@ -365,7 +365,7 @@ _PAIR_ORACLE = """
     "llm_pair_stats",
     _PAIR_ORACLE,
     tags=("llm", "vocab", "tokenizer", "bpe"),
-    driver_visible=False,
+    # rotated INTO the driver window in r8 (VERDICT r7 #1); q01's slot.
 )
 def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair frequencies (operators/vocab.pair_stats) —
@@ -462,9 +462,8 @@ def _bpe_oracle(k: int) -> str:
     "llm_bpe_merges",
     _bpe_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "iterative"),
-    # out of the 50-entry driver window (budget) — local-oracled via
-    # tools/verify_oracle.py; r8 rotation candidate with llm_pair_stats.
-    driver_visible=False,
+    # rotated INTO the driver window in r8 (VERDICT r7 #1);
+    # mm_frame_sample's slot.
     # iterative: per-round localCheckpoints during construction
     cache_plan=False,
 )

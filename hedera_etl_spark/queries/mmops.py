@@ -80,6 +80,11 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
+    # parked in r8 (slot ceded to llm_bpe_merges): the per-row
+    # index-sequence explode stays driver-checked via q14_explode_tokens
+    # and mm_payload_decode keeps the multimodal driver row; oracle stays
+    # in tools/verify_oracle.py.
+    driver_visible=False,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out: explode over a computed per-row index

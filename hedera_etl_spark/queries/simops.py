@@ -321,10 +321,10 @@ _SEM_ORACLE = f"""
     "sim_semantic_dedup",
     _SEM_ORACLE,
     tags=("sim", "dedup", "ivf", "components"),
-    # out of the 50-entry driver window (budget) — local-oracled; the
-    # function builds a throwaway index directory per call (side effect),
-    # so its plan must never be served from the prepared-plan cache.
-    driver_visible=False,
+    # rotated INTO the driver window in r8 (VERDICT r7 #1); q11's slot.
+    # The function builds a throwaway index directory per call (side
+    # effect), so its plan must never be served from the prepared-plan
+    # cache.
     cache_plan=False,
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,8 +416,7 @@ def _cov_oracle(dims: int) -> str:
     "sim_pca_covariance",
     _cov_oracle(_PCA_DIMS),
     tags=("sim", "pca", "covariance", "aggregate"),
-    # out of the 50-entry driver window (budget) — local-oracled.
-    driver_visible=False,
+    # rotated INTO the driver window in r8 (VERDICT r7 #1); q06's slot.
 )
 def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise covariance of the first 16 embedding dimensions in ONE
