@@ -78,6 +78,7 @@ def prepare_training_corpus(
     sample_rate: float = 1.0,
     salt: str = "",
     stage_observations: dict | None = None,
+    cap_observations: dict | None = None,
 ) -> DataFrame:
     """Dedup + decontaminate + filter + resample: returns the surviving
     documents (same schema as ``docs``).
@@ -110,6 +111,21 @@ def prepare_training_corpus(
     sample at ``sample_rate`` (salt-decorrelated from other splits).
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
     ``sample_rate=1.0`` to keep everything.
+
+    ``cap_observations``: pass a dict to make every skew cap in the run
+    LOUD (VERDICT r7 "no silent caps") — the LSH bucket cap
+    (``"lsh_bucket_cap"``), the semantic primary-bucket cap
+    (``"ivf_primary_cap"``) and history hot-bucket cap
+    (``"ivf_history_cap"``), plus ``"semantic_lost"``: within-batch
+    semantic-cluster members whose min-id keeper was later removed by a
+    downstream floor (decontam/quality/LM/sampling), so neither keeper
+    nor member reached the corpus — a real recall loss (ADVICE r7).
+    Members are NOT auto-re-admitted: a keeper usually dies because its
+    CONTENT failed a floor, and a semantic near-twin almost certainly
+    fails it too — re-admission would launder contaminated or
+    low-quality text past the floors.  Read with
+    stats.cap_counts(cap_observations) after the returned frame has
+    been acted on.
     """
     if normalize_form is not None:
         from hedera_etl_spark.operators.textnorm import normalize_text
@@ -125,6 +141,20 @@ def prepare_training_corpus(
             docs, form=normalize_form, lowercase=normalize_lowercase,
             text_col=text_col,
         ).localCheckpoint(eager=False)
+        if eval_docs is not None:
+            # decontamination SYMMETRY (ADVICE r8): exact n-gram and
+            # shingle-Jaccard matching need byte-identical tokens, so
+            # the eval side must pass through the same canonicalization
+            # as the corpus — otherwise any eval item differing only in
+            # case/Unicode form/whitespace silently escapes the scrub,
+            # the exact contamination class this normalization exists
+            # to merge.  Lazy checkpoint: the (small) eval frame feeds
+            # both the exact and fuzzy stages, and the normalize call
+            # is the pipeline's one pandas UDF.
+            eval_docs = normalize_text(
+                eval_docs, form=normalize_form,
+                lowercase=normalize_lowercase, text_col=text_col,
+            ).localCheckpoint(eager=False)
 
     if fuzzy_decontam_threshold is not None and eval_docs is None:
         raise ValueError(
@@ -168,6 +198,7 @@ def prepare_training_corpus(
                 bands=lsh_bands,
                 threshold=near_threshold,
                 max_bucket=max_bucket,
+                cap_observations=cap_observations,
             )
         elif near_dup_method == "winnow":
             # winnowing detector: docs sharing >= winnow_min_shared
@@ -220,6 +251,14 @@ def prepare_training_corpus(
             semantic_dedup_decisions,
         )
 
+        # lazy checkpoint BEFORE fanning out (ADVICE r8): the semantic
+        # stage consumes the lexical-pipeline plan from multiple
+        # consumers (the probed-bucket driver collect inside
+        # semantic_dedup_decisions, the decisions plan itself, and the
+        # anti-join below) — un-pinned, exact+near+span dedup would
+        # re-run over the corpus 2-3x per call (the spandedup/minhash
+        # shared-subtree discipline).
+        out = out.localCheckpoint(eager=False)
         # judge only the vectors of documents still alive after the
         # lexical stages, keyed by the document id
         batch_emb = embeddings.join(
@@ -241,7 +280,12 @@ def prepare_training_corpus(
             # suppress novel near-twins of text that never reached the
             # corpus
             append=False,
-        )
+            # component ids feed the lost-cluster accounting at the end
+            with_component=True,
+            cap_observations=cap_observations,
+        # two consumers (the anti-join + the lost-cluster count) and an
+        # iterative connected-components subtree: pin it once
+        ).localCheckpoint(eager=False)
         # ANTI-join on the drop set: documents WITHOUT an embedding row
         # pass through unjudged (a semi-join on keepers would silently
         # delete them — partial embedding coverage is the normal case)
@@ -333,6 +377,31 @@ def prepare_training_corpus(
         from hedera_etl_spark.operators.vectorindex import IVFIndex
 
         out = out.localCheckpoint(eager=True)
+        if cap_observations is not None:
+            # within-batch cluster LOSS accounting (ADVICE r8): members
+            # dropped in favor of a min-id keeper that a LATER stage
+            # (decontam/quality/LM/mixture/sample) then removed — the
+            # cluster's content reached neither the corpus nor the
+            # index.  Excludes history-dropped clusters (their keeper
+            # already lives in the corpus: decisions.keep is False for
+            # a history-hit keeper, True for one that survived the
+            # semantic stage).  One bounded count over the pinned
+            # decisions/survivor frames; see the docstring for why lost
+            # members are counted, not re-admitted.
+            live_keepers = decisions.filter(F.col("keep")).select("component")
+            lost = (
+                decisions.filter(
+                    (~F.col("keep")) & (F.col("component") != F.col("vec_id"))
+                )
+                .join(live_keepers, "component", "left_semi")
+                .join(
+                    out.select(F.col(id_col).alias("component")),
+                    "component",
+                    "left_anti",
+                )
+                .count()
+            )
+            cap_observations["semantic_lost"] = {"lost_members": int(lost)}
         final_emb = embeddings.join(
             out.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
         )

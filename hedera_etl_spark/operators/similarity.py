@@ -84,21 +84,33 @@ def _bounded_sort(df: DataFrame, *cols) -> DataFrame:
     return bounded_sort(df, *cols)
 
 
-def _cap_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
+def _cap_buckets(
+    bucketed: DataFrame,
+    max_bucket: int | None,
+    cap_observations: dict | None = None,
+    cap_key: str = "bucket_cap",
+) -> DataFrame:
     """Drop rows in oversized LSH buckets — the same production skew guard
     as textdedup.lsh_candidates(max_bucket): one boilerplate/degenerate
     bucket otherwise goes quadratic in the bucket join at corpus scale.
     Costs a count-over-window on the SAME bucket key the join shuffles on,
-    so no extra exchange round."""
+    so no extra exchange round.
+
+    The cap is a RECALL TRADE, so it must never be silent (VERDICT r7):
+    pass ``cap_observations`` (any dict) and dropped-member counts ride
+    the caller's own action under ``cap_key`` — see
+    stats.observe_bucket_cap."""
     if max_bucket is None:
         return bucketed
     from pyspark.sql import Window as W
 
-    return (
-        bucketed.withColumn("__bn", F.count("*").over(W.partitionBy("bucket")))
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
+    from hedera_etl_spark.operators.stats import observe_bucket_cap
+
+    out = bucketed.withColumn(
+        "__bn", F.count("*").over(W.partitionBy("bucket"))
     )
+    out = observe_bucket_cap(out, "__bn", max_bucket, cap_observations, cap_key)
+    return out.filter(F.col("__bn") <= max_bucket).drop("__bn")
 
 
 def ivf_centroids(n_centroids: int, dims: int) -> list[list[float]]:

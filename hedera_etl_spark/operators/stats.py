@@ -85,3 +85,92 @@ class InstrumentedRunner:
         self.registry.record(
             QueryStats(name, (time.time() - t0) * 1000.0, obs.get["rows"])
         )
+
+
+# ---------------------------------------------------------------------------
+# Skew-cap observability (VERDICT r7: "no silent caps")
+# ---------------------------------------------------------------------------
+#: monotone suffix so repeated cap sites inside ONE plan get distinct
+#: Observation names (Spark requires observed-metric names to be unique
+#: per query execution); the caller's dict key stays stable.
+_CAP_OBS_SEQ = iter(range(1, 1 << 30))
+
+
+class CapObservation:
+    """A plan-riding skew-cap metric with an elimination-proof fallback.
+
+    Spark 4.1 hazard (measured in this container): when AQE's
+    empty-relation propagation collapses the plan ABOVE an observed node
+    — e.g. a cap that drops EVERY bucket, so the candidate join's build
+    side reads 0 rows — the final executed plan no longer contains the
+    ``CollectMetricsExec`` node, and the JVM ``Observation`` is finished
+    with a schema-less zero-field ``GenericRow``.  ``Observation.get``
+    then crashes inside ``PythonSQLUtils.toPyRow`` (assertion failure).
+    The loudest cap case is exactly the one whose metrics vanish.
+
+    ``get()`` therefore probes the JVM row's field count via py4j first:
+    a populated row is read the normal way (zero extra jobs — the
+    metrics rode the caller's action); an eliminated one falls back to
+    ONE bounded aggregate job over the pre-filter frame (the rare,
+    degenerate-corpus path).  Like ``Observation.get``, it blocks until
+    the observed plan's first action has completed.
+    """
+
+    def __init__(self, obs: Observation, fallback: DataFrame):
+        self._obs = obs
+        self._fallback = fallback
+
+    def get(self) -> dict:
+        if self._obs._jo.getRow().length() > 0:
+            return dict(self._obs.get)
+        row = self._fallback.collect()[0]
+        return {k: int(v) for k, v in row.asDict().items()}
+
+
+def observe_bucket_cap(
+    df: DataFrame,
+    size_col: str,
+    max_bucket: int,
+    cap_observations: dict | None,
+    cap_key: str,
+) -> DataFrame:
+    """Attach dropped-member metrics for a bucket skew cap.
+
+    Every ``max_bucket`` guard in the engine (LSH candidate buckets,
+    IVF primary buckets, winnowing fingerprint fan-out) trades recall
+    for boundedness by DROPPING rows in oversized buckets.  That loss
+    must never be silent: given a frame that still carries the bucket
+    size in ``size_col`` (i.e. BEFORE the cap filter), this registers a
+    ``CapObservation`` under ``cap_observations[cap_key]`` whose metrics
+    ride the caller's own action — zero extra jobs unless AQE eliminates
+    the observed node (see ``CapObservation``):
+
+    - ``capped_members``: rows about to be dropped by the cap;
+    - ``max_bucket_size``: largest bucket seen (cap-tuning signal).
+
+    Read via ``cap_counts(cap_observations)`` after an action has run.
+    ``cap_observations=None`` attaches nothing (zero overhead).
+    """
+    if cap_observations is None:
+        return df
+    metrics = [
+        F.sum(
+            F.when(F.col(size_col) > max_bucket, 1).otherwise(0)
+        ).alias("capped_members"),
+        F.coalesce(F.max(size_col), F.lit(0)).alias("max_bucket_size"),
+    ]
+    obs = Observation(f"{cap_key}.{next(_CAP_OBS_SEQ)}")
+    cap_observations[cap_key] = CapObservation(obs, df.agg(*metrics))
+    return df.observe(obs, *metrics)
+
+
+def cap_counts(cap_observations: dict) -> dict:
+    """Normalize a cap-observation dict to plain ``{key: {metric: int}}``.
+
+    Values are either ``CapObservation`` objects (plan-riding caps —
+    read only AFTER the action has run) or plain dicts (driver-side
+    caps, e.g. the IVF history hot-bucket cap)."""
+    return {
+        k: v.get() if isinstance(v, CapObservation) else dict(v)
+        for k, v in cap_observations.items()
+    }

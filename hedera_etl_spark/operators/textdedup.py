@@ -202,7 +202,11 @@ def minhash_signatures_from_sets(
 
 
 def lsh_candidates(
-    sig: DataFrame, bands: int = 3, rows: int = 3, max_bucket: int | None = None
+    sig: DataFrame,
+    bands: int = 3,
+    rows: int = 3,
+    max_bucket: int | None = None,
+    cap_observations: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs: docs sharing at least one LSH band signature.
 
@@ -231,6 +235,13 @@ def lsh_candidates(
     appears once per band, so buckets hold distinct docs and no
     self-pairs arise; ``array_sort`` on the (doc_id, ...) structs yields
     doc_a < doc_b for free.
+
+    The cap is a RECALL TRADE and must never be silent (VERDICT r7):
+    pass ``cap_observations`` and the dropped-member count rides the
+    caller's own action under key ``"lsh_bucket_cap"`` —
+    ``capped_members`` counts (doc, band) bucket memberships dropped
+    over-cap (singleton buckets are not drops: they never pair), plus
+    ``max_bucket_size`` for tuning.  See stats.observe_bucket_cap.
     """
     carry = [c for c in sig.columns if c == "__n"]
     band_structs = F.array(
@@ -248,12 +259,16 @@ def lsh_candidates(
     if max_bucket is not None:
         from pyspark.sql import Window as W
 
+        from hedera_etl_spark.operators.stats import observe_bucket_cap
+
         wb = W.partitionBy("band", "sig")
-        buckets = (
-            buckets.withColumn("__bn", F.count("*").over(wb))
-            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket))
-            .drop("__bn")
+        buckets = buckets.withColumn("__bn", F.count("*").over(wb))
+        buckets = observe_bucket_cap(
+            buckets, "__bn", max_bucket, cap_observations, "lsh_bucket_cap"
         )
+        buckets = buckets.filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket)
+        ).drop("__bn")
     member = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
     grouped = buckets.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list(member)).alias("ds")
@@ -383,6 +398,7 @@ def minhash_lsh_neardups(
     bands: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 500,
+    cap_observations: dict | None = None,
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: shingle -> sign -> band ->
     candidate join -> exact-Jaccard verify -> threshold.
@@ -390,7 +406,11 @@ def minhash_lsh_neardups(
     ``max_bucket`` defaults ON (500): on a real corpus one boilerplate
     shingle bucket otherwise goes quadratic in the candidate self-join;
     dropping degenerate buckets is the standard LSH production guard
-    (pass None to disable for exhaustive small-corpus runs)."""
+    (pass None to disable for exhaustive small-corpus runs).  Pass
+    ``cap_observations`` to get the dropped-membership count under
+    ``"lsh_bucket_cap"`` riding your own action (lsh_candidates
+    docstring) — the cap is a recall trade and should be monitored, not
+    silent."""
     from hedera_etl_spark.tables import ensure_parallelism
 
     rows = k // bands
@@ -411,7 +431,10 @@ def minhash_lsh_neardups(
     # sizes flow through the candidate join, and verify intersects the
     # per-row sets directly, so no shingle-level join exists anywhere
     sig = minhash_signatures_from_sets(sets, k, with_size=True)
-    cand = lsh_candidates(sig, bands, rows, max_bucket=max_bucket)
+    cand = lsh_candidates(
+        sig, bands, rows, max_bucket=max_bucket,
+        cap_observations=cap_observations,
+    )
     return (
         verify_jaccard_sets(sets, cand)
         .filter(F.col("jaccard") >= threshold)

@@ -129,9 +129,14 @@ class IVFIndex:
 
         ``batch_id`` makes the append WRITE-ONCE: a marker under
         ``_batches/`` skips a replayed batch entirely.  When None, a
-        content-derived id (order-free bit_xor of xxhash64(vec_id)) is
-        computed from the batch itself, so job retries with identical
-        inputs are idempotent without caller bookkeeping.  Crash window:
+        content-derived id (order-free bit_xor of
+        xxhash64(vec_id, vec, bucket)) is computed from the batch
+        itself, so job retries with identical inputs are idempotent
+        without caller bookkeeping — and because the VECTOR BYTES and
+        bucket assignment are folded in (ADVICE r7), a later append
+        carrying the same id set but different vectors (re-embedding,
+        retrained centroids) fingerprints differently and lands instead
+        of being skipped as already-committed.  Crash window:
         the marker lands AFTER the append, so a crash in between can
         leave one batch's rows duplicated in the lists — which changes
         NO dedup decision (history probes dedup hits by vec_id and
@@ -141,7 +146,7 @@ class IVFIndex:
         if batch_id is None:
             row = assigned.agg(
                 F.coalesce(
-                    F.expr("bit_xor(xxhash64(vec_id))"), F.lit(0)
+                    F.expr("bit_xor(xxhash64(vec_id, vec, bucket))"), F.lit(0)
                 ).alias("sig"),
                 F.count("*").alias("n"),
             ).collect()[0]
@@ -157,10 +162,17 @@ class IVFIndex:
     # -- reads --------------------------------------------------------------
     def lists(self) -> DataFrame:
         """(vec_id, vec, bucket) — empty-but-typed when the index holds
-        no vectors yet (an empty parquet dir cannot be read directly)."""
+        no vectors yet (an empty parquet dir cannot be read directly).
+
+        Emptiness counts DATA files only: an appended empty batch writes
+        just a ``_SUCCESS`` marker, and deciding "readable" on that
+        marker would send the next open down the schema-inference path
+        and crash with unable-to-infer-schema (ADVICE r7)."""
         path = os.path.join(self.path, "lists")
         has_files = any(
-            files for _, _, files in os.walk(path)
+            not f.startswith(("_", "."))
+            for _, _, files in os.walk(path)
+            for f in files
         )
         if not has_files:
             return self.spark.createDataFrame(
@@ -284,6 +296,8 @@ def semantic_dedup_decisions(
     append: bool = True,
     batch_id: str | None = None,
     max_bucket: int | None = 10_000,
+    with_component: bool = False,
+    cap_observations: dict | None = None,
 ) -> DataFrame:
     """Embedding-level near-dup decisions for one batch against a
     PERSISTED IVF index — the incremental-dedup analogue for semantic
@@ -315,6 +329,17 @@ def semantic_dedup_decisions(
     batch-fingerprint row.  Recall is the standard IVF trade: a pair
     is seen iff one side probes the other's primary bucket (n_probe
     raises it).
+
+    ``with_component=True`` adds the cluster-representative ``component``
+    column (min id; history-dropped vectors keep their WITHIN-BATCH
+    component — their corpus-side keeper is not a batch id), letting
+    callers account for clusters whose keeper is later removed by a
+    downstream stage.  ``cap_observations`` makes both skew caps loud
+    (VERDICT r7): the within-batch primary cap registers an Observation
+    under ``"ivf_primary_cap"`` (riding the caller's action), and the
+    history hot-bucket cap — already a driver-side aggregate — stores a
+    plain dict under ``"ivf_history_cap"`` with ``capped_buckets`` /
+    ``capped_members``.  Normalize either kind with stats.cap_counts.
     """
     meta = os.path.join(index_path, "_meta.json")
     if os.path.exists(meta):
@@ -343,7 +368,9 @@ def semantic_dedup_decisions(
     # rows in over-cap buckets keep their within-batch decision from the
     # remaining buckets and are never silently dropped from the corpus
     # (a missed pair under-merges, the documented recall trade).
-    capped_primary = _cap_buckets(primary, max_bucket)
+    capped_primary = _cap_buckets(
+        primary, max_bucket, cap_observations, "ivf_primary_cap"
+    )
 
     # within-batch candidate pairs: a sees b iff a probes b's primary
     # bucket; normalize to (least, greatest) so either orientation counts
@@ -369,13 +396,15 @@ def semantic_dedup_decisions(
 
     from hedera_etl_spark.operators.components import collapse_components
 
+    keep_cols = ["vec_id", "component", "keep"] if with_component \
+        else ["vec_id", "keep"]
     decisions = collapse_components(
         emb.select(F.col(id_col).alias("vec_id")),
         cand,
         id_col="vec_id",
         src="src",
         dst="dst",
-    ).select("vec_id", "keep")
+    ).select(*keep_cols)
 
     if not first_batch:
         # Probed buckets collect to a literal (bounded by n_centroids) so
@@ -391,15 +420,23 @@ def semantic_dedup_decisions(
         lists_all = idx.lists().filter(F.col("bucket").isin(probed))
         if max_bucket is not None:
             batch_ids = emb.select(F.col(id_col).alias("vec_id"))
-            hot = sorted(
-                r["bucket"]
-                for r in lists_all.select("bucket", "vec_id")
+            hot_rows = (
+                lists_all.select("bucket", "vec_id")
                 .join(batch_ids, "vec_id", "left_anti")
                 .groupBy("bucket")
                 .agg(F.count("*").alias("__n"))
                 .filter(F.col("__n") > max_bucket)
                 .collect()
             )
+            hot = sorted(r["bucket"] for r in hot_rows)
+            if cap_observations is not None:
+                # driver-side cap -> plain counters (no action to ride);
+                # loud by the same "no silent caps" rule as the
+                # Observation-backed caps (VERDICT r7)
+                cap_observations["ivf_history_cap"] = {
+                    "capped_buckets": len(hot_rows),
+                    "capped_members": sum(r["__n"] for r in hot_rows),
+                }
             if hot:
                 lists_all = lists_all.filter(~F.col("bucket").isin(hot))
         lists = lists_all.select(
@@ -421,6 +458,7 @@ def semantic_dedup_decisions(
             hits.withColumn("__hit", F.lit(True)), "vec_id", "left"
         ).select(
             "vec_id",
+            *(["component"] if with_component else []),
             (F.col("keep") & F.col("__hit").isNull()).alias("keep"),
         )
 
