@@ -92,3 +92,32 @@ def test_deterministic_across_runs(spark, corpus):
     a = [tuple(r) for r in bm25_topk(corpus, ["apple", "banana"], k=5).collect()]
     b = [tuple(r) for r in bm25_topk(corpus, ["apple", "banana"], k=5).collect()]
     assert a == b
+
+
+def test_rare_term_idf_beyond_decimal12_scale_no_null_dropout(spark):
+    """ADVICE r7 regression: rational idf ~ N/df overflows a
+    DECIMAL(12,6) intermediate (~1e6 cap) for rare terms once the corpus
+    passes ~7e5 docs; before the DECIMAL(38,6) widening, a non-ANSI CAST
+    would NULL the WHOLE document score silently (ANSI would throw).
+    Drive the real product path with a 2M-doc corpus whose rare-term idf
+    is ~1.3e6 — above the old cap — and pin: every returned score is
+    non-null, the rare+common doc wins, and its score itself exceeds the
+    old 1e6 ceiling (proof the intermediate actually crossed it)."""
+    n = 2_000_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # doc 0 holds the rare term 4 times -> BM25 tf saturation keeps
+        # its contribution ~ idf * 1.0 ~ (n-0.5)/1.5 ~ 1.33e6
+        "CASE WHEN id = 0 THEN 'rare rare rare rare common'"
+        "     ELSE 'common filler' END AS text",
+    )
+    top = bm25_topk(docs, ["rare", "common"], k=5).collect()
+    assert len(top) == 5
+    assert all(r["score"] is not None for r in top)
+    assert top[0]["doc_id"] == 0
+    assert top[0]["n_terms_hit"] == 2
+    # the winning score embeds the ~1.33e6 idf term: past DECIMAL(12,6)
+    assert top[0]["score"] > 1_000_000.0
+    # every other doc scores only the ubiquitous term: its idf
+    # ~0.5/2e6 rounds to 0 at decimal scale 6 — non-NULL is the point
+    assert all(0.0 <= r["score"] < 1.0 for r in top[1:])
