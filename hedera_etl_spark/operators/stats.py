@@ -153,9 +153,13 @@ def observe_bucket_cap(
     """
     if cap_observations is None:
         return df
+    # both aggregates coalesced: over an EMPTY observed frame (e.g. an
+    # epoch whose survivors carry no embeddings) sum/max are NULL, and
+    # a NULL metric poisons both the plan-riding read and the fallback
     metrics = [
-        F.sum(
-            F.when(F.col(size_col) > max_bucket, 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col(size_col) > max_bucket, 1).otherwise(0)),
+            F.lit(0),
         ).alias("capped_members"),
         F.coalesce(F.max(size_col), F.lit(0)).alias("max_bucket_size"),
     ]

@@ -259,3 +259,21 @@ def test_semantic_lost_excludes_history_dropped_clusters(spark, tmp_path):
     )
     assert out.count() == 0
     assert caps["semantic_lost"] == {"lost_members": 0}
+
+
+def test_cap_counters_zero_on_empty_input(spark, tmp_path):
+    """Found by tools/soak_prepare.py (r8): an epoch whose survivors
+    carry NO embeddings observes the cap over an EMPTY frame — sum/max
+    aggregates go NULL there, and an un-coalesced metric poisons both
+    the plan-riding read and the elimination fallback (int(None))."""
+    from hedera_etl_spark.operators.vectorindex import semantic_dedup_decisions
+
+    caps: dict = {}
+    dec = semantic_dedup_decisions(
+        spark, _emb(spark, []), str(tmp_path / "ivf"),
+        threshold=0.99, n_probe=2, n_centroids=4, dims=DIMS,
+        max_bucket=3, cap_observations=caps,
+    )
+    assert dec.count() == 0
+    got = cap_counts(caps)["ivf_primary_cap"]
+    assert got == {"capped_members": 0, "max_bucket_size": 0}
