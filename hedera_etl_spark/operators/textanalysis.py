@@ -90,13 +90,23 @@ def language_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features: length, type-token ratio, mean token
-    length, stopword ratio, and a deterministic combined score."""
+    length, stopword ratio, and a deterministic combined score.
+
+    ``carry``: extra input columns passed through unchanged (e.g. the
+    domain for grouped_topk) — a pass-through projection, NOT a join, so
+    composing stays zero-shuffle."""
     t = tokens(text_col)
     en = LANG_PROFILES["en"]
     base = docs.select(
         F.col(id_col).alias("doc_id"),
+        *carry,
         F.length(text_col).cast("long").alias("n_chars"),
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
@@ -104,6 +114,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return base.select(
         "doc_id",
+        *carry,
         "n_chars",
         "n_tokens",
         (F.col("n_distinct") / F.col("n_tokens"))

@@ -217,6 +217,11 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "broadcast", "aggregate"),
     bench=True,
+    # parked in r8 (slot ceded to llm_domain_topk): J3 broadcast
+    # dimension join + aggregate stays driver-checked via
+    # hed_tx_types_join (the reference's own dim) and q12_rollup's star
+    # chain; this oracle stays in tools/verify_oracle.py and the bench.
+    driver_visible=False,
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readable-analytics dimension chain — the reason transaction_types
