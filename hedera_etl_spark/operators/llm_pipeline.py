@@ -214,7 +214,8 @@ def prepare_training_corpus(
 
             fps = winnow_fingerprints(renamed, k=winnow_k, w=winnow_w)
             pairs = fingerprint_overlap(
-                fps, min_shared=winnow_min_shared, max_fp=winnow_max_fp
+                fps, min_shared=winnow_min_shared, max_fp=winnow_max_fp,
+                cap_observations=cap_observations,
             ).select("doc_a", "doc_b")
         else:
             raise ValueError(
@@ -391,7 +392,13 @@ def prepare_training_corpus(
             live_keepers = decisions.filter(F.col("keep")).select("component")
             lost = (
                 decisions.filter(
-                    (~F.col("keep")) & (F.col("component") != F.col("vec_id"))
+                    (~F.col("keep"))
+                    & (F.col("component") != F.col("vec_id"))
+                    # a member that ITSELF matched the IVF history is
+                    # already represented in the corpus via that match —
+                    # cosine is not transitive, so this is possible even
+                    # when its keeper missed history (r8 review finding)
+                    & (~F.col("history_hit"))
                 )
                 .join(live_keepers, "component", "left_semi")
                 .join(

@@ -558,6 +558,7 @@ def fingerprint_overlap(
     fps_b: DataFrame | None = None,
     min_shared: int = 1,
     max_fp: int | None = 500,
+    cap_observations: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) — document pairs sharing at least
     ``min_shared`` winnowing fingerprints, from (doc_id, fp) rows: one
@@ -571,19 +572,28 @@ def fingerprint_overlap(
     quadratic in N; fingerprints held by more than ``max_fp`` documents
     are dropped from pairing (a count-over-window on the same fp key
     the join shuffles on — missed pairs under-merge, the documented
-    recall trade)."""
+    recall trade).
+
+    The cap is a RECALL TRADE and must never be silent (VERDICT r7):
+    pass ``cap_observations`` and the dropped (doc, fp) membership
+    count rides the caller's own action under ``"winnow_fp_cap"``
+    (self mode observes the single side; two-sided mode observes the
+    ``fps_a`` side, whose cap decides which corpus fingerprints can
+    pair at all).  See stats.observe_bucket_cap / stats.cap_counts."""
     from pyspark.sql import Window as W
+
+    from hedera_etl_spark.operators.stats import observe_bucket_cap
 
     a = fps_a.select(F.col("doc_id").alias("doc_a"), "fp")
     b = (fps_b if fps_b is not None else fps_a).select(
         F.col("doc_id").alias("doc_b"), "fp"
     )
     if max_fp is not None:
-        a = (
-            a.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
-            .filter(F.col("__fn") <= max_fp)
-            .drop("__fn")
+        a = a.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
+        a = observe_bucket_cap(
+            a, "__fn", max_fp, cap_observations, "winnow_fp_cap"
         )
+        a = a.filter(F.col("__fn") <= max_fp).drop("__fn")
         b = (
             b.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
             .filter(F.col("__fn") <= max_fp)

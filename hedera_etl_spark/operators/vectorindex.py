@@ -136,7 +136,13 @@ class IVFIndex:
         bucket assignment are folded in (ADVICE r7), a later append
         carrying the same id set but different vectors (re-embedding,
         retrained centroids) fingerprints differently and lands instead
-        of being skipped as already-committed.  Crash window:
+        of being skipped as already-committed.  Marker-format note: the
+        r8 fingerprint change means a marker committed under the old
+        vec_id-only formula no longer matches — a post-upgrade retry of
+        a pre-upgrade batch re-appends it, which lands in the same
+        duplicate-tolerant class as the crash window below (history
+        probes count DISTINCT vec_ids and dedup hits by id, so
+        duplicated list rows change no decision).  Crash window:
         the marker lands AFTER the append, so a crash in between can
         leave one batch's rows duplicated in the lists — which changes
         NO dedup decision (history probes dedup hits by vec_id and
@@ -332,9 +338,12 @@ def semantic_dedup_decisions(
 
     ``with_component=True`` adds the cluster-representative ``component``
     column (min id; history-dropped vectors keep their WITHIN-BATCH
-    component — their corpus-side keeper is not a batch id), letting
-    callers account for clusters whose keeper is later removed by a
-    downstream stage.  ``cap_observations`` makes both skew caps loud
+    component — their corpus-side keeper is not a batch id) plus
+    ``history_hit`` (this vector itself matched the persisted index —
+    its content is already represented in the corpus regardless of its
+    within-batch cluster's fate), letting callers account for clusters
+    whose keeper is later removed by a downstream stage without
+    counting members history already covers.  ``cap_observations`` makes both skew caps loud
     (VERDICT r7): the within-batch primary cap registers an Observation
     under ``"ivf_primary_cap"`` (riding the caller's action), and the
     history hot-bucket cap — already a driver-side aggregate — stores a
@@ -424,7 +433,12 @@ def semantic_dedup_decisions(
                 lists_all.select("bucket", "vec_id")
                 .join(batch_ids, "vec_id", "left_anti")
                 .groupBy("bucket")
-                .agg(F.count("*").alias("__n"))
+                # DISTINCT ids: a marker-lost crash replay duplicates a
+                # batch's list rows (documented, decision-neutral), and
+                # a raw count would let those duplicates flip a bucket
+                # over the cap — turning tolerated duplicate STORAGE
+                # into silent under-deduplication (r8 review finding)
+                .agg(F.countDistinct("vec_id").alias("__n"))
                 .filter(F.col("__n") > max_bucket)
                 .collect()
             )
@@ -460,7 +474,14 @@ def semantic_dedup_decisions(
             "vec_id",
             *(["component"] if with_component else []),
             (F.col("keep") & F.col("__hit").isNull()).alias("keep"),
+            *(
+                [F.col("__hit").isNotNull().alias("history_hit")]
+                if with_component
+                else []
+            ),
         )
+    elif with_component:
+        decisions = decisions.withColumn("history_hit", F.lit(False))
 
     if append:
         # eager checkpoint: the append mutates the lists this plan read,

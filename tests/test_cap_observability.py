@@ -277,3 +277,95 @@ def test_cap_counters_zero_on_empty_input(spark, tmp_path):
     assert dec.count() == 0
     got = cap_counts(caps)["ivf_primary_cap"]
     assert got == {"capped_members": 0, "max_bucket_size": 0}
+
+
+# ---------------------------------------------------------------------------
+# winnow fingerprint cap (r8 review finding: the winnow near-dup path's
+# max_fp guard was the one remaining silent cap)
+# ---------------------------------------------------------------------------
+def test_winnow_cap_counter_nonzero_on_boilerplate(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    # 6 docs sharing one long verbatim run: with max_fp below the doc
+    # count every shared fingerprint is over-cap -> memberships dropped
+    # loudly, and no near-dup pairs form
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} prefix {shared}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    caps: dict = {}
+    out = prepare_training_corpus(
+        docs, near_threshold=0.9, near_dup_method="winnow",
+        winnow_min_shared=1, winnow_max_fp=3, min_tokens=1,
+        cap_observations=caps,
+    )
+    assert out.count() == 6  # cap suppressed all pairing
+    got = cap_counts(caps)["winnow_fp_cap"]
+    assert got["capped_members"] > 0
+    assert got["max_bucket_size"] == 6
+
+
+def test_winnow_cap_counter_zero_on_clean_corpus(spark):
+    from hedera_etl_spark.operators.textanalysis import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "completely distinct words here one two three"),
+            (2, "another unrelated set of tokens four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    caps: dict = {}
+    fingerprint_overlap(
+        winnow_fingerprints(docs), max_fp=3, cap_observations=caps
+    ).count()
+    got = cap_counts(caps)["winnow_fp_cap"]
+    assert got["capped_members"] == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic_lost must not count members history already covers (r8
+# review finding: cosine is not transitive — a member can match the
+# index even when its within-batch keeper missed it)
+# ---------------------------------------------------------------------------
+def test_semantic_lost_excludes_member_own_history_hit(spark, tmp_path):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    path = str(tmp_path / "ivf")
+    # batch 1: H enters the corpus + index
+    prepare_training_corpus(
+        spark.createDataFrame(
+            [(1, "history document long enough to pass the floor")],
+            "doc_id long, text string",
+        ),
+        near_threshold=None, min_tokens=3,
+        embeddings=_emb(spark, [(1, _unit(5))]),
+        embedding_index_path=path, embedding_threshold=0.999,
+        embedding_centroids=4, embedding_dims=DIMS,
+    ).collect()
+
+    # batch 2: keeper 10 ~ member 11 within-batch; 11 is ALSO a twin of
+    # history H (same base vector), 10 drifted just past the threshold
+    # vs H but not vs 11.  Keeper 10 then dies to min_tokens -> without
+    # the history_hit guard, 11 would be counted lost although H covers
+    # it.  (bump spacing: cos(11,H) ~ cos(10,11) > thr > cos(10,H).)
+    caps: dict = {}
+    out = prepare_training_corpus(
+        spark.createDataFrame(
+            [(10, "short"), (11, "member twin document long enough to pass")],
+            "doc_id long, text string",
+        ),
+        near_threshold=None, min_tokens=3,
+        embeddings=_emb(
+            spark, [(10, _unit(5, bump=0.09)), (11, _unit(5, bump=0.045))]
+        ),
+        embedding_index_path=path, embedding_threshold=0.999,
+        embedding_centroids=4, embedding_dims=DIMS,
+        cap_observations=caps,
+    )
+    assert out.count() == 0  # 10 fails the floor, 11 drops vs history
+    assert caps["semantic_lost"] == {"lost_members": 0}

@@ -95,3 +95,15 @@ def test_plan_has_two_windows_sharded_first(spark, scored):
     # phase 1 partitions on (source, __shard): the shard key must appear
     # in an exchange/window spec so no single-domain reducer exists
     assert "__shard" in plan
+
+
+def test_rejects_colliding_input_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 9)], "doc_id long, source string, score double, rank long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        grouped_topk(df, ["source"], ["score"], 1, shard_on="doc_id")
+    ok = grouped_topk(
+        df, ["source"], ["score"], 1, shard_on="doc_id", rank_col="qrank"
+    )
+    assert {"rank", "qrank"} <= set(ok.columns)  # caller's column kept
