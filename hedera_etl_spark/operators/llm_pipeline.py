@@ -386,9 +386,18 @@ def prepare_training_corpus(
             # index.  Excludes history-dropped clusters (their keeper
             # already lives in the corpus: decisions.keep is False for
             # a history-hit keeper, True for one that survived the
-            # semantic stage).  One bounded count over the pinned
-            # decisions/survivor frames; see the docstring for why lost
-            # members are counted, not re-admitted.
+            # semantic stage).  Coverage here is TRANSITIVE by design —
+            # a member whose chain (member ~ keeper ~ history vector)
+            # ends in the corpus counts as represented even when the
+            # member itself is past threshold from the terminus, because
+            # the within-batch collapse is itself a transitive closure
+            # (connected components): counting 2-hop chains as lost
+            # while accepting n-hop chains inside a batch would make the
+            # metric stricter than the dedup it measures.  A member is
+            # LOST only when its chain terminates on a keeper that no
+            # later stage let through anywhere.  One bounded count over
+            # the pinned decisions/survivor frames; see the docstring
+            # for why lost members are counted, not re-admitted.
             live_keepers = decisions.filter(F.col("keep")).select("component")
             lost = (
                 decisions.filter(

@@ -576,10 +576,11 @@ def fingerprint_overlap(
 
     The cap is a RECALL TRADE and must never be silent (VERDICT r7):
     pass ``cap_observations`` and the dropped (doc, fp) membership
-    count rides the caller's own action under ``"winnow_fp_cap"``
-    (self mode observes the single side; two-sided mode observes the
-    ``fps_a`` side, whose cap decides which corpus fingerprints can
-    pair at all).  See stats.observe_bucket_cap / stats.cap_counts."""
+    counts ride the caller's own action — ``"winnow_fp_cap"`` for the
+    ``fps_a`` side, plus ``"winnow_fp_cap_b"`` in two-sided mode (each
+    side caps independently, and boilerplate concentrated in one input
+    must not hide behind the other side's clean counter).  See
+    stats.observe_bucket_cap / stats.cap_counts."""
     from pyspark.sql import Window as W
 
     from hedera_etl_spark.operators.stats import observe_bucket_cap
@@ -594,11 +595,15 @@ def fingerprint_overlap(
             a, "__fn", max_fp, cap_observations, "winnow_fp_cap"
         )
         a = a.filter(F.col("__fn") <= max_fp).drop("__fn")
-        b = (
-            b.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
-            .filter(F.col("__fn") <= max_fp)
-            .drop("__fn")
-        )
+        b = b.withColumn("__fn", F.count("*").over(W.partitionBy("fp")))
+        if fps_b is not None:
+            # self mode caps one physical frame twice — observing the b
+            # twin would double-count the same drops, so only two-sided
+            # mode gets the second counter
+            b = observe_bucket_cap(
+                b, "__fn", max_fp, cap_observations, "winnow_fp_cap_b"
+            )
+        b = b.filter(F.col("__fn") <= max_fp).drop("__fn")
     joined = a.join(b, "fp")
     if fps_b is None:
         joined = joined.filter(F.col("doc_a") < F.col("doc_b"))

@@ -60,12 +60,18 @@ def grouped_topk(
         raise ValueError("k must be >= 1")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    taken = {"__shard", "__lr", rank_col} & set(df.columns)
+    # casefolded: Spark resolves withColumn/drop case-INsensitively by
+    # default, so a column named 'Rank' would be silently overwritten if
+    # only exact names were checked
+    taken = sorted(
+        c for c in df.columns
+        if c.casefold() in {"__shard", "__lr", rank_col.casefold()}
+    )
     if taken:
         # withColumn would silently OVERWRITE them and the phase-1 drop
         # would then delete the caller's own data from the output
         raise ValueError(
-            f"input columns {sorted(taken)} collide with grouped_topk "
+            f"input columns {taken} collide with grouped_topk "
             "internals; rename them or pass a different rank_col"
         )
     shard = F.pmod(F.xxhash64(F.col(shard_on)), F.lit(n_shards))

@@ -429,19 +429,28 @@ def semantic_dedup_decisions(
         lists_all = idx.lists().filter(F.col("bucket").isin(probed))
         if max_bucket is not None:
             batch_ids = emb.select(F.col(id_col).alias("vec_id"))
-            hot_rows = (
+            # one per-probed-bucket aggregate (driver rows bounded by
+            # n_centroids), counting BOTH raw rows and DISTINCT ids:
+            # - hotness uses DISTINCT ids, so list rows duplicated by a
+            #   marker-lost crash replay cannot flip a bucket over the
+            #   cap and silently under-deduplicate (r8 review finding);
+            # - raw-vs-distinct divergence detects those duplicates, and
+            #   only THEN is the pruned lists frame deduplicated before
+            #   the probe join — the dedup exchange is paid exactly when
+            #   duplicates would otherwise multiply the cosine work, not
+            #   on every clean batch (r8 second-pass finding).
+            stats_rows = (
                 lists_all.select("bucket", "vec_id")
                 .join(batch_ids, "vec_id", "left_anti")
                 .groupBy("bucket")
-                # DISTINCT ids: a marker-lost crash replay duplicates a
-                # batch's list rows (documented, decision-neutral), and
-                # a raw count would let those duplicates flip a bucket
-                # over the cap — turning tolerated duplicate STORAGE
-                # into silent under-deduplication (r8 review finding)
-                .agg(F.countDistinct("vec_id").alias("__n"))
-                .filter(F.col("__n") > max_bucket)
+                .agg(
+                    F.count("*").alias("__raw"),
+                    F.countDistinct("vec_id").alias("__n"),
+                )
                 .collect()
             )
+            hot_rows = [r for r in stats_rows if r["__n"] > max_bucket]
+            dup_rows = sum(r["__raw"] - r["__n"] for r in stats_rows)
             hot = sorted(r["bucket"] for r in hot_rows)
             if cap_observations is not None:
                 # driver-side cap -> plain counters (no action to ride);
@@ -450,7 +459,10 @@ def semantic_dedup_decisions(
                 cap_observations["ivf_history_cap"] = {
                     "capped_buckets": len(hot_rows),
                     "capped_members": sum(r["__n"] for r in hot_rows),
+                    "duplicate_rows": dup_rows,
                 }
+            if dup_rows:
+                lists_all = lists_all.dropDuplicates(["bucket", "vec_id"])
             if hot:
                 lists_all = lists_all.filter(~F.col("bucket").isin(hot))
         lists = lists_all.select(

@@ -369,3 +369,65 @@ def test_semantic_lost_excludes_member_own_history_hit(spark, tmp_path):
     )
     assert out.count() == 0  # 10 fails the floor, 11 drops vs history
     assert caps["semantic_lost"] == {"lost_members": 0}
+
+
+def test_winnow_two_sided_b_cap_observed(spark):
+    from hedera_etl_spark.operators.textanalysis import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = spark.createDataFrame(
+        [(1, f"lone document {shared}")], "doc_id long, text string"
+    )
+    boiler = spark.createDataFrame(
+        [(100 + i, f"doc {i} prefix {shared}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    caps: dict = {}
+    fingerprint_overlap(
+        winnow_fingerprints(clean), winnow_fingerprints(boiler),
+        max_fp=3, cap_observations=caps,
+    ).count()
+    got = cap_counts(caps)
+    # the boilerplate sits ONLY in the b side: its cap must be loud there
+    assert got["winnow_fp_cap_b"]["capped_members"] > 0
+    assert got["winnow_fp_cap"]["capped_members"] == 0
+
+
+def test_ivf_history_duplicate_rows_detected_and_neutralized(spark, tmp_path):
+    """Marker-lost replay duplicates list rows; the probe must (a) not
+    let duplicates flip a bucket over the cap, (b) report them, and
+    (c) not multiply cosine work — dedup before the join."""
+    import os
+    import shutil
+
+    from hedera_etl_spark.operators.vectorindex import semantic_dedup_decisions
+
+    path = str(tmp_path / "ivf")
+    b1 = [(i, _near_centroid(0, noise_dim=i)) for i in range(1, 4)]
+    semantic_dedup_decisions(
+        spark, _emb(spark, b1), path,
+        threshold=0.9999, n_probe=1, n_centroids=4, dims=DIMS,
+    ).collect()
+    # marker-lost crash: drop the batch marker, replay -> rows duplicated
+    batches = os.path.join(path, "_batches")
+    shutil.rmtree(os.path.join(batches, os.listdir(batches)[0]))
+    semantic_dedup_decisions(
+        spark, _emb(spark, b1), path,
+        threshold=0.9999, n_probe=1, n_centroids=4, dims=DIMS,
+    ).collect()
+
+    # probe with max_bucket=3: 3 DISTINCT history ids (6 raw rows) must
+    # NOT count as hot, and a true twin of vector 1 must still drop
+    caps: dict = {}
+    dec = semantic_dedup_decisions(
+        spark, _emb(spark, [(100, _near_centroid(0, noise_dim=1))]), path,
+        threshold=0.9999, n_probe=1, n_centroids=4, dims=DIMS,
+        max_bucket=3, cap_observations=caps,
+    )
+    assert [r["keep"] for r in dec.collect()] == [False]
+    got = cap_counts(caps)["ivf_history_cap"]
+    assert got["capped_buckets"] == 0
+    assert got["duplicate_rows"] == 3

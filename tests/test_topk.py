@@ -107,3 +107,13 @@ def test_rejects_colliding_input_columns(spark):
         df, ["source"], ["score"], 1, shard_on="doc_id", rank_col="qrank"
     )
     assert {"rank", "qrank"} <= set(ok.columns)  # caller's column kept
+
+
+def test_collision_guard_is_case_insensitive(spark):
+    # Spark resolves withColumn/drop case-insensitively by default, so a
+    # differently-cased column must also be rejected
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 9)], "doc_id long, source string, score double, Rank long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        grouped_topk(df, ["source"], ["score"], 1, shard_on="doc_id")
