@@ -172,13 +172,19 @@ def prepare_training_corpus(
         # enabled stage's surviving-row count rides an Observation on the
         # caller's OWN action (one scalar aggregate in the plan, zero
         # extra jobs) — read obs.get["rows"] after collecting/writing.
+        # RobustObservation, not a bare Observation: when a later stage
+        # empties the corpus, AQE empty-relation propagation can
+        # eliminate the earlier stages' observed nodes and a bare read
+        # would crash (stats.RobustObservation; same ergonomics).
         if stage_observations is None:
             return df
-        from pyspark.sql import Observation
+        from hedera_etl_spark.operators.stats import robust_observe
 
-        obs = Observation(f"prepare.{stage}")
-        stage_observations[stage] = obs
-        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed, robust = robust_observe(
+            df, f"prepare.{stage}", F.count(F.lit(1)).alias("rows")
+        )
+        stage_observations[stage] = robust
+        return observed
 
     keepers = exact_duplicates(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)

@@ -96,35 +96,53 @@ class InstrumentedRunner:
 _CAP_OBS_SEQ = iter(range(1, 1 << 30))
 
 
-class CapObservation:
-    """A plan-riding skew-cap metric with an elimination-proof fallback.
+class RobustObservation:
+    """A plan-riding metric with an elimination-proof fallback.
 
     Spark 4.1 hazard (measured in this container): when AQE's
     empty-relation propagation collapses the plan ABOVE an observed node
-    — e.g. a cap that drops EVERY bucket, so the candidate join's build
-    side reads 0 rows — the final executed plan no longer contains the
+    — e.g. a skew cap that drops EVERY bucket, so a downstream join side
+    reads 0 rows — the final executed plan no longer contains the
     ``CollectMetricsExec`` node, and the JVM ``Observation`` is finished
     with a schema-less zero-field ``GenericRow``.  ``Observation.get``
     then crashes inside ``PythonSQLUtils.toPyRow`` (assertion failure).
-    The loudest cap case is exactly the one whose metrics vanish.
+    The degenerate corpus — the case observability exists FOR — is
+    exactly the one whose metrics vanish.
 
-    ``get()`` therefore probes the JVM row's field count via py4j first:
+    ``get`` therefore probes the JVM row's field count via py4j first:
     a populated row is read the normal way (zero extra jobs — the
     metrics rode the caller's action); an eliminated one falls back to
-    ONE bounded aggregate job over the pre-filter frame (the rare,
-    degenerate-corpus path).  Like ``Observation.get``, it blocks until
-    the observed plan's first action has completed.
+    ONE aggregate job over the fallback frame (the rare, degenerate
+    path; the fallback re-executes the observed subtree).  A property,
+    so the ergonomics match ``Observation.get``: consumers read
+    ``obs.get["rows"]`` either way.  Like ``Observation.get``, it
+    blocks until the observed plan's first action has completed.
     """
 
     def __init__(self, obs: Observation, fallback: DataFrame):
         self._obs = obs
         self._fallback = fallback
 
+    @property
     def get(self) -> dict:
         if self._obs._jo.getRow().length() > 0:
             return dict(self._obs.get)
         row = self._fallback.collect()[0]
-        return {k: int(v) for k, v in row.asDict().items()}
+        return {
+            k: (0 if v is None else int(v)) for k, v in row.asDict().items()
+        }
+
+
+def robust_observe(
+    df: DataFrame, name: str, *metrics
+) -> tuple[DataFrame, "RobustObservation"]:
+    """Attach ``metrics`` to ``df`` as an elimination-proof observation:
+    returns the observed frame and the ``RobustObservation`` to read
+    after the caller's action.  ``name`` gets a monotone suffix so
+    repeated sites inside ONE plan stay unique (Spark requires observed
+    names unique per query execution)."""
+    obs = Observation(f"{name}.{next(_CAP_OBS_SEQ)}")
+    return df.observe(obs, *metrics), RobustObservation(obs, df.agg(*metrics))
 
 
 def observe_bucket_cap(
@@ -141,9 +159,9 @@ def observe_bucket_cap(
     for boundedness by DROPPING rows in oversized buckets.  That loss
     must never be silent: given a frame that still carries the bucket
     size in ``size_col`` (i.e. BEFORE the cap filter), this registers a
-    ``CapObservation`` under ``cap_observations[cap_key]`` whose metrics
-    ride the caller's own action — zero extra jobs unless AQE eliminates
-    the observed node (see ``CapObservation``):
+    ``RobustObservation`` under ``cap_observations[cap_key]`` whose
+    metrics ride the caller's own action — zero extra jobs unless AQE
+    eliminates the observed node (see ``RobustObservation``):
 
     - ``capped_members``: rows about to be dropped by the cap;
     - ``max_bucket_size``: largest bucket seen (cap-tuning signal).
@@ -163,18 +181,18 @@ def observe_bucket_cap(
         ).alias("capped_members"),
         F.coalesce(F.max(size_col), F.lit(0)).alias("max_bucket_size"),
     ]
-    obs = Observation(f"{cap_key}.{next(_CAP_OBS_SEQ)}")
-    cap_observations[cap_key] = CapObservation(obs, df.agg(*metrics))
-    return df.observe(obs, *metrics)
+    observed, robust = robust_observe(df, cap_key, *metrics)
+    cap_observations[cap_key] = robust
+    return observed
 
 
 def cap_counts(cap_observations: dict) -> dict:
     """Normalize a cap-observation dict to plain ``{key: {metric: int}}``.
 
-    Values are either ``CapObservation`` objects (plan-riding caps —
+    Values are either ``RobustObservation`` objects (plan-riding caps —
     read only AFTER the action has run) or plain dicts (driver-side
     caps, e.g. the IVF history hot-bucket cap)."""
     return {
-        k: v.get() if isinstance(v, CapObservation) else dict(v)
+        k: dict(v.get) if isinstance(v, RobustObservation) else dict(v)
         for k, v in cap_observations.items()
     }

@@ -187,3 +187,22 @@ def test_stage_observations_ride_the_callers_action(spark):
     assert obs["final"].get["rows"] == 2
     # skipped stages leave no entry
     assert set(obs) == {"exact_dedup", "quality_floor", "final"}
+
+
+def test_stage_observations_survive_empty_collapse(spark):
+    """AQE empty-relation propagation can eliminate earlier stages'
+    observed nodes once a later stage empties the corpus; the per-stage
+    gauges must still read (RobustObservation fallback), reporting the
+    true pre-collapse counts."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "three four")],
+        "doc_id long, text string",
+    )
+    obs: dict = {}
+    out = prepare_training_corpus(
+        docs, near_threshold=0.5, min_tokens=50, stage_observations=obs
+    )
+    assert out.count() == 0
+    assert obs["exact_dedup"].get["rows"] == 2   # dup collapsed pre-floor
+    assert obs["quality_floor"].get["rows"] == 0
+    assert obs["final"].get["rows"] == 0
