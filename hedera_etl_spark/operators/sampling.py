@@ -145,6 +145,70 @@ def mixture_sample(
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: Column | str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff bucket(key) < weight — per-row importance
+    sampling, the DSIR-style "resample the corpus proportionally to a
+    quality/relevance score" knob (each row's keep probability IS its
+    weight instead of one global rate).
+
+    ``weight_col`` is a column (or name) of per-row keep probabilities;
+    values are clamped into [0, 1] so an unnormalized score can't
+    silently invert the filter (w <= 0 drops, w >= 1 always keeps).
+    Same md5-bucket determinism contract as ``hash_sample``: the decision
+    hashes the KEY only, so re-runs, retries, and the oracle engine
+    reproduce the identical sample, and per-row keep decisions are
+    monotone in the weight (raising a row's weight never drops it).
+
+    Scale: one per-row projection + filter — zero shuffles, no state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(*key_cols, salt=salt) < clamped)
+
+
+def grouped_hash_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_cols: list[str],
+    salt: str = "",
+    n_shards: int = 32,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly-k-per-group uniform sample (reservoir semantics, made
+    deterministic): the k rows with the smallest md5 buckets win, so the
+    draw is uniform over each group yet reproducible across retries,
+    re-runs, engines, and row arrival order — everything
+    ``df.sampleBy``'s RNG is not.  Groups smaller than k keep all rows.
+
+    Plan shape is ``grouped_topk``'s two-phase local-then-global top-k
+    (operators/topk.py) ordered by (bucket, key): group columns are
+    low-cardinality at corpus scale (languages, sources), so the naive
+    one-window form would sort each whole group on a single reducer.
+    Output carries ``rank_col`` (1-based draw order) — stable, so
+    ``rank <= j`` for j < k is the same sample drawn smaller.
+    """
+    from hedera_etl_spark.operators.topk import grouped_topk
+
+    order = [hash_bucket(*key_cols, salt=salt).asc()] + [
+        F.col(c).asc() for c in key_cols
+    ]
+    return grouped_topk(
+        df,
+        keys=group_cols,
+        order=order,
+        k=k,
+        shard_on=key_cols[0],
+        n_shards=n_shards,
+        rank_col=rank_col,
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_cols: list[str],

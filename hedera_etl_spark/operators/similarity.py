@@ -476,3 +476,108 @@ def cosine_neardup_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def contrastive_mining(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_pos: int = 2,
+    k_neg: int = 3,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    n_planes: int | None = None,
+    max_bucket: int | None = 10_000,
+    cap_observations: dict | None = None,
+) -> DataFrame:
+    """Positive / hard-negative neighbor mining for contrastive training
+    data: per query, the ``k_pos`` nearest SAME-label neighbors (the
+    positives an InfoNCE/triplet batch pairs it with) and the ``k_neg``
+    nearest DIFFERENT-label neighbors (the hard negatives — near in
+    embedding space, wrong by label — that make the loss informative;
+    random negatives are trivially separable).
+
+    Returns ``(query_id, role, rank, neighbor_id, cos_sim)`` where
+    ``role`` is ``'pos'`` / ``'neg'`` and rank is 1-based within
+    (query, role), ties broken on neighbor id.  A NULL label never equals
+    anything (engine-portable null semantics), so NULL-labeled neighbors
+    — and every neighbor of a NULL-labeled query — mine as negatives.
+
+    Two candidate modes, one scoring/ranking tail:
+
+    - ``n_planes=None`` (exact): broadcast query set x one corpus scan —
+      the recall=1.0 baseline, right when queries are few.
+    - ``n_planes=p`` (scale path): candidates restricted to the query's
+      LSH bucket — the join prunes the corpus to ~1/2^p per query, and
+      bucketed candidates are BY CONSTRUCTION the near-in-space ones,
+      i.e. exactly where hard negatives live.  ``max_bucket`` +
+      ``cap_observations`` apply (see _cap_buckets); the far tail a
+      bucket loses is soft negatives nobody mines anyway.
+
+    Both modes rank with ONE window over (query, role): the per-role k
+    filter is a row-level CASE, not a second exchange.
+    """
+    from pyspark.sql import Window as W
+
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    if n_planes is None:
+        cands = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            F.col(label_col).alias("nlabel"),
+        )
+        scored = F.broadcast(queries).crossJoin(cands)
+    else:
+        if dims is None:
+            raise ValueError("bucketed mode needs dims for the hyperplanes")
+        signs = hyperplane_signs(n_planes, dims)
+        bucketed = _cap_buckets(
+            ensure_parallelism(emb).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nvec"),
+                F.col(label_col).alias("nlabel"),
+                lsh_bucket_col(vec_col, signs).alias("bucket"),
+            ),
+            max_bucket,
+            cap_observations,
+            "contrastive_bucket_cap",
+        )
+        # queries keep their own bucket even when capped (join-side guard
+        # only), mirroring lsh_ann_topk
+        scored = F.broadcast(
+            queries.withColumn("bucket", lsh_bucket_col("qvec", signs))
+        ).join(bucketed, "bucket")
+    scored = (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "role",
+            F.when(F.col("qlabel") == F.col("nlabel"), F.lit("pos")).otherwise(
+                F.lit("neg")
+            ),
+        )
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec"), dims))
+    )
+    w = W.partitionBy("query_id", "role").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    k_for_role = F.when(F.col("role") == "pos", F.lit(k_pos)).otherwise(F.lit(k_neg))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_for_role)
+        .select(
+            "query_id",
+            "role",
+            "rank",
+            "neighbor_id",
+            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
+        )
+        # q x (k_pos + k_neg) rows — bounded output (tables.bounded_sort)
+        .transform(lambda d: _bounded_sort(d, "query_id", "role", "rank"))
+    )

@@ -427,3 +427,62 @@ def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return covariance_matrix(emb, dims=_PCA_DIMS).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# contrastive positive / hard-negative mining (operators/similarity.py
+# contrastive_mining) — per query: k_pos nearest same-label neighbors and
+# k_neg nearest different-label neighbors.  Oracle runs the exact
+# (broadcast) mode; the LSH-bucketed scale mode's subset/determinism
+# properties are pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+_KPOS, _KNEG = 2, 3
+
+_HARDNEG_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id IN ({_IDS_SQL})
+    ),
+    scored AS (
+      SELECT q.query_id,
+             CASE WHEN e.label = q.qlabel THEN 'pos' ELSE 'neg' END AS role,
+             e.vec_id AS neighbor_id,
+             {fold_cosine('q.qvec', 'e.embedding', DIMS)} AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, role, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id, role
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, role, rank, neighbor_id,
+           CAST(CAST(cos AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
+    FROM ranked
+    WHERE rank <= CASE WHEN role = 'pos' THEN {_KPOS} ELSE {_KNEG} END
+    ORDER BY query_id, role, rank
+"""
+
+
+@query(
+    "sim_hard_negatives",
+    _HARDNEG_ORACLE,
+    tags=("sim", "contrastive", "mining"),
+    # NEW in r8 (local-only; verifier: shares brute_force_topk's
+    # broadcast-scan-window kernel, driver-green via the ANN family).
+    driver_visible=False,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training data: per
+    query, the 2 nearest same-label neighbors (positives) and the 3
+    nearest different-label ones (hard negatives — close in space, wrong
+    by label).  One corpus scan, one window over (query, role); the
+    per-role k is a row-level CASE, not a second exchange.  At corpus
+    scale pass n_planes to mine inside LSH buckets — candidates pruned
+    ~2^planes-fold, and near-in-space is exactly where hard negatives
+    live (operators/similarity.py contrastive_mining)."""
+    from hedera_etl_spark.operators.similarity import contrastive_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_mining(emb, QUERY_IDS, k_pos=_KPOS, k_neg=_KNEG, dims=DIMS)

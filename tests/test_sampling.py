@@ -212,3 +212,84 @@ class TestTrainValTestSplit:
         assert {r.split for r in all_train.collect()} == {"train"}
         all_test = train_val_test_split(docs, ["doc_id"], val_frac=0.0, test_frac=1.0)
         assert {r.split for r in all_test.collect()} == {"test"}
+
+
+# ---------------------------------------------------------------------------
+# weighted (importance) sampling
+# ---------------------------------------------------------------------------
+def test_weighted_sample_keeps_proportionally_to_weight(spark):
+    from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        # thirds at weight 0.1 / 0.5 / 0.9
+        F.element_at(
+            F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("w"),
+    )
+    kept = weighted_hash_sample(df, ["k"], "w").groupBy("w").count().collect()
+    rates = {round(r["w"], 1): r["count"] / 10_000 for r in kept}
+    assert 0.08 < rates[0.1] < 0.12
+    assert 0.46 < rates[0.5] < 0.54
+    assert 0.86 < rates[0.9] < 0.94
+
+
+def test_weighted_sample_clamps_and_is_monotone(spark):
+    from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    # out-of-range weights clamp: w<=0 drops everything, w>=1 keeps all
+    none = weighted_hash_sample(df.withColumn("w", F.lit(-3.0)), ["k"], "w")
+    allr = weighted_hash_sample(df.withColumn("w", F.lit(7.5)), ["k"], "w")
+    assert none.count() == 0
+    assert allr.count() == 5_000
+    # per-row monotone: raising every weight never drops a kept row
+    lo = {r["k"] for r in weighted_hash_sample(
+        df.withColumn("w", F.lit(0.3)), ["k"], "w").collect()}
+    hi = {r["k"] for r in weighted_hash_sample(
+        df.withColumn("w", F.lit(0.7)), ["k"], "w").collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+
+# ---------------------------------------------------------------------------
+# exactly-k-per-group uniform sampling
+# ---------------------------------------------------------------------------
+def test_grouped_sample_draws_k_per_group_uniformly(spark):
+    from hedera_etl_spark.operators.sampling import grouped_hash_sample
+
+    df = spark.range(9_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = grouped_hash_sample(df, ["g"], k=50, key_cols=["k"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert set(by_g) == {"0", "1", "2"}
+    for rows in by_g.values():
+        assert sorted(r["sample_rank"] for r in rows) == list(range(1, 51))
+    # uniform over the group: the 50 draws from 3000 ids should span the
+    # id range, not cluster (split the range in half, expect both sides)
+    for g, rows in by_g.items():
+        ids = [r["k"] for r in rows]
+        assert sum(1 for i in ids if i < 4_500) >= 10
+        assert sum(1 for i in ids if i >= 4_500) >= 10
+
+
+def test_grouped_sample_is_stable_and_nested(spark):
+    """Same draw across re-runs and partitionings; rank<=j is the j-draw."""
+    from hedera_etl_spark.operators.sampling import grouped_hash_sample
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    a = grouped_hash_sample(df, ["g"], k=20, key_cols=["k"]).collect()
+    b = grouped_hash_sample(df.repartition(7), ["g"], k=20, key_cols=["k"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    small = grouped_hash_sample(df, ["g"], k=5, key_cols=["k"]).collect()
+    assert {(r["g"], r["k"]) for r in small} == {
+        (r["g"], r["k"]) for r in a if r["sample_rank"] <= 5
+    }
+    # a group smaller than k keeps every row
+    tiny = df.filter(F.col("k") < 8)
+    assert grouped_hash_sample(tiny, ["g"], k=20, key_cols=["k"]).count() == 8

@@ -185,3 +185,123 @@ def test_kmeans_training_is_repeatable(spark, emb):
     for ca, cb in zip(a, b):
         for x, y in zip(ca, cb):
             assert abs(x - y) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# contrastive positive / hard-negative mining
+# ---------------------------------------------------------------------------
+def test_contrastive_mining_splits_roles_by_label(spark, emb):
+    from hedera_etl_spark.operators.similarity import contrastive_mining
+
+    rows = contrastive_mining(emb, QUERY_IDS, k_pos=2, k_neg=3, dims=64).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(QUERY_IDS)
+    for q, rs in by_q.items():
+        pos = [r for r in rs if r["role"] == "pos"]
+        neg = [r for r in rs if r["role"] == "neg"]
+        assert len(pos) <= 2 and len(neg) <= 3
+        for r in pos:
+            assert labels[r["neighbor_id"]] == labels[q]
+        for r in neg:
+            assert labels[r["neighbor_id"]] != labels[q]
+        # ranks are 1..n within each role and scores non-increasing
+        for rs_role in (pos, neg):
+            rs_role.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs_role] == list(range(1, len(rs_role) + 1))
+            sims = [r["cos_sim"] for r in rs_role]
+            assert sims == sorted(sims, reverse=True)
+
+
+def test_contrastive_negatives_are_the_nearest_wrong_label(spark, emb):
+    """The neg side must equal brute-force top-k restricted to
+    different-label candidates — cross-checked via a label-filtered
+    brute_force_topk run."""
+    from hedera_etl_spark.operators.similarity import (
+        brute_force_topk,
+        contrastive_mining,
+    )
+
+    q = 3
+    qlabel = emb.filter(F.col("vec_id") == q).select("label").collect()[0][0]
+    # brute-force over a corpus keeping the query + only wrong-label rows
+    restricted = emb.filter(
+        (F.col("vec_id") == q) | (F.col("label") != qlabel)
+    )
+    want = {
+        (r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(restricted, [q], k=3).collect()
+    }
+    got = {
+        (r["rank"], r["neighbor_id"])
+        for r in contrastive_mining(emb, [q], k_pos=2, k_neg=3, dims=64).collect()
+        if r["role"] == "neg"
+    }
+    assert got == want
+
+
+def test_contrastive_null_label_mines_only_negatives(spark):
+    from hedera_etl_spark.operators.similarity import contrastive_mining
+
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.9, 0.1], 7),
+        (2, [0.8, 0.2], None),
+        (3, [0.0, 1.0], 7),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out = contrastive_mining(emb, [0], k_pos=2, k_neg=3, dims=2).collect()
+    # NULL-labeled query: nothing equals NULL, so every neighbor is 'neg'
+    assert {r["role"] for r in out} == {"neg"}
+    assert {r["neighbor_id"] for r in out} == {1, 2, 3}
+
+
+def test_contrastive_bucketed_mode_stays_in_bucket_and_is_deterministic(spark, emb):
+    from hedera_etl_spark.operators.similarity import (
+        contrastive_mining,
+        hyperplane_signs,
+        lsh_bucket_col,
+    )
+
+    n_planes = 4
+    a = contrastive_mining(
+        emb, QUERY_IDS, k_pos=2, k_neg=3, dims=64, n_planes=n_planes
+    ).collect()
+    b = contrastive_mining(
+        emb.repartition(13), QUERY_IDS, k_pos=2, k_neg=3, dims=64, n_planes=n_planes
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every mined neighbor shares its query's LSH bucket
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", lsh_bucket_col("embedding", hyperplane_signs(n_planes, 64)).alias("b")
+        ).collect()
+    }
+    assert a, "4 planes = 16 buckets over 500+ vectors: candidates exist"
+    for r in a:
+        assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
+
+
+def test_contrastive_bucket_cap_is_loud(spark, emb):
+    """The bucketed mode's skew cap reports dropped members through
+    cap_observations (no silent caps, VERDICT r7)."""
+    from hedera_etl_spark.operators.similarity import contrastive_mining
+    from hedera_etl_spark.operators.stats import cap_counts
+
+    caps: dict = {}
+    out = contrastive_mining(
+        emb, QUERY_IDS, k_pos=2, k_neg=3, dims=64,
+        n_planes=2, max_bucket=50, cap_observations=caps,
+    )
+    n = out.count()  # the action the metrics ride on
+    got = cap_counts(caps)["contrastive_bucket_cap"]
+    # 2 planes = 4 buckets over 500+ vectors: every bucket is >50, so the
+    # cap drops the whole corpus and the result is empty — loudly.
+    assert n == 0
+    assert got["capped_members"] > 400
+    assert got["max_bucket_size"] > 50
