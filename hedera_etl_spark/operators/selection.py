@@ -1,0 +1,120 @@
+"""Budget-constrained corpus selection: the "take the best documents
+until the token budget is spent" cut every training run makes when the
+cleaned corpus is still bigger than the compute plan.
+
+Semantics (the greedy prefix): order documents by (quality DESC, id ASC
+— a total order), keep a document iff the running token total INCLUDING
+it stays within the budget.  One selection is therefore nested inside
+any larger-budget selection over the same corpus, and the cut is
+deterministic and engine-reproducible.
+
+Scale shape — a global running sum WITHOUT a single-reducer global
+sort (the naive one-window form serializes the whole corpus through one
+task, the canonical scale-killer):
+
+1. ``repartitionByRange`` on the selection order: Spark's range
+   partitioner samples split points, so partitions are balanced even
+   when quality ties heavily (the id tiebreak splits ties across
+   partitions); partition i holds rows strictly ordered before
+   partition i+1.  The frame is pinned with a lazy ``localCheckpoint``
+   because two consumers re-derive it below and range-partition
+   sampling must not re-draw between them (the repo's
+   checkpoint-vs-rescan rule).
+2. per-partition token totals — an ``n_partitions``-row aggregate —
+   get exclusive prefix offsets via one window over that DIMENSION-
+   sized frame (single-partition window over ~hundreds of rows, free);
+3. the offsets broadcast-join back on partition id, and each
+   partition's LOCAL running sum (a window keyed by the partition id
+   itself — ordering work stays where the rows already are) plus its
+   offset is the exact global running sum.
+
+Two full exchanges total (the range repartition + the pid-keyed window
+exchange) and one broadcast join, independent of skew.  The same
+two-phase shrink-before-the-skewed-exchange idea as operators/topk.py,
+applied to a prefix sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "running_total",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` under ``order_cols``
+    (a list of Columns forming a TOTAL order), distributed via the
+    range-partition + offset plan in the module docstring.  Returns the
+    input columns plus ``out_col`` (the inclusive prefix sum).  The
+    result's partitioning is the selection order — callers writing it
+    out get range-clustered files for free."""
+    taken = sorted(
+        c for c in df.columns if c.casefold() in {"__pid", "__off", out_col.casefold()}
+    )
+    if taken:
+        raise ValueError(
+            f"input columns {taken} collide with running_total internals; "
+            "rename them or pass a different out_col"
+        )
+    n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # pinned: the totals aggregate AND the main pass both consume this
+        # frame; range sampling must not re-draw between the two actions
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(F.col(value_col)).cast("long").alias("__tot")
+    )
+    # exclusive prefix offsets over the n_partitions-row totals frame:
+    # the single-partition window is over a dimension-sized input
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(woff), F.lit(0)).alias("__off")
+    )
+    wlocal = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.sum(F.col(value_col)).over(wlocal)).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def select_to_token_budget(
+    docs: DataFrame,
+    budget: int,
+    quality_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep the highest-quality documents whose running token total stays
+    within ``budget`` — greedy prefix under (quality DESC, id ASC).
+
+    Output: the input columns plus ``cum_col``, the document's inclusive
+    position in the token budget (monotone along the selection order, so
+    ``cum_col <= b`` for a smaller b is that smaller budget's selection
+    — nested like grouped_hash_sample's ranks).  Documents with NULL
+    quality or NULL/zero tokens participate like any other row (NULLs
+    order last under DESC, so they are the first cut).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    order = [F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()]
+    cum = running_total(
+        docs, order, token_col, out_col=cum_col, n_partitions=n_partitions
+    )
+    return cum.filter(F.col(cum_col) <= budget)

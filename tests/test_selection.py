@@ -1,0 +1,94 @@
+"""Budget-constrained selection / distributed running totals
+(operators/selection.py): the two-exchange prefix-sum plan must be
+bit-equal to the naive single-window form under every data shape,
+including total-tie skew."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.selection import (
+    running_total,
+    select_to_token_budget,
+)
+
+
+def _corpus(spark, n=4_000, tie_every=None):
+    """Deterministic corpus: quality from a hash (many exact ties when
+    tie_every divides the space), tokens in [1, 100]."""
+    q = (F.xxhash64("doc_id") % (tie_every or 1_000_000)).cast("double")
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        q.alias("quality_score"),
+        (F.pmod(F.xxhash64("id", F.lit("t")), F.lit(100)) + 1).alias("n_tokens"),
+    )
+
+
+def _naive(df, budget):
+    w = (
+        W.orderBy(F.col("quality_score").desc_nulls_last(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+@pytest.mark.parametrize("tie_every", [None, 7, 1])
+def test_budget_select_equals_single_window(spark, tie_every):
+    """Distributed prefix sum == one global window, for distinct
+    qualities, heavy ties, and the all-tied worst case (tie_every=1:
+    one quality value for the whole corpus)."""
+    df = _corpus(spark, tie_every=tie_every)
+    got = select_to_token_budget(df, 60_000).collect()
+    want = _naive(df, 60_000).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got, "budget must select a non-trivial prefix"
+
+
+def test_budget_select_is_nested_and_bounded(spark):
+    df = _corpus(spark, n=1_000)
+    big = {r["doc_id"]: r["cum_tokens"] for r in
+           select_to_token_budget(df, 20_000).collect()}
+    small = {r["doc_id"]: r["cum_tokens"] for r in
+             select_to_token_budget(df, 5_000).collect()}
+    # smaller budget = prefix of the bigger selection, same running totals
+    assert set(small) <= set(big)
+    assert all(big[d] == c for d, c in small.items())
+    assert all(c <= 5_000 for c in small.values())
+    # rails
+    assert select_to_token_budget(df, 0).count() == 0
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert select_to_token_budget(df, int(total)).count() == 1_000
+    with pytest.raises(ValueError, match="budget"):
+        select_to_token_budget(df, -1)
+
+
+def test_budget_select_stable_under_partitioning(spark):
+    df = _corpus(spark, n=2_000)
+    a = select_to_token_budget(df, 30_000).collect()
+    b = select_to_token_budget(df.repartition(17), 30_000, n_partitions=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_running_total_collision_guard(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("n_tokens"),
+        F.lit(0).alias("__PID"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        running_total(df, [F.col("doc_id")], "n_tokens")
+
+
+def test_running_total_null_quality_orders_last(spark):
+    rows = [(1, 5.0, 10), (2, None, 10), (3, 9.0, 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_tokens long"
+    )
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in select_to_token_budget(df, 100).collect()}
+    # order: 3 (9.0), 1 (5.0), 2 (NULL last)
+    assert out == {3: 10, 1: 20, 2: 30}
