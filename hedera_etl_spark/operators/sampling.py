@@ -186,6 +186,12 @@ def grouped_hash_sample(
     re-runs, engines, and row arrival order — everything
     ``df.sampleBy``'s RNG is not.  Groups smaller than k keep all rows.
 
+    ``key_cols`` must uniquely identify rows (the same contract as
+    ``grouped_topk``'s total order): rows sharing the full key also
+    share their (bucket, key) sort position, so at a group's k-boundary
+    ``row_number`` would pick a partition-order-dependent duplicate and
+    the reproducibility contract above breaks exactly there.
+
     Plan shape is ``grouped_topk``'s two-phase local-then-global top-k
     (operators/topk.py) ordered by (bucket, key): group columns are
     low-cardinality at corpus scale (languages, sources), so the naive

@@ -54,6 +54,10 @@ def running_total(
     input columns plus ``out_col`` (the inclusive prefix sum).  The
     result's partitioning is the selection order — callers writing it
     out get range-clustered files for free."""
+    if out_col.casefold() in {"__pid", "__off"}:
+        raise ValueError(
+            f"out_col {out_col!r} collides with running_total internals"
+        )
     taken = sorted(
         c for c in df.columns if c.casefold() in {"__pid", "__off", out_col.casefold()}
     )
@@ -61,6 +65,21 @@ def running_total(
         raise ValueError(
             f"input columns {taken} collide with running_total internals; "
             "rename them or pass a different out_col"
+        )
+    # exact-arithmetic types only: a double prefix sum is not reproducible
+    # across plans (the partition split changes the addition order), so a
+    # float value_col would silently break the "same answer for any
+    # n_partitions" contract AND the cross-engine oracle hash
+    vtype = dict(df.dtypes)[value_col]
+    if not (
+        vtype in ("tinyint", "smallint", "int", "bigint")
+        or vtype.startswith("decimal")
+    ):
+        raise ValueError(
+            f"value_col {value_col!r} has type {vtype}; running_total "
+            "requires an exact integral/decimal type — floating sums are "
+            "association-order-dependent, so the distributed prefix would "
+            "not equal the single-window form"
         )
     n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -70,9 +89,10 @@ def running_total(
         # frame; range sampling must not re-draw between the two actions
         .localCheckpoint(eager=False)
     )
-    totals = ranged.groupBy("__pid").agg(
-        F.sum(F.col(value_col)).cast("long").alias("__tot")
-    )
+    # no narrowing casts anywhere: Spark's sum already widens (long ->
+    # long, decimal(p,s) -> decimal(p+10,s)), and truncating per-partition
+    # totals would corrupt every later partition's offset
+    totals = ranged.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("__tot"))
     # exclusive prefix offsets over the n_partitions-row totals frame:
     # the single-partition window is over a dimension-sized input
     woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -84,10 +104,7 @@ def running_total(
     )
     return (
         ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            out_col,
-            (F.col("__off") + F.sum(F.col(value_col)).over(wlocal)).cast("long"),
-        )
+        .withColumn(out_col, F.col("__off") + F.sum(F.col(value_col)).over(wlocal))
         .drop("__pid", "__off")
     )
 

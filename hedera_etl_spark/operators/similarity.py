@@ -528,7 +528,11 @@ def contrastive_mining(
         F.col(label_col).alias("qlabel"),
     )
     if n_planes is None:
-        cands = emb.select(
+        # same spread rule as brute_force_topk: a large query batch puts
+        # O(n*q*dims) fold math on the corpus scan, so it must not ride a
+        # single-split parquet read; a handful of queries is cheaper unspread
+        corpus = ensure_parallelism(emb) if len(query_ids) >= 32 else emb
+        cands = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nvec"),
             F.col(label_col).alias("nlabel"),

@@ -113,8 +113,13 @@ class RobustObservation:
     a populated row is read the normal way (zero extra jobs — the
     metrics rode the caller's action); an eliminated one falls back to
     ONE aggregate job over the fallback frame (the rare, degenerate
-    path; the fallback re-executes the observed subtree).  A property,
-    so the ergonomics match ``Observation.get``: consumers read
+    path; the fallback re-executes the observed subtree, and the result
+    is cached so repeat reads never re-pay it).  When SEVERAL eliminated
+    observations stack along one pipeline (a fully-emptied corpus with
+    per-stage gauges), each read re-runs its own stage subtree once —
+    accepted trade: pinning every stage frame with a checkpoint would
+    tax the COMMON path to subsidize the degenerate one.  A property, so
+    the ergonomics match ``Observation.get``: consumers read
     ``obs.get["rows"]`` either way.  Like ``Observation.get``, it
     blocks until the observed plan's first action has completed.
     """
@@ -122,15 +127,20 @@ class RobustObservation:
     def __init__(self, obs: Observation, fallback: DataFrame):
         self._obs = obs
         self._fallback = fallback
+        self._cached: dict | None = None
 
     @property
     def get(self) -> dict:
+        if self._cached is not None:
+            return self._cached
         if self._obs._jo.getRow().length() > 0:
-            return dict(self._obs.get)
-        row = self._fallback.collect()[0]
-        return {
-            k: (0 if v is None else int(v)) for k, v in row.asDict().items()
-        }
+            self._cached = dict(self._obs.get)
+        else:
+            row = self._fallback.collect()[0]
+            self._cached = {
+                k: (0 if v is None else int(v)) for k, v in row.asDict().items()
+            }
+        return self._cached
 
 
 def robust_observe(

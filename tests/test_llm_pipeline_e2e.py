@@ -206,3 +206,19 @@ def test_stage_observations_survive_empty_collapse(spark):
     assert obs["exact_dedup"].get["rows"] == 2   # dup collapsed pre-floor
     assert obs["quality_floor"].get["rows"] == 0
     assert obs["final"].get["rows"] == 0
+
+
+def test_stage_observation_fallback_reads_are_cached(spark):
+    """The eliminated-node fallback re-executes its stage subtree ONCE;
+    repeat reads return the cached dict without another job."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two")], "doc_id long, text string"
+    )
+    obs: dict = {}
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=50, stage_observations=obs
+    )
+    assert out.count() == 0
+    first = obs["exact_dedup"].get
+    assert first["rows"] == 1
+    assert obs["exact_dedup"].get is first  # cached object, no re-run

@@ -92,3 +92,35 @@ def test_running_total_null_quality_orders_last(spark):
            for r in select_to_token_budget(df, 100).collect()}
     # order: 3 (9.0), 1 (5.0), 2 (NULL last)
     assert out == {3: 10, 1: 20, 2: 30}
+
+
+def test_running_total_rejects_out_col_named_like_internals(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError, match="internals"):
+        running_total(df, [F.col("doc_id")], "v", out_col="__off")
+
+
+def test_running_total_rejects_float_values(spark):
+    """A double prefix sum is association-order-dependent, so the
+    distributed form could disagree with the single window (and with
+    itself across n_partitions) — rejected, not silently truncated."""
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(0.7).alias("v")
+    )
+    with pytest.raises(ValueError, match="exact integral/decimal"):
+        running_total(df, [F.col("doc_id")], "v")
+
+
+def test_running_total_decimal_is_exact_across_partitionings(spark):
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(0.7).cast("decimal(10,2)")).alias("v"),
+    )
+    order = [F.col("doc_id")]
+    a = running_total(df, order, "v", n_partitions=2).collect()
+    b = running_total(df, order, "v", n_partitions=9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_id = {r["doc_id"]: r["running_total"] for r in a}
+    from decimal import Decimal
+    assert by_id[999] == Decimal("700.00")
+    assert by_id[0] == Decimal("0.70")
