@@ -209,7 +209,10 @@ def grouped_hash_sample(
         keys=group_cols,
         order=order,
         k=k,
-        shard_on=key_cols[0],
+        # shard on the FULL key: a composite key's first column alone can
+        # be coarse (e.g. ["source", "doc_id"]), which would cap each
+        # group's phase-1 spread at that column's distinct count
+        shard_on=F.xxhash64(*key_cols),
         n_shards=n_shards,
         rank_col=rank_col,
     )

@@ -51,7 +51,9 @@ def running_total(
     """Exact global running sum of ``value_col`` under ``order_cols``
     (a list of Columns forming a TOTAL order), distributed via the
     range-partition + offset plan in the module docstring.  Returns the
-    input columns plus ``out_col`` (the inclusive prefix sum).  The
+    input columns plus ``out_col`` (the inclusive prefix sum; NULL
+    values contribute 0, so the total is never NULL and never depends on
+    which partition a NULL lands in).  The
     result's partitioning is the selection order — callers writing it
     out get range-clustered files for free."""
     if out_col.casefold() in {"__pid", "__off"}:
@@ -89,10 +91,15 @@ def running_total(
         # frame; range sampling must not re-draw between the two actions
         .localCheckpoint(eager=False)
     )
+    # NULL values contribute 0 (coalesced per row, NOT skipped): a bare
+    # window sum is NULL while a partition-local prefix is all-NULL, so a
+    # NULL landing at a range-partition head would poison that row's cum
+    # and make the answer depend on n_partitions
+    val = F.coalesce(F.col(value_col), F.lit(0))
     # no narrowing casts anywhere: Spark's sum already widens (long ->
     # long, decimal(p,s) -> decimal(p+10,s)), and truncating per-partition
     # totals would corrupt every later partition's offset
-    totals = ranged.groupBy("__pid").agg(F.sum(F.col(value_col)).alias("__tot"))
+    totals = ranged.groupBy("__pid").agg(F.sum(val).alias("__tot"))
     # exclusive prefix offsets over the n_partitions-row totals frame:
     # the single-partition window is over a dimension-sized input
     woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -104,7 +111,7 @@ def running_total(
     )
     return (
         ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__off") + F.sum(F.col(value_col)).over(wlocal))
+        .withColumn(out_col, F.col("__off") + F.sum(val).over(wlocal))
         .drop("__pid", "__off")
     )
 
@@ -125,8 +132,9 @@ def select_to_token_budget(
     position in the token budget (monotone along the selection order, so
     ``cum_col <= b`` for a smaller b is that smaller budget's selection
     — nested like grouped_hash_sample's ranks).  Documents with NULL
-    quality or NULL/zero tokens participate like any other row (NULLs
-    order last under DESC, so they are the first cut).
+    quality order last under DESC (the first cut); NULL/zero token
+    counts contribute nothing to the running total but the rows
+    themselves are kept whenever their prefix fits.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")

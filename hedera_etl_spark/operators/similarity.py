@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 
 from hedera_etl_spark.functions import cosine, dot
 
+#: Query batches below this size score cheaper on an UNSPREAD corpus scan
+#: (measured: a handful of queries is a few hundred flops per row, noise
+#: next to the exchange ensure_parallelism adds) — shared by every exact
+#: scoring path so a retune can't drift between them.
+_SPREAD_MIN_QUERIES = 32
+
+
+def _sim_round(col):
+    """The cross-engine similarity canon: ONE DECIMAL(9,6) rounding of
+    the scored cosine, then DOUBLE so hash canonicalizers never see a
+    trailing-zero decimal string.  Every similarity output and every
+    DuckDB oracle twin (queries/simops.py) mirrors exactly this width —
+    change it in one place or hash parity breaks."""
+    return col.cast("decimal(9,6)").cast("double")
+
 
 def hyperplane_signs(n_planes: int, dims: int) -> list[list[int]]:
     """Deterministic +/-1 hyperplane matrix: sign(p,d) from md5("p:d")."""
@@ -284,7 +299,7 @@ def ivf_topk(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
+            _sim_round(F.col("cos")).alias("cos_sim"),
         )
         # q x k rows — bounded output (tables.bounded_sort)
         .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
@@ -315,10 +330,8 @@ def brute_force_topk(
     )
     # the corpus scan carries the O(n*q*dims) fold math; spreading a
     # narrow scan pays only when q is large enough that the per-row work
-    # dwarfs the exchange (a handful of queries is a few hundred flops
-    # per row — measured cheaper unspread; a production batch of
-    # hundreds of queries is not)
-    corpus = ensure_parallelism(emb) if len(query_ids) >= 32 else emb
+    # dwarfs the exchange (see _SPREAD_MIN_QUERIES)
+    corpus = ensure_parallelism(emb) if len(query_ids) >= _SPREAD_MIN_QUERIES else emb
     cands = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -336,7 +349,7 @@ def brute_force_topk(
             "query_id",
             "rank",
             "neighbor_id",
-            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
+            _sim_round(F.col("cos")).alias("cos_sim"),
         )
         # q x k rows — bounded output; the window exchange above keeps the
         # scoring parallel (tables.bounded_sort)
@@ -425,7 +438,7 @@ def lsh_ann_topk(
             "query_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
+            _sim_round(F.col("cos")).alias("cos_sim"),
         )
         # q x k rows — bounded output (tables.bounded_sort)
         .transform(lambda d: _bounded_sort(d, "query_id", "rank"))
@@ -472,7 +485,7 @@ def cosine_neardup_pairs(
         .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), dims))
         .filter(F.col("cos") >= threshold)
         .select(
-            "id_a", "id_b", F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim")
+            "id_a", "id_b", _sim_round(F.col("cos")).alias("cos_sim")
         )
         .orderBy("id_a", "id_b")
     )
@@ -528,10 +541,14 @@ def contrastive_mining(
         F.col(label_col).alias("qlabel"),
     )
     if n_planes is None:
-        # same spread rule as brute_force_topk: a large query batch puts
-        # O(n*q*dims) fold math on the corpus scan, so it must not ride a
-        # single-split parquet read; a handful of queries is cheaper unspread
-        corpus = ensure_parallelism(emb) if len(query_ids) >= 32 else emb
+        # same spread rule as brute_force_topk (see _SPREAD_MIN_QUERIES):
+        # a large query batch puts O(n*q*dims) fold math on the corpus
+        # scan, so it must not ride a single-split parquet read
+        corpus = (
+            ensure_parallelism(emb)
+            if len(query_ids) >= _SPREAD_MIN_QUERIES
+            else emb
+        )
         cands = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nvec"),
@@ -580,7 +597,7 @@ def contrastive_mining(
             "role",
             "rank",
             "neighbor_id",
-            F.col("cos").cast("decimal(9,6)").cast("double").alias("cos_sim"),
+            _sim_round(F.col("cos")).alias("cos_sim"),
         )
         # q x (k_pos + k_neg) rows — bounded output (tables.bounded_sort)
         .transform(lambda d: _bounded_sort(d, "query_id", "role", "rank"))

@@ -122,6 +122,13 @@ class RobustObservation:
     the ergonomics match ``Observation.get``: consumers read
     ``obs.get["rows"]`` either way.  Like ``Observation.get``, it
     blocks until the observed plan's first action has completed.
+
+    Metric authors own their null-handling: both paths return each
+    metric's NATIVE value (the fallback is the same ``agg`` the observed
+    node would run), so a metric that can see an empty/all-NULL frame
+    must coalesce itself — exactly what ``observe_bucket_cap``'s
+    count/max metrics do.  Reads return a COPY, so the cache stays
+    authoritative even if a consumer mutates its result in place.
     """
 
     def __init__(self, obs: Observation, fallback: DataFrame):
@@ -131,16 +138,12 @@ class RobustObservation:
 
     @property
     def get(self) -> dict:
-        if self._cached is not None:
-            return self._cached
-        if self._obs._jo.getRow().length() > 0:
-            self._cached = dict(self._obs.get)
-        else:
-            row = self._fallback.collect()[0]
-            self._cached = {
-                k: (0 if v is None else int(v)) for k, v in row.asDict().items()
-            }
-        return self._cached
+        if self._cached is None:
+            if self._obs._jo.getRow().length() > 0:
+                self._cached = dict(self._obs.get)
+            else:
+                self._cached = self._fallback.collect()[0].asDict()
+        return dict(self._cached)
 
 
 def robust_observe(

@@ -39,7 +39,7 @@ def grouped_topk(
     keys: list[str],
     order: list[Column],
     k: int,
-    shard_on: str,
+    shard_on: str | Column,
     n_shards: int = 32,
     rank_col: str = "rank",
 ) -> DataFrame:
@@ -47,10 +47,13 @@ def grouped_topk(
 
     ``order`` must be a TOTAL order within each group (append a unique
     tie-break column) — with ties at the k boundary, row_number would
-    otherwise pick an engine-dependent subset.  ``shard_on`` names a
-    column whose xxhash64 spreads phase 1 (any column works for
-    correctness — determinism of the RESULT comes from the total order —
-    but a unique id gives the even spread).  Returns the input columns
+    otherwise pick an engine-dependent subset.  ``shard_on`` is a column
+    name or expression whose xxhash64 spreads phase 1 (any column works
+    for correctness — determinism of the RESULT comes from the total
+    order — but it must be HIGH-cardinality for the even spread: a
+    coarse column caps each group at that column's distinct count of
+    shards, re-creating the one-reducer sort; composite-keyed callers
+    should shard on the full key).  Returns the input columns
     plus ``rank_col`` (1-based dense position under ``order``).
 
     Set ``n_shards=1`` to degenerate to the single-window form (useful
@@ -74,7 +77,8 @@ def grouped_topk(
             f"input columns {taken} collide with grouped_topk "
             "internals; rename them or pass a different rank_col"
         )
-    shard = F.pmod(F.xxhash64(F.col(shard_on)), F.lit(n_shards))
+    shard_col = F.col(shard_on) if isinstance(shard_on, str) else shard_on
+    shard = F.pmod(F.xxhash64(shard_col), F.lit(n_shards))
     local = W.partitionBy(*keys, "__shard").orderBy(*order)
     survivors = (
         df.withColumn("__shard", shard)

@@ -221,4 +221,8 @@ def test_stage_observation_fallback_reads_are_cached(spark):
     assert out.count() == 0
     first = obs["exact_dedup"].get
     assert first["rows"] == 1
-    assert obs["exact_dedup"].get is first  # cached object, no re-run
+    assert obs["exact_dedup"]._cached is not None  # fallback ran once
+    # repeat reads serve the cache as a COPY: equal values, and a
+    # consumer mutating its copy cannot corrupt later reads
+    first["rows"] = -99
+    assert obs["exact_dedup"].get["rows"] == 1

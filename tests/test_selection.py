@@ -124,3 +124,19 @@ def test_running_total_decimal_is_exact_across_partitionings(spark):
     from decimal import Decimal
     assert by_id[999] == Decimal("700.00")
     assert by_id[0] == Decimal("0.70")
+
+
+def test_running_total_null_values_contribute_zero_any_partitioning(spark):
+    """A NULL value landing at a range-partition head must not poison
+    that row's running total (bare window sums are NULL over an all-NULL
+    local prefix) — NULLs contribute 0 under every n_partitions."""
+    rows = [(0, 1), (1, 1), (2, None), (3, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    for n in (1, 2, 4):
+        out = {
+            r["doc_id"]: r["running_total"]
+            for r in running_total(
+                df, [F.col("doc_id")], "v", n_partitions=n
+            ).collect()
+        }
+        assert out == {0: 1, 1: 2, 2: 2, 3: 3}, f"n_partitions={n}"

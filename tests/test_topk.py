@@ -117,3 +117,23 @@ def test_collision_guard_is_case_insensitive(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         grouped_topk(df, ["source"], ["score"], 1, shard_on="doc_id")
+
+
+def test_shard_on_expression_equals_column_name(spark):
+    """shard_on accepts an expression; the shard assignment can never
+    change the answer, only the spread — pinned bit-equal."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.topk import grouped_topk
+
+    df = spark.range(3_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    a = grouped_topk(df, ["g"], order, 7, shard_on="doc_id").collect()
+    b = grouped_topk(
+        df, ["g"], order, 7, shard_on=F.xxhash64("g", "doc_id")
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
