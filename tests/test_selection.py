@@ -140,3 +140,41 @@ def test_running_total_null_values_contribute_zero_any_partitioning(spark):
             ).collect()
         }
         assert out == {0: 1, 1: 2, 2: 2, 3: 3}, f"n_partitions={n}"
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (operators/corpusdiff.py) — colocated here with the
+# other corpus-management ops
+# ---------------------------------------------------------------------------
+def test_corpus_diff_statuses_and_summary(spark):
+    from hedera_etl_spark.operators.corpusdiff import corpus_diff, diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    d = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert d == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"
+    }
+    s = {r["status"]: r["n"] for r in diff_summary(corpus_diff(old, new)).collect()}
+    assert s == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_corpus_diff_join_is_pruned_to_id_and_hash(spark):
+    """The full-outer join must move (id, md5) only — document bodies
+    stay in their scans (scale contract of the module docstring)."""
+    from hedera_etl_spark.operators.corpusdiff import corpus_diff
+
+    old = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text"),
+        F.lit("x").alias("payload"),
+    )
+    plan = corpus_diff(old, old)._jdf.queryExecution().executedPlan().toString()
+    import re
+    join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    assert "text" not in join_line and "payload" not in join_line
