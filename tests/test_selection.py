@@ -178,3 +178,18 @@ def test_corpus_diff_join_is_pruned_to_id_and_hash(spark):
     import re
     join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
     assert "text" not in join_line and "payload" not in join_line
+
+
+def test_running_total_offsets_join_broadcasts(spark):
+    """The offsets frame is dimension-sized (one row per partition), so
+    its join-back must be a BroadcastHashJoin — never a sort-merge or
+    cartesian over the corpus."""
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("decimal(10,2)").alias("q"),
+        F.lit(10).alias("n_tokens"),
+    )
+    out = running_total(df, [F.col("q").desc(), F.col("doc_id")], "n_tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
