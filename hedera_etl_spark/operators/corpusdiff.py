@@ -16,11 +16,13 @@ dimension-sized aggregate over the statuses.
 
 md5 (not xxhash64) for the content hash: the same cross-engine
 determinism contract as operators/sampling.py — any engine (and the
-DuckDB oracle twin) re-derives identical hashes.  ``concat_ws`` skips
-NULL columns on BOTH engines, so a NULL content column hashes like an
-absent one (a NULL text and an empty text collide) — acceptable for
-change DETECTION and portable; callers needing NULL-vs-empty
-distinction add an explicit nullness column to ``content_cols``.
+DuckDB oracle twin) re-derives identical hashes.  Each column is
+coalesced to a ``\\x00`` sentinel BEFORE the join, because ``concat_ws``
+skips NULL columns outright on both engines — without the sentinel a
+NULL shifting between columns collides ((NULL,'x') vs ('x',NULL) hash
+identically; ADVICE r8 #2).  Residual collisions: a NULL column vs a
+column whose literal value is the one-byte NUL string, and NULL vs
+empty string are distinct (sentinel != '').
 """
 
 from __future__ import annotations
@@ -30,13 +32,18 @@ from pyspark.sql import functions as F
 
 
 def content_hash(content_cols) -> F.Column:
-    """md5 over the \\x1f-joined content columns — the engine-portable
-    row-content fingerprint (mirrored literally by the oracle SQL)."""
+    """md5 over the \\x1f-joined content columns, each NULL-coalesced to
+    a \\x00 sentinel so column positions survive NULLs — the engine-
+    portable row-content fingerprint (mirrored literally by the oracle
+    SQL: ``coalesce(CAST(c AS VARCHAR), chr(0))``)."""
     return F.md5(
         F.concat_ws(
             "\x1f",
             *[
-                (F.col(c) if isinstance(c, str) else c).cast("string")
+                F.coalesce(
+                    (F.col(c) if isinstance(c, str) else c).cast("string"),
+                    F.lit("\x00"),
+                )
                 for c in content_cols
             ],
         )

@@ -145,10 +145,15 @@ def fuzzy_key_join(
         b, F.abs(F.length("key_a") - F.length("key_b")) <= d
     ).select("id_a", "key_a", "id_b", "key_b")
 
+    # Dedup on the FULL (id, key) pair: a pair can be blocked by several
+    # segments, but two rows sharing an id with different keys are
+    # distinct pairs — deduping on ids alone could keep a non-matching
+    # key pair and drop a true one (ADVICE r8 #1).  id_a == id_b pairs
+    # are legitimate here: left and right are independent sources whose
+    # id spaces may overlap; the self-join wrapper excludes them.
     return (
         blocked.unionByName(short_pairs)
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b", "key_a", "key_b"])
         .withColumn("dist", F.levenshtein("key_a", "key_b"))
         .filter(F.col("dist") <= d)
     )
@@ -163,8 +168,10 @@ def fuzzy_neardup_pairs(
     cap_observations: dict | None = None,
 ) -> DataFrame:
     """Self-join form: unordered key pairs within ``max_dist`` edits,
-    canonicalized as ``id_a < id_b`` — feed into
-    components.connected_components for typo-cluster collapse."""
+    canonicalized as ``id_a < id_b`` (which also drops the trivial
+    self-pairs the two-table form deliberately keeps) — feed into
+    components.connected_components for typo-cluster collapse.
+    Assumes ``id_col`` is unique within ``df`` (a corpus primary key)."""
     pairs = fuzzy_key_join(
         df, df, key_col, id_col, max_dist, max_segment, cap_observations
     )

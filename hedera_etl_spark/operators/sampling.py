@@ -150,6 +150,7 @@ def weighted_hash_sample(
     key_cols: list[str],
     weight_col: Column | str,
     salt: str = "",
+    null_weight: float = 0.0,
 ) -> DataFrame:
     """Keep each row iff bucket(key) < weight — per-row importance
     sampling, the DSIR-style "resample the corpus proportionally to a
@@ -159,6 +160,11 @@ def weighted_hash_sample(
     ``weight_col`` is a column (or name) of per-row keep probabilities;
     values are clamped into [0, 1] so an unnormalized score can't
     silently invert the filter (w <= 0 drops, w >= 1 always keeps).
+    A NULL weight is EXPLICITLY coalesced to ``null_weight`` (default
+    0.0 = drop unscored rows; pass 1.0 to keep them — ADVICE r8 #4: on
+    a sparsely-scored corpus the default silently loses every unscored
+    row, so the choice must be the caller's, not an accident of
+    ``greatest``'s NULL skipping).
     Same md5-bucket determinism contract as ``hash_sample``: the decision
     hashes the KEY only, so re-runs, retries, and the oracle engine
     reproduce the identical sample, and per-row keep decisions are
@@ -167,7 +173,8 @@ def weighted_hash_sample(
     Scale: one per-row projection + filter — zero shuffles, no state.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    w = F.coalesce(w.cast("double"), F.lit(float(null_weight)))
+    clamped = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
     return df.filter(hash_bucket(*key_cols, salt=salt) < clamped)
 
 

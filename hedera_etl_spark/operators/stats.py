@@ -139,7 +139,17 @@ class RobustObservation:
     @property
     def get(self) -> dict:
         if self._cached is None:
-            if self._obs._jo.getRow().length() > 0:
+            # The elimination probe reads PRIVATE PySpark internals
+            # (py4j handle + getRow), correct on the pinned Spark 4.1.2
+            # (Observation.get itself calls getRow).  If an upstream
+            # refactor moves either, degrade to the fallback aggregate
+            # instead of turning every metric read into an
+            # AttributeError (ADVICE r8 #3).
+            try:
+                populated = self._obs._jo.getRow().length() > 0
+            except Exception:
+                populated = False
+            if populated:
                 self._cached = dict(self._obs.get)
             else:
                 self._cached = self._fallback.collect()[0].asDict()

@@ -333,7 +333,12 @@ _VOCAB_ORACLE = """
     "llm_vocab_stats",
     _VOCAB_ORACLE,
     tags=("llm", "vocab", "tokenizer", "window"),
-    # rotated into the driver window r7
+    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
+    # (verifier: the shared tokenization + vocabulary-sized aggregate
+    # kernel stays driver-green via llm_bpe_merges, which consumes the
+    # same pair/term statistics; coverage-curve math pytest-pinned in
+    # test_vocab.py).
+    driver_visible=False,
 )
 def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary table (operators/vocab.vocab_stats):
@@ -365,7 +370,11 @@ _PAIR_ORACLE = """
     "llm_pair_stats",
     _PAIR_ORACLE,
     tags=("llm", "vocab", "tokenizer", "bpe"),
-    # rotated INTO the driver window in r8 (VERDICT r7 #1); q01's slot.
+    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
+    # (verifier: llm_bpe_merges stays IN and its first merge round IS
+    # the argmax over these pair statistics, so the kernel remains
+    # driver-checked every round).
+    driver_visible=False,
 )
 def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair frequencies (operators/vocab.pair_stats) —

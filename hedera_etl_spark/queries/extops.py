@@ -158,12 +158,9 @@ def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, event_type NULLS FIRST, ub NULLS FIRST
     """,
     tags=("cube", "grouping-sets", "aggregate"),
-    # Out of the 50-entry driver window since r6 (slot ceded to
-    # llm_dup_clusters, a NEW family): the grouping-set family keeps its
-    # driver row via q12_rollup (same GROUPING-SETS expansion machinery,
-    # same grouping-id shuffle), and this entry's own oracle still runs
-    # under tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r9 (VERDICT r8 #1: last
+    # driver-green r5, three rounds stale); llm_vocab_stats parks in
+    # exchange.
 )
 def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (DataFrame API) and GROUPING SETS (SQL — the DataFrame API

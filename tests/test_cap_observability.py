@@ -431,3 +431,28 @@ def test_ivf_history_duplicate_rows_detected_and_neutralized(spark, tmp_path):
     got = cap_counts(caps)["ivf_history_cap"]
     assert got["capped_buckets"] == 0
     assert got["duplicate_rows"] == 3
+
+
+# ---------------------------------------------------------------------------
+# RobustObservation probe degradation (ADVICE r8 #3)
+# ---------------------------------------------------------------------------
+def test_robust_observation_probe_failure_degrades_to_fallback(spark):
+    """The elimination probe reads private PySpark internals; if an
+    upstream refactor breaks it, metric reads must degrade to the
+    fallback aggregate instead of raising."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.stats import robust_observe
+
+    df = spark.range(10).select(F.col("id").cast("long").alias("n"))
+    observed, robust = robust_observe(
+        df, "probe_break", F.coalesce(F.sum("n"), F.lit(0)).alias("total")
+    )
+    observed.count()
+
+    class _Broken:
+        def getRow(self):  # simulates a moved/renamed py4j surface
+            raise AttributeError("no getRow on this Spark")
+
+    robust._obs._jo = _Broken()
+    assert robust.get["total"] == 45  # served by the fallback aggregate

@@ -97,6 +97,35 @@ def test_null_keys_never_match_and_two_table_form(spark):
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 10)}
 
 
+def test_two_table_overlapping_id_spaces(spark):
+    """ADVICE r8 #1 regression: left and right come from independent
+    sources, so an unrelated pair sharing an id VALUE must survive —
+    the id_a != id_b filter belongs to the self-join wrapper only."""
+    left = spark.createDataFrame([(7, "abcdef")], "id long, key string")
+    right = spark.createDataFrame(
+        [(7, "abcdeX"), (8, "abcdef")], "id long, key string"
+    )
+    rows = fuzzy_key_join(left, right, max_dist=1).collect()
+    assert {(r["id_a"], r["id_b"], r["dist"]) for r in rows} == {
+        (7, 7, 1),  # same id value, different sources — must NOT drop
+        (7, 8, 0),
+    }
+
+
+def test_duplicate_ids_within_a_side_keep_true_pairs(spark):
+    """ADVICE r8 #1 regression: dedup keys on (id, key) pairs, not ids —
+    a right side with two rows under one id (different keys) must not
+    let the non-matching key shadow the matching one."""
+    left = spark.createDataFrame([(1, "abcdef")], "id long, key string")
+    right = spark.createDataFrame(
+        [(5, "zzzzzz"), (5, "abcdeX")], "id long, key string"
+    )
+    rows = fuzzy_key_join(left, right, max_dist=1).collect()
+    assert [(r["id_a"], r["id_b"], r["key_b"], r["dist"]) for r in rows] == [
+        (1, 5, "abcdeX", 1)
+    ]
+
+
 def test_hot_segment_cap_is_loud(spark):
     """Boilerplate keys (shared prefix) blow up one segment's bucket —
     the cap must drop candidates LOUDLY via cap_observations."""

@@ -252,6 +252,21 @@ def test_weighted_sample_clamps_and_is_monotone(spark):
     assert lo <= hi and len(lo) < len(hi)
 
 
+def test_weighted_sample_null_weight_is_explicit(spark):
+    """ADVICE r8 #4 regression: NULL weights follow null_weight — drop
+    by default, keep-all at 1.0 — never an accident of greatest()."""
+    from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(1_000).withColumnRenamed("id", "k").withColumn(
+        "w", F.when(F.col("k") % 2 == 0, F.lit(1.0))  # odd rows unscored
+    )
+    kept_default = weighted_hash_sample(df, ["k"], "w")
+    assert kept_default.filter(F.col("k") % 2 == 1).count() == 0
+    assert kept_default.count() == 500
+    kept_all = weighted_hash_sample(df, ["k"], "w", null_weight=1.0)
+    assert kept_all.count() == 1_000
+
+
 # ---------------------------------------------------------------------------
 # exactly-k-per-group uniform sampling
 # ---------------------------------------------------------------------------

@@ -165,6 +165,25 @@ def test_corpus_diff_statuses_and_summary(spark):
     assert s == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
 
 
+def test_corpus_diff_null_shift_and_null_vs_empty_are_changes(spark):
+    """ADVICE r8 #2 regression: with multi-column content, a NULL moving
+    between columns must read as 'changed' (concat_ws alone would skip
+    the NULL and collide), and NULL vs empty string must differ."""
+    from hedera_etl_spark.operators.corpusdiff import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y")], "doc_id long, title string, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None), (2, "", "y")], "doc_id long, title string, text string"
+    )
+    d = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, content_cols=("title", "text")).collect()
+    }
+    assert d == {1: "changed", 2: "changed"}
+
+
 def test_corpus_diff_join_is_pruned_to_id_and_hash(spark):
     """The full-outer join must move (id, md5) only — document bodies
     stay in their scans (scale contract of the module docstring)."""
