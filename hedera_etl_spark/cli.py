@@ -196,6 +196,26 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--domain-col", default="source", help="mixture stratum column")
     p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument(
+        "--importance-col",
+        default=None,
+        help="per-row keep-probability column (DSIR-style importance "
+        "resample; values clamp into [0,1])",
+    )
+    p.add_argument(
+        "--importance-null-weight",
+        type=float,
+        default=0.0,
+        help="keep probability for rows whose importance score is NULL "
+        "(default 0 = drop unscored rows)",
+    )
+    p.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="final compute-bound cut: keep the highest-quality docs "
+        "whose running token total stays within this budget",
+    )
     p.add_argument("--salt", default="", help="decorrelates this sample from other splits")
     p.add_argument("--pack-groups", type=int, default=64)
     p.add_argument(
@@ -227,6 +247,28 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
 
 
+def _add_diff(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "diff",
+        help="corpus snapshot audit: per-id added/removed/changed/"
+        "unchanged between two parquet snapshots (operators/corpusdiff.py)",
+    )
+    p.add_argument("--old", required=True, help="old snapshot parquet path")
+    p.add_argument("--new", required=True, help="new snapshot parquet path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--content-cols",
+        default="text",
+        help="comma-separated content columns hashed for change detection",
+    )
+    p.add_argument(
+        "--out",
+        default=None,
+        help="optional parquet path for the full per-id diff (default: "
+        "print the 4-row summary only)",
+    )
+
+
 def _add_bench(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("bench", help="run the bench-tagged registry queries")
     p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
@@ -239,6 +281,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_dedupe(sub)
     _add_corpus_ingest(sub)
     _add_prepare(sub)
+    _add_diff(sub)
     _add_bench(sub)
     return parser
 
@@ -374,6 +417,9 @@ def main(argv: list[str] | None = None) -> int:
             mixture=mixture,
             domain_col=args.domain_col,
             sample_rate=args.sample_rate,
+            importance_col=args.importance_col,
+            importance_null_weight=args.importance_null_weight,
+            token_budget=args.token_budget,
             salt=args.salt,
             embeddings=(
                 spark.read.parquet(args.embeddings_input)
@@ -402,6 +448,28 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"shards={totals['shards']} rows={totals['rows']} tokens={totals['tokens']} "
             f"out={args.out_dir}"
+        )
+        return 0
+
+    if args.command == "diff":
+        from hedera_etl_spark.operators.corpusdiff import corpus_diff, diff_summary
+
+        diff = corpus_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            id_col=args.id_col,
+            content_cols=tuple(args.content_cols.split(",")),
+        )
+        if args.out:
+            diff.write.mode("error").parquet(args.out)
+            diff = spark.read.parquet(args.out)  # summary reads it back
+        counts = {r["status"]: r["n"] for r in diff_summary(diff).collect()}
+        print(
+            " ".join(
+                f"{k}={counts.get(k, 0)}"
+                for k in ("added", "removed", "changed", "unchanged")
+            )
+            + (f" out={args.out}" if args.out else "")
         )
         return 0
 

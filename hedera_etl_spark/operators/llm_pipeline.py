@@ -45,6 +45,7 @@ def prepare_training_corpus(
     near_dup_method: str = "minhash",
     shingle_n: int = 3,
     minhash_k: int = 9,
+    minhash_hash_fn: str = "xxhash64",
     lsh_bands: int = 3,
     max_bucket: int | None = 500,
     winnow_k: int = 4,
@@ -76,6 +77,9 @@ def prepare_training_corpus(
     mixture: dict[str, float] | None = None,
     domain_col: str = "source",
     sample_rate: float = 1.0,
+    importance_col: str | None = None,
+    importance_null_weight: float = 0.0,
+    token_budget: int | None = None,
     salt: str = "",
     stage_observations: dict | None = None,
     cap_observations: dict | None = None,
@@ -107,8 +111,16 @@ def prepare_training_corpus(
     ``lm_min_avg_logp`` (against ``lm_model`` — a reference-corpus
     bigram LM per CCNet — or self-trained on the survivors when None;
     skipped when the threshold is None), target-``mixture`` resample over
-    ``domain_col`` (skipped when None), deterministic md5 Bernoulli
-    sample at ``sample_rate`` (salt-decorrelated from other splits).
+    ``domain_col`` (skipped when None), DSIR-style importance resample
+    when ``importance_col`` names a per-row keep-probability column
+    (``weighted_hash_sample``; NULL scores follow
+    ``importance_null_weight`` — drop by default), deterministic md5
+    Bernoulli sample at ``sample_rate`` (salt-decorrelated from other
+    splits), and finally — when ``token_budget`` is set — the greedy
+    compute-bound cut: keep the highest-``quality_score`` documents
+    whose running token total stays within the budget
+    (``selection.select_to_token_budget``, a range-partitioned
+    distributed prefix sum).
     Set ``near_threshold=None`` to skip the near-dup stage (exact-only),
     ``sample_rate=1.0`` to keep everything.
 
@@ -197,6 +209,10 @@ def prepare_training_corpus(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         if near_dup_method == "minhash":
+            # production default xxhash64: the signature digest is the
+            # operator's dominant CPU cost and nothing downstream sees
+            # hash values; md5 remains available for cross-engine
+            # reproducibility of the pair set (textdedup._km_base)
             pairs = minhash_lsh_neardups(
                 renamed,
                 n=shingle_n,
@@ -205,6 +221,7 @@ def prepare_training_corpus(
                 threshold=near_threshold,
                 max_bucket=max_bucket,
                 cap_observations=cap_observations,
+                hash_fn=minhash_hash_fn,
             )
         elif near_dup_method == "winnow":
             # winnowing detector: docs sharing >= winnow_min_shared
@@ -372,8 +389,32 @@ def prepare_training_corpus(
     if mixture is not None:
         out = mixture_sample(out, domain_col, mixture, key_cols=[id_col], salt=salt)
 
+    if importance_col is not None:
+        from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+        out = weighted_hash_sample(
+            out, [id_col], importance_col, salt=salt,
+            null_weight=importance_null_weight,
+        )
+        out = _observed("importance_sample", out)
+
     if sample_rate < 1.0:
         out = hash_sample(out, [id_col], sample_rate, salt=salt)
+
+    if token_budget is not None:
+        from hedera_etl_spark.operators.selection import select_to_token_budget
+
+        # the LAST cut by design: the budget is a budget on what SHIPS,
+        # so it runs over the mixture/sample survivors; selection keys
+        # on the deterministic quality score + whitespace token count
+        scored = quality_scores(out, text_col, id_col).select(
+            "doc_id", "quality_score", "n_tokens"
+        )
+        selected = select_to_token_budget(scored, token_budget)
+        out = out.join(
+            selected.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        out = _observed("token_budget", out)
     out = _observed("final", out)
 
     if embeddings is not None:

@@ -134,29 +134,63 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
 _KM_MOD = 1 << 32
 
 
-def _km_base(shingle_col):
+#: 2^32 - 1 — mask for splitting a 64-bit hash into two 32-bit halves.
+_U32 = (1 << 32) - 1
+
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"unknown hash_fn: {hash_fn!r} (expected 'md5' or 'xxhash64')"
+        )
+
+
+def _km_base(shingle_col, hash_fn: str = "md5"):
     """(h1, h2) base pair for the Kirsch-Mitzenmacher hash family: two
-    32-bit values parsed from ONE md5 of the shingle.  Family member i is
+    32-bit values from ONE hash of the shingle.  Family member i is
     (h1 + i*h2) mod 2^32 — pure integer arithmetic, so a k-member
     signature costs one digest per shingle instead of k (the classic
     g_i = h1 + i*h2 construction, same collision guarantees as k
-    independent hashes for minhash purposes).  DuckDB twin:
-    ``('0x' || substring(md5(s), 1, 8))::BIGINT`` and chars 9-16.
+    independent hashes for minhash purposes).
+
+    ``hash_fn`` picks the digest (VERDICT r8 #2):
+
+    - ``"md5"`` — cross-engine oracle canon: DuckDB re-derives the
+      identical pair via ``('0x' || substring(md5(s), 1, 8))::BIGINT``
+      and chars 9-16.  Cost: the hex digest + conv parse evaluate
+      INTERPRETED inside HOF lambdas (~2x the whole-query time at
+      sf0.1).
+    - ``"xxhash64"`` — production mode: one native JVM hash split into
+      its 32-bit halves.  No DuckDB twin exists (xxhash64 is absent
+      there), so oracle-gated entries keep md5; everything downstream
+      (banding, candidate generation, exact-Jaccard verify) is
+      hash-value-free, so the near-dup PAIR SET is the same wherever
+      both modes' LSH recall coincides (pinned on a seeded corpus in
+      tests/test_textdedup.py).
     """
-    d = F.md5(shingle_col)
-    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    _check_hash_fn(hash_fn)
+    if hash_fn == "xxhash64":
+        x = F.xxhash64(shingle_col)
+        h1 = F.shiftright(x, 32).bitwiseAND(F.lit(_U32))
+        h2 = x.bitwiseAND(F.lit(_U32))
+    else:
+        d = F.md5(shingle_col)
+        h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
     return F.struct(h1.alias("h1"), h2.alias("h2"))
 
 
-def minhash_signatures(sh: DataFrame, k: int = 9, with_size: bool = False) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, k: int = 9, with_size: bool = False, hash_fn: str = "md5"
+) -> DataFrame:
     """k-member MinHash signature in a single aggregate pass over
-    exploded (doc_id, shingle) rows — Kirsch-Mitzenmacher family, one md5
-    per shingle.  ``with_size`` rides the shingle-set cardinality along on
-    the same aggregate (free map-side combine) so downstream Jaccard math
-    needs no separate sizes pass.
+    exploded (doc_id, shingle) rows — Kirsch-Mitzenmacher family, one
+    digest per shingle (``hash_fn``: see ``_km_base``).  ``with_size``
+    rides the shingle-set cardinality along on the same aggregate (free
+    map-side combine) so downstream Jaccard math needs no separate
+    sizes pass.
     """
-    base = _km_base(F.col("shingle"))
+    base = _km_base(F.col("shingle"), hash_fn)
     aggs = [
         F.min((base["h1"] + i * base["h2"]) % F.lit(_KM_MOD)).alias(f"mh_{i}")
         for i in range(k)
@@ -167,7 +201,7 @@ def minhash_signatures(sh: DataFrame, k: int = 9, with_size: bool = False) -> Da
 
 
 def minhash_signatures_from_sets(
-    sets: DataFrame, k: int = 9, with_size: bool = False
+    sets: DataFrame, k: int = 9, with_size: bool = False, hash_fn: str = "md5"
 ) -> DataFrame:
     """MinHash signature as a pure per-row projection over ``sh_set``
     (from ``shingle_sets``): array_min over the hashed set — the whole
@@ -180,17 +214,31 @@ def minhash_signatures_from_sets(
     ``sets`` with empty arrays would get NULL signature members
     (array_min of []) rather than a dropped row.
 
-    The md5 runs once per shingle into a projected (h1, h2) array; each
-    family member is then an integer transform over that array.  SQL-text
-    expressions throughout (HOF lambdas are the priciest Columns to build
-    over py4j — see simhash_fingerprints' driver-cost note).
+    The digest runs once per shingle into a projected (h1, h2) array;
+    each family member is then an integer transform over that array.
+    SQL-text expressions throughout (HOF lambdas are the priciest
+    Columns to build over py4j — see simhash_fingerprints' driver-cost
+    note).  ``hash_fn="xxhash64"`` is the production mode — the lambda
+    body shrinks from two interpreted hex-digest parses to one native
+    JVM hash call plus shift/mask integer ops (see ``_km_base``).
     """
+    _check_hash_fn(hash_fn)
+    if hash_fn == "xxhash64":
+        hs_expr = (
+            "transform(transform(sh_set, s -> xxhash64(s)), x -> named_struct("
+            f"'h1', shiftright(x, 32) & {_U32}, "
+            f"'h2', x & {_U32})) AS __hs"
+        )
+    else:
+        hs_expr = (
+            "transform(sh_set, s -> named_struct("
+            "'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), "
+            "'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))) AS __hs"
+        )
     hashed = sets.selectExpr(
         "doc_id",
         "CAST(size(sh_set) AS BIGINT) AS __n",
-        "transform(sh_set, s -> named_struct("
-        "'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), "
-        "'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))) AS __hs",
+        hs_expr,
     )
     cols = [
         f"array_min(transform(__hs, p -> (p.h1 + {i} * p.h2) % {_KM_MOD})) AS mh_{i}"
@@ -399,9 +447,18 @@ def minhash_lsh_neardups(
     threshold: float = 0.5,
     max_bucket: int | None = 500,
     cap_observations: dict | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: shingle -> sign -> band ->
     candidate join -> exact-Jaccard verify -> threshold.
+
+    ``hash_fn="xxhash64"`` is the production signature mode (native JVM
+    hash instead of interpreted per-shingle md5 hex parsing — measured
+    the dominant CPU cost of this operator at sf0.1); ``"md5"`` stays
+    the default because it is the cross-engine oracle canon (see
+    ``_km_base``).  Everything downstream of the signature is
+    hash-value-free, so both modes yield the same verified pair set
+    wherever their LSH recall coincides.
 
     ``max_bucket`` defaults ON (500): on a real corpus one boilerplate
     shingle bucket otherwise goes quadratic in the candidate self-join;
@@ -430,7 +487,7 @@ def minhash_lsh_neardups(
     # form paid two: distinct on (doc,shingle) and the groupBy(doc));
     # sizes flow through the candidate join, and verify intersects the
     # per-row sets directly, so no shingle-level join exists anywhere
-    sig = minhash_signatures_from_sets(sets, k, with_size=True)
+    sig = minhash_signatures_from_sets(sets, k, with_size=True, hash_fn=hash_fn)
     cand = lsh_candidates(
         sig, bands, rows, max_bucket=max_bucket,
         cap_observations=cap_observations,

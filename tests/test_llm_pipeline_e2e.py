@@ -161,6 +161,80 @@ def test_full_hygiene_stages(spark, corpus):
     assert ids == {r["doc_id"] for r in again.collect()}
 
 
+def test_budget_bounded_mixture_shaped_output(spark, corpus):
+    """VERDICT r8 #4: the selection/sampling surfaces compose as pipeline
+    stages — target mixture -> DSIR importance resample -> token-budget
+    cut, end to end, deterministic, with the budget binding last."""
+    domained = corpus.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    ).withColumn(
+        # importance score: NULL for every 7th doc (unscored), else high
+        "imp",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(0.9)),
+    )
+    knobs = dict(
+        near_threshold=0.5,
+        min_tokens=5,
+        mixture={"web": 0.5, "code": 0.5},
+        importance_col="imp",
+        token_budget=4_000,
+        sample_rate=1.0,
+        salt="bud",
+    )
+    out = prepare_training_corpus(domained, **knobs)
+    rows = out.collect()
+    assert rows, "budgeted pipeline must keep something"
+    ids = {r["doc_id"] for r in rows}
+    # NULL-importance rows drop by default (explicit null_weight=0)
+    assert all(i % 7 != 0 for i in ids)
+    # the budget binds: surviving whitespace tokens fit in 4k
+    total_tokens = sum(len(r["text"].split()) for r in rows)
+    assert 0 < total_tokens <= 4_000
+    # without the budget the same pipeline ships more tokens
+    unbudgeted = prepare_training_corpus(
+        domained, **{**knobs, "token_budget": None}
+    )
+    more = sum(len(r["text"].split()) for r in unbudgeted.collect())
+    assert more > total_tokens
+    # reproducible end to end
+    assert ids == {
+        r["doc_id"] for r in prepare_training_corpus(domained, **knobs).collect()
+    }
+    # null_weight=1.0 keeps the unscored rows instead
+    kept_unscored = prepare_training_corpus(
+        domained,
+        **{**knobs, "token_budget": None, "importance_null_weight": 1.0},
+    )
+    assert any(r["doc_id"] % 7 == 0 for r in kept_unscored.collect())
+
+
+def test_cli_diff_roundtrip(spark, corpus, tmp_path, capsys):
+    """`diff` subcommand: snapshot audit summary through argv parsing."""
+    from hedera_etl_spark import cli
+
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    corpus.write.parquet(old_p)
+    (
+        corpus.filter(F.col("doc_id") != 1)  # one removed
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 2, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),  # one changed
+        )
+        .unionByName(
+            spark.createDataFrame([(9_999_999, "brand new doc")], ["doc_id", "text"])
+        )  # one added
+        .write.parquet(new_p)
+    )
+    rc = cli.main(["diff", "--old", old_p, "--new", new_p])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "added=1" in printed and "removed=1" in printed
+    assert "changed=1" in printed
+
+
 def test_stage_observations_ride_the_callers_action(spark):
     """ST7 gauges for the batch pipeline: per-stage surviving-row counts
     via Observation — no extra jobs, values land with the caller's own
