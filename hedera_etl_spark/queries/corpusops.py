@@ -487,3 +487,63 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_merges(docs, k=_BPE_K).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (operators/ordershuffle.py): the seeded
+# training-order permutation + fixed-size shard assignment — the last
+# step before a dataloader.  Oracle: the single-window ROW_NUMBER form
+# over the identical md5 hash order (the Spark side runs the
+# range-partitioned distributed prefix sum, pinned bit-equal to this
+# window in tests/test_ordershuffle.py).
+# ---------------------------------------------------------------------------
+_SHUF_SALT = "r9shuf"
+_SHUF_SIZE = 64
+
+_SHUFFLE_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(concat_ws(chr(31), '{_SHUF_SALT}',
+                                              CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+               / 4294967296.0 AS bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bucket, doc_id) AS shuffle_rank
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(shuffle_rank AS BIGINT) AS shuffle_rank,
+           CAST((shuffle_rank - 1) // {_SHUF_SIZE} AS INT) AS shard_id,
+           CAST((shuffle_rank - 1) % {_SHUF_SIZE} AS INT) AS pos_in_shard
+    FROM r ORDER BY shuffle_rank
+"""
+
+
+@query(
+    "llm_corpus_shuffle",
+    _SHUFFLE_ORACLE,
+    tags=("llm", "shuffle", "export", "training-order"),
+    # NEW in r9 (VERDICT r8 #7), rotated straight into the driver
+    # window; llm_lm_perplexity parks in exchange.
+    # the plan embeds running_total's lazy localCheckpoint — same
+    # cache opt-out rationale as llm_token_budget_select
+    cache_plan=False,
+)
+def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order
+    (operators/ordershuffle.py): every document's 1-based position in
+    the seeded md5 hash permutation plus its fixed-size shard
+    assignment (64 docs/shard).  The global rank is a range-partitioned
+    distributed prefix sum — two exchanges, no single-reducer global
+    sort — and the hash order makes the range partitioning uniformly
+    balanced by construction."""
+    from hedera_etl_spark.operators.ordershuffle import assign_fixed_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_fixed_shards(
+        docs, _SHUF_SIZE, ["doc_id"], salt=_SHUF_SALT
+    ).select(
+        "doc_id", "shuffle_rank", "shard_id", "pos_in_shard"
+    ).orderBy("shuffle_rank")

@@ -68,7 +68,11 @@ def url_corpus(spark, sf_dir: str):
 
 
 def brute_pairs(corpus, d: int):
-    a = corpus.select(F.col("id").alias("id_a"), F.col("key").alias("key_a"))
+    # the BNLJ's parallelism is the STREAMED side's partition count — a
+    # single-file corpus would run the whole n^2 sweep on one core
+    a = corpus.repartition(32).select(
+        F.col("id").alias("id_a"), F.col("key").alias("key_a")
+    )
     b = corpus.select(F.col("id").alias("id_b"), F.col("key").alias("key_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
