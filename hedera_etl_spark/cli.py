@@ -152,6 +152,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         help="near-dup detector: MinHash+LSH set similarity, or winnowing "
         "fingerprint overlap (catches containment of long verbatim runs)",
     )
+    p.add_argument(
+        "--minhash-hash-fn",
+        default="xxhash64",
+        choices=["xxhash64", "md5"],
+        help="MinHash signature digest: xxhash64 (production, JVM-native)"
+        " or md5 (slower; lets another engine replay the exact pair set)",
+    )
     p.add_argument("--winnow-min-shared", type=int, default=3)
     p.add_argument("--min-tokens", type=int, default=5, help="quality floor (0 disables)")
     p.add_argument(
@@ -403,6 +410,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize_lowercase=args.normalize_lowercase,
             near_threshold=None if args.exact_only else args.near_threshold,
             near_dup_method=args.near_dup_method,
+            minhash_hash_fn=args.minhash_hash_fn,
             winnow_min_shared=args.winnow_min_shared,
             span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
@@ -454,11 +462,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "diff":
         from hedera_etl_spark.operators.corpusdiff import corpus_diff, diff_summary
 
+        content_cols = tuple(
+            c.strip() for c in args.content_cols.split(",") if c.strip()
+        )
+        if not content_cols:
+            print("--content-cols must name at least one column", file=sys.stderr)
+            return 2
         diff = corpus_diff(
             spark.read.parquet(args.old),
             spark.read.parquet(args.new),
             id_col=args.id_col,
-            content_cols=tuple(args.content_cols.split(",")),
+            content_cols=content_cols,
         )
         if args.out:
             diff.write.mode("error").parquet(args.out)

@@ -94,6 +94,21 @@ def export_shards(
             f"{out_dir}/shards"
         )
 
+    return write_manifest(sharded, out_dir, cols, token_count_col)
+
+
+def write_manifest(
+    sharded: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Compute and write the per-shard ``_manifest`` (shard_id, n_rows,
+    n_tokens, checksum) — the SINGLE definition of the checksum
+    expression ``verify_shards`` recomputes, shared by every shard
+    writer (hash-mod ``export_shards`` and the training-order
+    ``ordershuffle.export_ordered_shards``); ``cols`` must be the
+    exported columns minus shard_id, in their written order."""
     tok = (
         F.sum(F.col(token_count_col).cast("long"))
         if token_count_col

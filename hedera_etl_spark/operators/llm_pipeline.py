@@ -16,9 +16,15 @@ the composition inherits every per-stage scale property documented in
 docs/SCALE.md, and nothing here adds driver-side state.
 
 Determinism end to end: every stage is a pure function of document
-content/ids (md5 buckets, min-id keepers, FFD packing), so a re-run —
-or a different engine computing the same definitions — reproduces the
-same shards byte-for-byte (modulo parquet encoding).
+content/ids (hash buckets, min-id keepers, FFD packing), so a re-run
+of this engine reproduces the same shards byte-for-byte (modulo
+parquet encoding).  CROSS-ENGINE reproducibility has one carve-out:
+the near-dup stage defaults to the production xxhash64 signature
+digest, which other engines (and the DuckDB oracle) cannot re-derive —
+pass ``minhash_hash_fn="md5"`` when an external audit must replay the
+exact near-dup pair set (textdedup._km_base documents the trade; both
+modes verify the same pairs wherever LSH recall coincides).  Every
+other stage stays on the md5 canon.
 """
 
 from __future__ import annotations
@@ -386,27 +392,41 @@ def prepare_training_corpus(
         )
         out = _observed("lm_floor", out)
 
+    # Each sampling stage draws from its OWN derived salt: same-salt md5
+    # buckets are IDENTICAL, so same-salted stages would compose as
+    # bucket < min(rates) — the lower-rate stage silently subsumes the
+    # other — instead of independent thinning (product of rates).  The
+    # base ``salt`` still decorrelates this pipeline run from external
+    # splits (r9 review finding; sampling.py "keep split salts distinct").
     if mixture is not None:
-        out = mixture_sample(out, domain_col, mixture, key_cols=[id_col], salt=salt)
+        out = mixture_sample(
+            out, domain_col, mixture, key_cols=[id_col], salt=f"{salt}#mixture"
+        )
 
     if importance_col is not None:
         from hedera_etl_spark.operators.sampling import weighted_hash_sample
 
         out = weighted_hash_sample(
-            out, [id_col], importance_col, salt=salt,
+            out, [id_col], importance_col, salt=f"{salt}#importance",
             null_weight=importance_null_weight,
         )
         out = _observed("importance_sample", out)
 
     if sample_rate < 1.0:
-        out = hash_sample(out, [id_col], sample_rate, salt=salt)
+        out = hash_sample(out, [id_col], sample_rate, salt=f"{salt}#sample")
 
     if token_budget is not None:
         from hedera_etl_spark.operators.selection import select_to_token_budget
 
         # the LAST cut by design: the budget is a budget on what SHIPS,
         # so it runs over the mixture/sample survivors; selection keys
-        # on the deterministic quality score + whitespace token count
+        # on the deterministic quality score + whitespace token count.
+        # Pin the pipeline plan first: the scoring branch and the
+        # semi-join's left side are two consumers of everything above —
+        # un-pinned, the whole dedup/decontam/floor chain would execute
+        # twice per action (the spandedup/minhash checkpoint-vs-rescan
+        # discipline; r9 review finding)
+        out = out.localCheckpoint(eager=False)
         scored = quality_scores(out, text_col, id_col).select(
             "doc_id", "quality_score", "n_tokens"
         )

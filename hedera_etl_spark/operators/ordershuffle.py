@@ -77,6 +77,12 @@ def assign_fixed_shards(
     assignment."""
     if shard_size < 1:
         raise ValueError("shard_size must be >= 1")
+    taken = sorted(set(df.columns) & {rank_col, shard_col, pos_col})
+    if taken:
+        raise ValueError(
+            f"input columns {taken} collide with the shuffle outputs; "
+            "rename them or pass different rank/shard/pos column names"
+        )
     ranked = shuffled_order(df, key_cols, salt, rank_col, n_partitions)
     zero_based = f"({rank_col} - 1)"
     return ranked.withColumn(
@@ -97,6 +103,8 @@ def export_ordered_shards(
     (``pos_in_shard`` persisted so a loader can verify it), plus the
     ``_manifest`` parquet ``export.verify_shards`` checks unchanged.
     Returns the manifest."""
+    from hedera_etl_spark.operators.export import write_manifest
+
     sharded = assign_fixed_shards(df, shard_size, key_cols, salt=salt)
     cols = [c for c in sharded.columns if c != "shard_id"]
     (
@@ -106,19 +114,4 @@ def export_ordered_shards(
         .partitionBy("shard_id")
         .parquet(f"{out_dir}/shards")
     )
-    tok = (
-        F.sum(F.col(token_count_col).cast("long"))
-        if token_count_col
-        else F.lit(0).cast("long")
-    )
-    manifest = (
-        sharded.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            tok.alias("n_tokens"),
-            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum"),
-        )
-        .orderBy("shard_id")
-    )
-    manifest.write.mode("error").parquet(f"{out_dir}/_manifest")
-    return manifest
+    return write_manifest(sharded, out_dir, cols, token_count_col)

@@ -111,3 +111,12 @@ def test_reserved_column_guard(corpus):
         shuffled_order(corpus.withColumn("__shuffle_one", F.lit(1)), ["doc_id"])
     with pytest.raises(ValueError, match="shard_size"):
         assign_fixed_shards(corpus, 0, ["doc_id"])
+    # output-column collisions are LOUD, never silent overwrites (r9
+    # review finding: a frame already carrying a shard_id from a prior
+    # export must not have it silently replaced)
+    with pytest.raises(ValueError, match="collide"):
+        assign_fixed_shards(corpus.withColumn("shard_id", F.lit(0)), 64, ["doc_id"])
+    with pytest.raises(ValueError, match="collide"):
+        assign_fixed_shards(
+            corpus.withColumn("pos_in_shard", F.lit(0)), 64, ["doc_id"]
+        )

@@ -252,7 +252,53 @@ def test_weighted_sample_clamps_and_is_monotone(spark):
     assert lo <= hi and len(lo) < len(hi)
 
 
-def test_weighted_sample_null_weight_is_explicit(spark):
+def test_same_salt_stages_correlate_distinct_salts_compose(spark):
+    """r9 review finding, pinned: two sampling stages sharing a salt
+    share their buckets, so they compose as bucket < min(rates) — the
+    lower rate subsumes the other.  Distinct (derived) salts compose as
+    independent thinning ~ product of rates.  prepare_training_corpus
+    derives a per-stage salt for exactly this reason."""
+    from hedera_etl_spark.operators.sampling import (
+        hash_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(20_000).withColumnRenamed("id", "k").withColumn(
+        "w", F.lit(0.8)
+    )
+    # same salt: importance at 0.8 then sample at 0.5 keeps ~0.5 (w ignored)
+    same = hash_sample(
+        weighted_hash_sample(df, ["k"], "w", salt="s"), ["k"], 0.5, salt="s"
+    ).count()
+    assert abs(same / 20_000 - 0.5) < 0.02
+    # derived salts: ~0.8 * 0.5 = 0.4
+    inde = hash_sample(
+        weighted_hash_sample(df, ["k"], "w", salt="s#importance"),
+        ["k"], 0.5, salt="s#sample",
+    ).count()
+    assert abs(inde / 20_000 - 0.4) < 0.02
+
+
+def test_pipeline_sampling_stages_thin_independently(spark):
+    """The composed pipeline must show product-of-rates thinning (the
+    derived-salt fix), not min-of-rates."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = spark.range(8_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document text number "), F.col("id").cast("string"),
+                 F.lit(" with enough tokens to pass the floor")).alias("text"),
+        F.lit(0.8).alias("imp"),
+    )
+    kept = prepare_training_corpus(
+        docs,
+        near_threshold=None,
+        min_tokens=1,
+        importance_col="imp",
+        sample_rate=0.5,
+        salt="corr",
+    ).count()
+    assert abs(kept / 8_000 - 0.4) < 0.03  # 0.8 * 0.5, not min(0.8, 0.5)
     """ADVICE r8 #4 regression: NULL weights follow null_weight — drop
     by default, keep-all at 1.0 — never an accident of greatest()."""
     from hedera_etl_spark.operators.sampling import weighted_hash_sample
