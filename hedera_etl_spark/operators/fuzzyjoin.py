@@ -168,11 +168,31 @@ def fuzzy_neardup_pairs(
     cap_observations: dict | None = None,
 ) -> DataFrame:
     """Self-join form: unordered key pairs within ``max_dist`` edits,
-    canonicalized as ``id_a < id_b`` (which also drops the trivial
-    self-pairs the two-table form deliberately keeps) — feed into
-    components.connected_components for typo-cluster collapse.
-    Assumes ``id_col`` is unique within ``df`` (a corpus primary key)."""
+    canonicalized as ``id_a < id_b`` (self-pairs — the same row probed
+    against itself — drop) — feed into components.connected_components
+    for typo-cluster collapse.  Assumes ``id_col`` is unique within
+    ``df`` (a corpus primary key).
+
+    Canonicalization SWAPS a reverse-direction row instead of filtering
+    it (r9 review finding): under an active ``max_segment`` cap the two
+    probe directions of one pair can survive asymmetrically — an indel
+    shifts the segment alignment, so direction u->v can match through a
+    distinct (kept) substring value while v->u only matches through a
+    capped boilerplate value.  A plain ``id_a < id_b`` filter would
+    throw away the surviving direction whenever the probe side happened
+    to carry the larger id."""
     pairs = fuzzy_key_join(
         df, df, key_col, id_col, max_dist, max_segment, cap_observations
     )
-    return pairs.filter(F.col("id_a") < F.col("id_b"))
+    swap = F.col("id_a") > F.col("id_b")
+    return (
+        pairs.select(
+            F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+            F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+            F.when(swap, F.col("key_b")).otherwise(F.col("key_a")).alias("key_a"),
+            F.when(swap, F.col("key_a")).otherwise(F.col("key_b")).alias("key_b"),
+            "dist",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b", "key_a", "key_b"])
+    )

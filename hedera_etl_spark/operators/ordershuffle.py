@@ -41,6 +41,13 @@ def shuffled_order(
     order; ``key_cols`` must uniquely identify rows, the same contract
     as every deterministic draw in sampling.py).  Computed as a
     distributed prefix sum of 1 — no single-reducer global sort."""
+    if not key_cols:
+        raise ValueError(
+            "key_cols must be non-empty: with no key the hash bucket is "
+            "a constant, the order is not total, and ranks would depend "
+            "on physical row order — the nondeterminism this operator "
+            "exists to prevent"
+        )
     one = "__shuffle_one"
     if one in df.columns:
         raise ValueError(f"column name {one!r} is reserved")
@@ -84,7 +91,7 @@ def assign_fixed_shards(
             "rename them or pass different rank/shard/pos column names"
         )
     ranked = shuffled_order(df, key_cols, salt, rank_col, n_partitions)
-    zero_based = f"({rank_col} - 1)"
+    zero_based = f"(`{rank_col}` - 1)"
     return ranked.withColumn(
         shard_col, F.expr(f"{zero_based} div {shard_size}").cast("int")
     ).withColumn(pos_col, F.expr(f"{zero_based} % {shard_size}").cast("int"))

@@ -147,6 +147,39 @@ def test_hot_segment_cap_is_loud(spark):
     assert got["max_bucket_size"] > 50
 
 
+def test_cap_asymmetric_direction_is_canonicalized_not_dropped(spark):
+    """r9 review finding: under an active hot-segment cap the two probe
+    directions of one pair can survive asymmetrically (an indel shifts
+    segment alignment, so one direction matches only through the capped
+    boilerplate value).  The self-join wrapper must SWAP the surviving
+    reverse-direction row into canonical order — a plain id_a < id_b
+    filter would lose the pair whenever the surviving probe side
+    carries the larger id (verified: on this corpus the raw join finds
+    ONLY the (big, small) direction)."""
+    import hashlib
+
+    B = "BOILERPLATEXX"
+    x = "qwertyuiopasd"
+    rows = [(9_000_000, B + x), (1, B + "Z" + x)]  # 1-insertion pair
+    rows += [
+        (i, B + hashlib.md5(str(i).encode()).hexdigest()[:13])
+        for i in range(2, 120)  # make B-substring buckets hot
+    ]
+    df = spark.createDataFrame(rows, "id long, key string")
+    raw = fuzzy_key_join(df, df, max_dist=1, max_segment=60)
+    dirs = {
+        (r["id_a"], r["id_b"])
+        for r in raw.collect()
+        if {r["id_a"], r["id_b"]} == {1, 9_000_000}
+    }
+    assert dirs == {(9_000_000, 1)}, "corpus must exhibit the asymmetry"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_neardup_pairs(df, max_dist=1, max_segment=60).collect()
+    }
+    assert (1, 9_000_000) in got
+
+
 def test_exact_duplicates_found_at_d0(spark):
     rows = [(1, "same"), (2, "same"), (3, "diff")]
     df = spark.createDataFrame(rows, "id long, key string")

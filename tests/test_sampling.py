@@ -299,6 +299,9 @@ def test_pipeline_sampling_stages_thin_independently(spark):
         salt="corr",
     ).count()
     assert abs(kept / 8_000 - 0.4) < 0.03  # 0.8 * 0.5, not min(0.8, 0.5)
+
+
+def test_weighted_sample_null_weight_is_explicit(spark):
     """ADVICE r8 #4 regression: NULL weights follow null_weight — drop
     by default, keep-all at 1.0 — never an accident of greatest()."""
     from hedera_etl_spark.operators.sampling import weighted_hash_sample
