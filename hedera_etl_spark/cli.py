@@ -139,6 +139,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--normalize-lowercase", action="store_true")
     p.add_argument(
+        "--paragraph-dedup-sep",
+        default=None,
+        help="enable paragraph-level dedup with this literal separator "
+        "(e.g. $'\\n\\n'): duplicated paragraphs keep their corpus-wide "
+        "first occurrence",
+    )
+    p.add_argument("--paragraph-min-chars", type=int, default=1)
+    p.add_argument(
         "--near-threshold",
         type=float,
         default=0.5,
@@ -408,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             normalize_form=args.normalize_form,
             normalize_lowercase=args.normalize_lowercase,
+            paragraph_dedup_sep=args.paragraph_dedup_sep,
+            paragraph_min_chars=args.paragraph_min_chars,
             near_threshold=None if args.exact_only else args.near_threshold,
             near_dup_method=args.near_dup_method,
             minhash_hash_fn=args.minhash_hash_fn,

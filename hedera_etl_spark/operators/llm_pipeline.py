@@ -47,6 +47,8 @@ def prepare_training_corpus(
     text_col: str = "text",
     normalize_form: str | None = None,
     normalize_lowercase: bool = False,
+    paragraph_dedup_sep: str | None = None,
+    paragraph_min_chars: int = 1,
     near_threshold: float = 0.5,
     near_dup_method: str = "minhash",
     shingle_n: int = 3,
@@ -94,6 +96,10 @@ def prepare_training_corpus(
     documents (same schema as ``docs``).
 
     Stages: optional Unicode canonicalization (``normalize_form``),
+    optional paragraph-level dedup when ``paragraph_dedup_sep`` is set
+    (duplicated paragraphs keep their corpus-wide first occurrence —
+    the boilerplate-banner cut, operators/paradedup.py; runs BEFORE
+    document dedup so banner-only differences collapse),
     exact content dedup (min-id keeper), near-dup pairs collapsed
     transitively via connected components (min-id keeper per cluster) —
     detector per ``near_dup_method``: MinHash+LSH set similarity at
@@ -203,6 +209,20 @@ def prepare_training_corpus(
         )
         stage_observations[stage] = robust
         return observed
+
+    if paragraph_dedup_sep is not None:
+        from hedera_etl_spark.operators.paradedup import paragraph_dedup
+
+        # BEFORE document-level dedup: cutting shared boilerplate
+        # paragraphs first lets documents that differ only in navigation
+        # / banners collapse as exact duplicates downstream.  Lazy
+        # checkpoint for the same multi-consumer reason as
+        # normalize_text (every later stage re-reads the rebuilt text).
+        docs = paragraph_dedup(
+            docs, text_col=text_col, id_col=id_col,
+            sep=paragraph_dedup_sep, min_chars=paragraph_min_chars,
+        ).localCheckpoint(eager=False)
+        docs = _observed("paragraph_dedup", docs)
 
     keepers = exact_duplicates(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)

@@ -1,7 +1,8 @@
 """Time-series gap-fill registry entries (operators/timeseries.py).
 
-Out of the 50-entry driver window by design (driver_visible=False —
-the window is full and these are non-reference extras), but fully
+Both rotated into the driver window in r7; ``ts_gapfill_locf`` parked
+again in r9 (slot ceded to llm_paragraph_dedup — ts_gapfill_linear
+keeps the family's driver row).  Parked or not, both stay fully
 oracle-checked by ``tools/verify_oracle.py``: the DuckDB twin builds
 the same union-of-(observations, ticks) relation and fills with the
 same IGNORE NULLS window navigation, pinning LOCF carry semantics,
@@ -64,6 +65,13 @@ _TS_BASE = f"""
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "locf", "window"),
+    # Driver-green r8; parked in r9 to cede its slot to the NEW
+    # llm_paragraph_dedup entry (verifier: ts_gapfill_linear stays IN
+    # and exercises the same union-of-(observations, ticks) relation,
+    # the same keyed IGNORE-NULLS window machinery, and the same
+    # tie rule; LOCF's carry semantics are additionally pinned in
+    # tests/test_timeseries.py).
+    driver_visible=False,
     )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap-fill onto an hourly grid: one aggregate for the per-key

@@ -209,6 +209,35 @@ def test_budget_bounded_mixture_shaped_output(spark, corpus):
     assert any(r["doc_id"] % 7 == 0 for r in kept_unscored.collect())
 
 
+def test_paragraph_dedup_stage_collapses_banner_only_variants(spark):
+    """Paragraph dedup runs BEFORE document dedup, so two documents that
+    differ only in a shared banner paragraph collapse as exact dups."""
+    banner = "SUBSCRIBE now for daily updates and exclusive content here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n\nbody of the first distinct article"),
+            (2, f"body of the second distinct article\n\n{banner}"),
+            # a banner-only variant: every paragraph already exists
+            # elsewhere, in a different order — document dedup alone
+            # would NOT collapse it (different byte content)
+            (3, f"body of the first distinct article\n\n{banner}"),
+            (4, "a completely different article body here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(
+        docs, paragraph_dedup_sep="\n\n", near_threshold=None, min_tokens=1
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert banner in rows[1]  # canonical banner occurrence survives
+    assert rows[2] == "body of the second distinct article"  # banner cut
+    assert 3 not in rows  # all paragraphs were dups -> doc collapsed
+    assert rows[4] == "a completely different article body here"
+    # WITHOUT the stage, doc 3 survives (the gap this stage closes)
+    plain = prepare_training_corpus(docs, near_threshold=None, min_tokens=1)
+    assert 3 in {r["doc_id"] for r in plain.collect()}
+
+
 def test_cli_diff_roundtrip(spark, corpus, tmp_path, capsys):
     """`diff` subcommand: snapshot audit summary through argv parsing."""
     from hedera_etl_spark import cli

@@ -1,0 +1,125 @@
+"""Paragraph-level dedup (operators/paradedup.py): duplicated
+paragraphs keep exactly their corpus-wide first occurrence; short
+paragraphs are exempt; documents rebuild in original order with the
+corpus text never entering the dedup shuffles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.paradedup import (
+    duplicate_paragraph_drops,
+    paragraph_dedup,
+    paragraph_occurrences,
+)
+
+BOILER = "SUBSCRIBE to our newsletter for more articles like this one"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, f"unique opening one\n\n{BOILER}\n\nunique closing one"),
+        (2, f"{BOILER}\n\nsecond doc body text"),
+        (3, f"third doc body text\n\n{BOILER}"),
+        (4, "no boilerplate here at all\n\njust original paragraphs"),
+        (5, BOILER),  # the whole doc IS the boilerplate
+        (6, f"ok\n\n{BOILER}\n\nok"),  # short 'ok' paras recur but are dupes too
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_keep_first_occurrence_only(spark, corpus):
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(corpus).collect()}
+    # doc 1 carries the canonical boilerplate (min (doc_id, idx))
+    assert out[1] == f"unique opening one\n\n{BOILER}\n\nunique closing one"
+    # every later occurrence is cut, order of survivors preserved
+    assert out[2] == "second doc body text"
+    assert out[3] == "third doc body text"
+    assert out[4] == "no boilerplate here at all\n\njust original paragraphs"
+    # doc 5 became empty -> dropped entirely
+    assert 5 not in out
+    # doc 6: boilerplate cut; the two 'ok' paragraphs dedup against each
+    # other (first stays) — survivors rejoin in order
+    assert out[6] == "ok"
+
+
+def test_drop_empty_false_keeps_emptied_docs(spark, corpus):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(corpus, drop_empty=False).collect()
+    }
+    assert out[5] == ""
+
+
+def test_min_chars_exempts_short_paragraphs(spark):
+    docs = spark.createDataFrame(
+        [(1, "Intro\n\nbody one"), (2, "Intro\n\nbody two")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, min_chars=6).collect()
+    }
+    # 'Intro' (5 chars) is exempt from dedup: both docs keep it
+    assert out == {1: "Intro\n\nbody one", 2: "Intro\n\nbody two"}
+    strict = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, min_chars=1).collect()
+    }
+    assert strict == {1: "Intro\n\nbody one", 2: "body two"}
+
+
+def test_occurrence_rows_are_narrow_and_indexed(spark, corpus):
+    occ = paragraph_occurrences(corpus)
+    assert occ.columns == ["doc_id", "idx", "para_hash"]
+    boiler_occ = sorted(
+        (r["doc_id"], r["idx"])
+        for r in occ.join(
+            occ.groupBy("para_hash").agg(F.count("*").alias("n")).filter("n >= 3"),
+            "para_hash",
+        ).collect()
+    )
+    assert (1, 1) in boiler_occ and (2, 0) in boiler_occ and (3, 1) in boiler_occ
+
+
+def test_drops_exclude_the_canonical_occurrence(spark, corpus):
+    drops = {
+        (r["doc_id"], r["idx"])
+        for r in duplicate_paragraph_drops(paragraph_occurrences(corpus)).collect()
+    }
+    assert (1, 1) not in drops          # canonical boilerplate survives
+    assert {(2, 0), (3, 1), (5, 0), (6, 1)} <= drops
+
+
+def test_custom_separator_is_literal_not_regex(spark):
+    docs = spark.createDataFrame(
+        [(1, "a|+|dup"), (2, "dup|+|b")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, sep="|+|").collect()
+    }
+    # '|+|' must split literally (as regex it would explode per-char)
+    assert out == {1: "a|+|dup", 2: "b"}
+
+
+def test_text_never_enters_the_dedup_shuffles(spark, corpus):
+    """Scale contract: the aggregate/join exchanges move only
+    (doc_id, idx, hash) — paragraph/document text stays in its scan."""
+    plan = (
+        paragraph_dedup(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "para_hash" in line:
+            assert "text" not in line
+
+
+def test_reserved_column_guard(spark, corpus):
+    with pytest.raises(ValueError, match="reserved"):
+        paragraph_dedup(corpus.withColumn("__drop_idx", F.lit(None)))
