@@ -120,6 +120,29 @@ def test_text_never_enters_the_dedup_shuffles(spark, corpus):
             assert "text" not in line
 
 
+def test_null_text_and_consecutive_separators(spark):
+    """NULL text yields no paragraph occurrences (can never cause or
+    suffer a drop) and the doc is removed under drop_empty / carried as
+    NULL text otherwise; empty paragraphs from consecutive separators
+    are min_chars-exempt and preserved in place."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a\n\n\n\nb"), (3, "a\n\n\n\nc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert 1 not in out
+    assert out[2] == "a\n\n\n\nb"      # empty middle para kept in place
+    # dup 'a' cut; the exempt empty paragraph survives and the rebuild
+    # joins the SURVIVORS with single separators (string_agg semantics,
+    # mirrored by the oracle) — it does not preserve original offsets
+    assert out[3] == "\n\nc"
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, drop_empty=False).collect()
+    }
+    assert kept[1] is None
+
+
 def test_reserved_column_guard(spark, corpus):
     with pytest.raises(ValueError, match="reserved"):
         paragraph_dedup(corpus.withColumn("__drop_idx", F.lit(None)))
