@@ -115,7 +115,15 @@ def paragraph_dedup(
     left with no non-empty paragraph drop when ``drop_empty``."""
     if "__drop_idx" in docs.columns:
         raise ValueError("column name '__drop_idx' is reserved")
-    occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars)
+    # the occurrence frame feeds TWO consumers (the keeper aggregate and
+    # the drop probe) and its derivation is real per-row work (split +
+    # per-paragraph md5 over the whole corpus): pin it once instead of
+    # hashing the corpus twice — the checkpoint-vs-rescan rule
+    # (docs/PERF_NOTES.md); the pinned frame is the narrow
+    # (doc_id, idx, hash) projection, not the text
+    occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
+        eager=False
+    )
     drops = (
         duplicate_paragraph_drops(occ)
         .groupBy("doc_id")
