@@ -101,6 +101,39 @@ def duplicate_paragraph_drops(occ: DataFrame) -> DataFrame:
     )
 
 
+def rebuild_without(
+    docs: DataFrame,
+    drops: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """``docs`` with the paragraphs named by ``drops`` (doc_id, idx)
+    removed and ``text_col`` rebuilt from the survivors joined by
+    ``sep`` in original order — the shared rebuild of the batch and
+    incremental dedup paths.  The drop set reduces to a per-document
+    sorted index list (one narrow shuffle), then the rebuild is a
+    per-row array filter: document text never shuffles."""
+    if "__drop_idx" in docs.columns:
+        raise ValueError("column name '__drop_idx' is reserved")
+    drop_lists = drops.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("idx")).alias("__drop_idx")
+    )
+    out = docs.join(
+        drop_lists.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    rebuilt = F.expr(
+        f"array_join(filter(split({text_col}, {_sql_str(re.escape(sep))}), "
+        "(p, i) -> __drop_idx IS NULL OR NOT array_contains(__drop_idx, i)), "
+        f"{_sql_str(sep)})"
+    )
+    out = out.withColumn(text_col, rebuilt).drop("__drop_idx")
+    if drop_empty:
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    return out
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -124,20 +157,134 @@ def paragraph_dedup(
     occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
         eager=False
     )
-    drops = (
-        duplicate_paragraph_drops(occ)
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("idx")).alias("__drop_idx"))
+    drops = duplicate_paragraph_drops(occ)
+    return rebuild_without(docs, drops, text_col, id_col, sep, drop_empty)
+
+
+# ---------------------------------------------------------------------------
+# Incremental form: dedup each arriving batch's paragraphs against
+# everything accepted so far, via a persisted hash store — the
+# continuous-crawl analogue of incremental_dedup.py's document-level
+# signature store, at paragraph granularity.  The store keeps ONE md5
+# per accepted canonical paragraph (O(accepted paragraphs) bytes, never
+# corpus text), and a batch run touches it with one anti-join.
+# ---------------------------------------------------------------------------
+
+
+def _hash_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField("para_hash", T.StringType(), False)])
+
+
+class ParagraphHashStore:
+    """Append-only parquet store of accepted canonical paragraph
+    hashes: one ``hashes/batch=X`` directory per committed batch, made
+    live by a single rename (no multi-table crash window, so healing
+    only sweeps stale staging dirs).  Single-writer per store path, the
+    same contract as CorpusSignatureStore."""
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.hashes_dir = os.path.join(path, "hashes")
+        os.makedirs(self.hashes_dir, exist_ok=True)
+        self._heal()
+
+    def _heal(self) -> None:
+        import os
+        import shutil
+
+        for e in os.listdir(self.hashes_dir):
+            if e.startswith(".") and e.endswith(".__new"):
+                shutil.rmtree(os.path.join(self.hashes_dir, e), ignore_errors=True)
+
+    def committed_batches(self) -> set[str]:
+        import os
+
+        return {
+            e for e in os.listdir(self.hashes_dir)
+            if e.startswith("batch=") and not e.startswith(".")
+        }
+
+    def has_batch(self, batch_id: str) -> bool:
+        return f"batch={batch_id}" in self.committed_batches()
+
+    def hashes(self, exclude_batch: str | None = None) -> DataFrame:
+        """Committed hashes, optionally excluding one batch — a RETRY of
+        an already-committed batch must judge itself against the store
+        as it stood BEFORE that batch, or it would cut its own rows."""
+        import os
+
+        batches = sorted(self.committed_batches())
+        if exclude_batch is not None:
+            batches = [b for b in batches if b != f"batch={exclude_batch}"]
+        if not batches:
+            return self.spark.createDataFrame([], _hash_schema())
+        return self.spark.read.schema(_hash_schema()).parquet(
+            *[os.path.join(self.hashes_dir, b) for b in batches]
+        )
+
+    def commit_batch(self, batch_id: str, hashes: DataFrame) -> None:
+        """Write-then-rename commit; idempotent under retries (an
+        already-live batch directory wins every race)."""
+        import os
+        import shutil
+
+        entry = f"batch={batch_id}"
+        live = os.path.join(self.hashes_dir, entry)
+        if os.path.exists(live):
+            return
+        tmp = os.path.join(self.hashes_dir, f".{entry}.__new")
+        shutil.rmtree(tmp, ignore_errors=True)
+        hashes.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(live):  # lost race with a concurrent retry
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, live)
+
+
+def incremental_paragraph_dedup(
+    docs: DataFrame,
+    store: ParagraphHashStore,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """One batch of the continuous paragraph-dedup loop: cut paragraphs
+    already accepted in ANY earlier committed batch (store anti-join)
+    plus within-batch duplicates (keep-first, exactly
+    :func:`paragraph_dedup`), rebuild the documents, then commit the
+    batch's newly-accepted canonical paragraph hashes.
+
+    Deterministic under retries WITHOUT storing outputs: the store read
+    excludes ``batch_id`` itself, so a replay of a committed batch
+    judges against the same history it saw the first time and returns
+    byte-identical documents (pinned in tests).  The commit itself is
+    idempotent (single rename).  Commit runs on an eagerly pinned drop
+    set so the store never sees a half-evaluated plan."""
+    occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
+        eager=False
     )
-    out = docs.join(
-        drops.withColumnRenamed("doc_id", id_col), id_col, "left"
+    history = store.hashes(exclude_batch=batch_id)
+    vs_store = occ.join(history, "para_hash", "left_semi").select("doc_id", "idx")
+    in_batch = duplicate_paragraph_drops(occ)
+    # union then distinct: an occurrence can be both a store hit and a
+    # within-batch non-canonical copy
+    drops = vs_store.unionByName(in_batch).distinct().localCheckpoint(eager=True)
+    out = rebuild_without(docs, drops, text_col, id_col, sep, drop_empty)
+    # newly-accepted canon: every eligible occurrence that survived —
+    # i.e. is not in the drop set and not already in history
+    survivors = (
+        occ.join(drops, ["doc_id", "idx"], "left_anti")
+        .select("para_hash")
+        .distinct()
+        .join(history, "para_hash", "left_anti")
     )
-    rebuilt = F.expr(
-        f"array_join(filter(split({text_col}, {_sql_str(re.escape(sep))}), "
-        "(p, i) -> __drop_idx IS NULL OR NOT array_contains(__drop_idx, i)), "
-        f"{_sql_str(sep)})"
-    )
-    out = out.withColumn(text_col, rebuilt).drop("__drop_idx")
-    if drop_empty:
-        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    store.commit_batch(batch_id, survivors)
     return out

@@ -146,3 +146,101 @@ def test_null_text_and_consecutive_separators(spark):
 def test_reserved_column_guard(spark, corpus):
     with pytest.raises(ValueError, match="reserved"):
         paragraph_dedup(corpus.withColumn("__drop_idx", F.lit(None)))
+
+
+# ---------------------------------------------------------------------------
+# incremental form: ParagraphHashStore + incremental_paragraph_dedup
+# ---------------------------------------------------------------------------
+def test_incremental_epochs_cut_history_paragraphs(spark, tmp_path):
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore"))
+    e1 = spark.createDataFrame(
+        [(1, f"first article body\n\n{BOILER}"), (2, "second article body")],
+        ["doc_id", "text"],
+    )
+    out1 = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e1, store, "e1").collect()
+    }
+    assert out1 == {
+        1: f"first article body\n\n{BOILER}", 2: "second article body"
+    }
+    # epoch 2: new ids, one doc is pure recycled content -> vanishes;
+    # another mixes a recycled boilerplate with novel text
+    e2 = spark.createDataFrame(
+        [(10, BOILER), (11, f"{BOILER}\n\nnovel epoch-two text")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    assert out2 == {11: "novel epoch-two text"}
+    # epoch 3 replays epoch 2's content under new ids: all cut
+    e3 = spark.createDataFrame(
+        [(20, "novel epoch-two text\n\nnovel epoch-two text")],
+        ["doc_id", "text"],
+    )
+    assert incremental_paragraph_dedup(e3, store, "e3").count() == 0
+
+
+def test_incremental_retry_is_byte_identical(spark, tmp_path):
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore2"))
+    e1 = spark.createDataFrame([(1, f"alpha\n\n{BOILER}")], ["doc_id", "text"])
+    e2 = spark.createDataFrame(
+        [(2, f"{BOILER}\n\nbeta body text")], ["doc_id", "text"]
+    )
+    incremental_paragraph_dedup(e1, store, "e1").collect()
+    first = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    # REPLAY of the committed batch: judged against the store as it
+    # stood before e2 (its own hashes excluded), so the output is
+    # byte-identical, not emptied by its own commit
+    replay = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    assert first == replay == {2: "beta body text"}
+    assert store.committed_batches() == {"batch=e1", "batch=e2"}
+
+
+def test_incremental_store_grows_by_new_canon_only(spark, tmp_path):
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore3"))
+    e1 = spark.createDataFrame(
+        [(1, f"one\n\n{BOILER}"), (2, f"one\n\n{BOILER}")], ["doc_id", "text"]
+    )
+    incremental_paragraph_dedup(e1, store, "e1").collect()
+    assert store.hashes().count() == 2  # 'one' + boilerplate, deduped
+    e2 = spark.createDataFrame(
+        [(3, f"{BOILER}\n\ntwo")], ["doc_id", "text"]
+    )
+    incremental_paragraph_dedup(e2, store, "e2").collect()
+    assert store.hashes().count() == 3  # only 'two' is new
+
+
+def test_incremental_heals_stale_staging(spark, tmp_path):
+    import os
+
+    from hedera_etl_spark.operators.paradedup import ParagraphHashStore
+
+    path = str(tmp_path / "pstore4")
+    os.makedirs(os.path.join(path, "hashes", ".batch=zz.__new"))
+    store = ParagraphHashStore(spark, path)
+    assert store.committed_batches() == set()
+    assert not os.path.exists(os.path.join(path, "hashes", ".batch=zz.__new"))
