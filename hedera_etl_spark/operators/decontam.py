@@ -215,3 +215,142 @@ def fuzzy_decontaminate(
         .withColumnRenamed("doc_id", id_col)
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the giant-reference-set scale path.
+#
+# The broadcast probe above is right when the contaminant list is an
+# EVAL SUITE (dimension-sized).  Decontaminating against another CORPUS
+# (benchmark web originals, a held-out crawl, a licensing blocklist)
+# breaks that: the reference n-gram set is itself huge, and both the
+# broadcast form (driver/executor memory) and the plain shuffled join
+# (the ENTIRE corpus shingle stream shuffles) stop being free.
+#
+# The Bloom form keeps the corpus map-side: the reference n-grams fold
+# into a FIXED-SIZE bit table (m_bits bits as m_bits/64 (word_idx, bits)
+# rows — a few thousand rows at any reference size), the corpus probes
+# it with k broadcast hash joins (no explode, no new shuffle), and only
+# the surviving candidate slice — true hits plus the ~(1-e^(-kn/m))^k
+# false-positive fraction — goes through the exact shuffled verify.
+# Bloom errors are one-sided, and the verify join removes every false
+# positive, so the result is pinned EQUAL to the exact operator.
+#
+# Hash canon: k bit positions from one md5 per shingle via the same
+# Kirsch-Mitzenmacher construction as textdedup (h1 + i*h2, two 60-bit
+# halves of the digest) — engine-portable, so a DuckDB oracle can
+# re-derive the identical bit table and probes.  ANSI bound: i*h2 with
+# h2 < 2^60 stays inside a long for i <= 7, hence the k cap.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MAX_K = 7
+
+
+def _bloom_pos(shingle_col, i: int, m_bits: int):
+    """Bit position i of the shingle's k-probe family."""
+    d = F.md5(shingle_col)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("long")
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+
+
+def ngram_bloom(
+    shingles: DataFrame, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Fold a ``shingle`` column into a Bloom bit table: ``(word_idx,
+    bits)`` rows, ``m_bits / 64`` of them at most.  One k-wide map-side
+    fan-out and one bit_or aggregate whose output is table-sized, not
+    reference-sized."""
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(f"k must be in [1, {_BLOOM_MAX_K}] (ANSI long bound)")
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("shingle"), i, m_bits) for i in range(k)])
+    ).alias("pos")
+    return (
+        shingles.select(pos)
+        .select(
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_contaminated_ids(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_hits) for documents sharing >= ``min_hits`` exact word
+    n-grams with ``ref_docs`` — same decision as ``contaminated_ids``
+    (pinned equal in tests), built for reference sets too large to
+    broadcast: k broadcast joins against the fixed-size Bloom table
+    prefilter the corpus map-side, then only the candidate slice meets
+    the reference in one exact shuffled semi-join."""
+    ref_text_col = ref_text_col or text_col
+    ref_sh = (
+        doc_shingles(
+            ref_docs.select(F.lit(0).alias("doc_id"), F.col(ref_text_col).alias("__t")),
+            n=n,
+            text_col="__t",
+        )
+        .select("shingle")
+        .distinct()
+        # two consumers (bloom build + exact verify): pin the distinct
+        .localCheckpoint(eager=False)
+    )
+    bloom = F.broadcast(ngram_bloom(ref_sh, m_bits, k))
+    probe = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # k broadcast hash joins, each on this row's i-th probe word — no
+    # explode, no shuffle; a missing word_idx row means all-zero bits
+    hit_all = F.lit(True)
+    for i in range(k):
+        pos_col = f"__p{i}"
+        probe = probe.withColumn(pos_col, _bloom_pos(F.col("shingle"), i, m_bits))
+        b = bloom.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        probe = probe.join(
+            b, F.expr(f"{pos_col} div 64") == F.col(f"__w{i}"), "left"
+        )
+        hit_all = hit_all & (
+            F.coalesce(F.col(f"__b{i}"), F.lit(0))
+            .bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 64 AS INT))")
+            )
+            != 0
+        )
+    candidates = probe.filter(hit_all).select("doc_id", "shingle")
+    verified = candidates.join(ref_sh, "shingle", "left_semi")
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """``docs`` minus documents contaminated against a giant reference
+    set — ``decontaminate``'s exact semantics on the Bloom scale path."""
+    bad = bloom_contaminated_ids(
+        docs, ref_docs, n=n, min_hits=min_hits, m_bits=m_bits, k=k,
+        text_col=text_col, id_col=id_col, **kwargs,
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(bad, id_col, "left_anti")

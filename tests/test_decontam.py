@@ -192,3 +192,98 @@ class TestFuzzyDecontamination:
             fuzzy_decontam_threshold=0.7, fuzzy_decontam_n=3,
         )
         assert sorted(r.doc_id for r in fuzzy.collect()) == [2]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (giant-reference scale path)
+# ---------------------------------------------------------------------------
+class TestBloomDecontam:
+    def test_equals_exact_operator(self, spark, corpus, eval_set):
+        from hedera_etl_spark.operators.decontam import (
+            bloom_contaminated_ids,
+            contaminated_ids,
+        )
+
+        exact = {r["doc_id"] for r in contaminated_ids(corpus, eval_set, n=5).collect()}
+        got = {
+            r["doc_id"]
+            for r in bloom_contaminated_ids(corpus, eval_set, n=5).collect()
+        }
+        assert got == exact and got  # same decision, nonempty
+
+    def test_forced_false_positives_are_verified_away(self, spark):
+        """An undersized Bloom fires on nearly everything; the exact
+        verify must still produce the identical contaminated set."""
+        from hedera_etl_spark.operators.decontam import (
+            bloom_contaminated_ids,
+            contaminated_ids,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.substring(F.md5(F.concat(F.col("id"), F.lit(f"t{i}"))), 1, 5)
+                    for i in range(8)
+                ],
+            ).alias("text"),
+        )
+        ref = docs.filter(F.col("doc_id") % 23 == 0).select(
+            "doc_id", F.col("text")
+        )
+        exact = {r["doc_id"] for r in contaminated_ids(docs, ref, n=5).collect()}
+        # 64 bits, 2 probes: FP rate near 1 -> almost every shingle is a
+        # candidate; equality proves the verify is load-bearing
+        got = {
+            r["doc_id"]
+            for r in bloom_contaminated_ids(docs, ref, n=5, m_bits=64, k=2).collect()
+        }
+        assert got == exact and got
+
+    def test_min_hits_and_decontaminate(self, spark, corpus, eval_set):
+        from hedera_etl_spark.operators.decontam import bloom_decontaminate
+
+        out = {
+            r["doc_id"]
+            for r in bloom_decontaminate(corpus, eval_set, n=5).collect()
+        }
+        assert out == {3, 4}  # clean + short survive, 1 and 2 drop
+        strict = {
+            r["doc_id"]
+            for r in bloom_decontaminate(corpus, eval_set, n=5, min_hits=3).collect()
+        }
+        assert 2 in strict  # only 2 shared 5-grams -> survives min_hits=3
+
+    def test_bloom_table_is_fixed_size_and_probes_broadcast(self, spark, corpus, eval_set):
+        from hedera_etl_spark.operators.decontam import (
+            bloom_contaminated_ids,
+            ngram_bloom,
+        )
+        from hedera_etl_spark.operators.textdedup import doc_shingles
+
+        sh = doc_shingles(eval_set, n=5).select("shingle").distinct()
+        assert ngram_bloom(sh, m_bits=4096, k=4).count() <= 64
+        plan = (
+            bloom_contaminated_ids(corpus, eval_set, n=5, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # the k probes are broadcast hash joins: the corpus side never
+        # shuffles before the candidate filter
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_k_validation(self, spark, eval_set):
+        import pytest as _pytest
+
+        from hedera_etl_spark.operators.decontam import ngram_bloom
+        from hedera_etl_spark.operators.textdedup import doc_shingles
+
+        sh = doc_shingles(eval_set, n=5).select("shingle")
+        with _pytest.raises(ValueError, match="k must be"):
+            ngram_bloom(sh, k=8)
+        with _pytest.raises(ValueError, match="k must be"):
+            ngram_bloom(sh, k=0)
