@@ -115,3 +115,50 @@ def atomic_replace(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return True
+
+
+# ---------------------------------------------------------------------------
+# Append-only batch-directory stores (the ``root/batch=X`` commit
+# primitive shared by the incremental dedup stores).
+# ---------------------------------------------------------------------------
+
+
+def batch_dirs(root: str) -> set[str]:
+    """Live ``batch=X`` entries under ``root`` (staging dirs excluded)."""
+    return {
+        e for e in os.listdir(root)
+        if e.startswith("batch=") and not e.startswith(".")
+    }
+
+
+def sweep_staging(root: str) -> None:
+    """Remove stale ``.batch=X.__new`` staging dirs (a crash between the
+    parquet write and the rename leaves one; it is never live)."""
+    import shutil
+
+    for e in os.listdir(root):
+        if e.startswith(".") and e.endswith(".__new"):
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+
+
+def stage_batch_dir(root: str, entry: str, df) -> str:
+    """Write ``df`` to the staging sibling of ``root/entry``; returns
+    the staged path (publish with :func:`publish_batch_dir`)."""
+    import shutil
+
+    tmp = os.path.join(root, f".{entry}.__new")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    return tmp
+
+
+def publish_batch_dir(root: str, entry: str, staged: str) -> None:
+    """Make a staged batch dir live by one rename; idempotent — an
+    already-live entry wins every race (concurrent retry discipline)."""
+    import shutil
+
+    live = os.path.join(root, entry)
+    if os.path.exists(live):
+        shutil.rmtree(staged, ignore_errors=True)
+    else:
+        os.rename(staged, live)

@@ -58,15 +58,8 @@ def contamination_profile(
     corpus_sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     # eval ids are irrelevant — only the union of eval n-grams matters,
     # so collapse to a distinct-shingle dimension before the join
-    eval_sh = (
-        doc_shingles(
-            eval_docs.select(F.lit(0).alias("doc_id"), F.col(eval_text_col).alias("__t")),
-            n=n,
-            text_col="__t",
-        )
-        .select("shingle")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    eval_sh = _ref_shingle_dim(eval_docs, n, eval_text_col).withColumn(
+        "__hit", F.lit(1)
     )
     if broadcast_eval:
         eval_sh = F.broadcast(eval_sh)
@@ -254,6 +247,21 @@ def _bloom_pos(shingle_col, i: int, m_bits: int):
     return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
 
 
+def _ref_shingle_dim(ref_docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """Collapse a reference/eval set to its distinct-shingle dimension —
+    ids are irrelevant, only the union of n-grams matters (shared by the
+    broadcast probe and the Bloom build)."""
+    return (
+        doc_shingles(
+            ref_docs.select(F.lit(0).alias("doc_id"), F.col(text_col).alias("__t")),
+            n=n,
+            text_col="__t",
+        )
+        .select("shingle")
+        .distinct()
+    )
+
+
 def ngram_bloom(
     shingles: DataFrame, m_bits: int = 1 << 20, k: int = 4
 ) -> DataFrame:
@@ -295,25 +303,35 @@ def bloom_contaminated_ids(
     prefilter the corpus map-side, then only the candidate slice meets
     the reference in one exact shuffled semi-join."""
     ref_text_col = ref_text_col or text_col
-    ref_sh = (
-        doc_shingles(
-            ref_docs.select(F.lit(0).alias("doc_id"), F.col(ref_text_col).alias("__t")),
-            n=n,
-            text_col="__t",
-        )
-        .select("shingle")
-        .distinct()
-        # two consumers (bloom build + exact verify): pin the distinct
-        .localCheckpoint(eager=False)
-    )
+    # two consumers (bloom build + exact verify): pin the distinct
+    ref_sh = _ref_shingle_dim(ref_docs, n, ref_text_col).localCheckpoint(eager=False)
     bloom = F.broadcast(ngram_bloom(ref_sh, m_bits, k))
-    probe = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # ONE digest per shingle: h1/h2 project once ahead of the join
+    # chain, so the k probe positions are integer math over shared
+    # columns — interleaving the hash into each join's projection was
+    # measured re-evaluating the md5 chain k times (r9 review finding)
+    d = F.md5(F.col("shingle"))
+    probe = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col).select(
+        "doc_id",
+        "shingle",
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(d, 17, 15), 16, 10).cast("long").alias("__h2"),
+    )
+    probe = probe.select(
+        "doc_id",
+        "shingle",
+        *[
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(m_bits)).alias(
+                f"__p{i}"
+            )
+            for i in range(k)
+        ],
+    )
     # k broadcast hash joins, each on this row's i-th probe word — no
     # explode, no shuffle; a missing word_idx row means all-zero bits
     hit_all = F.lit(True)
     for i in range(k):
         pos_col = f"__p{i}"
-        probe = probe.withColumn(pos_col, _bloom_pos(F.col("shingle"), i, m_bits))
         b = bloom.select(
             F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
         )

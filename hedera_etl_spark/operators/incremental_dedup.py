@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hedera_etl_spark import fsutil
 from hedera_etl_spark.operators.components import collapse_components
 from hedera_etl_spark.operators.textdedup import (
     lsh_candidates,
@@ -102,18 +103,13 @@ class CorpusSignatureStore:
 
     # -- commit protocol ----------------------------------------------------
     def _batch_dirs(self, root: str) -> set[str]:
-        return {
-            e for e in os.listdir(root)
-            if e.startswith("batch=") and not e.startswith(".")
-        }
+        return fsutil.batch_dirs(root)
 
     def _heal(self) -> None:
         """Drop half-committed batches (content live, sigs missing — the
         crash window between the two renames) and stale staging dirs."""
         for root in (self.content_dir, self.sigs_dir):
-            for e in os.listdir(root):
-                if e.startswith(".") and e.endswith(".__new"):
-                    shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            fsutil.sweep_staging(root)
         orphans = self._batch_dirs(self.content_dir) - self._batch_dirs(self.sigs_dir)
         for e in orphans:
             shutil.rmtree(os.path.join(self.content_dir, e), ignore_errors=True)
@@ -125,22 +121,20 @@ class CorpusSignatureStore:
         return f"batch={batch_id}" in self.committed_batches()
 
     def commit_batch(self, batch_id: str, content: DataFrame, sigs: DataFrame) -> None:
-        """Stage both tables, then rename content → sigs.  Idempotent:
+        """Stage BOTH tables, then publish content → sigs (the staging
+        and publish primitives are the shared ``fsutil`` batch-dir
+        protocol; the two-phase ordering stays here because the orphan
+        heal above depends on content publishing first).  Idempotent:
         an already-committed batch is left untouched."""
         if self.has_batch(batch_id):
             return
         entry = f"batch={batch_id}"
-        staged = []
-        for root, df in ((self.content_dir, content), (self.sigs_dir, sigs)):
-            tmp = os.path.join(root, f".{entry}.__new")
-            shutil.rmtree(tmp, ignore_errors=True)
-            df.write.mode("overwrite").parquet(tmp)
-            staged.append((tmp, os.path.join(root, entry)))
-        for tmp, live in staged:  # content first, sigs second
-            if os.path.exists(live):  # lost race with a concurrent retry
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                os.rename(tmp, live)
+        staged = [
+            (root, fsutil.stage_batch_dir(root, entry, df))
+            for root, df in ((self.content_dir, content), (self.sigs_dir, sigs))
+        ]
+        for root, tmp in staged:  # content first, sigs second
+            fsutil.publish_batch_dir(root, entry, tmp)
 
     # -- reads --------------------------------------------------------------
     def _read(self, root: str, schema: T.StructType) -> DataFrame:

@@ -43,6 +43,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hedera_etl_spark import fsutil
+
 
 def _sql_str(s: str) -> str:
     """Single-quoted Spark-SQL string literal for ``s`` (backslash,
@@ -182,7 +184,8 @@ class ParagraphHashStore:
     hashes: one ``hashes/batch=X`` directory per committed batch, made
     live by a single rename (no multi-table crash window, so healing
     only sweeps stale staging dirs).  Single-writer per store path, the
-    same contract as CorpusSignatureStore."""
+    same contract as CorpusSignatureStore; the commit primitive is the
+    shared ``fsutil`` batch-dir protocol."""
 
     def __init__(self, spark, path: str):
         import os
@@ -191,23 +194,10 @@ class ParagraphHashStore:
         self.path = path
         self.hashes_dir = os.path.join(path, "hashes")
         os.makedirs(self.hashes_dir, exist_ok=True)
-        self._heal()
-
-    def _heal(self) -> None:
-        import os
-        import shutil
-
-        for e in os.listdir(self.hashes_dir):
-            if e.startswith(".") and e.endswith(".__new"):
-                shutil.rmtree(os.path.join(self.hashes_dir, e), ignore_errors=True)
+        fsutil.sweep_staging(self.hashes_dir)
 
     def committed_batches(self) -> set[str]:
-        import os
-
-        return {
-            e for e in os.listdir(self.hashes_dir)
-            if e.startswith("batch=") and not e.startswith(".")
-        }
+        return fsutil.batch_dirs(self.hashes_dir)
 
     def has_batch(self, batch_id: str) -> bool:
         return f"batch={batch_id}" in self.committed_batches()
@@ -230,20 +220,11 @@ class ParagraphHashStore:
     def commit_batch(self, batch_id: str, hashes: DataFrame) -> None:
         """Write-then-rename commit; idempotent under retries (an
         already-live batch directory wins every race)."""
-        import os
-        import shutil
-
         entry = f"batch={batch_id}"
-        live = os.path.join(self.hashes_dir, entry)
-        if os.path.exists(live):
+        if self.has_batch(batch_id):
             return
-        tmp = os.path.join(self.hashes_dir, f".{entry}.__new")
-        shutil.rmtree(tmp, ignore_errors=True)
-        hashes.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(live):  # lost race with a concurrent retry
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            os.rename(tmp, live)
+        staged = fsutil.stage_batch_dir(self.hashes_dir, entry, hashes)
+        fsutil.publish_batch_dir(self.hashes_dir, entry, staged)
 
 
 def incremental_paragraph_dedup(
