@@ -104,6 +104,13 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--min-tokens", type=int, default=0, help="quality floor (0 disables)")
     p.add_argument("--near-threshold", type=float, default=0.5)
     p.add_argument(
+        "--paragraph-dedup-sep",
+        default=None,
+        help="enable incremental paragraph dedup with this literal "
+        "separator: each epoch's paragraphs judged against every "
+        "earlier epoch via the persisted hash store",
+    )
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -369,6 +376,7 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             near_threshold=args.near_threshold,
             max_files_per_trigger=args.max_files_per_trigger,
+            paragraph_dedup_sep=args.paragraph_dedup_sep,
         )
         if args.continuous:
             if args.compact_after:

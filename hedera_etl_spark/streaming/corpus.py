@@ -53,6 +53,7 @@ class CorpusIngestMetrics:
     accepted: int = 0
     dropped_exact: int = 0
     dropped_near: int = 0
+    dropped_paragraph_docs: int = 0
     replayed_batches: int = 0
     history: list = field(default_factory=list)
 
@@ -71,6 +72,8 @@ class CorpusIngestPipeline:
         near_threshold: float = 0.5,
         shingle_n: int = 3,
         max_files_per_trigger: int | None = None,
+        paragraph_dedup_sep: str | None = None,
+        paragraph_min_chars: int = 1,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -81,6 +84,20 @@ class CorpusIngestPipeline:
         self.near_threshold = near_threshold
         self.shingle_n = shingle_n
         self.max_files_per_trigger = max_files_per_trigger
+        self.paragraph_dedup_sep = paragraph_dedup_sep
+        self.paragraph_min_chars = paragraph_min_chars
+        # the paragraph hash store lives beside the signature store and
+        # commits under the SAME stable batch id, so every crash window
+        # replays to the identical decision (operators/paradedup.py)
+        self.paragraph_store = None
+        if paragraph_dedup_sep is not None:
+            import os
+
+            from hedera_etl_spark.operators.paradedup import ParagraphHashStore
+
+            self.paragraph_store = ParagraphHashStore(
+                spark, os.path.join(store_path, "paragraphs")
+            )
         self.metrics = CorpusIngestMetrics()
 
     def _read(self) -> DataFrame:
@@ -289,6 +306,27 @@ class CorpusIngestPipeline:
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
+        if self.paragraph_store is not None:
+            from hedera_etl_spark.operators.paradedup import (
+                incremental_paragraph_dedup,
+            )
+
+            # BEFORE document dedup (the batch-pipeline ordering): cut
+            # paragraphs accepted in any earlier epoch plus within-batch
+            # copies, so banner-order variants collapse as exact dups
+            # downstream.  Commits under the same bid; a replay excludes
+            # its own hashes and reproduces the identical rebuild.
+            para_replay = self.paragraph_store.has_batch(bid)
+            before = batch.count()
+            batch = incremental_paragraph_dedup(
+                batch,
+                self.paragraph_store,
+                bid,
+                sep=self.paragraph_dedup_sep,
+                min_chars=self.paragraph_min_chars,
+            ).localCheckpoint(eager=False)
+            if not para_replay:  # replays must not double-count drops
+                m.dropped_paragraph_docs += before - batch.count()
         replay = self.store.has_batch(bid)
         accepted, stats = incremental_dedup_batch(
             self.store,

@@ -251,3 +251,58 @@ class TestCorpusCompaction:
         row = pipe.read_corpus().limit(1)
         pipe._commit_corpus_batch(row, "stream-0")  # very late replay
         assert pipe.read_corpus().count() == 3
+
+
+def test_streaming_paragraph_dedup_across_epochs(spark, dirs):
+    """With --paragraph-dedup-sep, each epoch's paragraphs are judged
+    against every EARLIER epoch via the persisted hash store: recycled
+    boilerplate is cut from later arrivals before document dedup, and a
+    same-checkpoint restart replays without double-counting."""
+    banner = "SUBSCRIBE for our daily newsletter and exclusive offers"
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            paragraph_dedup_sep="\n\n",
+        )
+
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, f"{BASE}\n\n{banner}"), (2, OTHER)],
+    )
+    p1 = pipeline()
+    m1 = p1.run_until_drained()
+    assert m1.accepted == 2 and m1.dropped_paragraph_docs == 0
+    texts = {r["doc_id"]: r["text"] for r in p1.read_corpus().collect()}
+    assert banner in texts[1]
+
+    # epoch 2: one doc is ONLY recycled paragraphs (vanishes at the
+    # paragraph stage), one mixes the banner with novel prose (banner
+    # cut, novel part accepted)
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [(10, banner), (11, f"{banner}\n\nnovel epoch two prose")],
+    )
+    p2 = pipeline()
+    m2 = p2.run_until_drained()
+    assert m2.dropped_paragraph_docs == 1  # doc 10
+    texts = {r["doc_id"]: r["text"] for r in p2.read_corpus().collect()}
+    assert texts[11] == "novel epoch two prose"
+    assert sorted(texts) == [1, 2, 11]
+
+    # replay the same epochs on a FRESH checkpoint: both stores replay
+    # their recorded decisions — corpus unchanged, no double counting
+    import shutil
+
+    shutil.rmtree(dirs["ckpt"])
+    p3 = pipeline()
+    m3 = p3.run_until_drained()
+    assert m3.dropped_paragraph_docs == 0 and m3.accepted == 0
+    assert m3.replayed_batches == m3.batches
+    assert sorted(
+        r["doc_id"] for r in p3.read_corpus().collect()
+    ) == [1, 2, 11]
