@@ -241,6 +241,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--salt", default="", help="decorrelates this sample from other splits")
     p.add_argument("--pack-groups", type=int, default=64)
     p.add_argument(
+        "--shard-order-salt",
+        default=None,
+        help="export in seeded training order as FIXED-size shards "
+        "instead of hash-mod shards (requires --shard-size; a new salt "
+        "draws a fresh epoch shuffle)",
+    )
+    p.add_argument("--shard-size", type=int, default=None, help="rows per ordered shard")
+    p.add_argument(
         "--embeddings-input",
         default=None,
         help="embeddings parquet (vec_id, embedding) keyed by the doc id; "
@@ -420,6 +428,8 @@ def main(argv: list[str] | None = None) -> int:
             max_tokens=args.max_tokens,
             n_shards=args.n_shards,
             pack_groups=args.pack_groups,
+            shard_order_salt=args.shard_order_salt,
+            shard_size=args.shard_size,
             id_col=args.id_col,
             text_col=args.text_col,
             normalize_form=args.normalize_form,

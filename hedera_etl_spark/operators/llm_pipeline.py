@@ -522,13 +522,23 @@ def prepare_training_shards(
     pack_groups: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_order_salt: str | None = None,
+    shard_size: int | None = None,
     **corpus_kwargs,
 ) -> DataFrame:
     """Full pipeline through packing + shard export; returns the shard
     manifest.  ``corpus_kwargs`` forward to
     :func:`prepare_training_corpus`.  The exported rows carry the input
     columns plus (n_tokens, bin_id) so a trainer can reassemble packed
-    contexts by bin."""
+    contexts by bin.
+
+    Two export layouts: the default hash-mod shards (``n_shards``
+    directories, size ~n/k, membership stable under corpus growth —
+    the re-export-friendly layout), or — when ``shard_order_salt`` is
+    set — the training-order layout (``ordershuffle``): a seeded global
+    permutation cut into FIXED-size shards of ``shard_size`` rows, one
+    file per shard in epoch order (``n_shards`` is ignored; a new salt
+    is a fresh epoch shuffle)."""
     corpus = prepare_training_corpus(
         docs, id_col=id_col, text_col=text_col, **corpus_kwargs
     )
@@ -541,6 +551,15 @@ def prepare_training_shards(
         ),
         id_col,
     )
+    if shard_order_salt is not None:
+        if not shard_size:
+            raise ValueError("shard_order_salt requires shard_size")
+        from hedera_etl_spark.operators.ordershuffle import export_ordered_shards
+
+        return export_ordered_shards(
+            enriched, out_dir, shard_size, [id_col],
+            salt=shard_order_salt, token_count_col="n_tokens",
+        )
     return export_shards(
         enriched, out_dir, n_shards, key_col=id_col, token_count_col="n_tokens"
     )

@@ -209,6 +209,38 @@ def test_budget_bounded_mixture_shaped_output(spark, corpus):
     assert any(r["doc_id"] % 7 == 0 for r in kept_unscored.collect())
 
 
+def test_cli_prepare_ordered_shards(spark, corpus, tmp_path, capsys):
+    """--shard-order-salt exports fixed-size shards in seeded training
+    order through the same verify contract."""
+    from hedera_etl_spark.operators.export import verify_shards
+
+    from hedera_etl_spark import cli
+
+    src = str(tmp_path / "docs2")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "ordprep")
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", src,
+            "--out-dir", out,
+            "--max-tokens", "256",
+            "--n-shards", "1",  # ignored by the ordered layout
+            "--shard-order-salt", "epoch0",
+            "--shard-size", "100",
+            "--sample-rate", "1.0",
+        ]
+    )
+    assert rc == 0
+    checks = verify_shards(spark, out).collect()
+    assert checks and all(r["ok"] for r in checks)
+    sizes = [r["n_rows"] for r in checks]
+    assert all(s == 100 for s in sizes[:-1]) and 0 < sizes[-1] <= 100
+    # training order persisted: within shard 0 the positions are 0..99
+    first = spark.read.parquet(f"{out}/shards/shard_id=0")
+    assert [r["pos_in_shard"] for r in first.collect()] == list(range(100))
+
+
 def test_paragraph_dedup_stage_collapses_banner_only_variants(spark):
     """Paragraph dedup runs BEFORE document dedup, so two documents that
     differ only in a shared banner paragraph collapse as exact dups."""
