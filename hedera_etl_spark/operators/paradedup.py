@@ -147,7 +147,10 @@ def paragraph_dedup(
     """Corpus with duplicated paragraphs removed (module docstring
     semantics): same schema as ``docs`` with ``text_col`` rebuilt from
     each document's surviving paragraphs in original order.  Documents
-    left with no non-empty paragraph drop when ``drop_empty``."""
+    left with no non-empty paragraph drop when ``drop_empty``
+    (emptiness is SQL ``trim``, i.e. spaces only — a document reduced
+    to exempt empty paragraphs keeps its separators; both engines'
+    trim agrees, and the property test pins the rule)."""
     if "__drop_idx" in docs.columns:
         raise ValueError("column name '__drop_idx' is reserved")
     # the occurrence frame feeds TWO consumers (the keeper aggregate and

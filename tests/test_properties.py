@@ -593,3 +593,80 @@ def test_lm_scores_match_reference_model(spark, texts):
         for r in lm_scores(docs, bigram_lm(docs)).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup vs a sequential Python reference
+# ---------------------------------------------------------------------------
+para_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abXY ", min_size=0, max_size=6), min_size=1, max_size=5
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _para_reference(docs, min_chars=1):
+    """Sequential keep-first paragraph dedup: (doc_id, paragraph list)
+    in id order; returns surviving texts keyed by doc id."""
+    seen = set()
+    out = {}
+    for doc_id, paras in docs:
+        kept = []
+        for p in paras:
+            if len(p) < min_chars:
+                kept.append(p)  # exempt
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+        text = "\n\n".join(kept)
+        # drop_empty tests SQL trim(), which strips SPACES only (both
+        # engines) — a doc of exempt empty paragraphs ('\n\n') survives
+        if text.strip(" "):
+            out[doc_id] = text
+    return out
+
+
+@settings(**SPARK_SETTINGS)
+@given(docs=para_texts)
+def test_paragraph_dedup_matches_sequential_reference(spark, docs):
+    """For ANY corpus, distributed keep-first == the obvious sequential
+    sweep in (doc_id, idx) order (the canonical-occurrence rule)."""
+    from hedera_etl_spark.operators.paradedup import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(df).collect()}
+    want = _para_reference([(i, paras) for i, paras in enumerate(docs)])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle vs a Python md5 reference
+# ---------------------------------------------------------------------------
+@settings(**SPARK_SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    salt=st.text(alphabet="abc", max_size=4),
+)
+def test_shuffled_order_matches_python_md5_reference(spark, ids, salt):
+    """The seeded permutation is exactly the md5 hash order any engine
+    (or a plain Python sweep) re-derives."""
+    import hashlib
+
+    from hedera_etl_spark.operators.ordershuffle import shuffled_order
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffled_order(df, ["doc_id"], salt=salt).collect()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"{salt}\x1f{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    ordered = sorted(ids, key=lambda i: (bucket(i), i))
+    want = {i: rank + 1 for rank, i in enumerate(ordered)}
+    assert got == want
