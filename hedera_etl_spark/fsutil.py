@@ -162,3 +162,38 @@ def publish_batch_dir(root: str, entry: str, staged: str) -> None:
         shutil.rmtree(staged, ignore_errors=True)
     else:
         os.rename(staged, live)
+
+
+def compact_batch_dirs(spark, root: str, schema, dedup_cols=None) -> int:
+    """Fold every live ``batch=X`` dir under ``root`` into one
+    ``batch=compacted-<md5>`` dir (single-root batch-store maintenance).
+    Returns the number of dirs folded (0 when <= 1 live dir).
+
+    Crash-safe without coordination: the target name derives from the
+    md5 of the folded SET, the merged rows are materialized
+    (localCheckpoint) and published through the normal staged rename
+    BEFORE any source is removed.  A crash between publish and the
+    source deletes leaves rows duplicated across target and leftovers;
+    callers must therefore only use batch stores in duplicate-insensitive
+    reads (semi/anti joins — the contract both incremental stores
+    already hold), and a retry derives a NEW target folding everything,
+    with ``dropDuplicates`` keeping row counts from creeping."""
+    import hashlib
+    import shutil
+
+    old = sorted(batch_dirs(root))
+    if len(old) <= 1:
+        return 0
+    entry = "batch=compacted-" + hashlib.md5("|".join(old).encode()).hexdigest()[:12]
+    merged = spark.read.schema(schema).parquet(*[os.path.join(root, b) for b in old])
+    merged = (
+        merged.dropDuplicates(dedup_cols) if dedup_cols else merged.dropDuplicates()
+    )
+    merged = merged.localCheckpoint()  # materialize BEFORE sources vanish
+    if not os.path.exists(os.path.join(root, entry)):
+        staged = stage_batch_dir(root, entry, merged)
+        publish_batch_dir(root, entry, staged)
+    for b in old:
+        if b != entry:
+            shutil.rmtree(os.path.join(root, b), ignore_errors=True)
+    return len(old)

@@ -59,6 +59,29 @@ def range_join_bucketed(
     )
 
 
+def inverted_store_probe(history: DataFrame, batch_keys: DataFrame, key: str) -> DataFrame:
+    """``history`` rows whose ``key`` appears in the batch's key set —
+    the building block of every incremental-store probe (VERDICT r9 #1).
+
+    The naive direction (``batch.join(history, key, "left_anti"/"left_semi")``)
+    shuffles the FULL history under every micro-batch once the store
+    outgrows the broadcast threshold — at a mature 100-TB corpus the
+    store is billions of rows, so each small batch would pay a
+    history-sized exchange.  Inverted, the BATCH key set (bounded by
+    batch size) broadcasts and the history scan reduces map-side through
+    one BroadcastHashJoin to the tiny hit set (history ∩ batch): one
+    history SCAN, zero history SHUFFLES, at any store size.  Callers then
+    semi/anti-join the batch against ``F.broadcast(<result>)``.
+
+    The result may carry duplicate keys when a crash-interrupted
+    compaction left rows in both target and source dirs — callers must
+    consume it duplicate-insensitively (semi/anti joins), which both
+    stores do.  Plan-pinned in tests/test_plans.py: no Exchange between
+    the history scan and the probe join.
+    """
+    return history.join(F.broadcast(batch_keys.select(key)), key, "left_semi")
+
+
 def salt_col(n_salts: int):
     """Content-independent salt expression: per-row id modulo n_salts.
 

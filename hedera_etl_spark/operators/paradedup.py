@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hedera_etl_spark import fsutil
+from hedera_etl_spark.operators.joins import inverted_store_probe
 
 
 def _sql_str(s: str) -> str:
@@ -229,6 +230,89 @@ class ParagraphHashStore:
         staged = fsutil.stage_batch_dir(self.hashes_dir, entry, hashes)
         fsutil.publish_batch_dir(self.hashes_dir, entry, staged)
 
+    def compact(self) -> int:
+        """Merge ALL committed batch directories into one (file-count
+        maintenance: after thousands of streaming epochs, the per-epoch
+        dir listing and multi-path open dominate the read — VERDICT r9
+        #2).  Returns the number of batch dirs folded (0 = nothing to do).
+
+        Crash-safe via the shared primitive: the target name derives from
+        the md5 of the merged SET and commits through the normal staged
+        rename BEFORE any source is removed.  A crash in between leaves
+        hashes duplicated across target and leftover sources — harmless
+        (every read feeds semi/anti joins, which are duplicate-
+        insensitive, and the merge dropDuplicates()es so a retry never
+        compounds).  Caveat, same as CorpusSignatureStore.compact():
+        ``hashes(exclude_batch=X)`` no longer resolves an original batch
+        id after its dir is folded, so compact only past the replay
+        horizon of a drained/checkpointed stream — a replay of a folded
+        batch would see its own hashes as history and cut its own rows.
+        """
+        return fsutil.compact_batch_dirs(
+            self.spark, self.hashes_dir, _hash_schema()
+        )
+
+
+def incremental_paragraph_dedup_plan(
+    docs: DataFrame,
+    store: ParagraphHashStore,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    drop_empty: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The batch computation of :func:`incremental_paragraph_dedup`
+    WITHOUT the store commit: returns ``(rebuilt_docs,
+    new_canon_occurrences)`` where the second frame is
+    (doc_id, para_hash) for every surviving canonical paragraph whose
+    hash is NOT already in history — the rows a caller commits (possibly
+    after filtering by a downstream acceptance decision, e.g. doc-level
+    dedup: committing a paragraph whose canonical document is later
+    REJECTED would permanently cut content whose one legitimate home
+    never entered the corpus — ADVICE r9).
+
+    Scale shape (VERDICT r9 #1 — the history side never shuffles): the
+    store probe is INVERTED.  Instead of anti/semi-joining the batch
+    against the full history (a full-history shuffle per micro-batch,
+    since a mature store cannot broadcast), the batch's OWN distinct
+    hash set — bounded by batch size — broadcasts, the history scan is
+    reduced map-side by one BroadcastHashJoin to the tiny ``hits`` set
+    (history ∩ batch), and both downstream probes (the drop semi-join
+    and the new-canon anti-join) run against broadcast hits.  Per batch:
+    ONE history scan, ZERO history shuffles (plan-pinned in
+    tests/test_paradedup.py); ``hits`` is eagerly pinned so its two
+    consumers do not re-scan history."""
+    occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
+        eager=False
+    )
+    history = store.hashes(exclude_batch=batch_id)
+    batch_hashes = occ.select("para_hash").distinct()
+    # hits may carry duplicate hashes after a crash-interrupted
+    # compaction (target + leftover sources overlap); both consumers are
+    # semi/anti joins, so duplicates are harmless and deduping here would
+    # put a shuffle back over the history subtree
+    hits = inverted_store_probe(history, batch_hashes, "para_hash").localCheckpoint(
+        eager=True
+    )
+    vs_store = occ.join(F.broadcast(hits), "para_hash", "left_semi").select("doc_id", "idx")
+    in_batch = duplicate_paragraph_drops(occ)
+    # union then distinct: an occurrence can be both a store hit and a
+    # within-batch non-canonical copy
+    drops = vs_store.unionByName(in_batch).distinct().localCheckpoint(eager=True)
+    out = rebuild_without(docs, drops, text_col, id_col, sep, drop_empty)
+    # newly-accepted canon: every eligible occurrence that survived —
+    # i.e. is not in the drop set and not already in history.  Each hash
+    # survives at exactly ONE (doc_id, idx) (within-batch keep-first), so
+    # the doc attribution is unambiguous for acceptance filtering.
+    new_canon = (
+        occ.join(drops, ["doc_id", "idx"], "left_anti")
+        .select("doc_id", "para_hash")
+        .join(F.broadcast(hits), "para_hash", "left_anti")
+    )
+    return out, new_canon
+
 
 def incremental_paragraph_dedup(
     docs: DataFrame,
@@ -241,34 +325,19 @@ def incremental_paragraph_dedup(
     drop_empty: bool = True,
 ) -> DataFrame:
     """One batch of the continuous paragraph-dedup loop: cut paragraphs
-    already accepted in ANY earlier committed batch (store anti-join)
-    plus within-batch duplicates (keep-first, exactly
-    :func:`paragraph_dedup`), rebuild the documents, then commit the
-    batch's newly-accepted canonical paragraph hashes.
+    already accepted in ANY earlier committed batch (store probe) plus
+    within-batch duplicates (keep-first, exactly :func:`paragraph_dedup`),
+    rebuild the documents, then commit the batch's newly-accepted
+    canonical paragraph hashes.
 
     Deterministic under retries WITHOUT storing outputs: the store read
     excludes ``batch_id`` itself, so a replay of a committed batch
     judges against the same history it saw the first time and returns
     byte-identical documents (pinned in tests).  The commit itself is
-    idempotent (single rename).  Commit runs on an eagerly pinned drop
-    set so the store never sees a half-evaluated plan."""
-    occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
-        eager=False
+    idempotent (single rename).  Plan shape and the deferred-commit
+    variant: :func:`incremental_paragraph_dedup_plan`."""
+    out, new_canon = incremental_paragraph_dedup_plan(
+        docs, store, batch_id, text_col, id_col, sep, min_chars, drop_empty
     )
-    history = store.hashes(exclude_batch=batch_id)
-    vs_store = occ.join(history, "para_hash", "left_semi").select("doc_id", "idx")
-    in_batch = duplicate_paragraph_drops(occ)
-    # union then distinct: an occurrence can be both a store hit and a
-    # within-batch non-canonical copy
-    drops = vs_store.unionByName(in_batch).distinct().localCheckpoint(eager=True)
-    out = rebuild_without(docs, drops, text_col, id_col, sep, drop_empty)
-    # newly-accepted canon: every eligible occurrence that survived —
-    # i.e. is not in the drop set and not already in history
-    survivors = (
-        occ.join(drops, ["doc_id", "idx"], "left_anti")
-        .select("para_hash")
-        .distinct()
-        .join(history, "para_hash", "left_anti")
-    )
-    store.commit_batch(batch_id, survivors)
+    store.commit_batch(batch_id, new_canon.select("para_hash").distinct())
     return out

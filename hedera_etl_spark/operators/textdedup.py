@@ -249,6 +249,23 @@ def minhash_signatures_from_sets(
     return hashed.selectExpr("doc_id", *cols)
 
 
+def band_structs_expr(bands: int, rows: int):
+    """Array of (band, sig) structs over the ``mh_*`` signature columns —
+    the LSH banding expression shared by :func:`lsh_candidates` and the
+    incremental store's inverted candidate probe
+    (incremental_dedup.store_candidate_sigs), so the two sides bucket
+    IDENTICALLY by construction."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[f"mh_{b * rows + j}" for j in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidates(
     sig: DataFrame,
     bands: int = 3,
@@ -292,15 +309,7 @@ def lsh_candidates(
     ``max_bucket_size`` for tuning.  See stats.observe_bucket_cap.
     """
     carry = [c for c in sig.columns if c == "__n"]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[f"mh_{b * rows + j}" for j in range(rows)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_structs_expr(bands, rows)
     buckets = sig.select("doc_id", *carry, F.explode(band_structs).alias("bk")).select(
         "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )

@@ -306,25 +306,33 @@ class CorpusIngestPipeline:
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
+        para_new_canon = None
         if self.paragraph_store is not None:
             from hedera_etl_spark.operators.paradedup import (
-                incremental_paragraph_dedup,
+                incremental_paragraph_dedup_plan,
             )
 
             # BEFORE document dedup (the batch-pipeline ordering): cut
             # paragraphs accepted in any earlier epoch plus within-batch
             # copies, so banner-order variants collapse as exact dups
-            # downstream.  Commits under the same bid; a replay excludes
-            # its own hashes and reproduces the identical rebuild.
+            # downstream.  The COMMIT is deferred until after document
+            # dedup and filtered to ACCEPTED docs (ADVICE r9): committing
+            # a paragraph whose canonical document is then rejected by
+            # doc-level dedup would mark as "accepted" content that never
+            # entered the corpus, permanently cutting it from every later
+            # epoch.  A replay excludes its own hashes and reproduces the
+            # identical rebuild; the accepted set is deterministic, so
+            # the deferred commit is replay-stable too.
             para_replay = self.paragraph_store.has_batch(bid)
             before = batch.count()
-            batch = incremental_paragraph_dedup(
+            batch, para_new_canon = incremental_paragraph_dedup_plan(
                 batch,
                 self.paragraph_store,
                 bid,
                 sep=self.paragraph_dedup_sep,
                 min_chars=self.paragraph_min_chars,
-            ).localCheckpoint(eager=False)
+            )
+            batch = batch.localCheckpoint(eager=False)
             if not para_replay:  # replays must not double-count drops
                 m.dropped_paragraph_docs += before - batch.count()
         replay = self.store.has_batch(bid)
@@ -335,6 +343,15 @@ class CorpusIngestPipeline:
             n=self.shingle_n,
             threshold=self.near_threshold,
         )
+        if para_new_canon is not None:
+            self.paragraph_store.commit_batch(
+                bid,
+                para_new_canon.join(
+                    accepted.select("doc_id"), "doc_id", "left_semi"
+                )
+                .select("para_hash")
+                .distinct(),
+            )
         m.batches += 1
         m.rows_in += stats.rows_in
         m.history.append(stats)

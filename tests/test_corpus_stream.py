@@ -306,3 +306,56 @@ def test_streaming_paragraph_dedup_across_epochs(spark, dirs):
     assert sorted(
         r["doc_id"] for r in p3.read_corpus().collect()
     ) == [1, 2, 11]
+
+
+def test_rejected_doc_paragraphs_stay_claimable(spark, dirs):
+    """ADVICE r9 (medium): paragraph hashes commit only for documents the
+    DOC-level stage accepted.  A paragraph whose canonical home is
+    rejected as a near-dup never enters the corpus — committing its hash
+    would permanently cut the content from every later epoch even though
+    it was never published."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    para1 = " ".join(f"w{i:02d}" for i in range(60))
+    variant = " ".join(f"w{i:02d}" for i in range(59)) + " CHANGED"
+    P = "keep this paragraph intact please"
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            paragraph_dedup_sep="\n\n",
+        )
+
+    # epoch 1: doc 1 = para1 (accepted); doc 2 = near-dup of doc 1 at the
+    # shingle level (one token changed -> no exact-paragraph cut) plus a
+    # brand-new paragraph P.  Doc 2 is REJECTED by doc-level near-dedup.
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, para1), (2, f"{variant}\n\n{P}")],
+    )
+    p1 = pipeline()
+    m1 = p1.run_until_drained()
+    assert m1.accepted == 1 and m1.dropped_near == 1
+    assert sorted(r["doc_id"] for r in p1.read_corpus().collect()) == [1]
+    committed = {r["para_hash"] for r in p1.paragraph_store.hashes().collect()}
+    assert md5(para1) in committed
+    # the rejected doc's paragraphs were NOT recorded as accepted
+    assert md5(P) not in committed and md5(variant) not in committed
+
+    # epoch 2: P arrives in a genuinely novel document — its one
+    # legitimate home must survive, not be cut by a phantom history entry
+    filler = " ".join(f"z{i:02d}" for i in range(60))
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"), [(10, f"{P}\n\n{filler}")]
+    )
+    p2 = pipeline()
+    p2.run_until_drained()
+    rows = {r["doc_id"]: r["text"] for r in p2.read_corpus().collect()}
+    assert rows[10] == f"{P}\n\n{filler}"
+    committed2 = {r["para_hash"] for r in p2.paragraph_store.hashes().collect()}
+    assert md5(P) in committed2

@@ -168,3 +168,103 @@ def test_compact_crash_window_converges(spark, store):
     assert len(store.committed_batches()) == 1
     assert store.content().count() == 2  # dropDuplicates folded the overlap
     assert store.signatures().count() == 2
+
+
+def _fab_sigs(spark, rows):
+    """Fabricated 9-component signature rows: full control over LSH
+    buckets (bands=3, rows=3: band b's bucket is mh_{3b..3b+2})."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(9)]
+    )
+    return spark.createDataFrame(
+        [tuple([i] + list(sig)) for i, sig in rows], schema
+    )
+
+
+def test_candidate_probe_equals_full_union_banding(spark):
+    """store_candidate_sigs(batch ∪ candidates) must emit exactly the
+    batch-involving pairs of the naive (batch ∪ FULL store) banding,
+    including under a BINDING max_bucket cap: a bucket holding a batch
+    doc has identical membership either way (every store doc in it is a
+    candidate by definition), so its size and cap fate agree; store-only
+    buckets diverge but emit only store-store pairs the incremental
+    decision discards."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.incremental_dedup import (
+        signature_estimate_pairs,
+        store_candidate_sigs,
+    )
+
+    A = tuple([11] * 9)          # hot signature
+    B = tuple([22] * 9)          # cool signature
+    C = tuple([33] * 9)          # store-only signature
+    half_b = tuple([22] * 3 + [7] * 6)  # shares only band 0 with B
+    store_sigs = _fab_sigs(
+        spark,
+        [(i, A) for i in range(1, 7)]   # 6 store docs in the hot bucket
+        + [(7, B), (8, half_b)]
+        + [(20, C), (21, C)],           # store-only bucket
+    )
+    batch_sigs = _fab_sigs(spark, [(100, A), (101, B), (102, tuple([44] * 9))])
+    batch_ids = {100, 101, 102}
+
+    def batch_pairs(sigs):
+        est = signature_estimate_pairs(
+            batch_sigs.unionByName(sigs), k=9, bands=3, rows=3, max_bucket=4
+        )
+        return {
+            (r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in est.collect()
+            if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+        }
+
+    cand = store_candidate_sigs(store_sigs, batch_sigs, bands=3, rows=3)
+    cand_ids = sorted(r["doc_id"] for r in cand.select("doc_id").collect())
+    # hot-bucket docs and both B-bucket docs hit; store-only docs don't
+    assert cand_ids == [1, 2, 3, 4, 5, 6, 7, 8]
+    got = batch_pairs(cand)
+    want = batch_pairs(store_sigs)
+    assert got == want
+    # the cap BOUND: the hot bucket (7 members > 4) emitted nothing,
+    # the cool bucket did — the estimator saw 9/9 agreement for (7,101)
+    # and 3/9 for (8,101)
+    assert all(not (a in range(1, 7) or b in range(1, 7)) for a, b, _ in want)
+    assert (7, 101, 1.0) in want
+    assert any(a == 8 or b == 8 for a, b, _ in want)
+
+
+def test_store_probes_never_shuffle_history(spark, store):
+    """VERDICT r9 #1 pin, both store sides: the content-hash probe and
+    the signature candidate probe stream the history scan map-side into
+    a BroadcastHashJoin — no Exchange between scan and probe join."""
+    from planutil import assert_scan_probes_unshuffled, plan_of
+
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.incremental_dedup import store_candidate_sigs
+    from hedera_etl_spark.operators.joins import inverted_store_probe
+    from hedera_etl_spark.operators.textdedup import (
+        minhash_signatures_from_sets,
+        shingle_sets,
+    )
+
+    incremental_dedup_batch(store, _docs(spark, [(1, BASE)]), "b1")
+    incremental_dedup_batch(
+        store, _docs(spark, [(2, "second unrelated body of text here")]), "b2"
+    )
+    batch = _docs(spark, [(10, BASE + " tail"), (11, "novel words only")])
+    batch_hashes = batch.select(F.md5("text").alias("content_hash"))
+    hits = inverted_store_probe(
+        store.content().select("content_hash"), batch_hashes, "content_hash"
+    )
+    hits.collect()
+    assert_scan_probes_unshuffled(plan_of(hits), "struct<content_hash:string>")
+
+    batch_sigs = minhash_signatures_from_sets(shingle_sets(batch, n=3), k=store.k)
+    cand = store_candidate_sigs(store.signatures(), batch_sigs, bands=3, rows=3)
+    assert sorted(r["doc_id"] for r in cand.collect()) == [1]
+    assert_scan_probes_unshuffled(plan_of(cand), "struct<doc_id:bigint,mh_0:bigint")

@@ -244,3 +244,163 @@ def test_incremental_heals_stale_staging(spark, tmp_path):
     store = ParagraphHashStore(spark, path)
     assert store.committed_batches() == set()
     assert not os.path.exists(os.path.join(path, "hashes", ".batch=zz.__new"))
+
+
+def test_history_probe_never_shuffles_store(spark, tmp_path):
+    """VERDICT r9 #1 pin: the paragraph store's history side streams
+    map-side into a BroadcastHashJoin (batch hash set broadcast) with no
+    Exchange between the store scan and the probe join — per epoch the
+    history pays one SCAN and zero SHUFFLES at any store size."""
+    from planutil import assert_scan_probes_unshuffled, plan_of
+
+    from hedera_etl_spark.operators.joins import inverted_store_probe
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore_pin"))
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(1, f"alpha\n\n{BOILER}")], ["doc_id", "text"]),
+        store,
+        "e1",
+    ).collect()
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(2, "beta body\n\ngamma body")], ["doc_id", "text"]),
+        store,
+        "e2",
+    ).collect()
+    occ = paragraph_occurrences(
+        spark.createDataFrame(
+            [(10, f"{BOILER}\n\nnovel text here")], ["doc_id", "text"]
+        )
+    )
+    hits = inverted_store_probe(
+        store.hashes(), occ.select("para_hash").distinct(), "para_hash"
+    )
+    assert sorted(r["para_hash"] for r in hits.collect())  # boilerplate hit
+    assert_scan_probes_unshuffled(plan_of(hits), "struct<para_hash:string>")
+
+
+def test_plan_variant_defers_commit_and_attributes_docs(spark, tmp_path):
+    """incremental_paragraph_dedup_plan returns (doc_id, para_hash) of
+    new canonical paragraphs WITHOUT committing, so a caller can restrict
+    the commit to docs a downstream stage accepted (ADVICE r9): a hash
+    withheld from the commit stays claimable by a later epoch."""
+    import hashlib
+
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+        incremental_paragraph_dedup_plan,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore_defer"))
+    e1 = spark.createDataFrame(
+        [(1, "alpha body\n\nshared para"), (2, "beta body\n\nshared para")],
+        ["doc_id", "text"],
+    )
+    out, new_canon = incremental_paragraph_dedup_plan(e1, store, "e1")
+    canon = {(r["doc_id"], r["para_hash"]) for r in new_canon.collect()}
+    assert store.committed_batches() == set()  # nothing committed yet
+    # 'shared para' is canonical at doc 1; doc 2 keeps only 'beta body'
+    assert canon == {
+        (1, md5("alpha body")),
+        (1, md5("shared para")),
+        (2, md5("beta body")),
+    }
+    # doc 2 is rejected downstream: commit only doc 1's hashes
+    from pyspark.sql import functions as F
+
+    store.commit_batch(
+        "e1",
+        new_canon.filter(F.col("doc_id") == 1).select("para_hash").distinct(),
+    )
+    committed = {r["para_hash"] for r in store.hashes().collect()}
+    assert committed == {md5("alpha body"), md5("shared para")}
+    # a later epoch re-submits 'beta body': it was never accepted, so its
+    # one legitimate home survives
+    e2 = spark.createDataFrame(
+        [(10, "beta body\n\nfresh epoch two prose")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r["text"] for r in
+            incremental_paragraph_dedup(e2, store, "e2").collect()}
+    assert out2 == {10: "beta body\n\nfresh epoch two prose"}
+
+
+def test_paragraph_store_compact_folds_and_preserves_history(spark, tmp_path):
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore_cmp"))
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(1, f"one\n\n{BOILER}")], ["doc_id", "text"]),
+        store,
+        "e1",
+    ).collect()
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(2, "two body\n\nthree body")], ["doc_id", "text"]),
+        store,
+        "e2",
+    ).collect()
+    before = {r["para_hash"] for r in store.hashes().collect()}
+    assert store.compact() == 2
+    assert len(store.committed_batches()) == 1
+    assert {r["para_hash"] for r in store.hashes().collect()} == before
+    # history still cuts: recycled boilerplate vanishes post-compaction
+    out = incremental_paragraph_dedup(
+        spark.createDataFrame(
+            [(10, f"{BOILER}\n\nnovel closing")], ["doc_id", "text"]
+        ),
+        store,
+        "e3",
+    )
+    assert {r["text"] for r in out.collect()} == {"novel closing"}
+    assert store.compact() == 2  # e3's new dir folds in
+    assert store.compact() == 0  # idempotent at one dir
+
+
+def test_paragraph_store_compact_crash_leftover_converges(spark, tmp_path):
+    """Crash between target publish and source removal leaves hashes
+    duplicated across target and a leftover source: reads stay correct
+    (semi/anti consumers are duplicate-insensitive) and a re-compact
+    folds without row creep."""
+    import os
+    import shutil
+
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore_crash"))
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(1, "solo paragraph body")], ["doc_id", "text"]),
+        store,
+        "e1",
+    ).collect()
+    incremental_paragraph_dedup(
+        spark.createDataFrame([(2, "other paragraph body")], ["doc_id", "text"]),
+        store,
+        "e2",
+    ).collect()
+    store.compact()
+    target = next(iter(store.committed_batches()))
+    shutil.copytree(
+        os.path.join(store.hashes_dir, target),
+        os.path.join(store.hashes_dir, "batch=leftover"),
+    )
+    # duplicated hashes: dedup still cuts exactly once
+    out = incremental_paragraph_dedup(
+        spark.createDataFrame(
+            [(10, "solo paragraph body\n\nnew text")], ["doc_id", "text"]
+        ),
+        store,
+        "e3",
+    )
+    assert {r["text"] for r in out.collect()} == {"new text"}
+    assert store.compact() == 3
+    assert store.hashes().count() == 3  # dropDuplicates folded the overlap
