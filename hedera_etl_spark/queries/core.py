@@ -146,9 +146,8 @@ def duped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
     tags=("dedup", "window"),
-    # parked r7 (window rotation): A2 first-row-per-group keeps its driver
-    # row via hed_dedupe_job's full pipeline; stays benched + local-oracled
-    driver_visible=False,
+    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6, the
+    # stalest cohort); slot from llm_weighted_sample (parked, ledger)
     bench=True,
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,11 +179,8 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'
     """,
     tags=("aggregate",),
-    # parked r7: ungrouped MIN/MAX/COUNT probes are a strict subset of
-    # llm_profile's one-pass stats (now in-window); the open-ended
-    # comparison predicate (P6) is also exercised by q08_theta_join's
-    # non-equi bounds.  Stays local-oracled.
-    driver_visible=False,
+    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
+    # from llm_token_budget_select (parked, ledger)
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup job's window-advance probes: ungrouped MIN over a filtered

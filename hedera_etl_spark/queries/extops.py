@@ -109,10 +109,8 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     tags=("window-agg", "session", "streaming"),
-    # parked r7: ST6 keeps its driver row via q16_window_tumbling; the
-    # session-gap semantics stay pinned under REAL streaming in
-    # tests/test_streaming_ingest.py and local-oracled here.
-    driver_visible=False,
+    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
+    # from llm_corpus_diff (parked, ledger)
 )
 def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) via F.session_window —

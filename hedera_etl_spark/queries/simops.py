@@ -72,10 +72,8 @@ MAX_BUCKET = 500
     ORDER BY query_id, rank
     """,
     tags=("sim", "ann", "baseline"),
-    # parked r7: the ANN family keeps three driver rows (lsh/ivf/cosine);
-    # the brute-force baseline stays benched + local-oracled, and the
-    # bucketed variants are property-pinned against it in pytest.
-    driver_visible=False,
+    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
+    # from sim_hard_negatives (parked, ledger)
     bench=True,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,8 +472,10 @@ _HARDNEG_ORACLE = f"""
     "sim_hard_negatives",
     _HARDNEG_ORACLE,
     tags=("sim", "contrastive", "mining"),
-    # Rotated INTO the driver window in r9 (VERDICT r8 #1: first
-    # driver check for label-restricted contrastive ranking).
+    # parked r10 (driver-green r9): the LSH bucket-join kernel keeps its
+    # driver row via sim_lsh_ann_topk; band-margin mining stays pinned in
+    # tests/test_similarity.py and local-oracled.
+    driver_visible=False,
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for embedding-model training data: per

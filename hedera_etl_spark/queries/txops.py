@@ -203,10 +203,8 @@ def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY account_num ORDER BY account_num
     """,
     tags=("tx", "explode"),
-    # parked r7: the explode/REPEATED family keeps q14_explode_tokens;
-    # the tx wire-schema parity keeps hed_tx_transform + hed_tx_errors.
-    # Stays local-oracled.
-    driver_visible=False,
+    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
+    # from llm_pii_scrub (parked, ledger)
 )
 def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(transactionRecord.transferList.accountAmounts) — the only
