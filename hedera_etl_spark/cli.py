@@ -111,6 +111,13 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "earlier epoch via the persisted hash store",
     )
     p.add_argument(
+        "--paragraph-min-chars",
+        type=int,
+        default=1,
+        help="paragraphs shorter than this are dedup-EXEMPT (recurring "
+        "short headers survive); same knob as prepare's flag",
+    )
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -189,6 +196,29 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         help="benchmark/eval parquet; enables n-gram decontamination",
     )
     p.add_argument("--decontam-n", type=int, default=13, help="decontamination n-gram width")
+    p.add_argument(
+        "--decontam-mode",
+        choices=("auto", "exact", "bloom"),
+        default="auto",
+        help="decontamination engine: exact broadcasts the reference "
+        "shingles; bloom takes the fixed-size Bloom-table scale path for "
+        "giant references (identical results, auto-sized m/k); auto "
+        "switches on the reference shingle count",
+    )
+    p.add_argument(
+        "--bloom-decontam-fp",
+        type=float,
+        default=0.01,
+        help="target false-positive rate sizing the Bloom filter (cost "
+        "knob only — the exact verify removes every false positive)",
+    )
+    p.add_argument(
+        "--bloom-auto-threshold",
+        type=int,
+        default=2_000_000,
+        help="approx distinct reference n-grams above which auto mode "
+        "uses the Bloom path",
+    )
     p.add_argument(
         "--fuzzy-decontam-threshold",
         type=float,
@@ -385,6 +415,7 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=args.near_threshold,
             max_files_per_trigger=args.max_files_per_trigger,
             paragraph_dedup_sep=args.paragraph_dedup_sep,
+            paragraph_min_chars=args.paragraph_min_chars,
         )
         if args.continuous:
             if args.compact_after:
@@ -443,6 +474,9 @@ def main(argv: list[str] | None = None) -> int:
             span_dedup_n=args.span_dedup_n,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,
+            decontam_mode=args.decontam_mode,
+            bloom_decontam_fp=args.bloom_decontam_fp,
+            bloom_auto_threshold=args.bloom_auto_threshold,
             fuzzy_decontam_threshold=args.fuzzy_decontam_threshold,
             fuzzy_decontam_n=args.fuzzy_decontam_n,
             min_tokens=args.min_tokens,

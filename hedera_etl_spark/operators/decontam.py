@@ -239,6 +239,41 @@ def fuzzy_decontaminate(
 _BLOOM_MAX_K = 7
 
 
+def auto_bloom_params(n_shingles: int, target_fp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for ``n_shingles`` distinct reference n-grams at
+    ``target_fp`` false-positive rate: the textbook optimum
+    m = -n·ln(p)/ln²2 rounded up to a whole 64-bit word and
+    k = (m/n)·ln 2 clamped to [1, _BLOOM_MAX_K] (the ANSI long bound on
+    the Kirsch-Mitzenmacher probe).  FP rate trades only VERIFY-SLICE
+    COST — the exact verify removes every false positive — so a 1%
+    target keeps the shuffled slice within ~1% of the corpus shingle
+    stream while the bit table stays ~1.2 GB per 10⁹ reference n-grams
+    (broadcastable at any realistic blocklist size)."""
+    import math
+
+    if not 0 < target_fp < 1:
+        raise ValueError(f"target_fp must be in (0, 1) (got {target_fp})")
+    n = max(1, n_shingles)
+    m = int(math.ceil(-n * math.log(target_fp) / (math.log(2) ** 2)))
+    k = min(_BLOOM_MAX_K, max(1, round(m / n * math.log(2))))
+    # when k is CLAMPED below its optimum the textbook m no longer hits
+    # target_fp: re-derive m for the fixed k from fill^k = p, i.e.
+    # m = -k·n / ln(1 - p^(1/k)) — at k=7 and p=0.001 this is ~5% more
+    # bits than the unclamped formula, and without it the realized FP
+    # drifts above target as references grow
+    m = max(m, int(math.ceil(-k * n / math.log(1.0 - target_fp ** (1.0 / k)))))
+    m = ((m + 63) // 64) * 64
+    return m, k
+
+
+def _estimated_fill(n_shingles: int, m_bits: int, k: int) -> float:
+    """Expected fraction of set bits after inserting ``n_shingles``
+    items: 1 - e^(-k·n/m); the per-probe FP rate is this to the k-th."""
+    import math
+
+    return 1.0 - math.exp(-k * n_shingles / m_bits)
+
+
 def _bloom_pos(shingle_col, i: int, m_bits: int):
     """Bit position i of the shingle's k-probe family."""
     d = F.md5(shingle_col)
@@ -290,8 +325,9 @@ def bloom_contaminated_ids(
     ref_docs: DataFrame,
     n: int = 13,
     min_hits: int = 1,
-    m_bits: int = 1 << 20,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
+    target_fp: float = 0.01,
     text_col: str = "text",
     id_col: str = "doc_id",
     ref_text_col: str | None = None,
@@ -301,10 +337,42 @@ def bloom_contaminated_ids(
     (pinned equal in tests), built for reference sets too large to
     broadcast: k broadcast joins against the fixed-size Bloom table
     prefilter the corpus map-side, then only the candidate slice meets
-    the reference in one exact shuffled semi-join."""
+    the reference in one exact shuffled semi-join.
+
+    ``m_bits``/``k`` default to AUTO (ADVICE r9): one
+    ``approx_count_distinct`` pass over the reference shingle dimension
+    sizes the filter for ``target_fp`` via :func:`auto_bloom_params` —
+    the r9 fixed default (2^20 bits) silently saturated beyond a few
+    hundred thousand reference n-grams, degenerating the prefilter into
+    the full verify join with no signal.  Explicit values are honored
+    but LOUD: when the estimated fill factor exceeds 50% a warning names
+    the saturation and the auto-sized alternative (the max_bucket /
+    cap_observations convention — a recall-or-cost trade must never be
+    silent; here correctness is safe either way, only the scale benefit
+    dies)."""
+    import warnings
+
     ref_text_col = ref_text_col or text_col
     # two consumers (bloom build + exact verify): pin the distinct
     ref_sh = _ref_shingle_dim(ref_docs, n, ref_text_col).localCheckpoint(eager=False)
+    n_ref = ref_sh.agg(
+        F.approx_count_distinct("shingle").alias("n")
+    ).first()["n"]
+    if m_bits is None or k is None:
+        auto_m, auto_k = auto_bloom_params(n_ref, target_fp)
+        m_bits = auto_m if m_bits is None else m_bits
+        k = auto_k if k is None else k
+    fill = _estimated_fill(n_ref, m_bits, k)
+    if fill**k > 0.1:  # >=10% of corpus shingles would spuriously verify
+        auto_m, auto_k = auto_bloom_params(n_ref, target_fp)
+        warnings.warn(
+            f"bloom_contaminated_ids: ~{n_ref} reference n-grams fill an "
+            f"m_bits={m_bits} filter to ~{fill:.0%} (per-probe FP "
+            f"~{fill ** k:.1%}) — the prefilter is saturating and most of "
+            f"the corpus will pay the exact verify join; results stay "
+            f"correct, but pass m_bits>={auto_m}, k={auto_k} (the "
+            f"target_fp={target_fp} auto size) to restore the scale path."
+        )
     bloom = F.broadcast(ngram_bloom(ref_sh, m_bits, k))
     # ONE digest per shingle: h1/h2 project once ahead of the join
     # chain, so the k probe positions are integer math over shared
@@ -359,14 +427,16 @@ def bloom_decontaminate(
     ref_docs: DataFrame,
     n: int = 13,
     min_hits: int = 1,
-    m_bits: int = 1 << 20,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     **kwargs,
 ) -> DataFrame:
     """``docs`` minus documents contaminated against a giant reference
-    set — ``decontaminate``'s exact semantics on the Bloom scale path."""
+    set — ``decontaminate``'s exact semantics on the Bloom scale path
+    (``m_bits``/``k`` auto-size from the reference shingle count by
+    default, see :func:`bloom_contaminated_ids`)."""
     bad = bloom_contaminated_ids(
         docs, ref_docs, n=n, min_hits=min_hits, m_bits=m_bits, k=k,
         text_col=text_col, id_col=id_col, **kwargs,

@@ -110,6 +110,10 @@ def test_cli_corpus_ingest_roundtrip(spark, dirs, capsys):
             "--corpus-table", dirs["corpus"],
             "--store", dirs["store"],
             "--checkpoint", dirs["ckpt"],
+            # streaming users can set the paragraph exemption threshold
+            # (ADVICE r9: prepare exposed it, corpus-ingest did not)
+            "--paragraph-dedup-sep", "\n\n",
+            "--paragraph-min-chars", "3",
         ]
     )
     assert rc == 0

@@ -287,3 +287,54 @@ class TestBloomDecontam:
             ngram_bloom(sh, k=8)
         with _pytest.raises(ValueError, match="k must be"):
             ngram_bloom(sh, k=0)
+
+
+class TestBloomAutoSizing:
+    def test_auto_params_hit_target_fp(self):
+        import math
+
+        from hedera_etl_spark.operators.decontam import (
+            _BLOOM_MAX_K,
+            auto_bloom_params,
+            _estimated_fill,
+        )
+
+        for n in (100, 10_000, 5_000_000):
+            m, k = auto_bloom_params(n, target_fp=0.01)
+            assert m % 64 == 0 and 1 <= k <= _BLOOM_MAX_K
+            fp = _estimated_fill(n, m, k) ** k
+            # k is clamped to the ANSI bound, so the realized FP can sit
+            # above the unclamped optimum but must stay the same order
+            assert fp <= 0.03, (n, m, k, fp)
+        with pytest.raises(ValueError, match="target_fp"):
+            auto_bloom_params(1000, target_fp=1.5)
+
+    def test_saturated_explicit_filter_warns_loudly(self, spark, corpus, eval_set):
+        import warnings
+
+        from hedera_etl_spark.operators.decontam import bloom_contaminated_ids
+
+        # ~200 distinct 5-gram shingles >> a 64-bit filter's capacity
+        big_ref = spark.createDataFrame(
+            [(i, " ".join(f"ref{i}w{j}" for j in range(10))) for i in range(40)],
+            ["doc_id", "text"],
+        )
+        with pytest.warns(UserWarning, match="saturating"):
+            bloom_contaminated_ids(corpus, big_ref, n=5, m_bits=64, k=2).collect()
+        # the auto size is quiet
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            bloom_contaminated_ids(corpus, big_ref, n=5).collect()
+
+    def test_pipeline_bloom_mode_equals_exact(self, spark, corpus, eval_set):
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+        kw = dict(near_threshold=None, min_tokens=0, eval_docs=eval_set)
+        exact = prepare_training_corpus(corpus, decontam_mode="exact", **kw)
+        bloom = prepare_training_corpus(corpus, decontam_mode="bloom", **kw)
+        auto = prepare_training_corpus(corpus, decontam_mode="auto", **kw)
+        e = sorted(r["doc_id"] for r in exact.collect())
+        assert e == sorted(r["doc_id"] for r in bloom.collect())
+        assert e == sorted(r["doc_id"] for r in auto.collect())
+        with pytest.raises(ValueError, match="decontam_mode"):
+            prepare_training_corpus(corpus, decontam_mode="bogus", **kw).collect()
