@@ -173,10 +173,12 @@ def main() -> int:
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
     duck_cold_total = round(sum(duck_cold.values()), 3) if duck_cold else None
 
+    # the driver records the TAIL of stdout (BENCH_r09 lost the head of
+    # one giant line — VERDICT r9 #7): the bulky per-engine dicts print
+    # FIRST on their own detail line, and the final contract line keeps
+    # the per-query spark dict up front with every headline scalar LAST,
+    # so any front-truncation eats detail, never totals/ratios
     out = {
-        "metric": "total_bench_sec",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs_per_query": RUNS,
@@ -194,21 +196,35 @@ def main() -> int:
         duck_c = sum(duck[n] for n in common)
         return (round(spark_c / duck_c, 2) if duck_c else None), common
 
+    if errors:
+        out["errors"] = errors
+    if duck_total:
+        r, common = ratio(duck_timings)
+        if r is not None and len(common) != len(timings):
+            out["vs_duckdb_query_set"] = common
+    # headline scalars LAST (insertion order = wire order)
     if duck_total:
         out["duckdb_total_sec"] = duck_total
-        out["duckdb_queries"] = duck_timings
-        r, common = ratio(duck_timings)
+        r, _ = ratio(duck_timings)
         if r is not None:
             out["vs_duckdb"] = r
-            if len(common) != len(timings):
-                out["vs_duckdb_query_set"] = common
     if duck_cold_total:
         out["duckdb_cold_parquet_total_sec"] = duck_cold_total
         r, _ = ratio(duck_cold)
         if r is not None:
             out["vs_duckdb_cold_parquet"] = r
-    if errors:
-        out["errors"] = errors
+    out["metric"] = "total_bench_sec"
+    out["unit"] = "sec"
+    out["value"] = total
+    print(
+        json.dumps(
+            {
+                "detail": "per_engine_query_sec",
+                "duckdb_queries": duck_timings,
+                "duckdb_cold_parquet_queries": duck_cold,
+            }
+        )
+    )
     print(json.dumps(out))
     # nonzero rc only when NOTHING ran — a partial bench still reports
     return 0 if timings else 1

@@ -103,6 +103,68 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     )
 
 
+def hashed_shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh_set) with sh_set the distinct xxhash64 values of the
+    doc's n-token shingles — the PRODUCTION twin of :func:`shingle_sets`
+    that never materializes a shingle STRING.
+
+    Each shingle hashes its n tokens directly via multi-argument
+    xxhash64 (Spark chains per-argument hashing with the running hash as
+    seed, so token boundaries are preserved with no separator/concat
+    allocation), and everything downstream — array_distinct, the KM
+    signature family, the exact-Jaccard array_intersect verify — runs
+    over BIGINTs instead of strings.  Measured at sf0.1 (r10
+    PERF_NOTES): the string form's concat was the single largest
+    remaining cost of the xxhash64 near-dup mode.
+
+    Trade: two distinct shingles collide with probability ~s²/2^65
+    corpus-wide (s = distinct shingles) — at 10^10 shingles that is
+    ~0.003 expected merged pairs, immaterial to Jaccard estimates and
+    the verify; the md5 oracle canon keeps exact strings, and the
+    production pair set is pinned equal to it on the seeded corpus."""
+    args = ", ".join(
+        f"__toks[i-1+{j}]" if j else "__toks[i-1]" for j in range(int(n))
+    )
+    guarded = (
+        f"CASE WHEN size(__toks) < {int(n)} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__toks) - {int(n) - 1}),"
+        f" i -> xxhash64({args}))) END"
+    )
+    return (
+        docs.selectExpr(f"{id_col} AS doc_id", f"split({text_col}, ' ') AS __toks")
+        .filter(f"size(__toks) >= {int(n)}")
+        .selectExpr("doc_id", f"{guarded} AS sh_set")
+    )
+
+
+def minhash_signatures_from_hashed_sets(
+    sets: DataFrame, k: int = 9, with_size: bool = False
+) -> DataFrame:
+    """KM-family MinHash over :func:`hashed_shingle_sets` output: the
+    (h1, h2) base pair is the two 32-bit halves of the set element
+    ITSELF, so this operator performs zero digest calls — the hash was
+    paid once when the set was built (compare
+    ``minhash_signatures_from_sets``, which re-digests every shingle
+    string here)."""
+    hs_expr = (
+        "transform(sh_set, x -> named_struct("
+        f"'h1', shiftright(x, 32) & {_U32}, "
+        f"'h2', x & {_U32})) AS __hs"
+    )
+    hashed = sets.selectExpr(
+        "doc_id", "CAST(size(sh_set) AS BIGINT) AS __n", hs_expr
+    )
+    cols = [
+        f"array_min(transform(__hs, p -> (p.h1 + {i} * p.h2) % {_KM_MOD})) AS mh_{i}"
+        for i in range(k)
+    ]
+    if with_size:
+        cols.append("__n")
+    return hashed.selectExpr("doc_id", *cols)
+
+
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct (doc_id, shingle) pairs; shingles are n-token windows.
 
@@ -490,13 +552,25 @@ def minhash_lsh_neardups(
     # trade, same as salted_join's pinned salt: checkpoint blocks are not
     # recomputable, so an executor loss fails the job for a clean retry
     # instead of silently recomputing.
-    sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
-    # signatures AND set sizes are per-row array math over sh_set — the
-    # shingle->signature stage has zero exchanges (the exploded+grouped
-    # form paid two: distinct on (doc,shingle) and the groupBy(doc));
-    # sizes flow through the candidate join, and verify intersects the
-    # per-row sets directly, so no shingle-level join exists anywhere
-    sig = minhash_signatures_from_sets(sets, k, with_size=True, hash_fn=hash_fn)
+    # production mode: shingles live as xxhash64 LONGS end-to-end — no
+    # shingle-string allocation, signature halves come free from the set
+    # elements, and the verify intersects longs (r10: the string concat
+    # was the largest remaining cost once the digest went native; the
+    # md5 canon keeps exact strings for the DuckDB oracle)
+    if hash_fn == "xxhash64":
+        sets = hashed_shingle_sets(ensure_parallelism(docs), n).localCheckpoint(
+            eager=False
+        )
+        sig = minhash_signatures_from_hashed_sets(sets, k, with_size=True)
+    else:
+        sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
+        # signatures AND set sizes are per-row array math over sh_set —
+        # the shingle->signature stage has zero exchanges (the
+        # exploded+grouped form paid two: distinct on (doc,shingle) and
+        # the groupBy(doc)); sizes flow through the candidate join, and
+        # verify intersects the per-row sets directly, so no
+        # shingle-level join exists anywhere
+        sig = minhash_signatures_from_sets(sets, k, with_size=True, hash_fn=hash_fn)
     cand = lsh_candidates(
         sig, bands, rows, max_bucket=max_bucket,
         cap_observations=cap_observations,
