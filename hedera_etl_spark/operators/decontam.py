@@ -358,10 +358,24 @@ def bloom_contaminated_ids(
     n_ref = ref_sh.agg(
         F.approx_count_distinct("shingle").alias("n")
     ).first()["n"]
-    if m_bits is None or k is None:
-        auto_m, auto_k = auto_bloom_params(n_ref, target_fp)
-        m_bits = auto_m if m_bits is None else m_bits
-        k = auto_k if k is None else k
+    if m_bits is None and k is None:
+        m_bits, k = auto_bloom_params(n_ref, target_fp)
+    elif k is None:
+        # k optimal FOR THE GIVEN m (pairing the auto-m's k with an
+        # explicit m would mismatch — r10 review finding)
+        import math
+
+        k = min(_BLOOM_MAX_K, max(1, round(m_bits / max(1, n_ref) * math.log(2))))
+    elif m_bits is None:
+        # m sized for the GIVEN k from fill^k = target_fp
+        import math
+
+        m_bits = int(
+            math.ceil(
+                -k * max(1, n_ref) / math.log(1.0 - target_fp ** (1.0 / k))
+            )
+        )
+        m_bits = ((m_bits + 63) // 64) * 64
     fill = _estimated_fill(n_ref, m_bits, k)
     if fill**k > 0.1:  # >=10% of corpus shingles would spuriously verify
         auto_m, auto_k = auto_bloom_params(n_ref, target_fp)

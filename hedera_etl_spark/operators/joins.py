@@ -76,8 +76,15 @@ def inverted_store_probe(history: DataFrame, batch_keys: DataFrame, key: str) ->
     The result may carry duplicate keys when a crash-interrupted
     compaction left rows in both target and source dirs — callers must
     consume it duplicate-insensitively (semi/anti joins), which both
-    stores do.  Plan-pinned in tests/test_plans.py: no Exchange between
-    the history scan and the probe join.
+    stores do.  Plan-pinned: no Exchange between the history scan and
+    the probe join (tests/test_paradedup.py, tests/test_incremental_dedup.py).
+
+    Sizing contract: the batch key set must fit a broadcast.  That is
+    the definition of a micro-batch; for a bulk BACKFILL sized like the
+    store itself, split the input into broadcastable batches (the
+    streaming pipeline's maxFilesPerTrigger does this naturally) — a
+    single giant "batch" would fail the broadcast loudly rather than
+    silently shuffling history.
     """
     return history.join(F.broadcast(batch_keys.select(key)), key, "left_semi")
 

@@ -378,6 +378,21 @@ def prepare_training_corpus(
                 .first()["n"]
             )
             mode = "bloom" if n_ref > bloom_auto_threshold else "exact"
+        if mode == "bloom" and fuzzy_decontam_threshold is not None:
+            # the fuzzy stage broadcasts the reference's (shingle,
+            # eval_id, size) postings — eval-SUITE-shaped machinery that
+            # silently defeats the Bloom path's whole point against a
+            # giant reference (r10 review finding): loud, not fatal —
+            # the combination is legitimate when bloom was chosen for
+            # cost rather than necessity
+            import warnings
+
+            warnings.warn(
+                "decontam_mode='bloom' with fuzzy_decontam_threshold: the "
+                "fuzzy stage still BROADCASTS the full reference shingle "
+                "postings — for a reference too large to broadcast, drop "
+                "the fuzzy stage or pre-shrink the reference"
+            )
         if mode == "bloom":
             from hedera_etl_spark.operators.decontam import bloom_decontaminate
 

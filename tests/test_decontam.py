@@ -338,3 +338,39 @@ class TestBloomAutoSizing:
         assert e == sorted(r["doc_id"] for r in auto.collect())
         with pytest.raises(ValueError, match="decontam_mode"):
             prepare_training_corpus(corpus, decontam_mode="bogus", **kw).collect()
+
+    def test_partial_explicit_sizing_pairs_correctly(self, spark, corpus, eval_set):
+        """m given without k -> k optimal for THAT m; k given without m
+        -> m sized for THAT k (r10 review: pairing an auto value computed
+        for the other auto counterpart mismatches)."""
+        import warnings
+
+        from hedera_etl_spark.operators.decontam import (
+            bloom_contaminated_ids,
+            contaminated_ids,
+        )
+
+        exact = {r["doc_id"] for r in contaminated_ids(corpus, eval_set, n=5).collect()}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)  # well-paired = quiet
+            got_m = {
+                r["doc_id"]
+                for r in bloom_contaminated_ids(
+                    corpus, eval_set, n=5, m_bits=1 << 12
+                ).collect()
+            }
+            got_k = {
+                r["doc_id"]
+                for r in bloom_contaminated_ids(corpus, eval_set, n=5, k=3).collect()
+            }
+        assert got_m == exact and got_k == exact
+
+    def test_bloom_plus_fuzzy_warns(self, spark, corpus, eval_set):
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+        with pytest.warns(UserWarning, match="BROADCASTS"):
+            prepare_training_corpus(
+                corpus, near_threshold=None, min_tokens=0, eval_docs=eval_set,
+                decontam_mode="bloom", fuzzy_decontam_threshold=0.7,
+                fuzzy_decontam_n=3,
+            ).collect()
