@@ -118,7 +118,11 @@ def test_cli_corpus_ingest_roundtrip(spark, dirs, capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out
-    assert "accepted=2" in out and "dropped_exact=1" in out
+    # the whole-doc clone (doc 2) is consumed by the PARAGRAPH stage
+    # (its only paragraph is doc 1's), so the doc-level exact counter
+    # sees 2 rows and drops none
+    assert "rows_in=2" in out and "accepted=2" in out
+    assert "dropped_exact=0" in out
 
 
 class TestCorpusCompaction:
