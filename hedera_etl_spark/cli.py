@@ -128,8 +128,9 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
     p.add_argument(
         "--compact-after",
         action="store_true",
-        help="after draining, fold the per-batch corpus directories into "
-        "one (crash-safe; run past the replay horizon)",
+        help="after draining, fold the per-batch corpus, signature-store "
+        "and paragraph-store directories into one each (crash-safe; run "
+        "past the replay horizon)",
     )
 
 
@@ -433,6 +434,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact_after:
             folded = pipeline.compact_corpus()
             print(f"compacted={folded} batch dirs")
+            folded = pipeline.store.compact()
+            print(f"compacted={folded} signature-store batch dirs")
+            if pipeline.paragraph_store is not None:
+                folded = pipeline.paragraph_store.compact()
+                print(f"compacted={folded} paragraph-store batch dirs")
         return 0
 
     if args.command == "prepare":

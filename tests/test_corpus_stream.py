@@ -367,3 +367,41 @@ def test_rejected_doc_paragraphs_stay_claimable(spark, dirs):
     assert rows[10] == f"{P}\n\n{filler}"
     committed2 = {r["para_hash"] for r in p2.paragraph_store.hashes().collect()}
     assert md5(P) in committed2
+
+
+def test_cli_compact_after_folds_all_three_stores(spark, dirs, capsys):
+    from hedera_etl_spark import cli
+
+    _write_jsonl(os.path.join(dirs["in"], "b1.jsonl"), [(1, BASE)])
+    _write_jsonl(os.path.join(dirs["in"], "b2.jsonl"), [(2, OTHER)])
+    rc = cli.main(
+        [
+            "corpus-ingest",
+            "--input-dir", dirs["in"],
+            "--corpus-table", dirs["corpus"],
+            "--store", dirs["store"],
+            "--checkpoint", dirs["ckpt"],
+            "--paragraph-dedup-sep", "\n\n",
+            "--max-files-per-trigger", "1",
+            "--compact-after",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted=2 batch dirs" in out
+    assert "compacted=2 signature-store batch dirs" in out
+    assert "compacted=2 paragraph-store batch dirs" in out
+    # the compacted stores still serve history on the next run
+    _write_jsonl(os.path.join(dirs["in"], "b3.jsonl"), [(10, BASE)])
+    rc = cli.main(
+        [
+            "corpus-ingest",
+            "--input-dir", dirs["in"],
+            "--corpus-table", dirs["corpus"],
+            "--store", dirs["store"],
+            "--checkpoint", dirs["ckpt"],
+            "--paragraph-dedup-sep", "\n\n",
+        ]
+    )
+    assert rc == 0
+    assert "accepted=0" in capsys.readouterr().out  # BASE cut vs history
