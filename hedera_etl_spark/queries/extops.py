@@ -156,9 +156,11 @@ def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, event_type NULLS FIRST, ub NULLS FIRST
     """,
     tags=("cube", "grouping-sets", "aggregate"),
-    # Rotated back INTO the driver window in r9 (VERDICT r8 #1: last
-    # driver-green r5, three rounds stale); llm_vocab_stats parks in
-    # exchange.
+    # parked r10 (driver-green r9): its slot goes to the NEW
+    # llm_url_dedup; the EXPAND-based grouping family keeps its driver
+    # row via q12_rollup (same operator, different grouping-set list),
+    # and the cube/grouping-sets values stay local-oracled.
+    driver_visible=False,
 )
 def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (DataFrame API) and GROUPING SETS (SQL — the DataFrame API
