@@ -192,6 +192,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "corpus (keeps the canonical first occurrence)",
     )
     p.add_argument(
+        "--keeper-score-col",
+        default=None,
+        help="column naming a per-doc quality score: the near-dup "
+        "cluster keeper becomes highest-score (ties min-id) instead of "
+        "min-id — FineWeb-style best-in-cluster retention",
+    )
+    p.add_argument(
         "--eval-input",
         default=None,
         help="benchmark/eval parquet; enables n-gram decontamination",
@@ -478,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
             minhash_hash_fn=args.minhash_hash_fn,
             winnow_min_shared=args.winnow_min_shared,
             span_dedup_n=args.span_dedup_n,
+            keeper_score_col=args.keeper_score_col,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,
             decontam_mode=args.decontam_mode,

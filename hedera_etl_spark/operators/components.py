@@ -179,3 +179,48 @@ def collapse_components(
         "component",
         (F.col(id_col) == F.col("component")).alias("keep"),
     )
+
+
+def collapse_components_by_score(
+    ids: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keeper decision electing the HIGHEST-``score_col`` member of each
+    near-dup cluster (ties → min id) instead of the min id — the
+    FineWeb-style retention rule: near-dup variants of one page differ
+    in boilerplate/extraction quality, and keeping the best-scored copy
+    retains strictly better text than keeping whichever crawled first.
+
+    Returns (id_col, component, keep) — same contract as
+    :func:`collapse_components` (``component`` stays the min-id cluster
+    representative so cluster identity is stable across keeper rules;
+    ``keep`` marks exactly one row per cluster).  NULL scores sort last
+    (a scoreless doc never outranks a scored one).
+
+    Scale: the graph stage is unchanged; the election adds ONE window
+    keyed by component — clusters are duplicate groups (small by
+    construction), and row_number streams within the partition, so even
+    a degenerate celebrity cluster costs a spillable sort, not a buffer.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        ids.select(F.col(id_col), F.col(score_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            score_col,
+        )
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return out.select(
+        id_col,
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -60,6 +60,7 @@ def prepare_training_corpus(
     winnow_w: int = 5,
     winnow_min_shared: int = 3,
     winnow_max_fp: int | None = 500,
+    keeper_score_col: str | None = None,
     span_dedup_n: int | None = None,
     span_keep_first: bool = True,
     embeddings: DataFrame | None = None,
@@ -108,7 +109,11 @@ def prepare_training_corpus(
     detector per ``near_dup_method``: MinHash+LSH set similarity at
     ``near_threshold`` (default) or winnowing fingerprint overlap at
     ``winnow_min_shared`` shared fingerprints (the containment case
-    set-Jaccard under-scores) — repeated-span removal at
+    set-Jaccard under-scores); ``keeper_score_col`` switches the
+    near-dup cluster keeper from min-id to HIGHEST-score-in-cluster
+    (ties → min id; NULL scores last) — exact duplicates keep min-id
+    regardless since byte-identical copies have nothing to rank —
+    repeated-span removal at
     ``span_dedup_n`` tokens (skipped when None; ``span_keep_first``
     keeps the canonical occurrence), SEMANTIC near-dup collapse when
     ``embeddings`` is given (cosine >= ``embedding_threshold`` against
@@ -280,9 +285,34 @@ def prepare_training_corpus(
                 f"unknown near_dup_method: {near_dup_method!r} "
                 "(expected 'minhash' or 'winnow')"
             )
-        decision = collapse_components(
-            out.select(F.col(id_col).alias("doc_id")), pairs
-        )
+        if keeper_score_col is not None:
+            # FineWeb-style best-in-cluster retention: keep the
+            # highest-scored member of each near-dup cluster instead of
+            # the min id — variants of one page differ in extraction
+            # quality and the best copy is strictly better training text
+            # (components.collapse_components_by_score; ties -> min id,
+            # NULL scores last, cluster identity unchanged)
+            from hedera_etl_spark.operators.components import (
+                collapse_components_by_score,
+            )
+
+            if keeper_score_col not in out.columns:
+                raise ValueError(
+                    f"keeper_score_col {keeper_score_col!r} is not a "
+                    f"column of the input (have {out.columns})"
+                )
+            decision = collapse_components_by_score(
+                out.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(keeper_score_col).alias("__keeper_score"),
+                ),
+                pairs,
+                score_col="__keeper_score",
+            )
+        else:
+            decision = collapse_components(
+                out.select(F.col(id_col).alias("doc_id")), pairs
+            )
         out = out.join(
             decision.filter("keep").select(F.col("doc_id").alias(id_col)),
             id_col,

@@ -119,3 +119,67 @@ def test_nonconvergence_rail_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(23)], "src LONG, dst LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=1)
+
+
+class TestScoreKeeper:
+    """collapse_components_by_score: best-in-cluster retention."""
+
+    def test_highest_score_wins_with_min_id_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from hedera_etl_spark.operators.components import (
+            collapse_components,
+            collapse_components_by_score,
+        )
+
+        ids = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.9), (4, None), (10, 0.1)],
+            "doc_id long, q double",
+        )
+        # cluster {1,2,3,4} via a chain; 10 is a singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in collapse_components_by_score(ids, pairs, "q").collect()
+        }
+        # component representative stays the min id (stable identity)
+        assert all(rows[i]["component"] == 1 for i in (1, 2, 3, 4))
+        # 2 and 3 tie at 0.9 -> min id 2 keeps; NULL never wins
+        assert [i for i in (1, 2, 3, 4) if rows[i]["keep"]] == [2]
+        assert rows[10]["keep"] and rows[10]["component"] == 10
+        # exactly one keeper per component, same clusters as min-id rule
+        minid = collapse_components(ids.select("doc_id"), pairs)
+        assert {
+            (r["doc_id"], r["component"]) for r in minid.collect()
+        } == {(r["doc_id"], r["component"]) for r in rows.values()}
+
+    def test_pipeline_keeper_score_col(self, spark):
+        from hedera_etl_spark.operators.llm_pipeline import (
+            prepare_training_corpus,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog runs far today"
+        docs = spark.createDataFrame(
+            [
+                (1, base, 0.1),            # near-dup cluster, low score
+                (2, base + " zzz", 0.9),   # same cluster, best score
+                (3, "completely different words about spark plans", 0.5),
+            ],
+            "doc_id long, text string, q double",
+        )
+        minid = prepare_training_corpus(
+            docs, near_threshold=0.5, min_tokens=0, sample_rate=1.0
+        )
+        assert sorted(r["doc_id"] for r in minid.collect()) == [1, 3]
+        best = prepare_training_corpus(
+            docs, near_threshold=0.5, min_tokens=0, sample_rate=1.0,
+            keeper_score_col="q",
+        )
+        assert sorted(r["doc_id"] for r in best.collect()) == [2, 3]
+        with pytest.raises(ValueError, match="keeper_score_col"):
+            prepare_training_corpus(
+                docs, near_threshold=0.5, min_tokens=0,
+                keeper_score_col="nope",
+            ).collect()
