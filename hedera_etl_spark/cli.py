@@ -118,6 +118,14 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "short headers survive); same knob as prepare's flag",
     )
     p.add_argument(
+        "--eval-input",
+        default=None,
+        help="benchmark/eval parquet: every epoch decontaminates against "
+        "its n-grams BEFORE any store commit (change only at a drained "
+        "boundary — the eval set is part of the replay-determinism config)",
+    )
+    p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -424,6 +432,10 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             paragraph_dedup_sep=args.paragraph_dedup_sep,
             paragraph_min_chars=args.paragraph_min_chars,
+            eval_docs=spark.read.parquet(args.eval_input)
+            if args.eval_input
+            else None,
+            decontam_n=args.decontam_n,
         )
         if args.continuous:
             if args.compact_after:

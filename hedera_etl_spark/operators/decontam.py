@@ -113,6 +113,28 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def decontaminate_against_shingles(
+    docs: DataFrame,
+    eval_sh: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``decontaminate`` (min_hits=1) against a PREBUILT reference
+    shingle dimension — the repeated-probe form: a long-lived caller
+    (the streaming corpus pipeline) computes the eval side once
+    (``_ref_shingle_dim`` + localCheckpoint) and probes every
+    micro-batch against the pinned frame instead of re-shingling the
+    eval set per epoch.  Semantics pinned equal to ``decontaminate``."""
+    corpus_sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bad = (
+        corpus_sh.join(F.broadcast(eval_sh.select("shingle")), "shingle", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(bad, id_col, "left_anti")
+
+
 def fuzzy_contamination_pairs(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -54,6 +54,7 @@ class CorpusIngestMetrics:
     dropped_exact: int = 0
     dropped_near: int = 0
     dropped_paragraph_docs: int = 0
+    dropped_contaminated: int = 0
     replayed_batches: int = 0
     history: list = field(default_factory=list)
 
@@ -74,6 +75,8 @@ class CorpusIngestPipeline:
         max_files_per_trigger: int | None = None,
         paragraph_dedup_sep: str | None = None,
         paragraph_min_chars: int = 1,
+        eval_docs: DataFrame | None = None,
+        decontam_n: int = 13,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -86,6 +89,23 @@ class CorpusIngestPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.paragraph_dedup_sep = paragraph_dedup_sep
         self.paragraph_min_chars = paragraph_min_chars
+        self.decontam_n = decontam_n
+        # streaming decontamination: the eval/benchmark shingle dimension
+        # is computed ONCE and pinned; every epoch probes it map-side
+        # (broadcast), so contaminated documents are dropped BEFORE any
+        # store commit — a benchmark page must never be recorded as an
+        # "accepted" canonical.  Determinism contract: the eval set is
+        # part of the pipeline config — change it only at a drained
+        # boundary (a replayed epoch re-runs the filter with the CURRENT
+        # set; swapping mid-stream would replay committed epochs against
+        # different inputs, the same horizon caveat as store compaction).
+        self._eval_sh = None
+        if eval_docs is not None:
+            from hedera_etl_spark.operators.decontam import _ref_shingle_dim
+
+            self._eval_sh = _ref_shingle_dim(
+                eval_docs, decontam_n, "text"
+            ).localCheckpoint()
         # the paragraph hash store lives beside the signature store and
         # commits under the SAME stable batch id, so every crash window
         # replays to the identical decision (operators/paradedup.py)
@@ -306,6 +326,19 @@ class CorpusIngestPipeline:
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
+        if self._eval_sh is not None:
+            from hedera_etl_spark.operators.decontam import (
+                decontaminate_against_shingles,
+            )
+
+            # FIRST, before any store sees the batch: a contaminated doc
+            # must never commit hashes/signatures as "accepted" content
+            before = batch.count()
+            batch = decontaminate_against_shingles(
+                batch, self._eval_sh, n=self.decontam_n
+            )
+            if not self.store.has_batch(bid):  # replays don't double-count
+                m.dropped_contaminated += before - batch.count()
         para_new_canon = None
         if self.paragraph_store is not None:
             from hedera_etl_spark.operators.paradedup import (

@@ -405,3 +405,48 @@ def test_cli_compact_after_folds_all_three_stores(spark, dirs, capsys):
     )
     assert rc == 0
     assert "accepted=0" in capsys.readouterr().out  # BASE cut vs history
+
+
+def test_streaming_decontamination_guards_the_stores(spark, dirs):
+    """A benchmark-contaminated document is dropped BEFORE any store
+    commit — its hashes/signatures never become 'accepted' history, and
+    a replayed epoch reproduces the same decision."""
+    from pyspark.sql import functions as F
+
+    eval_docs = spark.createDataFrame(
+        [(100, BASE)], ["doc_id", "text"]
+    )
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, BASE + " extra tail"), (2, OTHER)],  # 1 shares a 13-gram
+    )
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            eval_docs=eval_docs,
+            paragraph_dedup_sep="\n\n",
+        )
+
+    p = pipeline()
+    m = p.run_until_drained()
+    assert m.dropped_contaminated == 1 and m.accepted == 1
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2]
+    # nothing of doc 1 entered either store
+    assert p.store.content().count() == 1
+    stored_hashes = {r["para_hash"] for r in p.paragraph_store.hashes().collect()}
+    import hashlib
+
+    assert hashlib.md5((BASE + " extra tail").encode()).hexdigest() not in stored_hashes
+    # replay of the committed epoch: same decision, no double counting
+    batch = spark.createDataFrame(
+        [(1, BASE + " extra tail"), (2, OTHER)], ["doc_id", "text"]
+    )
+    p._process_batch(batch, 0)
+    assert p.metrics.replayed_batches == 1
+    assert p.metrics.dropped_contaminated == 1  # unchanged
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2]
