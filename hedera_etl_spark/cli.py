@@ -263,6 +263,12 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "(solved to per-domain keep-rates; untargeted domains drop)",
     )
     p.add_argument("--domain-col", default="source", help="mixture stratum column")
+    p.add_argument(
+        "--mixture-weight-col",
+        default=None,
+        help="per-row mass column (e.g. a token count): mixture targets "
+        "then hold by tokens instead of document counts",
+    )
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument(
         "--importance-col",
@@ -511,6 +517,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_weights=quality_weights,
             min_quality_prob=args.min_quality_prob,
             mixture=mixture,
+            mixture_weight_col=args.mixture_weight_col,
             domain_col=args.domain_col,
             sample_rate=args.sample_rate,
             importance_col=args.importance_col,

@@ -88,6 +88,7 @@ def prepare_training_corpus(
     lm_min_avg_logp: float | None = None,
     mixture: dict[str, float] | None = None,
     domain_col: str = "source",
+    mixture_weight_col: str | None = None,
     sample_rate: float = 1.0,
     importance_col: str | None = None,
     importance_null_weight: float = 0.0,
@@ -137,7 +138,9 @@ def prepare_training_corpus(
     ``lm_min_avg_logp`` (against ``lm_model`` — a reference-corpus
     bigram LM per CCNet — or self-trained on the survivors when None;
     skipped when the threshold is None), target-``mixture`` resample over
-    ``domain_col`` (skipped when None), DSIR-style importance resample
+    ``domain_col`` (skipped when None; ``mixture_weight_col`` makes the
+    target weights hold by that column's mass — token counts — instead
+    of document counts), DSIR-style importance resample
     when ``importance_col`` names a per-row keep-probability column
     (``weighted_hash_sample``; NULL scores follow
     ``importance_null_weight`` — drop by default), deterministic md5
@@ -505,8 +508,13 @@ def prepare_training_corpus(
     # base ``salt`` still decorrelates this pipeline run from external
     # splits (r9 review finding; sampling.py "keep split salts distinct").
     if mixture is not None:
+        # mixture_weight_col names a per-row mass column (token count):
+        # the target weights then hold BY TOKENS, the unit training
+        # mixtures are actually specified in — a domain of long documents
+        # is otherwise over-represented by a doc-count mixture
         out = mixture_sample(
-            out, domain_col, mixture, key_cols=[id_col], salt=f"{salt}#mixture"
+            out, domain_col, mixture, key_cols=[id_col],
+            weight_col=mixture_weight_col, salt=f"{salt}#mixture"
         )
 
     if importance_col is not None:

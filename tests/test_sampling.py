@@ -357,3 +357,39 @@ def test_grouped_sample_is_stable_and_nested(spark):
     # a group smaller than k keeps every row
     tiny = df.filter(F.col("k") < 8)
     assert grouped_hash_sample(tiny, ["g"], k=20, key_cols=["k"]).count() == 8
+
+
+def test_pipeline_token_weighted_mixture(spark):
+    """mixture_weight_col makes the target mixture hold by TOKEN mass:
+    a domain of long docs must downsample harder than its doc count
+    suggests."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(200):  # web: 200 docs x 4 tokens
+        rows.append((i, f"web w{i} x{i} y{i}", "web"))
+    for i in range(200, 250):  # code: 50 docs x 40 tokens (2000 tokens)
+        rows.append((i, " ".join(f"c{i}t{j}" for j in range(40)), "code"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    docs = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+
+    kw = dict(
+        near_threshold=None, min_tokens=0, sample_rate=1.0,
+        mixture={"web": 0.5, "code": 0.5}, salt="tw",
+    )
+    by_docs = prepare_training_corpus(docs, **kw)
+    by_tokens = prepare_training_corpus(docs, mixture_weight_col="n_tok", **kw)
+
+    def token_share(out, domain):
+        agg = (
+            out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+        )
+        tot = sum(r["t"] for r in agg)
+        return {r["source"]: r["t"] / tot for r in agg}[domain]
+
+    # doc-count mixture: code docs are 10x longer, so a 50/50 DOC target
+    # leaves code massively over-represented by tokens
+    assert token_share(by_docs, "code") > 0.75
+    # token-weighted mixture: code's token share lands near 0.5
+    assert abs(token_share(by_tokens, "code") - 0.5) < 0.15
