@@ -670,3 +670,73 @@ def test_shuffled_order_matches_python_md5_reference(spark, ids, salt):
     ordered = sorted(ids, key=lambda i: (bucket(i), i))
     want = {i: rank + 1 for rank, i in enumerate(ordered)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization vs a Python reference
+# ---------------------------------------------------------------------------
+_url_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTpS"])
+_url_host = st.text(alphabet="abXY.-", min_size=1, max_size=8)
+_url_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_url_path = st.lists(
+    st.text(alphabet="abXY_", min_size=0, max_size=4), min_size=0, max_size=3
+)
+_url_param = st.one_of(
+    st.tuples(st.sampled_from(["a", "b", "Z", "utm_x", "fbclid", "gclid"]),
+              st.text(alphabet="19x", min_size=0, max_size=3)),
+)
+_url_params = st.lists(_url_param, min_size=0, max_size=4)
+_url_frag = st.sampled_from(["", "#f", "#a/b?c"])
+
+
+def _canon_reference(url: str) -> str:
+    """Python reference of the six canonicalization rules (the oracle of
+    the oracle — urlnorm.canonical_url_sql must agree on ANY input)."""
+    import re
+
+    u = re.sub(r"#.*$", "", url)
+    base, _, query = u.partition("?")
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", base)
+    auth = m.group(1) if m else ""
+    auth_c = re.sub(r":(80|443)$", "", auth.lower())
+    path_c = re.sub(r"/+$", "", base[len(auth):])
+    keep = [
+        p
+        for p in query.split("&")
+        if p != ""
+        and not p.startswith("utm_")
+        and not p.startswith("fbclid=")
+        and not p.startswith("gclid=")
+        and not p.startswith("msclkid=")
+    ]
+    ps = "&".join(sorted(keep))
+    return auth_c + path_c + (("?" + ps) if ps else "")
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    parts=st.lists(
+        st.tuples(_url_scheme, _url_host, _url_port, _url_path, _url_params, _url_frag),
+        min_size=1,
+        max_size=12,
+    ),
+    junk=st.lists(st.text(alphabet="ab:/?&=#._", max_size=12), max_size=4),
+)
+def test_url_canonicalization_matches_reference(spark, parts, junk):
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.urlnorm import canonical_url_sql
+
+    urls = [
+        f"{s}://{h}{port}/{'/'.join(path)}"
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + frag
+        for s, h, port, path, params, frag in parts
+    ] + [j for j in junk if j]  # arbitrary junk: no crash, still agrees
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", F.expr(canonical_url_sql("url")).alias("c")).collect()
+    }
+    want = {i: _canon_reference(u) for i, u in enumerate(urls)}
+    assert got == want
