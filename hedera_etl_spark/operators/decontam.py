@@ -113,6 +113,50 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def contamination_by_eval_item(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-EVAL-ITEM leak report: (eval_id, n_docs, n_gram_hits) — how
+    many training documents share at least one n-gram with each eval
+    item, and how many (doc, gram) hits in total.  The inverse direction
+    of ``contamination_profile``: that one tells you which TRAINING docs
+    to drop; this one tells a benchmark owner which EVAL items are
+    compromised (an item leaked into thousands of pages is dead for
+    evaluation regardless of how well the training side scrubs).
+
+    Scale: the eval side keeps (shingle, eval_id) postings — still
+    dimension-sized — and broadcasts; the corpus scans once, and the two
+    aggregates (distinct docs, total hits per eval item) ride ONE
+    eval-id-keyed exchange over genuinely-overlapping rows only.
+    """
+    eval_text_col = eval_text_col or text_col
+    eval_sh = doc_shingles(
+        eval_docs.select(
+            F.col(eval_id_col).alias("doc_id"), F.col(eval_text_col).alias("__t")
+        ),
+        n=n,
+        text_col="__t",
+    ).select(F.col("doc_id").alias("eval_id"), "shingle")
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    corpus_sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hits = corpus_sh.join(eval_sh, "shingle")
+    return (
+        hits.groupBy("eval_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )
+
+
 def decontaminate_against_shingles(
     docs: DataFrame,
     eval_sh: DataFrame,

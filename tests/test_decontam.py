@@ -374,3 +374,38 @@ class TestBloomAutoSizing:
                 decontam_mode="bloom", fuzzy_decontam_threshold=0.7,
                 fuzzy_decontam_n=3,
             ).collect()
+
+
+def test_contamination_by_eval_item(spark, corpus, eval_set):
+    """The inverse-direction leak report: per eval item, how many
+    training docs and total gram hits."""
+    from hedera_etl_spark.operators.decontam import contamination_by_eval_item
+
+    rows = {
+        r["eval_id"]: (r["n_docs"], r["n_gram_hits"])
+        for r in contamination_by_eval_item(corpus, eval_set, n=5).collect()
+    }
+    # eval item 100: doc 1 shares all 5 grams, doc 2 shares 1 -> 2 docs, 6 hits
+    assert rows == {100: (2, 6)}
+    # a clean eval set reports nothing
+    clean = spark.createDataFrame(
+        [(7, "totally novel benchmark question nobody leaked yet")],
+        ["doc_id", "text"],
+    )
+    assert contamination_by_eval_item(corpus, clean, n=5).count() == 0
+
+
+def test_decontaminate_against_shingles_equals_batch_form(spark, corpus, eval_set):
+    from hedera_etl_spark.operators.decontam import (
+        _ref_shingle_dim,
+        decontaminate,
+        decontaminate_against_shingles,
+    )
+
+    eval_sh = _ref_shingle_dim(eval_set, 5, "text").localCheckpoint()
+    a = sorted(r["doc_id"] for r in decontaminate(corpus, eval_set, n=5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in decontaminate_against_shingles(corpus, eval_sh, n=5).collect()
+    )
+    assert a == b
