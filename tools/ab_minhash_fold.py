@@ -20,6 +20,14 @@ Checks value equality on real data first (the fold must be the same
 math), then times (min of R) both the signature projection alone and
 the full minhash_lsh_neardups query at $SPARK_GRAFT_SF_DIR.
 
+HISTORICAL NOTE (r10): the A/B concluded "wash" and the production
+xxhash64 path moved to hashed_shingle_sets (longs end-to-end, zero
+digest calls in the signature stage) — minhash_lsh_neardups no longer
+calls minhash_signatures_from_sets under xxhash64, so the full-query
+monkeypatch below exercises the PRE-r10 string-shingle shape on both
+sides.  The signatures-only comparison remains a valid fold-vs-k-pass
+measurement of the KM expansion itself.
+
 Usage: python tools/ab_minhash_fold.py [sf_dir]
 Prints one JSON line per measurement + a final summary line.
 """
