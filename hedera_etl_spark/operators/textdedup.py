@@ -280,9 +280,15 @@ def minhash_signatures_from_sets(
     each family member is then an integer transform over that array.
     SQL-text expressions throughout (HOF lambdas are the priciest
     Columns to build over py4j — see simhash_fingerprints' driver-cost
-    note).  ``hash_fn="xxhash64"`` is the production mode — the lambda
-    body shrinks from two interpreted hex-digest parses to one native
-    JVM hash call plus shift/mask integer ops (see ``_km_base``).
+    note).  ``hash_fn="xxhash64"`` swaps the interpreted hex-digest
+    parse for one native JVM hash call (see ``_km_base``) — but as of
+    r10 the production near-dup path does not come through here at all:
+    ``minhash_lsh_neardups(hash_fn="xxhash64")`` builds
+    :func:`hashed_shingle_sets` (shingles as longs, no strings) and
+    signs them with :func:`minhash_signatures_from_hashed_sets` (zero
+    digest calls).  This function remains the md5 ORACLE-canon signer
+    and the string-set xxhash64 form for callers that need both modes
+    over one sets frame (the incremental signature store).
     """
     _check_hash_fn(hash_fn)
     if hash_fn == "xxhash64":
