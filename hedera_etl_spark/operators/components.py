@@ -181,6 +181,28 @@ def collapse_components(
     )
 
 
+def cluster_size_profile(decision: DataFrame) -> DataFrame:
+    """Duplication histogram over a keeper-decision frame (the output
+    of :func:`collapse_components` / :func:`collapse_components_by_score`):
+    (cluster_size, n_clusters, n_docs), descending by size — the
+    standard curation report ("how duplicated is this corpus?"): the
+    singleton row is the unique mass, the tail rows are the boilerplate
+    farms worth inspecting before committing to a dedup threshold.
+
+    Two narrow aggregates (component -> size, size -> counts); the
+    second one's key cardinality is the number of DISTINCT cluster
+    sizes — tiny at any corpus scale."""
+    sizes = decision.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .orderBy(F.col("cluster_size").desc())
+    )
+
+
 def collapse_components_by_score(
     ids: DataFrame,
     pairs: DataFrame,

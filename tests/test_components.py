@@ -183,3 +183,22 @@ class TestScoreKeeper:
                 docs, near_threshold=0.5, min_tokens=0,
                 keeper_score_col="nope",
             ).collect()
+
+
+def test_cluster_size_profile(spark):
+    from hedera_etl_spark.operators.components import (
+        cluster_size_profile,
+        collapse_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    # clusters: {1,2,3} (chain), {4,5}, singletons 6,7,8
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"])
+    prof = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_profile(
+            collapse_components(ids, pairs)
+        ).collect()
+    }
+    assert prof == {3: (1, 3), 2: (1, 2), 1: (3, 3)}
+    assert sum(n_docs for _, n_docs in prof.values()) == 8  # totality
