@@ -36,10 +36,8 @@ DEC = "decimal(18,2)"
     """,
     tags=("scan", "filter", "project"),
     bench=True,
-    # parked in r8 (slot ceded to llm_pair_stats): S4/P5 scan pushdown
-    # stays pinned by test_q01_pushdown_and_pruning, the BETWEEN shape by
-    # q08_theta_join's bounds, and this oracle by tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection must both reach the parquet
@@ -146,9 +144,11 @@ def duped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
     tags=("dedup", "window"),
-    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6, the
-    # stalest cohort); slot from llm_weighted_sample (parked, ledger)
+    # parked in r11 (driver-green r10; slot ceded to the r7-stale
+    # rotation cohort): A2 first-row-per-group stays driver-checked via
+    # hed_dedupe_job; oracle stays in tools/verify_oracle.py + bench.
     bench=True,
+    driver_visible=False,
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep exactly one row per key with a deterministic tiebreak —
@@ -179,8 +179,10 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'
     """,
     tags=("aggregate",),
-    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
-    # from llm_token_budget_select (parked, ledger)
+    # parked in r11 (driver-green r10; slot ceded to the r7-stale
+    # rotation cohort): ungrouped MIN/MAX/COUNT is a subset of
+    # llm_profile's one-pass stats; P6 bounds via q08_theta_join.
+    driver_visible=False,
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup job's window-advance probes: ungrouped MIN over a filtered
@@ -213,11 +215,8 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "broadcast", "aggregate"),
     bench=True,
-    # parked in r8 (slot ceded to llm_domain_topk): J3 broadcast
-    # dimension join + aggregate stays driver-checked via
-    # hed_tx_types_join (the reference's own dim) and q12_rollup's star
-    # chain; this oracle stays in tools/verify_oracle.py and the bench.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readable-analytics dimension chain — the reason transaction_types
@@ -271,11 +270,8 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY mode, c_custkey
     """,
     tags=("join", "semi", "anti"),
-    # parked in r8 (slot ceded to sim_pca_covariance): semi/anti
-    # semantics stay driver-checked via llm_exact_dedup /
-    # hed_dedupe_pipeline (anti-join survivors) and decontaminate's
-    # anti-join; this oracle stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as a left-semi join (no row multiplication, early out) and
@@ -574,11 +570,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY op, c_custkey
     """,
     tags=("setop", "distinct"),
-    # parked in r8 (slot ceded to sim_semantic_dedup): hash-elimination
-    # set-op shapes stay driver-checked via llm_exact_dedup (DISTINCT +
-    # anti) and hed_dedupe_pipeline; the INTERSECT/EXCEPT oracle stays
-    # in tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT, EXCEPT and plain DISTINCT, tagged and unioned into one
@@ -696,11 +689,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("scalar",),
     bench=True,
-    # parked in r8 (slot ceded to llm_lm_perplexity): the scalar surface
-    # is exercised across the in-window entries (dates/regexp in q14 and
-    # q16, decimal math in q07/q12, conditionals everywhere); this
-    # all-in-one oracle stays in tools/verify_oracle.py and the bench.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared scalar surface in one projection (SURVEY §2.6):

@@ -109,8 +109,10 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     tags=("window-agg", "session", "streaming"),
-    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
-    # from llm_corpus_diff (parked, ledger)
+    # parked in r11 (driver-green r10; slot ceded to the r7-stale
+    # rotation cohort): ST6 stays driver-checked via q16_window_tumbling
+    # and the real-streaming session pytest.
+    driver_visible=False,
 )
 def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) via F.session_window —
@@ -195,11 +197,8 @@ def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY k_mod ORDER BY k_mod
     """,
     tags=("json", "map", "scalar"),
-    # parked in r8 (slot ceded to llm_fuzzy_decontam): the JSON family
-    # stays driver-checked via hed_tx_transform's 57-leaf from_json and
-    # hed_tx_errors; this map-access oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON + map function surface (SURVEY §2.6): parse the props JSON
@@ -241,11 +240,8 @@ def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY event_type ORDER BY event_type
     """,
     tags=("aggregate", "percentile"),
-    # parked in r8 (slot ceded to llm_winnow_fp): rank-selection windows
-    # stay driver-checked via q09_window_rank + q07's TakeOrdered, and
-    # llm_profile carries grouped approx quantiles; this oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (element-based) percentiles via rank selection: the
@@ -298,11 +294,8 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, key
     """,
     tags=("subquery", "correlated"),
-    # parked in r8 (slot ceded to llm_text_normalize): the decorrelated
-    # plan shape (aggregate + join on the correlation key) is the q02 +
-    # broadcast-join composition the window still checks; oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (Catalyst plans it as a one-row
@@ -339,11 +332,8 @@ def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY ub ORDER BY ub
     """,
     tags=("pivot", "aggregate"),
-    # parked in r8 (slot ceded to llm_train_val_test_split): pivot is a
-    # conditional aggregate — the shape q02's conditional agg and
-    # q16_window_tumbling's tagged union keep driver-checked; oracle
-    # stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type (explicit value list — the

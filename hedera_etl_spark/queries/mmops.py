@@ -86,11 +86,8 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
-    # parked since r8: the per-row index-sequence explode stays
-    # driver-checked via q14_explode_tokens and mm_audio_features (IN
-    # since r9) keeps the multimodal driver row; oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
+    # driver-green r7, three rounds stale).
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out: explode over a computed per-row index

@@ -72,9 +72,12 @@ MAX_BUCKET = 500
     ORDER BY query_id, rank
     """,
     tags=("sim", "ann", "baseline"),
-    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
-    # from sim_hard_negatives (parked, ledger)
+    # parked in r11 (driver-green r10; slot ceded to the r7-stale
+    # rotation cohort): the ANN family keeps sim_lsh_ann_topk /
+    # sim_ivf_topk / sim_cosine_neardup in-window; bucketed variants are
+    # property-pinned against this baseline (test_similarity.py).
     bench=True,
+    driver_visible=False,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast query set, one corpus scan, per-query
@@ -319,11 +322,14 @@ _SEM_ORACLE = f"""
     "sim_semantic_dedup",
     _SEM_ORACLE,
     tags=("sim", "dedup", "ivf", "components"),
-    # rotated INTO the driver window in r8 (VERDICT r7 #1); q11's slot.
+    # parked in r11 (driver-green r8; slot ceded to the r7-stale
+    # rotation cohort): IVF bucket-probe family stays driver-checked via
+    # sim_ivf_topk; cluster collapse via llm_dup_clusters.
     # The function builds a throwaway index directory per call (side
     # effect), so its plan must never be served from the prepared-plan
     # cache.
     cache_plan=False,
+    driver_visible=False,
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed semantic dedup decisions (first-batch form) over the

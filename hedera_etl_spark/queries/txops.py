@@ -203,8 +203,11 @@ def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY account_num ORDER BY account_num
     """,
     tags=("tx", "explode"),
-    # rotated back IN r10 (VERDICT r9 #3: last driver-green r6); slot
-    # from llm_pii_scrub (parked, ledger)
+    # parked in r11 (driver-green r10; slot ceded to the r7-stale
+    # rotation cohort): explode stays driver-checked via
+    # q14_explode_tokens; tx wire-schema parity via hed_tx_transform +
+    # hed_tx_errors.
+    driver_visible=False,
 )
 def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(transactionRecord.transferList.accountAmounts) — the only
