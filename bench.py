@@ -102,28 +102,86 @@ def main() -> int:
     # query, and the JSON line is ALWAYS printed.
     RUNS = 3
     timings: dict[str, float] = {}
+    run_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, spec in bench_specs.items():
-        best = None
         try:
+            runs = []
             for _ in range(RUNS):
                 t0 = time.time()
                 materialize(spec.spark_fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+            run_times[name] = runs
         except Exception as exc:
             errors[name] = str(exc).split("\n")[0][:300]
             print(f"bench: query {name} failed: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # per-run-index totals (VERDICT r10 #6): three headline repeats in the
+    # artifact itself, so a noisy session (uniform inflation across runs)
+    # is self-evident without a quiet-session rerun
+    spark_run_totals = [
+        round(sum(r[i] for r in run_times.values()), 3) for i in range(RUNS)
+    ] if run_times else []
+
+    # Composed-pipeline row (VERDICT r10 #2): the product call a user
+    # actually runs — prepare_training_corpus with a PINNED stage set
+    # (paragraph dedup on a planted-boilerplate corpus, minhash near-dup,
+    # auto decontam against a deterministic 1%-slice eval set, token
+    # floor, deterministic sample) followed by pack_sequences.  No DuckDB
+    # twin (composed, cross-stage; each stage is oracled individually) —
+    # wall-clock only, OUTSIDE `queries` so vs_duckdb stays a like-for-
+    # like ratio.  One untimed warmup + 2 timed runs (min reported, both
+    # listed): catches cross-stage regressions the per-operator rows
+    # can't see.
+    prepare_runs: list[float] = []
+    try:
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+        from hedera_etl_spark.operators.packing import pack_sequences
+
+        base = load_table(spark, sf_dir, "documents")
+        pdocs = base.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("intro "), F.col("doc_id").cast("string"), F.lit("\n\n"),
+                F.lit("This website uses cookies to improve your experience."),
+                F.lit("\n\n"), F.col("text"),
+            ).alias("text"),
+        )
+        eval_docs = base.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+        def run_prepare() -> None:
+            out = prepare_training_corpus(
+                pdocs,
+                paragraph_dedup_sep="\n\n",
+                near_threshold=0.5,
+                eval_docs=eval_docs,
+                decontam_mode="auto",
+                min_tokens=5,
+                sample_rate=0.9,
+                salt="bench-prepare",
+            )
+            materialize(pack_sequences(out, max_tokens=2048))
+
+        run_prepare()  # untimed warmup
+        for _ in range(2):
+            t0 = time.time()
+            run_prepare()
+            prepare_runs.append(round(time.time() - t0, 3))
+    except Exception as exc:
+        errors["prepare_training_corpus"] = str(exc).split("\n")[0][:300]
+        print(f"bench: prepare failed: {errors['prepare_training_corpus']}",
+              file=sys.stderr)
 
     # DuckDB twin: identical oracle SQL over the same parquet, same machine.
     # Queries that errored on the Spark side are skipped so the vs_duckdb
     # ratios always compare identical query sets (ADVICE r5: an errored
     # Spark query was excluded from `total` while its oracle still counted
     # in duck_total, understating the ratio).
-    def duck_pass(con) -> dict[str, float]:
+    def duck_pass(con) -> tuple[dict[str, float], list[float]]:
         out: dict[str, float] = {}
+        per_run: dict[str, list[float]] = {}
         # same untimed whole-suite warmup as the Spark side
         for name, spec in bench_specs.items():
             if spec.oracle is None or name in errors:
@@ -135,17 +193,20 @@ def main() -> int:
         for name, spec in bench_specs.items():
             if spec.oracle is None or name in errors:
                 continue
-            best = None
             try:
+                runs = []
                 for _ in range(RUNS):
                     t0 = time.time()
                     con.execute(spec.oracle).fetchall()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                out[name] = round(best, 3)
+                    runs.append(time.time() - t0)
+                out[name] = round(min(runs), 3)
+                per_run[name] = runs
             except Exception as exc:
                 print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
-        return out
+        totals = [
+            round(sum(r[i] for r in per_run.values()), 3) for i in range(RUNS)
+        ] if per_run else []
+        return out, totals
 
     duck_timings: dict[str, float] = {}
     duck_cold: dict[str, float] = {}
@@ -158,7 +219,7 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        duck_cold = duck_pass(con)  # warm page cache, per-run decode
+        duck_cold, _ = duck_pass(con)  # warm page cache, per-run decode
         # warm config: materialized temp tables — the honest counterpart
         # of Spark's persisted input tables (ADVICE r3)
         for t in TABLES:
@@ -167,9 +228,10 @@ def main() -> int:
                 f"CREATE TEMP TABLE {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        duck_timings = duck_pass(con)
+        duck_timings, duck_run_totals = duck_pass(con)
     except Exception:
         duck_timings = duck_cold = {}
+        duck_run_totals = []
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
     duck_cold_total = round(sum(duck_cold.values()), 3) if duck_cold else None
 
@@ -185,6 +247,17 @@ def main() -> int:
         "timing": "min of %d over persisted tables; results materialized "
         "via xxhash64 over all output columns" % RUNS,
     }
+    if prepare_runs:
+        # composed pipeline wall (not in `queries`: no oracle, excluded
+        # from vs_duckdb by construction)
+        out["prepare_sec"] = min(prepare_runs)
+        out["prepare_runs"] = prepare_runs
+    # back-to-back repeats (VERDICT r10 #6): session noise shows as
+    # uniform inflation across these totals
+    if spark_run_totals:
+        out["spark_run_totals"] = spark_run_totals
+    if duck_run_totals:
+        out["duckdb_run_totals"] = duck_run_totals
     # ratios over the intersection of query sets: a Spark-only success
     # (oracle failed / oracle=None) must not inflate the Spark numerator
     # against a DuckDB denominator that never ran it, and vice versa
@@ -216,15 +289,11 @@ def main() -> int:
     out["metric"] = "total_bench_sec"
     out["unit"] = "sec"
     out["value"] = total
-    print(
-        json.dumps(
-            {
-                "detail": "per_engine_query_sec",
-                "duckdb_queries": duck_timings,
-                "duckdb_cold_parquet_queries": duck_cold,
-            }
-        )
-    )
+    # two SLIM detail lines (VERDICT r10 #4 cosmetic: one fat line kept
+    # losing its head to the driver's tail capture) — cold first, warm
+    # second, contract line last, so truncation eats in that order
+    print(json.dumps({"detail": "duckdb_cold_parquet_query_sec", **duck_cold}))
+    print(json.dumps({"detail": "duckdb_warm_query_sec", **duck_timings}))
     print(json.dumps(out))
     # nonzero rc only when NOTHING ran — a partial bench still reports
     return 0 if timings else 1
