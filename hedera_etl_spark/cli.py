@@ -155,6 +155,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument(
+        "--removal-ledger-out",
+        default=None,
+        help="write per-document removal provenance — (doc_id, stage, "
+        "reason, ref_id) for every dropped doc — as parquet to this "
+        "path (operators/provenance.py)",
+    )
+    p.add_argument(
         "--normalize-form",
         default=None,
         choices=["NFC", "NFKC", "NFD", "NFKD"],
@@ -484,6 +491,11 @@ def main(argv: list[str] | None = None) -> int:
                 part.split("=")[0]: float(part.split("=")[1])
                 for part in args.mixture.split(",")
             }
+        removal_ledger = None
+        if args.removal_ledger_out:
+            from hedera_etl_spark.operators.provenance import RemovalLedger
+
+            removal_ledger = RemovalLedger()
         manifest = prepare_training_shards(
             docs,
             args.out_dir,
@@ -542,7 +554,15 @@ def main(argv: list[str] | None = None) -> int:
                 if args.lm_ref_input
                 else None
             ),
+            removal_ledger=removal_ledger,
         )
+        if removal_ledger is not None:
+            ledger_df = removal_ledger.df()
+            ledger_df.write.mode("overwrite").parquet(args.removal_ledger_out)
+            n_removed = (
+                spark.read.parquet(args.removal_ledger_out).count()
+            )
+            print(f"removal_ledger: {n_removed} rows -> {args.removal_ledger_out}")
         totals = manifest.agg(
             F.sum("n_rows").alias("rows"),
             F.sum("n_tokens").alias("tokens"),

@@ -164,7 +164,56 @@ def publish_batch_dir(root: str, entry: str, staged: str) -> None:
         os.rename(staged, live)
 
 
-def compact_batch_dirs(spark, root: str, schema, dedup_cols=None) -> int:
+#: sits beside the ``batch=X`` dirs; accumulates every entry ever folded
+#: into a compacted target — the REPLAY HEAL (VERDICT r10 #4): a
+#: replayed pre-compaction epoch must still be recognizable as
+#: committed, or it would re-decide against a store containing its own
+#: rows and silently change its output.
+FOLDED_MANIFEST = "_folded.json"
+
+#: per-row attribution column written into compacted dirs when
+#: ``track_origin`` — lets per-batch lookups (replay exclusion, replay
+#: accepted-set reads) resolve after the source dirs are gone.
+ORIGIN_COL = "origin_batch"
+
+
+def folded_batches(root: str) -> set[str]:
+    """Entries (``batch=X`` names) folded into a compacted target."""
+    import json
+
+    p = os.path.join(root, FOLDED_MANIFEST)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh).get("entries", []))
+
+
+def append_folded_manifest(root: str, entries) -> None:
+    """Union ``entries`` into the folded manifest, atomically
+    (tmp + ``os.replace``).  Written AFTER the compacted target is live
+    and BEFORE sources are deleted: a crash before the write leaves the
+    sources live (dir check wins), after it both signals agree."""
+    import json
+
+    data = sorted(folded_batches(root) | set(entries))
+    tmp = os.path.join(root, f".{FOLDED_MANIFEST}.__new")
+    with open(tmp, "w") as fh:
+        json.dump({"entries": data}, fh)
+    os.replace(tmp, os.path.join(root, FOLDED_MANIFEST))
+
+
+def with_origin_schema(schema):
+    """``schema`` + the nullable origin_batch attribution column."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields) + [T.StructField(ORIGIN_COL, T.StringType(), True)]
+    )
+
+
+def compact_batch_dirs(
+    spark, root: str, schema, dedup_cols=None, track_origin: bool = False
+) -> int:
     """Fold every live ``batch=X`` dir under ``root`` into one
     ``batch=compacted-<md5>`` dir (single-root batch-store maintenance).
     Returns the number of dirs folded (0 when <= 1 live dir).
@@ -177,22 +226,55 @@ def compact_batch_dirs(spark, root: str, schema, dedup_cols=None) -> int:
     callers must therefore only use batch stores in duplicate-insensitive
     reads (semi/anti joins — the contract both incremental stores
     already hold), and a retry derives a NEW target folding everything,
-    with ``dropDuplicates`` keeping row counts from creeping."""
+    with ``dropDuplicates`` keeping row counts from creeping.
+
+    ``track_origin`` (the replay heal, VERDICT r10 #4): each folded row
+    carries its source entry name in ``origin_batch`` (preserved through
+    nested compactions) and the folded entry set lands in the
+    ``_folded.json`` manifest — so a replayed pre-compaction batch can
+    still be recognized (``folded_batches``) and its rows excluded or
+    looked up by origin, instead of the batch silently re-deciding
+    against its own history."""
     import hashlib
     import shutil
+
+    from pyspark.sql import functions as F
 
     old = sorted(batch_dirs(root))
     if len(old) <= 1:
         return 0
     entry = "batch=compacted-" + hashlib.md5("|".join(old).encode()).hexdigest()[:12]
-    merged = spark.read.schema(schema).parquet(*[os.path.join(root, b) for b in old])
-    merged = (
-        merged.dropDuplicates(dedup_cols) if dedup_cols else merged.dropDuplicates()
-    )
+    if track_origin:
+        ext = with_origin_schema(schema)
+        frames = []
+        for b in old:
+            # nested compaction: rows already carrying an origin keep it
+            # (missing parquet columns read as NULL under an explicit
+            # schema, so plain dirs coalesce to their own entry name)
+            frames.append(
+                spark.read.schema(ext)
+                .parquet(os.path.join(root, b))
+                .withColumn(ORIGIN_COL, F.coalesce(F.col(ORIGIN_COL), F.lit(b)))
+            )
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        merged = merged.dropDuplicates(
+            (dedup_cols + [ORIGIN_COL]) if dedup_cols else None
+        )
+    else:
+        merged = spark.read.schema(schema).parquet(
+            *[os.path.join(root, b) for b in old]
+        )
+        merged = (
+            merged.dropDuplicates(dedup_cols) if dedup_cols else merged.dropDuplicates()
+        )
     merged = merged.localCheckpoint()  # materialize BEFORE sources vanish
     if not os.path.exists(os.path.join(root, entry)):
         staged = stage_batch_dir(root, entry, merged)
         publish_batch_dir(root, entry, staged)
+    if track_origin:
+        append_folded_manifest(root, [b for b in old if b != entry])
     for b in old:
         if b != entry:
             shutil.rmtree(os.path.join(root, b), ignore_errors=True)

@@ -157,6 +157,36 @@ def contamination_by_eval_item(
     )
 
 
+def contaminating_eval_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, eval_id): the MIN eval item sharing an n-gram with each
+    doc — the removal-provenance attribution (provenance.RemovalLedger).
+    Deterministic (min over eval ids); one broadcast postings join over
+    ``docs`` — callers pass the DROPPED slice, not the corpus, so the
+    shingling cost is proportional to removed documents."""
+    eval_text_col = eval_text_col or text_col
+    eval_sh = doc_shingles(
+        eval_docs.select(
+            F.col(eval_id_col).alias("doc_id"), F.col(eval_text_col).alias("__t")
+        ),
+        n=n,
+        text_col="__t",
+    ).select(F.col("doc_id").alias("eval_id"), "shingle")
+    corpus_sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.min("eval_id").alias("eval_id"))
+    )
+
+
 def decontaminate_against_shingles(
     docs: DataFrame,
     eval_sh: DataFrame,
@@ -397,6 +427,7 @@ def bloom_contaminated_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     ref_text_col: str | None = None,
+    n_ref: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_hits) for documents sharing >= ``min_hits`` exact word
     n-grams with ``ref_docs`` — same decision as ``contaminated_ids``
@@ -415,15 +446,25 @@ def bloom_contaminated_ids(
     the saturation and the auto-sized alternative (the max_bucket /
     cap_observations convention — a recall-or-cost trade must never be
     silent; here correctness is safe either way, only the scale benefit
-    dies)."""
+    dies).
+
+    The reference-cardinality job runs ONLY when needed (ADVICE r10):
+    callers that already counted the reference pass ``n_ref`` (the
+    pipeline's auto mode counts once and forwards it), and when BOTH
+    ``m_bits`` and ``k`` are explicit with no ``n_ref`` the count is
+    skipped entirely — the saturation warning then becomes best-effort
+    (it needs the cardinality) rather than costing a full reference
+    scan just to phrase a warning."""
     import warnings
 
     ref_text_col = ref_text_col or text_col
     # two consumers (bloom build + exact verify): pin the distinct
     ref_sh = _ref_shingle_dim(ref_docs, n, ref_text_col).localCheckpoint(eager=False)
-    n_ref = ref_sh.agg(
-        F.approx_count_distinct("shingle").alias("n")
-    ).first()["n"]
+    if n_ref is None and (m_bits is None or k is None):
+        # sizing needs the cardinality; fully explicit callers skip the job
+        n_ref = ref_sh.agg(
+            F.approx_count_distinct("shingle").alias("n")
+        ).first()["n"]
     if m_bits is None and k is None:
         m_bits, k = auto_bloom_params(n_ref, target_fp)
     elif k is None:
@@ -442,7 +483,7 @@ def bloom_contaminated_ids(
             )
         )
         m_bits = ((m_bits + 63) // 64) * 64
-    fill = _estimated_fill(n_ref, m_bits, k)
+    fill = _estimated_fill(n_ref, m_bits, k) if n_ref is not None else 0.0
     if fill**k > 0.1:  # >=10% of corpus shingles would spuriously verify
         auto_m, auto_k = auto_bloom_params(n_ref, target_fp)
         warnings.warn(

@@ -96,6 +96,7 @@ def prepare_training_corpus(
     salt: str = "",
     stage_observations: dict | None = None,
     cap_observations: dict | None = None,
+    removal_ledger=None,
 ) -> DataFrame:
     """Dedup + decontaminate + filter + resample: returns the surviving
     documents (same schema as ``docs``).
@@ -167,6 +168,15 @@ def prepare_training_corpus(
     low-quality text past the floors.  Read with
     stats.cap_counts(cap_observations) after the returned frame has
     been acted on.
+
+    ``removal_ledger``: pass a fresh ``provenance.RemovalLedger`` to get
+    per-document removal provenance — (doc_id, stage, reason, ref_id)
+    for every dropped document, with keeper attribution on the dedup
+    stages and eval-item attribution on exact decontamination
+    (VERDICT r10 #3; see operators/provenance.py for the cost model —
+    each recorded boundary is lazily checkpointed).  Span dedup rewrites
+    text without dropping documents, so it never records.  Read
+    ``removal_ledger.df()`` after the returned frame has been acted on.
     """
     if normalize_form is not None:
         from hedera_etl_spark.operators.textnorm import normalize_text
@@ -227,6 +237,27 @@ def prepare_training_corpus(
         stage_observations[stage] = robust
         return observed
 
+    def _drops(stage: str, reason: str, pre: DataFrame, post: DataFrame) -> DataFrame:
+        # Removal provenance (VERDICT r10 #3): when a
+        # provenance.RemovalLedger is attached, each recorded stage logs
+        # its dropped ids as (pre anti-join post); the boundary frame
+        # gains a second consumer, so pin it lazily (checkpoint-vs-
+        # rescan: the upstream dedup chain is real work).  Stages with a
+        # decision frame record richer rows (keeper / eval attribution)
+        # inline instead of calling this.
+        if removal_ledger is None:
+            return post
+        post = post.localCheckpoint(eager=False)
+        removal_ledger.record(
+            stage,
+            reason,
+            pre.select(F.col(id_col)).join(
+                post.select(F.col(id_col)), id_col, "left_anti"
+            ),
+            id_col=id_col,
+        )
+        return post
+
     if paragraph_dedup_sep is not None:
         from hedera_etl_spark.operators.paradedup import paragraph_dedup
 
@@ -235,17 +266,34 @@ def prepare_training_corpus(
         # / banners collapse as exact duplicates downstream.  Lazy
         # checkpoint for the same multi-consumer reason as
         # normalize_text (every later stage re-reads the rebuilt text).
+        pre_para = docs
         docs = paragraph_dedup(
             docs, text_col=text_col, id_col=id_col,
             sep=paragraph_dedup_sep, min_chars=paragraph_min_chars,
         ).localCheckpoint(eager=False)
         docs = _observed("paragraph_dedup", docs)
+        # only drops emptied docs (all paragraphs were duplicates)
+        docs = _drops("paragraph_dedup", "emptied", pre_para, docs)
 
     keepers = exact_duplicates(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
     out = docs.join(keepers, id_col, "left_semi")
     out = _observed("exact_dedup", out)
+    if removal_ledger is not None:
+        # keeper attribution from the same hash-group the stage keys on
+        hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        keep_map = hashed.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
+        removal_ledger.record(
+            "exact_dedup",
+            "exact_duplicate",
+            hashed.join(keep_map, "__h").filter(
+                F.col(id_col) != F.col("__keeper")
+            ),
+            id_col=id_col,
+            ref_col="__keeper",
+        )
+        out = out.localCheckpoint(eager=False)
 
     if near_threshold is not None:
         renamed = out.select(
@@ -316,12 +364,30 @@ def prepare_training_corpus(
             decision = collapse_components(
                 out.select(F.col(id_col).alias("doc_id")), pairs
             )
+        if removal_ledger is not None:
+            # the decision frame gains a second consumer (the ledger):
+            # pin it so connected components run once
+            decision = decision.localCheckpoint(eager=False)
         out = out.join(
             decision.filter("keep").select(F.col("doc_id").alias(id_col)),
             id_col,
             "left_semi",
         )
         out = _observed("near_dedup", out)
+        if removal_ledger is not None:
+            kept_by_comp = decision.filter("keep").select(
+                "component", F.col("doc_id").alias("__keeper")
+            )
+            removal_ledger.record(
+                "near_dedup",
+                "near_duplicate",
+                decision.filter(~F.col("keep"))
+                .select("doc_id", "component")
+                .join(kept_by_comp, "component"),
+                id_col="doc_id",
+                ref_col="__keeper",
+            )
+            out = out.localCheckpoint(eager=False)
 
     if span_dedup_n is not None:
         from hedera_etl_spark.operators.spandedup import remove_repeated_spans
@@ -389,6 +455,30 @@ def prepare_training_corpus(
             "left_anti",
         )
         out = _observed("semantic_dedup", out)
+        if removal_ledger is not None:
+            # within-batch cluster members attribute to their kept
+            # keeper; history hits have no keeper in this batch's
+            # decisions frame (the match lives in the persisted index)
+            sem_dropped = decisions.filter(~F.col("keep"))
+            kept_by_comp = decisions.filter(F.col("keep")).select(
+                "component", F.col("vec_id").alias("__keeper")
+            )
+            removal_ledger.record(
+                "semantic_dedup",
+                "semantic_duplicate",
+                sem_dropped.filter(~F.col("history_hit"))
+                .select("vec_id", "component")
+                .join(kept_by_comp, "component"),
+                id_col="vec_id",
+                ref_col="__keeper",
+            )
+            removal_ledger.record(
+                "semantic_dedup",
+                "semantic_duplicate_vs_history",
+                sem_dropped.filter(F.col("history_hit")).select("vec_id"),
+                id_col="vec_id",
+            )
+            out = out.localCheckpoint(eager=False)
 
     if eval_docs is not None:
         if decontam_mode not in ("auto", "exact", "bloom"):
@@ -396,6 +486,8 @@ def prepare_training_corpus(
                 f"decontam_mode must be auto|exact|bloom (got {decontam_mode!r})"
             )
         mode = decontam_mode
+        n_ref = None
+        pre_decontam = out
         if mode == "auto":
             # one approx pass over the reference shingle dimension picks
             # the engine: an eval SUITE (dimension-sized) broadcasts its
@@ -436,6 +528,9 @@ def prepare_training_corpus(
             out = bloom_decontaminate(
                 out, eval_docs, n=decontam_n, text_col=text_col,
                 id_col=id_col, target_fp=bloom_decontam_fp,
+                # auto mode already counted the reference — don't count
+                # it a second time inside (ADVICE r10)
+                n_ref=n_ref,
             )
         else:
             out = decontaminate(
@@ -452,8 +547,45 @@ def prepare_training_corpus(
                 eval_id_col=id_col,
             )
         out = _observed("decontam", out)
+        if removal_ledger is not None:
+            out = out.localCheckpoint(eager=False)
+            dropped_ids = pre_decontam.select(F.col(id_col)).join(
+                out.select(F.col(id_col)), id_col, "left_anti"
+            )
+            if mode == "exact":
+                # eval-item attribution over the DROPPED slice only
+                # (postings broadcast is eval-suite-sized here; the
+                # bloom path never materializes reference postings and
+                # records NULL refs by design)
+                from hedera_etl_spark.operators.decontam import (
+                    contaminating_eval_ids,
+                )
+
+                dropped_docs = pre_decontam.join(
+                    dropped_ids, id_col, "left_semi"
+                )
+                attr = contaminating_eval_ids(
+                    dropped_docs, eval_docs, n=decontam_n,
+                    text_col=text_col, id_col=id_col, eval_id_col=id_col,
+                ).select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("eval_id").alias("__eval"),
+                )
+                # fuzzy-only drops have no exact n-gram hit -> NULL ref
+                removal_ledger.record(
+                    "decontam",
+                    "contaminated",
+                    dropped_ids.join(attr, id_col, "left"),
+                    id_col=id_col,
+                    ref_col="__eval",
+                )
+            else:
+                removal_ledger.record(
+                    "decontam", "contaminated", dropped_ids, id_col=id_col
+                )
 
     if min_tokens > 0:
+        pre_q = out
         q = quality_scores(out, text_col, id_col)
         out = out.join(
             q.filter(F.col("n_tokens") >= min_tokens).select(
@@ -462,8 +594,10 @@ def prepare_training_corpus(
             id_col,
             "left_semi",
         )
+        out = _drops("quality_floor", "below_min_tokens", pre_q, out)
 
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        pre_q = out
         rep = repetition_scores(out, text_col, id_col)
         keep = F.lit(True)
         if max_dup_line_frac is not None:
@@ -475,14 +609,17 @@ def prepare_training_corpus(
             id_col,
             "left_semi",
         )
+        out = _drops("quality_floor", "repetition_caps", pre_q, out)
 
     if quality_weights is not None:
         from hedera_etl_spark.operators.qualityfilter import filter_by_quality
 
+        pre_q = out
         out = filter_by_quality(
             out, quality_weights, min_prob=min_quality_prob,
             text_col=text_col, id_col=id_col,
         )
+        out = _drops("quality_floor", "quality_classifier", pre_q, out)
 
     if min_tokens > 0 or max_dup_line_frac is not None \
             or max_top_bigram_frac is not None or quality_weights is not None:
@@ -496,10 +633,12 @@ def prepare_training_corpus(
         model = lm_model if lm_model is not None else bigram_lm(
             out, text_col=text_col, id_col=id_col
         )
+        pre_lm = out
         out = perplexity_filter(
             out, model, lm_min_avg_logp, text_col=text_col, id_col=id_col
         )
         out = _observed("lm_floor", out)
+        out = _drops("lm_floor", "lm_perplexity", pre_lm, out)
 
     # Each sampling stage draws from its OWN derived salt: same-salt md5
     # buckets are IDENTICAL, so same-salted stages would compose as
@@ -512,22 +651,28 @@ def prepare_training_corpus(
         # the target weights then hold BY TOKENS, the unit training
         # mixtures are actually specified in — a domain of long documents
         # is otherwise over-represented by a doc-count mixture
+        pre_mix = out
         out = mixture_sample(
             out, domain_col, mixture, key_cols=[id_col],
             weight_col=mixture_weight_col, salt=f"{salt}#mixture"
         )
+        out = _drops("mixture", "mixture_downsample", pre_mix, out)
 
     if importance_col is not None:
         from hedera_etl_spark.operators.sampling import weighted_hash_sample
 
+        pre_imp = out
         out = weighted_hash_sample(
             out, [id_col], importance_col, salt=f"{salt}#importance",
             null_weight=importance_null_weight,
         )
         out = _observed("importance_sample", out)
+        out = _drops("importance_sample", "importance_sample", pre_imp, out)
 
     if sample_rate < 1.0:
+        pre_rate = out
         out = hash_sample(out, [id_col], sample_rate, salt=f"{salt}#sample")
+        out = _drops("rate_sample", "rate_sample", pre_rate, out)
 
     if token_budget is not None:
         from hedera_etl_spark.operators.selection import select_to_token_budget
@@ -545,10 +690,12 @@ def prepare_training_corpus(
             "doc_id", "quality_score", "n_tokens"
         )
         selected = select_to_token_budget(scored, token_budget)
+        pre_budget = out
         out = out.join(
             selected.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         )
         out = _observed("token_budget", out)
+        out = _drops("token_budget", "over_budget", pre_budget, out)
     out = _observed("final", out)
 
     if embeddings is not None:

@@ -204,19 +204,41 @@ class ParagraphHashStore:
         return fsutil.batch_dirs(self.hashes_dir)
 
     def has_batch(self, batch_id: str) -> bool:
-        return f"batch={batch_id}" in self.committed_batches()
+        # a batch folded by compaction is STILL committed (replay heal,
+        # VERDICT r10 #4): the dir is gone but the manifest remembers
+        return f"batch={batch_id}" in self.committed_batches() or (
+            f"batch={batch_id}" in fsutil.folded_batches(self.hashes_dir)
+        )
 
     def hashes(self, exclude_batch: str | None = None) -> DataFrame:
         """Committed hashes, optionally excluding one batch — a RETRY of
         an already-committed batch must judge itself against the store
-        as it stood BEFORE that batch, or it would cut its own rows."""
+        as it stood BEFORE that batch, or it would cut its own rows.
+
+        Exclusion survives compaction (the replay heal): compacted rows
+        carry their ``origin_batch``, so a folded batch's rows are
+        filtered by attribution instead of by directory."""
         import os
 
+        from pyspark.sql import functions as F
+
+        entry = f"batch={exclude_batch}" if exclude_batch is not None else None
         batches = sorted(self.committed_batches())
-        if exclude_batch is not None:
-            batches = [b for b in batches if b != f"batch={exclude_batch}"]
+        if entry is not None:
+            batches = [b for b in batches if b != entry]
         if not batches:
             return self.spark.createDataFrame([], _hash_schema())
+        if entry is not None and entry in fsutil.folded_batches(self.hashes_dir):
+            ext = fsutil.with_origin_schema(_hash_schema())
+            return (
+                self.spark.read.schema(ext)
+                .parquet(*[os.path.join(self.hashes_dir, b) for b in batches])
+                .filter(
+                    F.col(fsutil.ORIGIN_COL).isNull()
+                    | (F.col(fsutil.ORIGIN_COL) != entry)
+                )
+                .drop(fsutil.ORIGIN_COL)
+            )
         return self.spark.read.schema(_hash_schema()).parquet(
             *[os.path.join(self.hashes_dir, b) for b in batches]
         )
@@ -242,14 +264,18 @@ class ParagraphHashStore:
         hashes duplicated across target and leftover sources — harmless
         (every read feeds semi/anti joins, which are duplicate-
         insensitive, and the merge dropDuplicates()es so a retry never
-        compounds).  Caveat, same as CorpusSignatureStore.compact():
-        ``hashes(exclude_batch=X)`` no longer resolves an original batch
-        id after its dir is folded, so compact only past the replay
-        horizon of a drained/checkpointed stream — a replay of a folded
-        batch would see its own hashes as history and cut its own rows.
+        compounds).
+
+        Replays HEAL across compaction (VERDICT r10 #4 — the r10
+        docstring caveat made mechanical): folded rows keep their
+        ``origin_batch`` attribution and the folded entry set persists
+        in the ``_folded.json`` manifest, so ``has_batch`` still
+        recognizes a folded batch and ``hashes(exclude_batch=X)`` still
+        excludes its rows — a replayed pre-compaction epoch reproduces
+        its original decision instead of cutting its own rows.
         """
         return fsutil.compact_batch_dirs(
-            self.spark, self.hashes_dir, _hash_schema()
+            self.spark, self.hashes_dir, _hash_schema(), track_origin=True
         )
 
 

@@ -19,12 +19,21 @@ set is the operator's contract, mirrored exactly by the DuckDB oracle):
    scheme-aware rule would preserve is a misconfiguration in practice
    and merging it is the safer dedup direction;
 4. tracking parameters are removed: any key starting ``utm_``, plus
-   ``fbclid``/``gclid``/``msclkid`` — the standard strip-list;
+   ``fbclid``/``gclid``/``msclkid`` — the standard strip-list.  The
+   exact keys match both the ``k=v`` form and the bare value-less key
+   (``?fbclid``) — ad-click landers emit both shapes (ADVICE r10);
 5. surviving query parameters sort lexicographically (param order is
    almost never significant; sorting merges the shuffled-order
    variants), and an emptied query drops its ``?``;
 6. trailing slashes on the path are dropped (a bare-root ``host/``
-   collapses to ``host``).
+   collapses to ``host``);
+7. a NULL or empty ``url`` NEVER participates in dedup: ``concat``
+   null-propagates, so without a rule every missing-URL doc would
+   collapse into ONE group and all but the min-id doc would silently
+   vanish (ADVICE r10 medium).  Real crawl frames commonly lack URLs;
+   the dedup functions key those rows by a per-doc NUL-prefixed
+   sentinel so each passes through unchanged, and decision rows
+   surface them with ``canonical_url`` NULL.
 
 Scale shape: canonicalization is a pure per-row string projection
 (regexp / split / filter / array_sort — all JVM expressions, zero
@@ -62,7 +71,7 @@ def canonical_url_sql(col_sql: str) -> str:
     path_c = f"regexp_replace({path}, '/+$', '')"  # rule 6
     keep = " AND ".join(
         ["NOT startswith(p, 'utm_')"]
-        + [f"NOT startswith(p, '{k}=')" for k in TRACKING_EXACT]
+        + [f"NOT (p = '{k}' OR startswith(p, '{k}='))" for k in TRACKING_EXACT]
     )
     params = (
         f"array_join(array_sort(filter(split({query}, '&'), "
@@ -82,18 +91,43 @@ def canonical_urls(
     return docs.withColumn(out_col, F.expr(canonical_url_sql(url_col)))
 
 
+#: per-doc sentinel prefix for missing URLs (rule 7).  A NUL byte cannot
+#: appear in a crawl URL, so sentinel keys can never collide with a real
+#: canonical URL.
+_MISSING_URL_PREFIX = "\x00doc:"
+
+
 def url_dedup_decisions(
     docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per canonical URL: the min-``id_col`` keeper and the
     variant count — the crawl-recrawl dedup decision.  One projection +
-    one partial-aggregated exchange keyed by the canonical URL."""
+    one partial-aggregated exchange keyed by the canonical URL.
+
+    Rule 7: rows whose URL is NULL or canonicalizes to '' group under a
+    per-doc sentinel (never with each other), so every missing-URL doc
+    is its own keeper with ``canonical_url`` NULL in the output —
+    missing a URL is not evidence of duplication."""
+    canon = canonical_urls(docs, url_col)
+    missing = F.col("canonical_url").isNull() | (F.col("canonical_url") == "")
+    key = F.when(
+        missing,
+        F.concat(F.lit(_MISSING_URL_PREFIX), F.col(id_col).cast("string")),
+    ).otherwise(F.col("canonical_url"))
     return (
-        canonical_urls(docs, url_col)
-        .groupBy("canonical_url")
+        canon.groupBy(key.alias("__url_key"))
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            F.when(
+                F.col("__url_key").startswith(_MISSING_URL_PREFIX), F.lit(None)
+            )
+            .otherwise(F.col("__url_key"))
+            .alias("canonical_url"),
+            "keeper_id",
+            "n_dups",
         )
     )
 

@@ -77,6 +77,7 @@ class CorpusIngestPipeline:
         paragraph_min_chars: int = 1,
         eval_docs: DataFrame | None = None,
         decontam_n: int = 13,
+        eval_version: str = "v1",
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -94,18 +95,24 @@ class CorpusIngestPipeline:
         # is computed ONCE and pinned; every epoch probes it map-side
         # (broadcast), so contaminated documents are dropped BEFORE any
         # store commit — a benchmark page must never be recorded as an
-        # "accepted" canonical.  Determinism contract: the eval set is
-        # part of the pipeline config — change it only at a drained
-        # boundary (a replayed epoch re-runs the filter with the CURRENT
-        # set; swapping mid-stream would replay committed epochs against
-        # different inputs, the same horizon caveat as store compaction).
+        # "accepted" canonical.
+        #
+        # VERSIONED (VERDICT r10 #7 — the r10 "only change at drained
+        # boundaries" caveat made mechanical): each version's shingle
+        # dimension persists under ``store/eval/version=<v>`` and every
+        # epoch records which version decided it (eval_epochs.json), so
+        # an eval refresh (``set_eval_docs``) takes effect from the NEXT
+        # epoch while a replayed old epoch re-reads ITS version's
+        # persisted shingles and reproduces its original decision —
+        # byte-identical replay even across an eval rotation.
+        import os as _os
+
+        self._eval_dir = _os.path.join(store_path, "eval")
+        self._eval_version = "none"
         self._eval_sh = None
         if eval_docs is not None:
-            from hedera_etl_spark.operators.decontam import _ref_shingle_dim
-
-            self._eval_sh = _ref_shingle_dim(
-                eval_docs, decontam_n, "text"
-            ).localCheckpoint()
+            self._eval_version = eval_version
+            self._eval_sh = self._persist_eval(eval_docs, eval_version)
         # the paragraph hash store lives beside the signature store and
         # commits under the SAME stable batch id, so every crash window
         # replays to the identical decision (operators/paradedup.py)
@@ -119,6 +126,82 @@ class CorpusIngestPipeline:
                 spark, os.path.join(store_path, "paragraphs")
             )
         self.metrics = CorpusIngestMetrics()
+
+    # -- versioned eval sets (streaming decontamination) -------------------
+    def _persist_eval(self, eval_docs: DataFrame, version: str) -> DataFrame:
+        """Persist ``version``'s shingle dimension (idempotent: an
+        existing version dir wins) and return it pinned FROM DISK — the
+        persisted rows, not the caller's frame, are the decision input,
+        so a replay under this version reads exactly what this epoch
+        read."""
+        import os
+        import shutil
+
+        if version == "none":
+            raise ValueError("eval_version 'none' is reserved")
+        from hedera_etl_spark.operators.decontam import _ref_shingle_dim
+
+        vdir = os.path.join(self._eval_dir, f"version={version}")
+        if not os.path.isdir(vdir):
+            os.makedirs(self._eval_dir, exist_ok=True)
+            tmp = os.path.join(self._eval_dir, f".version={version}.__new")
+            shutil.rmtree(tmp, ignore_errors=True)
+            _ref_shingle_dim(eval_docs, self.decontam_n, "text").write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            if not os.path.isdir(vdir):
+                os.rename(tmp, vdir)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return self.spark.read.parquet(vdir).localCheckpoint()
+
+    def set_eval_docs(self, eval_docs: DataFrame, version: str) -> None:
+        """Rotate the eval set: effective for every SUBSEQUENT epoch.
+        Epochs already recorded keep their own version (replay-stable).
+        Safe at any boundary — an in-flight replayed epoch still reads
+        its recorded version's persisted shingles."""
+        self._eval_version = version
+        self._eval_sh = self._persist_eval(eval_docs, version)
+
+    def _epoch_eval_versions(self) -> dict:
+        import json
+        import os
+
+        path = os.path.join(self._eval_dir, "eval_epochs.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _record_epoch_eval(self, bid: str, version: str) -> None:
+        import json
+        import os
+
+        os.makedirs(self._eval_dir, exist_ok=True)
+        data = self._epoch_eval_versions()
+        data[bid] = version
+        tmp = os.path.join(self._eval_dir, ".eval_epochs.json.__new")
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, os.path.join(self._eval_dir, "eval_epochs.json"))
+
+    def _eval_sh_for(self, bid: str) -> DataFrame | None:
+        """The shingle dimension that decides epoch ``bid``: its
+        recorded version on replay, the current version (recorded now)
+        on first processing; None when the epoch runs eval-free."""
+        import os
+
+        v = self._epoch_eval_versions().get(bid)
+        if v is None:
+            v = self._eval_version
+            self._record_epoch_eval(bid, v)
+        if v == "none":
+            return None
+        if v == self._eval_version and self._eval_sh is not None:
+            return self._eval_sh
+        return self.spark.read.parquet(
+            os.path.join(self._eval_dir, f"version={v}")
+        )
 
     def _read(self) -> DataFrame:
         reader = self.spark.readStream.format("text")
@@ -326,16 +409,19 @@ class CorpusIngestPipeline:
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
-        if self._eval_sh is not None:
+        eval_sh = self._eval_sh_for(bid)
+        if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (
                 decontaminate_against_shingles,
             )
 
             # FIRST, before any store sees the batch: a contaminated doc
-            # must never commit hashes/signatures as "accepted" content
+            # must never commit hashes/signatures as "accepted" content.
+            # eval_sh is the epoch's RECORDED version (replay-stable
+            # across eval rotations — see _eval_sh_for).
             before = batch.count()
             batch = decontaminate_against_shingles(
-                batch, self._eval_sh, n=self.decontam_n
+                batch, eval_sh, n=self.decontam_n
             )
             if not self.store.has_batch(bid):  # replays don't double-count
                 m.dropped_contaminated += before - batch.count()

@@ -319,12 +319,38 @@ class TestBloomAutoSizing:
             [(i, " ".join(f"ref{i}w{j}" for j in range(10))) for i in range(40)],
             ["doc_id", "text"],
         )
+        # explicit m WITHOUT k: the sizing count runs, so saturation warns
         with pytest.warns(UserWarning, match="saturating"):
-            bloom_contaminated_ids(corpus, big_ref, n=5, m_bits=64, k=2).collect()
+            bloom_contaminated_ids(corpus, big_ref, n=5, m_bits=64).collect()
+        # fully explicit + caller-provided n_ref: no count job, still loud
+        with pytest.warns(UserWarning, match="saturating"):
+            bloom_contaminated_ids(
+                corpus, big_ref, n=5, m_bits=64, k=2, n_ref=200
+            ).collect()
         # the auto size is quiet
         with warnings.catch_warnings():
             warnings.simplefilter("error", UserWarning)
             bloom_contaminated_ids(corpus, big_ref, n=5).collect()
+
+    def test_fully_explicit_sizing_skips_reference_count(
+        self, spark, corpus, eval_set, monkeypatch
+    ):
+        """ADVICE r10: with both m_bits and k given (and no n_ref) the
+        approx_count_distinct job over the reference must not run — the
+        count only phrased a warning there."""
+        import hedera_etl_spark.operators.decontam as dc
+
+        def _boom(*a, **kw):
+            raise AssertionError("reference count job should be skipped")
+
+        monkeypatch.setattr(dc.F, "approx_count_distinct", _boom)
+        got = dc.bloom_contaminated_ids(
+            corpus, eval_set, n=5, m_bits=1 << 16, k=4
+        ).collect()
+        assert got is not None  # ran end-to-end without the count
+        # ...but auto sizing still needs (and uses) the count
+        with pytest.raises(AssertionError, match="skipped"):
+            dc.bloom_contaminated_ids(corpus, eval_set, n=5).collect()
 
     def test_pipeline_bloom_mode_equals_exact(self, spark, corpus, eval_set):
         from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus

@@ -65,6 +65,41 @@ def test_second_batch_dedups_against_store(spark, store):
     assert stats.accepted == 1
 
 
+def test_store_store_pairs_do_not_inflate_batch_metrics(spark, store):
+    """ADVICE r10: when the store holds two near-dup docs (possible
+    after a historic max_bucket cap), their store-store candidate pair
+    must not count store ids as batch drops — near_vs_store counts
+    BATCH docs only."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.incremental_dedup import (
+        minhash_signatures_from_sets,
+        shingle_sets,
+    )
+
+    # seed the store DIRECTLY with two near-dups of each other (bypassing
+    # dedup — the capped-bucket history shape)
+    seeded = _docs(spark, [(100, BASE), (101, BASE + " zzz")])
+    hashed = seeded.select("doc_id", F.md5("text").alias("content_hash"))
+    sigs = minhash_signatures_from_sets(shingle_sets(seeded, n=3), k=store.k)
+    store.commit_batch("seed", hashed.select("content_hash", "doc_id"), sigs)
+
+    batch = _docs(
+        spark,
+        [
+            (1, BASE + " extra"),  # near-dup of both stored docs
+            (2, "fresh unseen content that shares nothing with the store"),
+        ],
+    )
+    accepted, stats = incremental_dedup_batch(store, batch, "b1")
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [2]
+    # before the fix the store-store pair (100, 101) leaked a store id
+    # into dropped_vs_store and this read 2 (or 3)
+    assert stats.near_vs_store == 1
+    assert stats.exact_vs_store == 0
+    assert stats.accepted == 1
+
+
 def test_retry_replays_decision_without_reinserting(spark, store):
     b1 = _docs(spark, [(1, BASE), (2, "other text entirely different from base")])
     a1, s1 = incremental_dedup_batch(store, b1, "b1")
@@ -140,6 +175,39 @@ def test_compact_preserves_dedup_behavior(spark, store):
     # idempotent when single batch... b4 added a second dir; compact again
     assert store.compact() == 2
     assert store.compact() == 0
+
+
+def test_replay_of_folded_batch_heals_across_compaction(spark, store):
+    """VERDICT r10 #4 (the docstring caveat made mechanical): a replayed
+    pre-compaction epoch must reproduce its ORIGINAL accepted set.
+    Before the heal, has_batch() forgot folded batches, so the replay
+    re-decided against a store containing its own rows and dropped
+    every doc as an exact self-duplicate."""
+    b1 = _docs(spark, [(1, BASE), (2, "other unrelated prose lives here")])
+    a1, s1 = incremental_dedup_batch(store, b1, "b1")
+    orig = sorted(r["doc_id"] for r in a1.collect())
+    assert orig == [1, 2]
+    incremental_dedup_batch(
+        store, _docs(spark, [(3, "third batch of totally other words")]), "b2"
+    )
+    assert store.compact() == 2
+    assert store.has_batch("b1") and store.has_batch("b2")
+    assert not store.has_batch("never-committed")
+    # replay b1 from a stale checkpoint: identical accepted set, no
+    # store mutation, replay flagged
+    a1r, s1r = incremental_dedup_batch(store, b1, "b1")
+    assert sorted(r["doc_id"] for r in a1r.collect()) == orig
+    assert s1r.already_committed
+    assert len(store.committed_batches()) == 1  # nothing re-committed
+
+    # nested compaction keeps the attribution: add a batch, compact
+    # again, replay b1 once more
+    incremental_dedup_batch(
+        store, _docs(spark, [(4, "fourth wave of genuinely fresh words")]), "b3"
+    )
+    assert store.compact() == 2
+    a1rr, _ = incremental_dedup_batch(store, b1, "b1")
+    assert sorted(r["doc_id"] for r in a1rr.collect()) == orig
 
 
 def test_compact_crash_window_converges(spark, store):

@@ -215,6 +215,49 @@ def test_incremental_retry_is_byte_identical(spark, tmp_path):
     assert store.committed_batches() == {"batch=e1", "batch=e2"}
 
 
+def test_replay_of_folded_epoch_heals_across_compaction(spark, tmp_path):
+    """VERDICT r10 #4: a replayed pre-compaction epoch must stay
+    byte-identical.  Before the heal, a folded epoch's hashes lost their
+    batch attribution, so the replay saw its OWN paragraphs as history
+    and cut them (beta body text would vanish)."""
+    from hedera_etl_spark.operators.paradedup import (
+        ParagraphHashStore,
+        incremental_paragraph_dedup,
+    )
+
+    store = ParagraphHashStore(spark, str(tmp_path / "pstore_heal"))
+    e1 = spark.createDataFrame([(1, f"alpha\n\n{BOILER}")], ["doc_id", "text"])
+    e2 = spark.createDataFrame(
+        [(2, f"{BOILER}\n\nbeta body text")], ["doc_id", "text"]
+    )
+    incremental_paragraph_dedup(e1, store, "e1").collect()
+    first = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    assert store.compact() == 2
+    assert store.has_batch("e1") and store.has_batch("e2")
+    assert not store.has_batch("never")
+    replay = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    assert first == replay == {2: "beta body text"}
+    # the replay's idempotent commit must not add a dir either
+    assert len(store.committed_batches()) == 1
+
+    # nested compaction keeps attributions: one more epoch + compact,
+    # replay e2 again
+    e3 = spark.createDataFrame([(3, "gamma entirely new")], ["doc_id", "text"])
+    incremental_paragraph_dedup(e3, store, "e3").collect()
+    assert store.compact() == 2
+    replay2 = {
+        r["doc_id"]: r["text"]
+        for r in incremental_paragraph_dedup(e2, store, "e2").collect()
+    }
+    assert replay2 == first
+
+
 def test_incremental_store_grows_by_new_canon_only(spark, tmp_path):
     from hedera_etl_spark.operators.paradedup import (
         ParagraphHashStore,

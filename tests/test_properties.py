@@ -683,7 +683,9 @@ _url_path = st.lists(
 )
 _url_param = st.one_of(
     st.tuples(st.sampled_from(["a", "b", "Z", "utm_x", "fbclid", "gclid"]),
-              st.text(alphabet="19x", min_size=0, max_size=3)),
+              # None = bare value-less key ('?fbclid') — ADVICE r10:
+              # must strip the same as the k=v form
+              st.one_of(st.none(), st.text(alphabet="19x", min_size=0, max_size=3))),
 )
 _url_params = st.lists(_url_param, min_size=0, max_size=4)
 _url_frag = st.sampled_from(["", "#f", "#a/b?c"])
@@ -705,9 +707,9 @@ def _canon_reference(url: str) -> str:
         for p in query.split("&")
         if p != ""
         and not p.startswith("utm_")
-        and not p.startswith("fbclid=")
-        and not p.startswith("gclid=")
-        and not p.startswith("msclkid=")
+        and not (p == "fbclid" or p.startswith("fbclid="))
+        and not (p == "gclid" or p.startswith("gclid="))
+        and not (p == "msclkid" or p.startswith("msclkid="))
     ]
     ps = "&".join(sorted(keep))
     return auth_c + path_c + (("?" + ps) if ps else "")
@@ -729,7 +731,11 @@ def test_url_canonicalization_matches_reference(spark, parts, junk):
 
     urls = [
         f"{s}://{h}{port}/{'/'.join(path)}"
-        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + (
+            "?" + "&".join(k if v is None else f"{k}={v}" for k, v in params)
+            if params
+            else ""
+        )
         + frag
         for s, h, port, path, params, frag in parts
     ] + [j for j in junk if j]  # arbitrary junk: no crash, still agrees

@@ -1,0 +1,202 @@
+"""Per-document removal-provenance ledger (operators/provenance.py +
+prepare_training_corpus(removal_ledger=...)): every dropped document
+appears exactly once with its stage, reason and attribution."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+from hedera_etl_spark.operators.provenance import RemovalLedger
+
+BASE = "the quick brown fox jumps over the lazy dog and keeps running fast today"
+DIMS = 8
+
+
+def _unit(seed: int, bump: float = 0.0) -> list[float]:
+    import random
+
+    rng = random.Random(seed)
+    v = [rng.uniform(-1, 1) for _ in range(DIMS)]
+    v[0] += bump
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _ledger_rows(ledger: RemovalLedger):
+    return sorted(
+        (
+            (r["doc_id"], r["stage"], r["reason"], r["ref_id"])
+            for r in ledger.df().collect()
+        )
+    )
+
+
+def _assert_partition(input_ids, kept_ids, ledger_rows):
+    """Kept and dropped partition the input; every dropped doc appears
+    EXACTLY once in the ledger."""
+    dropped = [r[0] for r in ledger_rows]
+    assert len(dropped) == len(set(dropped)), "ledger has duplicate doc rows"
+    assert set(kept_ids) | set(dropped) == set(input_ids)
+    assert not set(kept_ids) & set(dropped)
+
+
+def test_ledger_partitions_input_with_refs(spark):
+    """Exact dup -> keeper ref; near dup -> keeper ref; contamination ->
+    eval-item ref; token floor -> NULL ref."""
+    docs = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # exact clone of 1
+            (3, BASE + " zzz"),  # near-dup of 1
+            (4, "completely different words about spark execution plans here"),
+            (5, "leaked evaluation answer text exactly verbatim here today"),
+            (6, "tiny words"),  # below the token floor
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "leaked evaluation answer text exactly verbatim here today")],
+        "doc_id long, text string",
+    )
+    ledger = RemovalLedger()
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=0.5,
+        eval_docs=eval_docs,
+        decontam_mode="exact",
+        decontam_n=5,
+        min_tokens=5,
+        removal_ledger=ledger,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    rows = _ledger_rows(ledger)
+    assert kept == [1, 4]
+    _assert_partition([1, 2, 3, 4, 5, 6], kept, rows)
+    assert rows == [
+        (2, "exact_dedup", "exact_duplicate", "1"),
+        (3, "near_dedup", "near_duplicate", "1"),
+        (5, "decontam", "contaminated", "100"),
+        (6, "quality_floor", "below_min_tokens", None),
+    ]
+
+
+def test_paragraph_emptied_and_sampling_recorded(spark):
+    """A boilerplate-only document empties at the paragraph stage; the
+    deterministic sample records its drops; the partition holds."""
+    boiler = "This website uses cookies to improve your experience."
+    rows = [(1, boiler + "\n\nunique first document body here")]
+    rows += [
+        (i, f"document number {i} body with its own distinct words {i}")
+        for i in range(2, 30)
+    ]
+    rows.append((99, boiler))  # boilerplate-only: empties
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ledger = RemovalLedger()
+    out = prepare_training_corpus(
+        docs,
+        paragraph_dedup_sep="\n\n",
+        near_threshold=None,
+        min_tokens=0,
+        sample_rate=0.6,
+        salt="prov",
+        removal_ledger=ledger,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    rows_l = _ledger_rows(ledger)
+    _assert_partition([r[0] for r in rows], kept, rows_l)
+    by_doc = {r[0]: r[1:] for r in rows_l}
+    assert by_doc[99] == ("paragraph_dedup", "emptied", None)
+    sampled_out = [d for d, r in by_doc.items() if r[0] == "rate_sample"]
+    assert sampled_out, "sample_rate=0.6 dropped nothing?"
+    assert all(by_doc[d] == ("rate_sample", "rate_sample", None) for d in sampled_out)
+
+
+def test_semantic_stage_records_keeper_and_history(spark, tmp_path):
+    """Within-batch semantic dup -> keeper ref; cross-batch history hit
+    -> vs_history reason with NULL ref (the match lives in the index)."""
+    path = str(tmp_path / "ivf")
+    emb_schema = "vec_id long, embedding array<float>"
+    docs1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon one"),
+            (2, "totally different text about graphs two"),
+            (3, "yet another unrelated document three"),
+        ],
+        "doc_id long, text string",
+    )
+    # 1 and 3 semantically identical
+    emb1 = spark.createDataFrame(
+        [(1, _unit(5)), (2, _unit(33)), (3, _unit(5, bump=0.01))], emb_schema
+    )
+    common = dict(
+        near_threshold=None,
+        min_tokens=0,
+        embedding_index_path=path,
+        embedding_threshold=0.99,
+        embedding_centroids=4,
+        embedding_dims=DIMS,
+    )
+    led1 = RemovalLedger()
+    out1 = prepare_training_corpus(
+        docs1, embeddings=emb1, removal_ledger=led1, **common
+    )
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+    assert _ledger_rows(led1) == [(3, "semantic_dedup", "semantic_duplicate", "1")]
+
+    docs2 = spark.createDataFrame(
+        [(50, "fresh wording, same meaning as two"), (60, "genuinely new")],
+        "doc_id long, text string",
+    )
+    emb2 = spark.createDataFrame(
+        [(50, _unit(33, bump=0.01)), (60, _unit(123))], emb_schema
+    )
+    led2 = RemovalLedger()
+    out2 = prepare_training_corpus(
+        docs2, embeddings=emb2, removal_ledger=led2, **common
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [60]
+    assert _ledger_rows(led2) == [
+        (50, "semantic_dedup", "semantic_duplicate_vs_history", None)
+    ]
+
+
+def test_empty_ledger_raises(spark):
+    with pytest.raises(ValueError, match="empty RemovalLedger"):
+        RemovalLedger().df()
+
+
+def test_cli_prepare_exports_ledger(spark, tmp_path, capsys):
+    """--removal-ledger-out writes the provenance parquet alongside the
+    shard export."""
+    from hedera_etl_spark import cli
+
+    docs = spark.createDataFrame(
+        [(i, BASE if i <= 2 else f"distinct document body number {i} words")
+         for i in range(1, 12)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "prep")
+    ledger_out = str(tmp_path / "ledger")
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", src,
+            "--out-dir", out,
+            "--max-tokens", "256",
+            "--n-shards", "2",
+            "--removal-ledger-out", ledger_out,
+        ]
+    )
+    assert rc == 0
+    assert "removal_ledger:" in capsys.readouterr().out
+    led = spark.read.parquet(ledger_out)
+    assert sorted(led.columns) == ["doc_id", "reason", "ref_id", "stage"]
+    rows = {r["doc_id"]: (r["stage"], r["reason"], r["ref_id"]) for r in led.collect()}
+    # doc 2 is the exact clone of doc 1
+    assert rows[2] == ("exact_dedup", "exact_duplicate", "1")

@@ -38,6 +38,11 @@ def _canon(spark, url: str) -> str:
             "https://a.com/x?q=1",
         ),
         ("https://a.com/x?fbclid=abc&gclid=d&msclkid=e", "https://a.com/x"),
+        # rule 4: bare value-less tracking keys strip too (ADVICE r10)
+        ("https://a.com/x?fbclid", "https://a.com/x"),
+        ("https://a.com/x?gclid&a=1", "https://a.com/x?a=1"),
+        # ...but a key merely PREFIXED by a tracking id survives
+        ("https://a.com/x?fbclid2=v", "https://a.com/x?fbclid2=v"),
         # rule 5: surviving params sort; emptied query drops its '?'
         ("https://a.com/x?b=2&a=1", "https://a.com/x?a=1&b=2"),
         ("https://a.com/x?utm_source=f", "https://a.com/x"),
@@ -74,6 +79,36 @@ def test_variants_collapse_to_one_keeper(spark):
     kept = url_dedup(docs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10]
     assert kept.columns == docs.columns  # schema passthrough
+
+
+def test_null_and_empty_urls_pass_through(spark):
+    """Rule 7 (ADVICE r10 medium): docs with NULL or empty URLs must all
+    survive dedup individually — NULL canonical keys must never merge."""
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "HTTPS://A.COM/x"),  # dup of 1
+        (3, None),
+        (4, None),
+        (5, ""),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in url_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+    decisions = url_dedup_decisions(docs).collect()
+    # one decision row per missing-URL doc, surfaced with NULL key
+    null_rows = sorted(
+        (r["keeper_id"], r["n_dups"])
+        for r in decisions
+        if r["canonical_url"] is None
+    )
+    assert null_rows == [(3, 1), (4, 1), (5, 1), (6, 1)]
+    assert {
+        r["keeper_id"]: r["n_dups"]
+        for r in decisions
+        if r["canonical_url"] is not None
+    } == {1: 2}
 
 
 def test_dedup_plan_is_one_exchange_no_python(spark):
