@@ -121,8 +121,15 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "--eval-input",
         default=None,
         help="benchmark/eval parquet: every epoch decontaminates against "
-        "its n-grams BEFORE any store commit (change only at a drained "
-        "boundary — the eval set is part of the replay-determinism config)",
+        "its n-grams BEFORE any store commit; versioned per epoch "
+        "(--eval-version), so rotating the set keeps replays of old "
+        "epochs on their original decisions",
+    )
+    p.add_argument(
+        "--eval-version",
+        default="v1",
+        help="names the eval set for per-epoch version records; bump it "
+        "whenever --eval-input content changes",
     )
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument(
@@ -449,6 +456,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.eval_input
             else None,
             decontam_n=args.decontam_n,
+            eval_version=args.eval_version,
         )
         if args.continuous:
             if args.compact_after:

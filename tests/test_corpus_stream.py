@@ -450,3 +450,69 @@ def test_streaming_decontamination_guards_the_stores(spark, dirs):
     assert p.metrics.replayed_batches == 1
     assert p.metrics.dropped_contaminated == 1  # unchanged
     assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2]
+
+
+def test_eval_rotation_versioned_and_replay_stable(spark, dirs):
+    """VERDICT r10 #7: an eval refresh takes effect from the NEXT epoch,
+    and a replayed OLD epoch keeps its original decision — it re-reads
+    ITS recorded version's persisted shingles, not the current set."""
+    eval_v1 = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, BASE + " extra tail"), (2, OTHER)],  # 1 contaminated under v1
+    )
+    p = CorpusIngestPipeline(
+        spark,
+        input_dir=dirs["in"],
+        corpus_table=dirs["corpus"],
+        store_path=dirs["store"],
+        checkpoint=dirs["ckpt"],
+        eval_docs=eval_v1,
+        eval_version="v1",
+    )
+    m = p.run_until_drained()
+    assert m.dropped_contaminated == 1
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2]
+    assert p._epoch_eval_versions() == {"stream-0": "v1"}
+
+    # rotate: v2 contaminates OTHER instead of BASE
+    eval_v2 = spark.createDataFrame([(200, OTHER)], ["doc_id", "text"])
+    p.set_eval_docs(eval_v2, "v2")
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        # 10 is clean under v1 but contaminated under v2; 11 was
+        # contaminated under v1 but is clean under v2 (and doc 1 never
+        # entered the store, so 11 is genuinely new history-wise)
+        [(10, OTHER + " trailing words"), (11, BASE + " extra tail")],
+    )
+    p.run_until_drained()
+    assert p._epoch_eval_versions()["stream-1"] == "v2"
+    corpus_now = sorted(r["doc_id"] for r in p.read_corpus().collect())
+    assert corpus_now == [2, 11]  # 10 cut by v2; 11 clean under v2
+
+    # replay epoch 0 (stale checkpoint) AFTER the rotation: it must
+    # re-apply v1 — doc 1 stays out — even though the current set is v2
+    # (under which doc 1 is clean).  Before versioning this replay ran
+    # with v2 and re-admitted doc 1 in the lost-append crash window.
+    import shutil
+
+    shutil.rmtree(os.path.join(dirs["corpus"], "batch-stream-0"))
+    batch = spark.createDataFrame(
+        [(1, BASE + " extra tail"), (2, OTHER)], ["doc_id", "text"]
+    )
+    p._process_batch(batch, 0)
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2, 11]
+
+    # a FRESH pipeline instance (restart) sees the same records
+    p2 = CorpusIngestPipeline(
+        spark,
+        input_dir=dirs["in"],
+        corpus_table=dirs["corpus"],
+        store_path=dirs["store"],
+        checkpoint=dirs["ckpt"],
+        eval_docs=eval_v2,
+        eval_version="v2",
+    )
+    shutil.rmtree(os.path.join(dirs["corpus"], "batch-stream-0"))
+    p2._process_batch(batch, 0)
+    assert sorted(r["doc_id"] for r in p2.read_corpus().collect()) == [2, 11]
