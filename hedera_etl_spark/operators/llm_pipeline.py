@@ -466,9 +466,15 @@ def prepare_training_corpus(
             removal_ledger.record(
                 "semantic_dedup",
                 "semantic_duplicate",
+                # LEFT join (r11 review pass): a member whose keeper was
+                # ITSELF a history hit has no keep=True row in its
+                # component — an inner join would silently drop that
+                # member's ledger row and break the exactly-once
+                # partition; its ref stays NULL (the representative
+                # lives in the index, not this batch)
                 sem_dropped.filter(~F.col("history_hit"))
                 .select("vec_id", "component")
-                .join(kept_by_comp, "component"),
+                .join(kept_by_comp, "component", "left"),
                 id_col="vec_id",
                 ref_col="__keeper",
             )

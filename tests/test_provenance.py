@@ -164,6 +164,49 @@ def test_semantic_stage_records_keeper_and_history(spark, tmp_path):
     ]
 
 
+def test_semantic_member_of_history_hit_keeper_still_ledgered(spark, tmp_path):
+    """r11 review finding: when a cluster's keeper is ITSELF a history
+    hit, the component has no keep=True row — the member's ledger row
+    must still appear (ref NULL), not vanish through an inner join."""
+    path = str(tmp_path / "ivf2")
+    a = math.radians(7)
+    H = [math.cos(a), math.sin(a)] + [0.0] * 6  # installed as history
+    K = [1.0, 0.0] + [0.0] * 6  # cos(K,H)=cos7 ~ .992 >= .99
+    M = [math.cos(a), -math.sin(a)] + [0.0] * 6  # cos(M,K)~.992, cos(M,H)=cos14 ~ .970 < .99
+    emb_schema = "vec_id long, embedding array<float>"
+    common = dict(
+        near_threshold=None,
+        min_tokens=0,
+        embedding_index_path=path,
+        embedding_threshold=0.99,
+        embedding_centroids=2,
+        embedding_dims=DIMS,
+    )
+    prepare_training_corpus(
+        spark.createDataFrame([(100, "history doc text")], "doc_id long, text string"),
+        embeddings=spark.createDataFrame([(100, H)], emb_schema),
+        **common,
+    ).collect()
+
+    led = RemovalLedger()
+    out = prepare_training_corpus(
+        spark.createDataFrame(
+            [(1, "keeper candidate text"), (2, "member candidate text")],
+            "doc_id long, text string",
+        ),
+        embeddings=spark.createDataFrame([(1, K), (2, M)], emb_schema),
+        removal_ledger=led,
+        **common,
+    )
+    assert out.count() == 0  # keeper hits history; member follows its cluster
+    rows = _ledger_rows(led)
+    _assert_partition([1, 2], [], rows)
+    assert rows == [
+        (1, "semantic_dedup", "semantic_duplicate_vs_history", None),
+        (2, "semantic_dedup", "semantic_duplicate", None),
+    ]
+
+
 def test_empty_ledger_raises(spark):
     with pytest.raises(ValueError, match="empty RemovalLedger"):
         RemovalLedger().df()
