@@ -133,6 +133,13 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument(
+        "--removal-ledger-out",
+        default=None,
+        help="write per-epoch removal provenance — (doc_id, stage, "
+        "reason, ref_id, epoch) for every dropped doc — as parquet "
+        "batch dirs under this path (idempotent across replays)",
+    )
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -457,6 +464,7 @@ def main(argv: list[str] | None = None) -> int:
             else None,
             decontam_n=args.decontam_n,
             eval_version=args.eval_version,
+            ledger_dir=args.removal_ledger_out,
         )
         if args.continuous:
             if args.compact_after:

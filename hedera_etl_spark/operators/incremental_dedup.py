@@ -330,6 +330,7 @@ def incremental_dedup_batch(
     max_bucket: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
+    removal_ledger=None,
 ) -> tuple[DataFrame, BatchStats]:
     """Deduplicate one batch against the store and everything earlier in
     the batch; commit the accepted documents' hashes + signatures.
@@ -337,6 +338,14 @@ def incremental_dedup_batch(
     Returns (accepted docs — same schema as ``new_docs`` — and stats).
     Retrying an already-committed ``batch_id`` replays the recorded
     decision without touching the store.
+
+    ``removal_ledger``: an optional ``provenance.RemovalLedger`` — each
+    dropped doc records (stage, reason, ref): exact_dedup with the
+    in-batch keeper or the matching STORE doc id, near_dedup with the
+    matching store doc or the in-batch cluster keeper.  Built from the
+    frames the stages already compute; a REPLAYED batch records nothing
+    (its decision was ledgered when first processed — recording again
+    would duplicate rows).
     """
     k = store.k
     if store.has_batch(batch_id):
@@ -368,14 +377,39 @@ def incremental_dedup_batch(
         F.min("doc_id").alias("doc_id")
     )
     exact_in_batch = rows_in - in_batch_keep.count()
+    # with a ledger attached the probe carries the STORE doc id through
+    # (same one-scan zero-history-shuffle plan — the hit rows are just
+    # one long wider) so exact-vs-store drops can name their duplicate
+    probe_cols = store.content() if removal_ledger is not None else (
+        store.content().select("content_hash")
+    )
     content_hits = inverted_store_probe(
-        store.content().select("content_hash"), in_batch_keep, "content_hash"
+        probe_cols, in_batch_keep, "content_hash"
     ).localCheckpoint()
     survivors = in_batch_keep.join(
-        F.broadcast(content_hits), "content_hash", "left_anti"
+        F.broadcast(content_hits.select("content_hash")), "content_hash", "left_anti"
     )
     n_after_store = survivors.count()
     exact_vs_store = (rows_in - exact_in_batch) - n_after_store
+    if removal_ledger is not None:
+        keep_map = in_batch_keep.withColumnRenamed("doc_id", "__keeper")
+        removal_ledger.record(
+            "exact_dedup",
+            "exact_duplicate_in_batch",
+            hashed.join(keep_map, "content_hash").filter(
+                F.col("doc_id") != F.col("__keeper")
+            ),
+            ref_col="__keeper",
+        )
+        store_ref = content_hits.groupBy("content_hash").agg(
+            F.min("doc_id").alias("__store_doc")
+        )
+        removal_ledger.record(
+            "exact_dedup",
+            "exact_duplicate_vs_store",
+            in_batch_keep.join(F.broadcast(store_ref), "content_hash", "inner"),
+            ref_col="__store_doc",
+        )
 
     # 2. near vs store: batch signatures + stored signatures, one LSH pass.
     #    localCheckpoint pins the signatures — they feed the pair join, the
@@ -415,6 +449,24 @@ def incremental_dedup_batch(
         ).distinct()
     )
     near_vs_store = dropped_vs_store.count()
+    if removal_ledger is not None:
+        # ref = min matching STORE doc per dropped batch doc (pairs have
+        # exactly one batch side after the XOR filter above)
+        removal_ledger.record(
+            "near_dedup",
+            "near_duplicate_vs_store",
+            vs_store.select(
+                F.when(F.col("__na").isNotNull(), F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("doc_id"),
+                F.when(F.col("__na").isNotNull(), F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("__store_doc"),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("__store_doc").alias("__store_doc")),
+            ref_col="__store_doc",
+        )
     remaining = new_ids.join(dropped_vs_store, "doc_id", "left_anti")
 
     # 3. in-batch transitive collapse among the remaining docs
@@ -424,8 +476,22 @@ def incremental_dedup_batch(
         remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
     )
     decision = collapse_components(remaining, in_batch_pairs.select("doc_a", "doc_b"))
+    if removal_ledger is not None:
+        decision = decision.localCheckpoint(eager=False)  # 2nd consumer
     kept_ids = decision.filter("keep").select("doc_id")
     near_in_batch = remaining.count() - kept_ids.count()
+    if removal_ledger is not None:
+        kept_by_comp = decision.filter("keep").select(
+            "component", F.col("doc_id").alias("__keeper")
+        )
+        removal_ledger.record(
+            "near_dedup",
+            "near_duplicate_in_batch",
+            decision.filter(~F.col("keep"))
+            .select("doc_id", "component")
+            .join(kept_by_comp, "component"),
+            ref_col="__keeper",
+        )
     # docs shorter than n tokens have no shingles, hence no signature row:
     # they cannot near-dup under this definition and must pass through
     # (they already survived exact dedup) rather than silently vanish

@@ -78,6 +78,7 @@ class CorpusIngestPipeline:
         eval_docs: DataFrame | None = None,
         decontam_n: int = 13,
         eval_version: str = "v1",
+        ledger_dir: str | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -116,6 +117,18 @@ class CorpusIngestPipeline:
         # the paragraph hash store lives beside the signature store and
         # commits under the SAME stable batch id, so every crash window
         # replays to the identical decision (operators/paradedup.py)
+        # per-epoch removal provenance (VERDICT r10 #3, streaming side):
+        # when set, each FIRST processing of an epoch writes
+        # ledger_dir/batch-<bid> with (doc_id, stage, reason, ref_id,
+        # epoch) for every dropped doc — dedup stages name their
+        # duplicate (in-batch keeper or store doc id); the decontam ref
+        # is NULL (the streaming store keeps only the eval SHINGLE
+        # dimension, not eval ids).  Replays skip the write (the
+        # decision was ledgered when first processed); the one narrow
+        # window — crash between the store commit and the ledger write —
+        # loses that epoch's attribution rows, never corpus rows (the
+        # ledger is observability, not a decision store).
+        self.ledger_dir = ledger_dir
         self.paragraph_store = None
         if paragraph_dedup_sep is not None:
             import os
@@ -405,10 +418,29 @@ class CorpusIngestPipeline:
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         m = self.metrics
         bid = f"stream-{batch_id}"
+        ledger = None
+        if self.ledger_dir is not None and not self.store.has_batch(bid):
+            from hedera_etl_spark.operators.provenance import RemovalLedger
+
+            ledger = RemovalLedger()
+            batch = batch.localCheckpoint(eager=False)  # ledger anti-joins
+
+        def _ledger_drops(stage, reason, pre, post):
+            if ledger is None:
+                return post
+            post = post.localCheckpoint(eager=False)
+            ledger.record(
+                stage, reason,
+                pre.select("doc_id").join(post.select("doc_id"), "doc_id", "left_anti"),
+            )
+            return post
+
         if self.min_tokens > 0:
+            pre = batch
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
+            batch = _ledger_drops("token_floor", "below_min_tokens", pre, batch)
         eval_sh = self._eval_sh_for(bid)
         if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (
@@ -420,9 +452,11 @@ class CorpusIngestPipeline:
             # eval_sh is the epoch's RECORDED version (replay-stable
             # across eval rotations — see _eval_sh_for).
             before = batch.count()
+            pre = batch
             batch = decontaminate_against_shingles(
                 batch, eval_sh, n=self.decontam_n
             )
+            batch = _ledger_drops("decontam", "contaminated", pre, batch)
             if not self.store.has_batch(bid):  # replays don't double-count
                 m.dropped_contaminated += before - batch.count()
         para_new_canon = None
@@ -443,6 +477,7 @@ class CorpusIngestPipeline:
             # identical rebuild; the accepted set is deterministic, so
             # the deferred commit is replay-stable too.
             para_replay = self.paragraph_store.has_batch(bid)
+            pre_para = batch
             before = batch.count()
             batch, para_new_canon = incremental_paragraph_dedup_plan(
                 batch,
@@ -452,6 +487,9 @@ class CorpusIngestPipeline:
                 min_chars=self.paragraph_min_chars,
             )
             batch = batch.localCheckpoint(eager=False)
+            # only WHOLE-DOC drops (all paragraphs cut) enter the ledger;
+            # paragraph cuts that leave the doc alive are text rewrites
+            batch = _ledger_drops("paragraph_dedup", "emptied", pre_para, batch)
             if not para_replay:  # replays must not double-count drops
                 m.dropped_paragraph_docs += before - batch.count()
         replay = self.store.has_batch(bid)
@@ -461,6 +499,7 @@ class CorpusIngestPipeline:
             bid,
             n=self.shingle_n,
             threshold=self.near_threshold,
+            removal_ledger=ledger,
         )
         if para_new_canon is not None:
             self.paragraph_store.commit_batch(
@@ -481,6 +520,42 @@ class CorpusIngestPipeline:
             m.dropped_exact += stats.exact_in_batch + stats.exact_vs_store
             m.dropped_near += stats.near_vs_store + stats.near_in_batch
         self._commit_corpus_batch(accepted.select("doc_id", "text"), bid)
+        if ledger is not None and ledger.n_stages:
+            self._commit_ledger_batch(ledger, bid)
+
+    def _commit_ledger_batch(self, ledger, bid: str) -> None:
+        """Idempotent per-epoch provenance append — same staged-rename
+        protocol as the corpus batch dirs."""
+        import os
+        import shutil
+
+        live = os.path.join(self.ledger_dir, f"batch-{bid}")
+        if os.path.exists(live):
+            return
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        tmp = os.path.join(self.ledger_dir, f".batch-{bid}.__new")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ledger.df().withColumn("epoch", F.lit(bid)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if not os.path.exists(live):
+            os.rename(tmp, live)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def read_ledger(self) -> DataFrame:
+        """Every epoch's removal-provenance records as one frame."""
+        import os
+
+        if self.ledger_dir is None or not os.path.isdir(self.ledger_dir):
+            raise ValueError("no ledger_dir configured / nothing written yet")
+        return self.spark.read.parquet(
+            *[
+                os.path.join(self.ledger_dir, d)
+                for d in sorted(os.listdir(self.ledger_dir))
+                if d.startswith("batch-")
+            ]
+        )
 
     def start(self, available_now: bool = True) -> StreamingQuery:
         writer = (

@@ -516,3 +516,72 @@ def test_eval_rotation_versioned_and_replay_stable(spark, dirs):
     shutil.rmtree(os.path.join(dirs["corpus"], "batch-stream-0"))
     p2._process_batch(batch, 0)
     assert sorted(r["doc_id"] for r in p2.read_corpus().collect()) == [2, 11]
+
+
+def test_streaming_removal_ledger_partitions_each_epoch(spark, dirs, tmp_path):
+    """Streaming removal provenance (VERDICT r10 #3): every dropped doc
+    appears exactly once with its stage and duplicate attribution;
+    accepted + ledgered partition each epoch's input; replays write
+    nothing twice."""
+    ledger_dir = str(tmp_path / "ledger")
+    eval_docs = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [
+            (1, OTHER),
+            (2, OTHER),  # in-batch exact clone of 1
+            (3, BASE + " extra tail words"),  # contaminated (shares 13-gram)
+            (4, "tiny"),  # below the token floor
+        ],
+    )
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            min_tokens=2,
+            eval_docs=eval_docs,
+            ledger_dir=ledger_dir,
+        )
+
+    p = pipeline()
+    p.run_until_drained()
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [1]
+    led = {
+        r["doc_id"]: (r["stage"], r["reason"], r["ref_id"], r["epoch"])
+        for r in p.read_ledger().collect()
+    }
+    assert led == {
+        2: ("exact_dedup", "exact_duplicate_in_batch", "1", "stream-0"),
+        3: ("decontam", "contaminated", None, "stream-0"),
+        4: ("token_floor", "below_min_tokens", None, "stream-0"),
+    }
+
+    # epoch 2: near-dup of stored doc 1 + exact clone of stored doc 1
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [(10, OTHER), (11, OTHER + " zzz"), (12, "fresh unseen content words here")],
+    )
+    p2 = pipeline()
+    p2.run_until_drained()
+    led2 = {
+        r["doc_id"]: (r["stage"], r["reason"], r["ref_id"])
+        for r in p2.read_ledger().filter("epoch = 'stream-1'").collect()
+    }
+    assert led2 == {
+        10: ("exact_dedup", "exact_duplicate_vs_store", "1"),
+        11: ("near_dedup", "near_duplicate_vs_store", "1"),
+    }
+
+    # replay of epoch 0 must not duplicate or rewrite ledger rows
+    n_before = p2.read_ledger().count()
+    batch = spark.createDataFrame(
+        [(1, OTHER), (2, OTHER), (3, BASE + " extra tail words"), (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    p2._process_batch(batch, 0)
+    assert p2.metrics.replayed_batches == 1
+    assert p2.read_ledger().count() == n_before
