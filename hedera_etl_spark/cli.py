@@ -140,6 +140,14 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "batch dirs under this path (idempotent across replays)",
     )
     p.add_argument(
+        "--url-field",
+        default=None,
+        help="JSON field holding each document's URL: enables canonical-"
+        "URL dedup as the FIRST stage (recrawls of any URL committed by "
+        "an earlier epoch drop before content hashing; "
+        "operators/urlstore.py)",
+    )
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -465,6 +473,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_n=args.decontam_n,
             eval_version=args.eval_version,
             ledger_dir=args.removal_ledger_out,
+            url_field=args.url_field,
         )
         if args.continuous:
             if args.compact_after:
@@ -487,6 +496,9 @@ def main(argv: list[str] | None = None) -> int:
             if pipeline.paragraph_store is not None:
                 folded = pipeline.paragraph_store.compact()
                 print(f"compacted={folded} paragraph-store batch dirs")
+            if pipeline.url_store is not None:
+                folded = pipeline.url_store.compact()
+                print(f"compacted={folded} url-store batch dirs")
         return 0
 
     if args.command == "prepare":

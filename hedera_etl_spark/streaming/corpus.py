@@ -55,6 +55,7 @@ class CorpusIngestMetrics:
     dropped_near: int = 0
     dropped_paragraph_docs: int = 0
     dropped_contaminated: int = 0
+    dropped_url: int = 0
     replayed_batches: int = 0
     history: list = field(default_factory=list)
 
@@ -79,6 +80,7 @@ class CorpusIngestPipeline:
         decontam_n: int = 13,
         eval_version: str = "v1",
         ledger_dir: str | None = None,
+        url_field: str | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -129,6 +131,22 @@ class CorpusIngestPipeline:
         # loses that epoch's attribution rows, never corpus rows (the
         # ledger is observability, not a decision store).
         self.ledger_dir = ledger_dir
+        # canonical-URL dedup (the CCNet/RefinedWeb FIRST stage): when
+        # the input JSON carries a URL field, each epoch drops recrawls
+        # of any canonical URL committed by an earlier epoch (plus
+        # within-batch variants) BEFORE any content hashing — the
+        # cheapest dedup granularity runs first.  Store protocol,
+        # replay and compaction semantics: operators/urlstore.py.
+        self.url_field = url_field
+        self.url_store = None
+        if url_field is not None:
+            import os
+
+            from hedera_etl_spark.operators.urlstore import CanonicalUrlStore
+
+            self.url_store = CanonicalUrlStore(
+                spark, os.path.join(store_path, "urlstore")
+            )
         self.paragraph_store = None
         if paragraph_dedup_sep is not None:
             import os
@@ -221,9 +239,20 @@ class CorpusIngestPipeline:
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         lines = reader.load(self.input_dir)
+        schema, cols = DOC_SCHEMA, ["d.doc_id", "d.text"]
+        if self.url_field is not None:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                list(DOC_SCHEMA.fields)
+                + [T.StructField(self.url_field, T.StringType())]
+            )
+            # a missing/NULL URL passes through dedup (urlnorm rule 7),
+            # so the doc filter stays on (doc_id, text) only
+            cols = cols + [f"d.`{self.url_field}` AS url"]
         return lines.select(
-            F.from_json(F.col("value"), DOC_SCHEMA).alias("d")
-        ).select("d.doc_id", "d.text").filter(
+            F.from_json(F.col("value"), schema).alias("d")
+        ).selectExpr(*cols).filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
 
@@ -434,6 +463,17 @@ class CorpusIngestPipeline:
                 pre.select("doc_id").join(post.select("doc_id"), "doc_id", "left_anti"),
             )
             return post
+
+        if self.url_store is not None:
+            from hedera_etl_spark.operators.urlstore import incremental_url_dedup
+
+            url_replay = self.url_store.has_batch(bid)
+            before = batch.count()
+            batch = incremental_url_dedup(
+                batch, self.url_store, bid, removal_ledger=ledger
+            ).drop("url").localCheckpoint(eager=False)
+            if not url_replay:  # replays must not double-count drops
+                m.dropped_url += before - batch.count()
 
         if self.min_tokens > 0:
             pre = batch

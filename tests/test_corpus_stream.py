@@ -585,3 +585,90 @@ def test_streaming_removal_ledger_partitions_each_epoch(spark, dirs, tmp_path):
     p2._process_batch(batch, 0)
     assert p2.metrics.replayed_batches == 1
     assert p2.read_ledger().count() == n_before
+
+
+def _write_jsonl_url(path, rows):
+    with open(path, "w") as fh:
+        for doc_id, text, url in rows:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text, "url": url}) + "\n")
+
+
+def test_streaming_url_dedup_across_epochs(spark, dirs, tmp_path):
+    """Canonical-URL dedup as the first streaming stage: within-batch
+    variants keep the min-id doc, recrawls of URLs committed by earlier
+    epochs drop, missing URLs pass through, and the ledger names the
+    claiming doc."""
+    ledger_dir = str(tmp_path / "ledger")
+    _write_jsonl_url(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [
+            (1, "page one body " + BASE, "https://a.com/x?b=2&a=1"),
+            (2, "recrawl variant body " + OTHER, "HTTPS://A.COM:443/x/?a=1&b=2&utm_source=f"),
+            (3, "no url doc body entirely distinct words", None),
+            (4, "another no url doc with different words", None),
+        ],
+    )
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            url_field="url",
+            ledger_dir=ledger_dir,
+        )
+
+    p = pipeline()
+    m = p.run_until_drained()
+    # doc 2 is a URL variant of doc 1 (different CONTENT — only the URL
+    # stage can catch it); both null-URL docs pass through
+    assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [1, 3, 4]
+    assert m.dropped_url == 1
+    led = {
+        r["doc_id"]: (r["stage"], r["reason"], r["ref_id"])
+        for r in p.read_ledger().collect()
+    }
+    assert led == {2: ("url_dedup", "url_duplicate_in_batch", "1")}
+
+    # epoch 2: a recrawl of epoch 1's URL under another variant + new URL
+    _write_jsonl_url(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [
+            (10, "fresh recrawl content words " + BASE[::-1], "https://a.com/x?a=1&b=2#frag"),
+            (11, "genuinely new page content here", "https://a.com/y"),
+        ],
+    )
+    p2 = pipeline()
+    m2 = p2.run_until_drained()
+    assert m2.dropped_url == 1
+    assert sorted(r["doc_id"] for r in p2.read_corpus().collect()) == [1, 3, 4, 11]
+    led2 = {
+        r["doc_id"]: (r["stage"], r["reason"], r["ref_id"])
+        for r in p2.read_ledger().filter("epoch = 'stream-1'").collect()
+    }
+    assert led2 == {10: ("url_dedup", "url_duplicate_vs_store", "1")}
+
+    # replay of epoch 1 (stale checkpoint): byte-identical decision,
+    # nothing re-committed, no ledger duplication
+    n_led = p2.read_ledger().count()
+    batch = spark.createDataFrame(
+        [
+            (1, "page one body " + BASE, "https://a.com/x?b=2&a=1"),
+            (2, "recrawl variant body " + OTHER, "HTTPS://A.COM:443/x/?a=1&b=2&utm_source=f"),
+            (3, "no url doc body entirely distinct words", None),
+            (4, "another no url doc with different words", None),
+        ],
+        "doc_id long, text string, url string",
+    )
+    p2._process_batch(batch, 0)
+    assert p2.metrics.replayed_batches == 1
+    assert sorted(r["doc_id"] for r in p2.read_corpus().collect()) == [1, 3, 4, 11]
+    assert p2.read_ledger().count() == n_led
+
+    # compaction + replay heal: fold the url store, replay epoch 1 again
+    assert p2.url_store.compact() == 2
+    assert p2.url_store.has_batch("stream-0")
+    p2._process_batch(batch, 0)
+    assert sorted(r["doc_id"] for r in p2.read_corpus().collect()) == [1, 3, 4, 11]
