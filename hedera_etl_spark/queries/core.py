@@ -36,8 +36,11 @@ DEC = "decimal(18,2)"
     """,
     tags=("scan", "filter", "project"),
     bench=True,
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): S4/P5 scan pushdown stays pinned by
+    # test_q01_pushdown_and_pruning, the BETWEEN shape by
+    # q08_theta_join's bounds, and this oracle by tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection must both reach the parquet
@@ -215,8 +218,12 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "broadcast", "aggregate"),
     bench=True,
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): J3 broadcast dimension join + aggregate stays
+    # driver-checked via hed_tx_types_join (the reference's own dim) and
+    # q12_rollup's star chain; this oracle stays in
+    # tools/verify_oracle.py and the bench.
+    driver_visible=False,
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readable-analytics dimension chain — the reason transaction_types
@@ -270,8 +277,12 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY mode, c_custkey
     """,
     tags=("join", "semi", "anti"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): semi/anti semantics stay driver-checked via
+    # llm_exact_dedup / hed_dedupe_pipeline (anti-join survivors) and
+    # decontaminate's anti-join; this oracle stays in
+    # tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as a left-semi join (no row multiplication, early out) and
@@ -570,8 +581,12 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY op, c_custkey
     """,
     tags=("setop", "distinct"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): hash-elimination set-op shapes stay
+    # driver-checked via llm_exact_dedup (DISTINCT + anti) and
+    # hed_dedupe_pipeline; the INTERSECT/EXCEPT oracle stays in
+    # tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT, EXCEPT and plain DISTINCT, tagged and unioned into one
@@ -689,8 +704,12 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("scalar",),
     bench=True,
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): the scalar surface is exercised across the
+    # in-window entries (dates/regexp in q14 and q16, decimal math in
+    # q07/q12, conditionals everywhere); this all-in-one oracle stays in
+    # tools/verify_oracle.py and the bench.
+    driver_visible=False,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared scalar surface in one projection (SURVEY §2.6):

@@ -333,12 +333,8 @@ _VOCAB_ORACLE = """
     "llm_vocab_stats",
     _VOCAB_ORACLE,
     tags=("llm", "vocab", "tokenizer", "window"),
-    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
-    # (verifier: the shared tokenization + vocabulary-sized aggregate
-    # kernel stays driver-green via llm_bpe_merges, which consumes the
-    # same pair/term statistics; coverage-curve math pytest-pinned in
-    # test_vocab.py).
-    driver_visible=False,
+    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
+    # r8-stale cohort refresh).
 )
 def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary table (operators/vocab.vocab_stats):
@@ -370,11 +366,8 @@ _PAIR_ORACLE = """
     "llm_pair_stats",
     _PAIR_ORACLE,
     tags=("llm", "vocab", "tokenizer", "bpe"),
-    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
-    # (verifier: llm_bpe_merges stays IN and its first merge round IS
-    # the argmax over these pair statistics, so the kernel remains
-    # driver-checked every round).
-    driver_visible=False,
+    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
+    # r8-stale cohort refresh).
 )
 def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair frequencies (operators/vocab.pair_stats) —
@@ -471,8 +464,13 @@ def _bpe_oracle(k: int) -> str:
     "llm_bpe_merges",
     _bpe_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "iterative"),
-    # rotated INTO the driver window in r8 (VERDICT r7 #1);
-    # mm_frame_sample's slot.
+    # Driver-green r8-r11; parked in r12 in exchange for llm_vocab_stats
+    # + llm_pair_stats rotating back IN: the first merge round IS the
+    # argmax over llm_pair_stats' relation and the corpus symbolization
+    # shares llm_vocab_stats' tokenize+aggregate kernel, so both kernels
+    # stay driver-checked; the full k-round loop is pinned against an
+    # independent Python reference trainer in test_bpe.py.
+    driver_visible=False,
     # iterative: per-round localCheckpoints during construction
     cache_plan=False,
 )

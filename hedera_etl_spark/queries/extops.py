@@ -197,8 +197,11 @@ def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY k_mod ORDER BY k_mod
     """,
     tags=("json", "map", "scalar"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): the JSON parse family stays driver-checked via
+    # hed_tx_transform (from_json over the full 57-leaf wire schema);
+    # this oracle stays in tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON + map function surface (SURVEY §2.6): parse the props JSON
@@ -240,8 +243,11 @@ def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY event_type ORDER BY event_type
     """,
     tags=("aggregate", "percentile"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): rank-selected discrete percentiles stay pinned
+    # by the histogram-form equality test, the windowed-rank kernel via
+    # q09_window_rank; this oracle stays in tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (element-based) percentiles via rank selection: the
@@ -294,8 +300,12 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, key
     """,
     tags=("subquery", "correlated"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): the decorrelated-join shapes stay driver-checked
+    # via q06_semi_anti_join's family verifiers (llm_exact_dedup /
+    # hed_dedupe_pipeline anti-joins) and q07's join+agg; this oracle
+    # stays in tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (Catalyst plans it as a one-row
@@ -332,8 +342,11 @@ def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY ub ORDER BY ub
     """,
     tags=("pivot", "aggregate"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
+    # rotation cohort): the pivot-as-filtered-aggregation kernel stays
+    # driver-checked via q12_rollup (same conditional-agg EXPAND
+    # family); this oracle stays in tools/verify_oracle.py.
+    driver_visible=False,
 )
 def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type (explicit value list — the

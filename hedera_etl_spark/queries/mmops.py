@@ -42,12 +42,8 @@ from hedera_etl_spark.tables import load_table
     FROM documents ORDER BY doc_id
     """,
     tags=("mm", "binary", "decode", "image", "pandas-udf"),
-    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
-    # (verifier: the multimodal Arrow mapInPandas path stays
-    # driver-green via mm_audio_features, rotated in this round; the
-    # binary round-trip byte-for-byte pin lives in test_properties.py /
-    # the mm pytests).
-    driver_visible=False,
+    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
+    # r8-stale cohort refresh).
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three multimodal image paths in one entry, joined on the doc
@@ -86,8 +82,11 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
-    # Rotated back INTO the driver window in r11 (VERDICT r10 #1: last
-    # driver-green r7, three rounds stale).
+    # Driver-green r11; parked in r12 in exchange for mm_payload_decode
+    # rotating back IN (the explode fan-out stays driver-checked via
+    # q14_explode_tokens and the multimodal family via mm_payload_decode
+    # + mm_audio_features, both IN this round).
+    driver_visible=False,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out: explode over a computed per-row index

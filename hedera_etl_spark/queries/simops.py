@@ -420,12 +420,8 @@ def _cov_oracle(dims: int) -> str:
     "sim_pca_covariance",
     _cov_oracle(_PCA_DIMS),
     tags=("sim", "pca", "covariance", "aggregate"),
-    # Driver-green r8; parked in r9 to admit the never-checked r8 batch
-    # (verifier: the decimal-rounded covariance canon is pinned in
-    # test_embedpca.py incl. the eigendecomposition round-trip; the
-    # embedding-scan family stays driver-green via sim_ivf_topk /
-    # sim_semantic_dedup).
-    driver_visible=False,
+    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
+    # r8-stale cohort refresh).
 )
 def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise covariance of the first 16 embedding dimensions in ONE

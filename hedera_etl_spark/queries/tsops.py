@@ -1,8 +1,9 @@
 """Time-series gap-fill registry entries (operators/timeseries.py).
 
-Both rotated into the driver window in r7; ``ts_gapfill_locf`` parked
-again in r9 (slot ceded to llm_paragraph_dedup — ts_gapfill_linear
-keeps the family's driver row).  Parked or not, both stay fully
+The two entries trade the family's driver-window slot across rotations
+(``ts_gapfill_locf`` holds it since r12, ``ts_gapfill_linear`` before
+that) — they share the union-of-(observations, ticks) relation and the
+keyed IGNORE-NULLS window.  Parked or not, both stay fully
 oracle-checked by ``tools/verify_oracle.py``: the DuckDB twin builds
 the same union-of-(observations, ticks) relation and fills with the
 same IGNORE NULLS window navigation, pinning LOCF carry semantics,
@@ -50,7 +51,7 @@ _TS_BASE = f"""
 
 
 @query(
-    "ts_gapfill_locf",  # rotated into the driver window r7
+    "ts_gapfill_locf",
     f"""
     WITH {_TS_BASE},
     f AS (
@@ -65,13 +66,9 @@ _TS_BASE = f"""
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "locf", "window"),
-    # Driver-green r8; parked in r9 to cede its slot to the NEW
-    # llm_paragraph_dedup entry (verifier: ts_gapfill_linear stays IN
-    # and exercises the same union-of-(observations, ticks) relation,
-    # the same keyed IGNORE-NULLS window machinery, and the same
-    # tie rule; LOCF's carry semantics are additionally pinned in
-    # tests/test_timeseries.py).
-    driver_visible=False,
+    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
+    # r8-stale cohort refresh); ts_gapfill_linear parks in exchange
+    # (same relation + window machinery).
     )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap-fill onto an hourly grid: one aggregate for the per-key
@@ -96,7 +93,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ts_gapfill_linear",  # rotated into the driver window r7
+    "ts_gapfill_linear",
     f"""
     WITH {_TS_BASE},
     f AS (
@@ -125,6 +122,11 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "lerp", "window"),
+    # Driver-green r7-r11; parked in r12 in exchange for ts_gapfill_locf
+    # rotating back IN (the SAME union-of-(observations, ticks) relation,
+    # keyed IGNORE-NULLS window, and tie rule stay driver-checked through
+    # it; the exact lerp values are pinned in tests/test_timeseries.py).
+    driver_visible=False,
     )
 def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap-fill: bracketing observations via running
