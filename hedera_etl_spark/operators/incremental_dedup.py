@@ -149,19 +149,56 @@ class CorpusSignatureStore:
             fsutil.publish_batch_dir(root, entry, tmp)
 
     # -- reads --------------------------------------------------------------
-    def _read(self, root: str, schema: T.StructType) -> DataFrame:
+    def _read(
+        self, root: str, schema: T.StructType, exclude_batch: str | None = None
+    ) -> DataFrame:
         batches = sorted(self._batch_dirs(root) & self.committed_batches())
+        if exclude_batch is not None:
+            batches = [b for b in batches if b != f"batch={exclude_batch}"]
         if not batches:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(
             *[os.path.join(root, b) for b in batches]
         )
 
-    def content(self) -> DataFrame:
-        return self._read(self.content_dir, _content_schema())
+    def content(self, exclude_batch: str | None = None) -> DataFrame:
+        """Committed (content_hash, doc_id) rows, optionally excluding one
+        batch — the ledger replay heal must judge against the store AS OF
+        BEFORE that batch or it would drop every doc as its own exact
+        duplicate.  Exclusion survives compaction via the per-row
+        ``origin_batch`` attribution (the same mechanism as
+        ``batch_doc_ids``)."""
+        entry = f"batch={exclude_batch}" if exclude_batch is not None else None
+        if entry is not None and entry in fsutil.folded_batches(self.content_dir):
+            ext = fsutil.with_origin_schema(_content_schema())
+            return (
+                self._read(self.content_dir, ext, exclude_batch)
+                .filter(
+                    F.col(fsutil.ORIGIN_COL).isNull()
+                    | (F.col(fsutil.ORIGIN_COL) != entry)
+                )
+                .drop(fsutil.ORIGIN_COL)
+            )
+        return self._read(self.content_dir, _content_schema(), exclude_batch)
 
-    def signatures(self) -> DataFrame:
-        return self._read(self.sigs_dir, _sig_schema(self.k))
+    def signatures(self, exclude_batch: str | None = None) -> DataFrame:
+        """Committed signature rows, optionally excluding one batch.  The
+        sigs table carries no origin attribution (compaction keys it by
+        doc_id alone), so exclusion of a FOLDED batch resolves through
+        the content side's attribution: anti-join on the batch's
+        recorded doc ids (batch-sized, broadcast)."""
+        sigs_schema = _sig_schema(self.k)
+        if exclude_batch is not None:
+            entry = f"batch={exclude_batch}"
+            if entry not in self._batch_dirs(self.sigs_dir):
+                if self.has_batch(exclude_batch):  # folded by compaction
+                    return self._read(self.sigs_dir, sigs_schema).join(
+                        F.broadcast(self.batch_doc_ids(exclude_batch)),
+                        "doc_id",
+                        "left_anti",
+                    )
+                return self._read(self.sigs_dir, sigs_schema)
+        return self._read(self.sigs_dir, sigs_schema, exclude_batch)
 
     def batch_doc_ids(self, batch_id: str) -> DataFrame:
         entry = f"batch={batch_id}"
@@ -343,12 +380,18 @@ def incremental_dedup_batch(
     dropped doc records (stage, reason, ref): exact_dedup with the
     in-batch keeper or the matching STORE doc id, near_dedup with the
     matching store doc or the in-batch cluster keeper.  Built from the
-    frames the stages already compute; a REPLAYED batch records nothing
-    (its decision was ledgered when first processed — recording again
-    would duplicate rows).
+    frames the stages already compute.  A REPLAYED batch without a
+    ledger replays the recorded decision and records nothing; a replayed
+    batch WITH a ledger re-derives the identical decision against the
+    store AS OF BEFORE the batch (``exclude_batch`` reads — the same
+    store state the first run saw, since epochs commit sequentially) so
+    a crash between the store commit and the caller's ledger write can
+    be healed by regenerating byte-identical provenance rows (VERDICT
+    r11 #2).  The RECORDED accepted set stays canonical either way.
     """
     k = store.k
-    if store.has_batch(batch_id):
+    replaying = store.has_batch(batch_id)
+    if replaying and removal_ledger is None:
         accepted = new_docs.join(
             store.batch_doc_ids(batch_id).withColumnRenamed("doc_id", id_col),
             id_col,
@@ -358,6 +401,7 @@ def incremental_dedup_batch(
         return accepted, BatchStats(
             batch_id, new_docs.count(), 0, 0, 0, 0, n_acc, already_committed=True
         )
+    exclude = batch_id if replaying else None
 
     docs = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -380,8 +424,8 @@ def incremental_dedup_batch(
     # with a ledger attached the probe carries the STORE doc id through
     # (same one-scan zero-history-shuffle plan — the hit rows are just
     # one long wider) so exact-vs-store drops can name their duplicate
-    probe_cols = store.content() if removal_ledger is not None else (
-        store.content().select("content_hash")
+    probe_cols = store.content(exclude) if removal_ledger is not None else (
+        store.content(exclude).select("content_hash")
     )
     content_hits = inverted_store_probe(
         probe_cols, in_batch_keep, "content_hash"
@@ -423,7 +467,7 @@ def incremental_dedup_batch(
     # join the LSH pass (pinned equivalent to banding the full store —
     # see store_candidate_sigs); localCheckpoint = one history scan
     cand_sigs = store_candidate_sigs(
-        store.signatures(), batch_sigs, bands=bands, rows=rows
+        store.signatures(exclude), batch_sigs, bands=bands, rows=rows
     ).localCheckpoint()
     est = signature_estimate_pairs(
         batch_sigs.unionByName(cand_sigs), k=k, bands=bands, rows=rows, max_bucket=max_bucket
@@ -504,10 +548,14 @@ def incremental_dedup_batch(
         "content_hash", "doc_id"
     )
     accepted_sigs = batch_sigs.join(kept_ids, "doc_id", "left_semi")
-    store.commit_batch(batch_id, accepted_content, accepted_sigs)
+    store.commit_batch(batch_id, accepted_content, accepted_sigs)  # no-op on replay
 
+    # on the ledger replay heal the RECORDED accepted set stays the
+    # decision of record (the re-derived set is pinned equal by the
+    # determinism the heal relies on, but the store is the authority)
+    keep_src = store.batch_doc_ids(batch_id) if replaying else kept_ids
     accepted = new_docs.join(
-        kept_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        keep_src.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
     return accepted, BatchStats(
         batch_id,
@@ -517,4 +565,5 @@ def incremental_dedup_batch(
         near_vs_store,
         near_in_batch,
         accepted=kept_ids.count(),
+        already_committed=replaying,
     )

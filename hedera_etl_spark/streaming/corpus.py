@@ -120,16 +120,19 @@ class CorpusIngestPipeline:
         # commits under the SAME stable batch id, so every crash window
         # replays to the identical decision (operators/paradedup.py)
         # per-epoch removal provenance (VERDICT r10 #3, streaming side):
-        # when set, each FIRST processing of an epoch writes
+        # when set, every epoch whose ledger batch dir is MISSING writes
         # ledger_dir/batch-<bid> with (doc_id, stage, reason, ref_id,
         # epoch) for every dropped doc — dedup stages name their
         # duplicate (in-batch keeper or store doc id); the decontam ref
         # is NULL (the streaming store keeps only the eval SHINGLE
-        # dimension, not eval ids).  Replays skip the write (the
-        # decision was ledgered when first processed); the one narrow
-        # window — crash between the store commit and the ledger write —
-        # loses that epoch's attribution rows, never corpus rows (the
-        # ledger is observability, not a decision store).
+        # dimension, not eval ids).  Gating on the LEDGER dir (not the
+        # store commit) heals the crash window between the store commit
+        # and the ledger write (VERDICT r11 #2): a replayed epoch whose
+        # ledger is absent re-derives the deterministic decisions
+        # against the store as of before the epoch (every stage's store
+        # read excludes the epoch's own batch) and writes byte-identical
+        # rows; a replay whose ledger already landed skips all ledger
+        # work, so nothing is ever recorded twice.
         self.ledger_dir = ledger_dir
         # canonical-URL dedup (the CCNet/RefinedWeb FIRST stage): when
         # the input JSON carries a URL field, each epoch drops recrawls
@@ -448,7 +451,7 @@ class CorpusIngestPipeline:
         m = self.metrics
         bid = f"stream-{batch_id}"
         ledger = None
-        if self.ledger_dir is not None and not self.store.has_batch(bid):
+        if self.ledger_dir is not None and not self._has_ledger_batch(bid):
             from hedera_etl_spark.operators.provenance import RemovalLedger
 
             ledger = RemovalLedger()
@@ -562,6 +565,11 @@ class CorpusIngestPipeline:
         self._commit_corpus_batch(accepted.select("doc_id", "text"), bid)
         if ledger is not None and ledger.n_stages:
             self._commit_ledger_batch(ledger, bid)
+
+    def _has_ledger_batch(self, bid: str) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(self.ledger_dir, f"batch-{bid}"))
 
     def _commit_ledger_batch(self, ledger, bid: str) -> None:
         """Idempotent per-epoch provenance append — same staged-rename

@@ -336,3 +336,63 @@ def test_store_probes_never_shuffle_history(spark, store):
     cand = store_candidate_sigs(store.signatures(), batch_sigs, bands=3, rows=3)
     assert sorted(r["doc_id"] for r in cand.collect()) == [1]
     assert_scan_probes_unshuffled(plan_of(cand), "struct<doc_id:bigint,mh_0:bigint")
+
+
+def test_replay_with_ledger_rederives_identical_records(spark, store):
+    """VERDICT r11 #2 kernel: replaying a committed batch WITH a ledger
+    re-derives the identical decision against the store as of before the
+    batch (exclude_batch reads) — same ledger rows, same accepted set —
+    instead of recording nothing."""
+    from hedera_etl_spark.operators.provenance import RemovalLedger
+
+    incremental_dedup_batch(store, _docs(spark, [(1, BASE)]), "b0")
+    b1 = _docs(
+        spark,
+        [
+            (10, BASE),  # exact clone of stored doc 1
+            (11, BASE + " zzz"),  # near-dup of stored doc 1
+            (12, "fresh unseen content that shares nothing with the others"),
+            (13, "fresh unseen content that shares nothing with the others"),
+            (14, "fresh unseen content that shares nothing with anything zz"),
+        ],
+    )
+    l1 = RemovalLedger()
+    acc1, s1 = incremental_dedup_batch(store, b1, "b1", removal_ledger=l1)
+    rows1 = sorted(map(tuple, l1.df().collect()))
+    ids1 = sorted(r["doc_id"] for r in acc1.collect())
+    assert not s1.already_committed
+    # all four drop classes present: exact/near x in-batch/vs-store
+    assert {(r[1], r[2]) for r in rows1} >= {
+        ("exact_dedup", "exact_duplicate_vs_store"),
+        ("near_dedup", "near_duplicate_vs_store"),
+        ("exact_dedup", "exact_duplicate_in_batch"),
+        ("near_dedup", "near_duplicate_in_batch"),
+    }
+
+    l2 = RemovalLedger()
+    acc2, s2 = incremental_dedup_batch(store, b1, "b1", removal_ledger=l2)
+    assert s2.already_committed
+    assert sorted(map(tuple, l2.df().collect())) == rows1
+    assert sorted(r["doc_id"] for r in acc2.collect()) == ids1
+    # the re-derive must not have grown the store
+    assert store.committed_batches() == {"batch=b0", "batch=b1"}
+
+
+def test_replay_with_ledger_heals_across_compaction(spark, store):
+    """The exclude_batch reads resolve through origin attribution after
+    compact() folds the batch dirs (content origin filter; sigs via the
+    recorded doc-id anti-join)."""
+    from hedera_etl_spark.operators.provenance import RemovalLedger
+
+    incremental_dedup_batch(store, _docs(spark, [(1, BASE)]), "b0")
+    b1 = _docs(spark, [(10, BASE), (11, BASE + " zzz"), (12, "unique fresh words")])
+    l1 = RemovalLedger()
+    incremental_dedup_batch(store, b1, "b1", removal_ledger=l1)
+    rows1 = sorted(map(tuple, l1.df().collect()))
+
+    assert store.compact() == 2
+    l2 = RemovalLedger()
+    acc2, s2 = incremental_dedup_batch(store, b1, "b1", removal_ledger=l2)
+    assert s2.already_committed
+    assert sorted(map(tuple, l2.df().collect())) == rows1
+    assert sorted(r["doc_id"] for r in acc2.collect()) == [12]
