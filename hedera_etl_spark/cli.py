@@ -148,6 +148,17 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "operators/urlstore.py)",
     )
     p.add_argument(
+        "--url-commit-policy",
+        choices=["always", "post_decontam"],
+        default="always",
+        help="what the URL store remembers: 'always' commits every "
+        "first-seen canonical URL (a recrawl of a dropped page dies at "
+        "the URL stage forever); 'post_decontam' commits only URLs whose "
+        "doc survived decontamination, so pages contaminated under one "
+        "eval version stay reclaimable after rotating it "
+        "(operators/urlstore.py)",
+    )
+    p.add_argument(
         "--max-files-per-trigger", type=int, default=None, help="micro-batch size bound"
     )
     p.add_argument(
@@ -474,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
             eval_version=args.eval_version,
             ledger_dir=args.removal_ledger_out,
             url_field=args.url_field,
+            url_commit_policy=args.url_commit_policy,
         )
         if args.continuous:
             if args.compact_after:

@@ -27,12 +27,26 @@ Semantics:
 - within a batch the min-doc-id keeper per canonical URL survives;
 - a doc whose canonical URL was committed by any EARLIER epoch drops
   (the recrawl);
-- the epoch commits its full first-seen canonical set — including URLs
-  of docs a LATER stage (content dedup, decontamination, floors) goes
-  on to drop: the URL was crawled, and re-fetching it can only yield
-  the same later-stage outcome, so recording it spares every future
-  epoch the downstream work.  Deterministic from the epoch's input, so
-  replays re-derive the identical commit (idempotent rename).
+- WHAT the epoch commits is a policy choice (ADVICE r11).  The default
+  commits the full first-seen canonical set — including URLs of docs a
+  LATER stage (content dedup, decontamination, floors) goes on to
+  drop — on the argument that re-fetching can only yield the same
+  later-stage outcome.  That argument holds only while (a) the page's
+  content is stable across crawls and (b) the later stages' decision
+  inputs are stable: a versioned eval rotation invalidates (b) — a URL
+  whose first crawl was contaminated under eval v1 stays excluded
+  forever even after rotating to v2, because the recrawl dies at the
+  URL stage before decontamination can re-decide — and a recrawl whose
+  content CHANGED invalidates (a).  ``defer_commit=True`` is the hook
+  for the alternative policy: the caller receives the epoch's
+  first-seen set and commits only the slice it wants remembered
+  (CorpusIngestPipeline's ``url_commit_policy="post_decontam"`` commits
+  only URLs whose keeper survived decontamination, so contaminated-on-
+  first-crawl URLs stay reclaimable after an eval rotation or a content
+  change, at the price of re-running the content stages on every
+  recrawl of a dropped page).  Either policy is deterministic from the
+  epoch's input + pinned eval version, so replays re-derive the
+  identical commit (idempotent rename).
 """
 
 from __future__ import annotations
@@ -127,7 +141,8 @@ def incremental_url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     removal_ledger=None,
-) -> DataFrame:
+    defer_commit: bool = False,
+):
     """One epoch of streaming canonical-URL dedup: drop recrawls of any
     URL committed by an earlier epoch plus within-batch URL variants
     (min-id keeper), commit this epoch's first-seen canonical set, and
@@ -137,6 +152,12 @@ def incremental_url_dedup(
     excludes ``batch_id`` itself.  ``removal_ledger``: optional
     provenance — in-batch drops name their keeper, vs-store drops name
     the store doc that first claimed the URL.
+
+    ``defer_commit=True`` is the commit-policy hook (module docstring):
+    nothing commits; returns ``(surviving docs, first-seen canonical
+    set)`` and the caller commits the slice it wants remembered under
+    the SAME ``batch_id`` (``store.commit_batch``), after whatever later
+    stage informs the policy.
     """
     canon = canonical_urls(docs, url_col).localCheckpoint(eager=False)
     present = canon.filter(
@@ -185,12 +206,15 @@ def incremental_url_dedup(
             ref_col="__store_doc",
         )
 
-    # commit the epoch's first-seen canonical set (in-batch keepers not
+    # the epoch's first-seen canonical set (in-batch keepers not
     # already in history) — deterministic from the input, replay-safe
     new_urls = keep_map.join(
         F.broadcast(hits.select("canonical_url")), "canonical_url", "left_anti"
     ).select("canonical_url", F.col("__keeper").alias("doc_id"))
-    store.commit_batch(batch_id, new_urls)
 
     accepted_ids = kept.unionByName(missing)
-    return docs.join(accepted_ids, id_col, "left_semi")
+    out = docs.join(accepted_ids, id_col, "left_semi")
+    if defer_commit:
+        return out, new_urls
+    store.commit_batch(batch_id, new_urls)
+    return out

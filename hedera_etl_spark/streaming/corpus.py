@@ -81,6 +81,7 @@ class CorpusIngestPipeline:
         eval_version: str = "v1",
         ledger_dir: str | None = None,
         url_field: str | None = None,
+        url_commit_policy: str = "always",
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -140,7 +141,26 @@ class CorpusIngestPipeline:
         # within-batch variants) BEFORE any content hashing — the
         # cheapest dedup granularity runs first.  Store protocol,
         # replay and compaction semantics: operators/urlstore.py.
+        #
+        # url_commit_policy (ADVICE r11 — what the store remembers):
+        # "always" commits the epoch's full first-seen canonical set,
+        # including URLs whose doc a later stage drops (cheapest: a
+        # recrawl of a dropped page dies at the URL stage); but a URL
+        # contaminated under eval v1 then stays excluded even after
+        # rotating to v2, and a page whose CONTENT changed between
+        # crawls never gets re-judged.  "post_decontam" defers the
+        # commit until after the decontamination stage and commits only
+        # URLs whose keeper is still alive then, keeping dropped pages
+        # reclaimable at the price of re-running the content stages on
+        # every recrawl.  Both are deterministic per epoch (the eval
+        # version is pinned), so replays re-derive identical commits.
+        if url_commit_policy not in ("always", "post_decontam"):
+            raise ValueError(
+                "url_commit_policy must be 'always' or 'post_decontam', "
+                f"got {url_commit_policy!r}"
+            )
         self.url_field = url_field
+        self.url_commit_policy = url_commit_policy
         self.url_store = None
         if url_field is not None:
             import os
@@ -162,12 +182,32 @@ class CorpusIngestPipeline:
         self.metrics = CorpusIngestMetrics()
 
     # -- versioned eval sets (streaming decontamination) -------------------
+    def _shingle_fingerprint(self, sh: DataFrame) -> dict:
+        """Content fingerprint of a shingle dimension: exact count + the
+        order-free XOR of per-shingle xxhash64 — one dimension-sized
+        aggregate, no sort, engine-deterministic."""
+        row = sh.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(shingle))").alias("h"),
+        ).collect()[0]
+        return {"n_shingles": row["n"], "xxhash64_xor": row["h"] or 0}
+
     def _persist_eval(self, eval_docs: DataFrame, version: str) -> DataFrame:
         """Persist ``version``'s shingle dimension (idempotent: an
         existing version dir wins) and return it pinned FROM DISK — the
         persisted rows, not the caller's frame, are the decision input,
         so a replay under this version reads exactly what this epoch
-        read."""
+        read.
+
+        Guarded against silent drift (ADVICE r11): each version records
+        a content fingerprint beside its dir, and re-registering the
+        SAME version name with DIFFERENT eval content raises instead of
+        silently decontaminating every future epoch against the stale
+        persisted set (the forgotten --eval-version bump).  A fingerprint
+        file missing (pre-guard store, or a crash between the dir rename
+        and the fingerprint write) is re-derived from the PERSISTED dim —
+        the decision input — never from the caller's frame."""
+        import json
         import os
         import shutil
 
@@ -176,17 +216,39 @@ class CorpusIngestPipeline:
         from hedera_etl_spark.operators.decontam import _ref_shingle_dim
 
         vdir = os.path.join(self._eval_dir, f"version={version}")
+        fpath = os.path.join(self._eval_dir, f"fingerprint-version={version}.json")
+        dim = _ref_shingle_dim(eval_docs, self.decontam_n, "text")
         if not os.path.isdir(vdir):
             os.makedirs(self._eval_dir, exist_ok=True)
             tmp = os.path.join(self._eval_dir, f".version={version}.__new")
             shutil.rmtree(tmp, ignore_errors=True)
-            _ref_shingle_dim(eval_docs, self.decontam_n, "text").write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            dim.write.mode("overwrite").parquet(tmp)
             if not os.path.isdir(vdir):
                 os.rename(tmp, vdir)
             else:
                 shutil.rmtree(tmp, ignore_errors=True)
+        recorded = None
+        if os.path.exists(fpath):
+            with open(fpath) as fh:
+                recorded = json.load(fh)
+        else:
+            # fingerprint the PERSISTED dim (the decision input) and
+            # record it BEFORE any comparison, so the cache heals even
+            # when this registration goes on to be rejected
+            recorded = self._shingle_fingerprint(self.spark.read.parquet(vdir))
+            tmpf = fpath + ".__new"
+            with open(tmpf, "w") as fh:
+                json.dump(recorded, fh)
+            os.replace(tmpf, fpath)
+        offered = self._shingle_fingerprint(dim)
+        if offered != recorded:
+            raise ValueError(
+                f"eval version {version!r} is already registered with "
+                f"different content (persisted {recorded}, offered "
+                f"{offered}): bump eval_version to rotate the eval set "
+                "— re-registration under the same name would silently "
+                "decontaminate against the stale persisted shingles"
+            )
         return self.spark.read.parquet(vdir).localCheckpoint()
 
     def set_eval_docs(self, eval_docs: DataFrame, version: str) -> None:
@@ -467,14 +529,22 @@ class CorpusIngestPipeline:
             )
             return post
 
+        pending_urls = None
         if self.url_store is not None:
             from hedera_etl_spark.operators.urlstore import incremental_url_dedup
 
             url_replay = self.url_store.has_batch(bid)
             before = batch.count()
-            batch = incremental_url_dedup(
-                batch, self.url_store, bid, removal_ledger=ledger
-            ).drop("url").localCheckpoint(eager=False)
+            if self.url_commit_policy == "post_decontam":
+                batch, pending_urls = incremental_url_dedup(
+                    batch, self.url_store, bid,
+                    removal_ledger=ledger, defer_commit=True,
+                )
+            else:
+                batch = incremental_url_dedup(
+                    batch, self.url_store, bid, removal_ledger=ledger
+                )
+            batch = batch.drop("url").localCheckpoint(eager=False)
             if not url_replay:  # replays must not double-count drops
                 m.dropped_url += before - batch.count()
 
@@ -483,7 +553,10 @@ class CorpusIngestPipeline:
             batch = batch.filter(
                 F.size(F.split("text", " ")) >= self.min_tokens
             )
-            batch = _ledger_drops("token_floor", "below_min_tokens", pre, batch)
+            # stage named identically to the batch pipeline's min-token
+            # filter (llm_pipeline.py) so ledgers aggregate across the
+            # two pipelines under one key (ADVICE r11)
+            batch = _ledger_drops("quality_floor", "below_min_tokens", pre, batch)
         eval_sh = self._eval_sh_for(bid)
         if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (
@@ -502,6 +575,19 @@ class CorpusIngestPipeline:
             batch = _ledger_drops("decontam", "contaminated", pre, batch)
             if not self.store.has_batch(bid):  # replays don't double-count
                 m.dropped_contaminated += before - batch.count()
+        if pending_urls is not None:
+            # post_decontam commit policy: remember only URLs whose
+            # keeper is still alive after decontamination (and the token
+            # floor before it) — a contaminated or floored first crawl
+            # stays reclaimable by a later clean recrawl.  Deterministic
+            # per epoch (decontam reads the pinned recorded version), so
+            # a replay re-derives the identical commit; write-if-absent.
+            self.url_store.commit_batch(
+                bid,
+                pending_urls.join(
+                    batch.select("doc_id"), "doc_id", "left_semi"
+                ),
+            )
         para_new_canon = None
         if self.paragraph_store is not None:
             from hedera_etl_spark.operators.paradedup import (

@@ -557,7 +557,9 @@ def test_streaming_removal_ledger_partitions_each_epoch(spark, dirs, tmp_path):
     assert led == {
         2: ("exact_dedup", "exact_duplicate_in_batch", "1", "stream-0"),
         3: ("decontam", "contaminated", None, "stream-0"),
-        4: ("token_floor", "below_min_tokens", None, "stream-0"),
+        # stage key shared with the batch pipeline (ADVICE r11): ledgers
+        # from both pipelines aggregate under one name
+        4: ("quality_floor", "below_min_tokens", None, "stream-0"),
     }
 
     # epoch 2: near-dup of stored doc 1 + exact clone of stored doc 1
@@ -739,3 +741,111 @@ def test_ledger_crash_window_heals_on_replay(spark, dirs, tmp_path):
     # a second replay (ledger now present) records nothing twice
     pb2._process_batch(batch, 0)
     assert led(pb2) == control
+
+
+def test_eval_reregistration_with_different_content_raises(spark, dirs):
+    """ADVICE r11: _persist_eval is idempotent on the version DIRECTORY —
+    re-registering an existing version name with DIFFERENT eval content
+    must raise loudly (the forgotten --eval-version bump) instead of
+    silently reusing the stale persisted shingles.  Same-content
+    re-registration (a plain restart) stays fine."""
+    eval_v1 = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+
+    def pipeline(ev):
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            eval_docs=ev,
+            eval_version="v1",
+        )
+
+    pipeline(eval_v1)
+    # restart with the SAME content: fine (fingerprints match)
+    pipeline(eval_v1)
+    # different content under the same version name: loud failure
+    # the added item must be >= decontam_n (13) tokens to change the
+    # shingle dimension at all (shorter eval items cannot contaminate)
+    eval_changed = spark.createDataFrame(
+        [(100, BASE), (101, OTHER + " " + OTHER)], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="already registered with different"):
+        pipeline(eval_changed)
+    # a proper rotation (new version name) is the sanctioned path
+    p = pipeline(eval_v1)
+    p.set_eval_docs(eval_changed, "v2")
+
+    # pre-guard stores (no fingerprint file) are healed from the
+    # PERSISTED dim, not the caller's frame: drop the file and re-check
+    fp = os.path.join(dirs["store"], "eval", "fingerprint-version=v1.json")
+    os.remove(fp)
+    with pytest.raises(ValueError, match="already registered with different"):
+        pipeline(eval_changed)
+    assert os.path.exists(fp)  # re-derived and re-recorded
+
+
+def test_url_commit_policy_post_decontam_keeps_urls_reclaimable(spark, dirs):
+    """ADVICE r11 (urlstore policy): under 'post_decontam' a URL whose
+    first crawl is dropped by decontamination is NOT committed, so a
+    later clean recrawl of the same URL gets judged on its own content;
+    under the default 'always' the recrawl dies at the URL stage."""
+    eval_docs = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    url = "https://site.com/page?b=2&a=1"
+    variant = "HTTPS://SITE.COM:443/page/?a=1&b=2&utm_source=f"
+    _write_jsonl_url(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [
+            (1, BASE + " extra tail words", url),  # contaminated first crawl
+            (2, "clean unrelated page body words here", "https://other.com/q"),
+        ],
+    )
+
+    def pipeline(root, policy):
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=os.path.join(root, "corpus"),
+            store_path=os.path.join(root, "store"),
+            checkpoint=os.path.join(root, "ckpt"),
+            url_field="url",
+            url_commit_policy=policy,
+            eval_docs=eval_docs,
+        )
+
+    roots = {}
+    for policy in ("always", "post_decontam"):
+        root = os.path.join(dirs["corpus"] + "-" + policy)
+        os.makedirs(root)
+        p = pipeline(root, policy)
+        m = p.run_until_drained()
+        assert m.dropped_contaminated == 1
+        assert sorted(r["doc_id"] for r in p.read_corpus().collect()) == [2]
+        roots[policy] = root
+
+    # epoch 2: the page was recrawled with CLEAN content under a URL variant
+    _write_jsonl_url(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [(10, "the page rewritten clean content after the site update", variant)],
+    )
+    p_always = pipeline(roots["always"], "always")
+    p_always.run_until_drained()
+    # 'always' committed the contaminated crawl's URL -> recrawl dies
+    assert sorted(r["doc_id"] for r in p_always.read_corpus().collect()) == [2]
+
+    p_post = pipeline(roots["post_decontam"], "post_decontam")
+    p_post.run_until_drained()
+    # 'post_decontam' never committed it -> the clean recrawl lands
+    assert sorted(r["doc_id"] for r in p_post.read_corpus().collect()) == [2, 10]
+
+    # and a THIRD crawl of the same URL now dies at the URL stage in
+    # both policies (doc 10 was accepted and committed its URL)
+    _write_jsonl_url(
+        os.path.join(dirs["in"], "b3.jsonl"),
+        [(20, "yet another rewrite of that very same page body", url)],
+    )
+    p3 = pipeline(roots["post_decontam"], "post_decontam")
+    m3 = p3.run_until_drained()
+    assert m3.dropped_url == 1
+    assert sorted(r["doc_id"] for r in p3.read_corpus().collect()) == [2, 10]
