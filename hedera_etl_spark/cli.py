@@ -391,6 +391,24 @@ def _add_diff(sub: argparse._SubParsersAction) -> None:
     )
 
 
+def _add_why(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "why",
+        help="why did doc X disappear: its removal records plus the "
+        "transitive fate of every referenced keeper "
+        "(operators/provenance.drop_chain)",
+    )
+    p.add_argument(
+        "--ledger",
+        required=True,
+        help="ledger path: the parquet dir from `prepare "
+        "--removal-ledger-out` or the batch-<epoch> layout from "
+        "`corpus-ingest --removal-ledger-out`",
+    )
+    p.add_argument("--doc-id", type=int, required=True)
+    p.add_argument("--max-hops", type=int, default=10)
+
+
 def _add_bench(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("bench", help="run the bench-tagged registry queries")
     p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
@@ -404,6 +422,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_corpus_ingest(sub)
     _add_prepare(sub)
     _add_diff(sub)
+    _add_why(sub)
     _add_bench(sub)
     return parser
 
@@ -640,6 +659,42 @@ def main(argv: list[str] | None = None) -> int:
             )
             + (f" out={args.out}" if args.out else "")
         )
+        return 0
+
+    if args.command == "why":
+        from hedera_etl_spark.operators.provenance import (
+            drop_chain,
+            read_ledger_path,
+        )
+
+        ledger = read_ledger_path(spark, args.ledger)
+        chain = drop_chain(ledger, args.doc_id, max_hops=args.max_hops)
+        rows = chain.collect()
+        if not rows:
+            print(
+                f"doc {args.doc_id}: no removal records — survived the "
+                "pipeline (or was never ingested)"
+            )
+            return 0
+        # rows this hop referenced but that have no records of their own:
+        # those keepers SURVIVED — say so instead of ending silently
+        recorded = {r["doc_id"] for r in rows}
+        for r in rows:
+            epoch = f" epoch={r['epoch']}" if "epoch" in chain.columns else ""
+            ref = f" ref={r['ref_id']}" if r["ref_id"] is not None else ""
+            print(
+                f"{'  ' * r['hop']}doc {r['doc_id']}: stage={r['stage']} "
+                f"reason={r['reason']}{ref}{epoch}"
+            )
+            try:
+                ref_doc = int(r["ref_id"])
+            except (TypeError, ValueError):
+                continue
+            if ref_doc not in recorded:
+                print(
+                    f"{'  ' * (r['hop'] + 1)}doc {ref_doc}: kept "
+                    "(no removal records)"
+                )
         return 0
 
     if args.command == "dedupe":

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class RemovalLedger:
@@ -97,3 +98,88 @@ class RemovalLedger:
         for f in self._frames[1:]:
             out = out.unionByName(f)
         return out
+
+
+def read_ledger_path(spark, path: str) -> DataFrame:
+    """Read a ledger written by either pipeline: the batch path (one
+    parquet dir from ``prepare --removal-ledger-out``) or the streaming
+    layout (``batch-<epoch>`` subdirectories from
+    ``CorpusIngestPipeline(ledger_dir=...)``)."""
+    import os
+
+    batch_dirs = sorted(
+        d
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if d.startswith("batch-")
+    )
+    if batch_dirs:
+        return spark.read.parquet(*[os.path.join(path, d) for d in batch_dirs])
+    return spark.read.parquet(path)
+
+
+def drop_chain(
+    ledger: DataFrame,
+    doc_id: int,
+    max_hops: int = 10,
+    no_follow_stages: tuple = ("decontam",),
+) -> DataFrame:
+    """"Why did doc X disappear": the doc's own removal records plus the
+    transitive fate of every referenced keeper (VERDICT r11 #5).
+
+    A dropped doc's ``ref_id`` names the doc it collapsed into — but
+    that keeper may itself have been dropped by a LATER stage (or a
+    later epoch), so the full answer is a chain: loser → keeper →
+    keeper's own fate → …  Returns the ledger rows along the chain with
+    a ``hop`` column (0 = the queried doc); a referenced doc with no
+    ledger rows survived (or was never ingested) — the chain ends there.
+
+    Scale shape: each hop is ONE filter over the ledger on a handful of
+    literal ids (parquet min/max pruning applies) and the per-doc output
+    is bounded by the doc's own drop records — a lookup, not a scan-all
+    join.  ``ref_id`` values that are not doc ids (NULL, non-numeric,
+    or any stage in ``no_follow_stages`` — decontamination's ref lives
+    in the EVAL-item id namespace, not the corpus namespace) are
+    reported but not followed; cycles cannot occur (a keeper reference
+    always points at the id that WON a deterministic min-id election,
+    and a doc's rows are recorded at most once per stage) but the
+    ``seen`` set and ``max_hops`` bound the walk anyway."""
+    cols = ["doc_id", "stage", "reason", "ref_id"]
+    has_epoch = "epoch" in ledger.columns
+    if has_epoch:
+        cols.append("epoch")
+    schema = T.StructType(
+        [
+            T.StructField("hop", T.IntegerType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("reason", T.StringType()),
+            T.StructField("ref_id", T.StringType()),
+        ]
+        + ([T.StructField("epoch", T.StringType())] if has_epoch else [])
+    )
+    spark = ledger.sparkSession
+    out_rows: list[tuple] = []
+    seen = {int(doc_id)}
+    frontier = [int(doc_id)]
+    for hop in range(max_hops):
+        if not frontier:
+            break
+        hits = (
+            ledger.filter(F.col("doc_id").isin(frontier))
+            .select(*cols)
+            .collect()
+        )
+        nxt: list[int] = []
+        for r in hits:
+            out_rows.append((hop, *[r[c] for c in cols]))
+            if r["stage"] in no_follow_stages:
+                continue  # ref is not a corpus doc id
+            try:
+                ref_doc = int(r["ref_id"])
+            except (TypeError, ValueError):
+                continue  # NULL / non-numeric attribution: report only
+            if ref_doc not in seen:
+                seen.add(ref_doc)
+                nxt.append(ref_doc)
+        frontier = nxt
+    return spark.createDataFrame(out_rows, schema).orderBy("hop", "doc_id", "stage")

@@ -243,3 +243,86 @@ def test_cli_prepare_exports_ledger(spark, tmp_path, capsys):
     rows = {r["doc_id"]: (r["stage"], r["reason"], r["ref_id"]) for r in led.collect()}
     # doc 2 is the exact clone of doc 1
     assert rows[2] == ("exact_dedup", "exact_duplicate", "1")
+
+
+def test_drop_chain_follows_keeper_fate(spark):
+    """VERDICT r11 #5: the lookup answers "why did doc X disappear" by
+    following the keeper chain — loser -> keeper -> the keeper's own
+    later fate — and never follows decontam refs (eval-id namespace)."""
+    from hedera_etl_spark.operators.provenance import drop_chain
+
+    ledger = spark.createDataFrame(
+        [
+            # epoch 0: doc 5 collapsed into keeper 3
+            (5, "exact_dedup", "exact_duplicate_in_batch", "3", "stream-0"),
+            # epoch 2: keeper 3 itself dropped as a near-dup of store doc 1
+            (3, "near_dedup", "near_duplicate_vs_store", "1", "stream-2"),
+            # unrelated row; doc 1 has no records (it survived)
+            (9, "quality_floor", "below_min_tokens", None, "stream-1"),
+            # decontam ref: shares the NUMBER 3 but is an EVAL id — the
+            # walk must not conflate namespaces
+            (7, "decontam", "contaminated", "3", "stream-0"),
+        ],
+        ["doc_id", "stage", "reason", "ref_id", "epoch"],
+    )
+    chain = drop_chain(ledger, 5)
+    rows = [(r["hop"], r["doc_id"], r["stage"], r["ref_id"]) for r in chain.collect()]
+    assert rows == [
+        (0, 5, "exact_dedup", "3"),
+        (1, 3, "near_dedup", "1"),
+        # doc 1 has no records: the chain ends (survivor)
+    ]
+    # a doc dropped only by decontam: one record, nothing followed
+    rows7 = [(r["hop"], r["doc_id"]) for r in drop_chain(ledger, 7).collect()]
+    assert rows7 == [(0, 7)]
+    # a never-dropped doc: empty chain
+    assert drop_chain(ledger, 1).count() == 0
+    # max_hops truncates the walk
+    assert drop_chain(ledger, 5, max_hops=1).count() == 1
+
+
+def test_drop_chain_without_epoch_column(spark):
+    from hedera_etl_spark.operators.provenance import drop_chain
+
+    ledger = spark.createDataFrame(
+        [(5, "exact_dedup", "exact_duplicate", "3", )],
+        ["doc_id", "stage", "reason", "ref_id"],
+    )
+    rows = drop_chain(ledger, 5).collect()
+    assert [r["doc_id"] for r in rows] == [5]
+    assert "epoch" not in drop_chain(ledger, 5).columns
+
+
+def test_cli_why_roundtrip(spark, tmp_path, capsys):
+    """CLI `why` over both ledger layouts: the prepare parquet dir and
+    the streaming batch-<epoch> layout."""
+    from hedera_etl_spark import cli
+
+    rows = [
+        (5, "exact_dedup", "exact_duplicate_in_batch", "3", "stream-0"),
+        (3, "near_dedup", "near_duplicate_vs_store", "1", "stream-2"),
+    ]
+    cols = ["doc_id", "stage", "reason", "ref_id", "epoch"]
+    # batch layout: one parquet dir
+    flat = str(tmp_path / "ledger-flat")
+    spark.createDataFrame(rows, cols).write.parquet(flat)
+    rc = cli.main(["why", "--ledger", flat, "--doc-id", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "doc 5: stage=exact_dedup" in out and "ref=3" in out
+    assert "doc 3: stage=near_dedup" in out
+    assert "doc 1: kept (no removal records)" in out
+
+    # streaming layout: batch-<epoch> subdirectories
+    staged = str(tmp_path / "ledger-stream")
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], cols).write.parquet(f"{staged}/batch-e{i}")
+    rc = cli.main(["why", "--ledger", staged, "--doc-id", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "doc 3: stage=near_dedup" in out
+
+    # survivor: friendly message, rc 0
+    rc = cli.main(["why", "--ledger", flat, "--doc-id", "1"])
+    assert rc == 0
+    assert "no removal records" in capsys.readouterr().out
