@@ -174,6 +174,115 @@ def main() -> int:
         print(f"bench: prepare failed: {errors['prepare_training_corpus']}",
               file=sys.stderr)
 
+    # Stage-cost attribution (VERDICT r11 #6): ONE instrumented prepare
+    # run with stage_timings — each stage boundary eagerly materialized
+    # and individually walled, so a future prepare_sec regression names
+    # the stage, not the pipeline.  Attribution-only: the eager
+    # boundaries forbid cross-stage pipelining, so the per-stage sum
+    # legitimately exceeds prepare_sec; the headline stays the
+    # uninstrumented min above.
+    prepare_stage_sec: dict[str, float] = {}
+    if prepare_runs:
+        try:
+            st_timings: dict[str, float] = {}
+            out_df = prepare_training_corpus(
+                pdocs,
+                paragraph_dedup_sep="\n\n",
+                near_threshold=0.5,
+                eval_docs=eval_docs,
+                decontam_mode="auto",
+                min_tokens=5,
+                sample_rate=0.9,
+                salt="bench-prepare",
+                stage_timings=st_timings,
+            )
+            t0 = time.time()
+            materialize(pack_sequences(out_df, max_tokens=2048))
+            st_timings["pack"] = round(time.time() - t0, 3)
+            prepare_stage_sec = st_timings
+        except Exception as exc:
+            errors["prepare_stage_timings"] = str(exc).split("\n")[0][:300]
+            print(f"bench: stage timing failed: {exc}", file=sys.stderr)
+
+    # Streaming-epoch row (VERDICT r11 #3): the CorpusIngestPipeline
+    # product call — one drained availableNow epoch over the sf
+    # documents table as a JSON-lines stream, running the full stage
+    # chain (canonical-URL dedup -> quality floor -> decontamination ->
+    # paragraph dedup -> incremental store dedup -> rename-committed
+    # corpus batch).  The reference's continuous-ingest design target is
+    # the shape this mirrors.  Input JSONL staged once (untimed); each
+    # run gets FRESH store/checkpoint/corpus dirs (the store is
+    # stateful, so reruns on one store would measure a different epoch).
+    # One untimed warmup + 2 timed runs, min reported; no DuckDB twin
+    # (stateful streaming), so it stays outside `queries`/vs_duckdb.
+    epoch_runs: list[float] = []
+    try:
+        import shutil
+        import tempfile
+
+        from hedera_etl_spark.streaming.corpus import CorpusIngestPipeline
+
+        tmp_root = tempfile.mkdtemp(prefix="bench-epoch-")
+        in_dir = os.path.join(tmp_root, "in")
+        base = load_table(spark, sf_dir, "documents")
+        stream_docs = base.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.concat(
+                        F.lit("intro "), F.col("doc_id").cast("string"),
+                        F.lit("\n\n"),
+                        F.lit("This website uses cookies to improve your experience."),
+                        F.lit("\n\n"), F.col("text"),
+                    ).alias("text"),
+                    # ~10% recrawl variants (same canonical URL, tracking
+                    # params differ), the rest unique — URL-dedup work
+                    # without gutting the downstream stages' input
+                    F.concat(
+                        F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/"), F.col("lang"), F.lit("/page-"),
+                        F.when(
+                            F.col("doc_id") % 10 == 0,
+                            (F.col("doc_id") % 50).cast("string"),
+                        ).otherwise(F.col("doc_id").cast("string")),
+                        F.when(
+                            F.col("doc_id") % 2 == 0,
+                            F.lit("?utm_source=feed&a=1"),
+                        ).otherwise(F.lit("?a=1")),
+                    ).alias("url"),
+                )
+            ).alias("value")
+        )
+        stream_docs.coalesce(4).write.mode("overwrite").text(in_dir)
+        stream_eval = base.filter(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        )
+
+        def run_epoch(tag: str) -> float:
+            root = os.path.join(tmp_root, tag)
+            pipe = CorpusIngestPipeline(
+                spark,
+                input_dir=in_dir,
+                corpus_table=os.path.join(root, "corpus"),
+                store_path=os.path.join(root, "store"),
+                checkpoint=os.path.join(root, "ckpt"),
+                min_tokens=5,
+                paragraph_dedup_sep="\n\n",
+                eval_docs=stream_eval,
+                url_field="url",
+            )
+            t0 = time.time()
+            pipe.run_until_drained()
+            return round(time.time() - t0, 3)
+
+        run_epoch("warmup")
+        for i in range(2):
+            epoch_runs.append(run_epoch(f"r{i}"))
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    except Exception as exc:
+        errors["corpus_ingest_epoch"] = str(exc).split("\n")[0][:300]
+        print(f"bench: streaming epoch failed: {exc}", file=sys.stderr)
+
     # DuckDB twin: identical oracle SQL over the same parquet, same machine.
     # Queries that errored on the Spark side are skipped so the vs_duckdb
     # ratios always compare identical query sets (ADVICE r5: an errored
@@ -252,6 +361,12 @@ def main() -> int:
         # from vs_duckdb by construction)
         out["prepare_sec"] = min(prepare_runs)
         out["prepare_runs"] = prepare_runs
+    if epoch_runs:
+        # composed streaming-epoch wall (VERDICT r11 #3): one drained
+        # CorpusIngestPipeline epoch — url dedup -> floor -> decontam ->
+        # paragraph -> store dedup -> commit.  Stateful, no oracle twin.
+        out["epoch_sec"] = min(epoch_runs)
+        out["epoch_runs"] = epoch_runs
     # back-to-back repeats (VERDICT r10 #6): session noise shows as
     # uniform inflation across these totals
     if spark_run_totals:
@@ -292,6 +407,11 @@ def main() -> int:
     # two SLIM detail lines (VERDICT r10 #4 cosmetic: one fat line kept
     # losing its head to the driver's tail capture) — cold first, warm
     # second, contract line last, so truncation eats in that order
+    if prepare_stage_sec:
+        # per-stage attribution inside prepare_sec (VERDICT r11 #6);
+        # eager-boundary instrumented run, so the sum may exceed the
+        # pipelined headline — it names the stage, it is not the total
+        print(json.dumps({"detail": "prepare_stage_sec", **prepare_stage_sec}))
     print(json.dumps({"detail": "duckdb_cold_parquet_query_sec", **duck_cold}))
     print(json.dumps({"detail": "duckdb_warm_query_sec", **duck_timings}))
     print(json.dumps(out))
