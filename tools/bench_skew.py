@@ -1,0 +1,218 @@
+"""Skewed-fixture scale proof (VERDICT r11 #4): the sf10 ladder proves
+sublinearity on UNIFORM data, but 100 TB web crawls are Zipfian — one
+canonical URL can be 20-30% of a batch (a link farm / parked domain),
+one LSH band bucket goes hot (site boilerplate), one domain is half the
+corpus.  This tool builds skewed twins of the sf0.1 documents table and
+measures each skew-exposed operator against its uniform twin:
+
+- url_dedup      — 25% of docs share ONE canonical URL (hot groupBy
+                   key).  Expected bounded: the decision aggregate is
+                   min/count, which partial-aggregates map-side, so the
+                   hot key reduces to one row per input partition before
+                   the exchange.
+- minhash        — 25% of docs are tiny variants of one boilerplate
+                   page (hot LSH bucket).  Expected: the max_bucket cap
+                   (default 500) fires LOUDLY and wall stays bounded —
+                   the cap exists precisely for this shape; the tool
+                   also records the capped-membership count so the
+                   recall trade is visible, and demonstrates the
+                   uncapped quadratic blowup on a 10x-smaller slice
+                   (running it at full size is the pathology, not a
+                   measurement).
+- grouped_sample — ONE domain holds half the corpus (hot group).
+                   Expected bounded: grouped_topk's two-phase
+                   local-then-global plan was built for exactly this
+                   (no whole-group single-reducer sort).
+
+Pass criteria (printed per op and as a final verdict): skew/uniform
+wall ratio < 2.0, OR the op's loud cap fired and the post-cap ratio is
+< 2.0.  Results recorded in docs/PERF_NOTES.md.
+
+Usage: python tools/bench_skew.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from hedera_etl_spark.session import get_spark  # noqa: E402
+from hedera_etl_spark.tables import load_table  # noqa: E402
+
+RUNS = 2
+THRESH = 2.0
+HOT_FRAC_MOD = 4  # doc_id % 4 == 0 -> ~25% of docs hit the hot key
+
+BOILER = (
+    "this website uses cookies to improve your experience please accept "
+    "our terms and conditions before continuing to the requested page"
+)
+
+
+def materialize(df) -> None:
+    h = F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+    df.select(h).agg(F.count("__h"), F.expr("bit_xor(__h)")).collect()
+
+
+def timed(fn) -> float:
+    fn()  # warmup (plans/codegen)
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        fn()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("bench-skew")
+    base = load_table(spark, sf_dir, "documents").persist()
+    n_docs = base.count()
+    results = []
+    ok = True
+
+    # -- url_dedup: hot canonical URL ------------------------------------
+    from hedera_etl_spark.operators.urlnorm import url_dedup_decisions
+
+    uniform_urls = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/page-"),
+            F.col("doc_id").cast("string"), F.lit("?a=1&utm_source=f"),
+        ).alias("url"),
+    ).localCheckpoint()
+    skew_urls = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % HOT_FRAC_MOD == 0,
+            F.lit("HTTPS://Hot.Example.com:443/landing/?utm_source=f&a=1"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/page-"),
+                F.col("doc_id").cast("string"), F.lit("?a=1&utm_source=f"),
+            )
+        )
+        .alias("url"),
+    ).localCheckpoint()
+    t_u = timed(lambda: materialize(url_dedup_decisions(uniform_urls)))
+    t_s = timed(lambda: materialize(url_dedup_decisions(skew_urls)))
+    r = round(t_s / t_u, 2) if t_u else None
+    results.append(
+        {"op": "url_dedup", "uniform_sec": t_u, "skew_sec": t_s, "ratio": r,
+         "hot_share": f"~{100 // HOT_FRAC_MOD}% one URL", "n_docs": n_docs}
+    )
+    ok &= r is not None and r < THRESH
+
+    # -- minhash: hot LSH bucket ------------------------------------------
+    from hedera_etl_spark.operators.textdedup import minhash_lsh_neardups
+
+    skew_text = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % HOT_FRAC_MOD == 0,
+            # tiny per-doc suffix: near-identical shingle sets -> the
+            # variants flood the same band buckets without being exact
+            # dups (exact dups would collapse before LSH)
+            F.concat(
+                F.lit(BOILER), F.lit(" v"),
+                (F.col("doc_id") % 17).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint()
+    uniform_text = base.select("doc_id", "text").localCheckpoint()
+
+    def run_minhash(docs, caps):
+        materialize(
+            minhash_lsh_neardups(
+                docs, threshold=0.5, hash_fn="xxhash64", cap_observations=caps
+            )
+        )
+
+    t_u = timed(lambda: run_minhash(uniform_text, None))
+    caps: dict = {}
+    t_s = timed(lambda: run_minhash(skew_text, caps))
+    from hedera_etl_spark.operators.stats import cap_counts
+
+    capped = cap_counts(caps)
+    r = round(t_s / t_u, 2) if t_u else None
+    results.append(
+        {"op": "minhash_lsh", "uniform_sec": t_u, "skew_sec": t_s, "ratio": r,
+         "hot_share": f"~{100 // HOT_FRAC_MOD}% one boilerplate page",
+         "cap_fired": capped, "n_docs": n_docs}
+    )
+    # the cap firing IS the designed behavior for this shape; wall must
+    # still stay bounded
+    cap_ok = bool(capped.get("lsh_bucket_cap", {}).get("capped_members"))
+    ok &= r is not None and r < THRESH and cap_ok
+
+    # demonstrate WHY the cap exists: uncapped on a smaller all-hot slice
+    # (one bucket of ~n/8 near-identical docs; running uncapped at full
+    # size IS the quadratic pathology, so the demo stays small)
+    small_hot = skew_text.filter(F.col("doc_id") % 8 == 0).localCheckpoint()
+    n_hot_small = small_hot.count()
+    t_capped = timed(lambda: run_minhash(small_hot, None))
+
+    def run_uncapped():
+        materialize(
+            minhash_lsh_neardups(
+                small_hot, threshold=0.5, hash_fn="xxhash64", max_bucket=None
+            )
+        )
+
+    t_uncapped = timed(run_uncapped)
+    results.append(
+        {"op": "minhash_uncapped_demo", "n_hot_docs": n_hot_small,
+         "capped_sec": t_capped, "uncapped_sec": t_uncapped,
+         "note": "uncapped pair join is quadratic in the hot bucket — "
+                 "the production default (max_bucket=500) trades recall "
+                 "for this bound, loudly"}
+    )
+
+    # -- grouped_sample: hot domain ----------------------------------------
+    from hedera_etl_spark.operators.sampling import grouped_hash_sample
+
+    uniform_dom = base.select(
+        "doc_id", (F.col("doc_id") % 16).cast("string").alias("dom")
+    ).localCheckpoint()
+    skew_dom = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot-domain"))
+        .otherwise((F.col("doc_id") % 16).cast("string"))
+        .alias("dom"),
+    ).localCheckpoint()
+    t_u = timed(
+        lambda: materialize(
+            grouped_hash_sample(uniform_dom, ["dom"], 20, ["doc_id"], salt="sk")
+        )
+    )
+    t_s = timed(
+        lambda: materialize(
+            grouped_hash_sample(skew_dom, ["dom"], 20, ["doc_id"], salt="sk")
+        )
+    )
+    r = round(t_s / t_u, 2) if t_u else None
+    results.append(
+        {"op": "grouped_sample", "uniform_sec": t_u, "skew_sec": t_s,
+         "ratio": r, "hot_share": "50% one domain", "n_docs": n_docs}
+    )
+    ok &= r is not None and r < THRESH
+
+    for row in results:
+        print(json.dumps(row))
+    print(json.dumps({"verdict": "PASS" if ok else "FAIL",
+                      "criteria": f"skew/uniform < {THRESH} (minhash: with "
+                                  "the loud cap fired)"}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
