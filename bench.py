@@ -216,10 +216,11 @@ def main() -> int:
     # One untimed warmup + 2 timed runs, min reported; no DuckDB twin
     # (stateful streaming), so it stays outside `queries`/vs_duckdb.
     epoch_runs: list[float] = []
-    try:
-        import shutil
-        import tempfile
+    import shutil
+    import tempfile
 
+    tmp_root = None
+    try:
         from hedera_etl_spark.streaming.corpus import CorpusIngestPipeline
 
         tmp_root = tempfile.mkdtemp(prefix="bench-epoch-")
@@ -278,10 +279,12 @@ def main() -> int:
         run_epoch("warmup")
         for i in range(2):
             epoch_runs.append(run_epoch(f"r{i}"))
-        shutil.rmtree(tmp_root, ignore_errors=True)
     except Exception as exc:
         errors["corpus_ingest_epoch"] = str(exc).split("\n")[0][:300]
         print(f"bench: streaming epoch failed: {exc}", file=sys.stderr)
+    finally:
+        if tmp_root:  # a failed run must not leak the staged corpus
+            shutil.rmtree(tmp_root, ignore_errors=True)
 
     # DuckDB twin: identical oracle SQL over the same parquet, same machine.
     # Queries that errored on the Spark side are skipped so the vs_duckdb

@@ -147,10 +147,17 @@ def drop_chain(
     has_epoch = "epoch" in ledger.columns
     if has_epoch:
         cols.append("epoch")
+    # doc ids keep the CORPUS id type (RemovalLedger preserves it —
+    # string-keyed corpora are legal), so the output schema inherits it
+    # and refs are followed numerically only for numeric id types
+    id_type = ledger.schema["doc_id"].dataType
+    numeric_ids = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
     schema = T.StructType(
         [
             T.StructField("hop", T.IntegerType()),
-            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_id", id_type),
             T.StructField("stage", T.StringType()),
             T.StructField("reason", T.StringType()),
             T.StructField("ref_id", T.StringType()),
@@ -159,8 +166,9 @@ def drop_chain(
     )
     spark = ledger.sparkSession
     out_rows: list[tuple] = []
-    seen = {int(doc_id)}
-    frontier = [int(doc_id)]
+    seed = int(doc_id) if numeric_ids else doc_id
+    seen = {seed}
+    frontier = [seed]
     for hop in range(max_hops):
         if not frontier:
             break
@@ -169,17 +177,25 @@ def drop_chain(
             .select(*cols)
             .collect()
         )
-        nxt: list[int] = []
+        nxt: list = []
         for r in hits:
             out_rows.append((hop, *[r[c] for c in cols]))
             if r["stage"] in no_follow_stages:
                 continue  # ref is not a corpus doc id
-            try:
-                ref_doc = int(r["ref_id"])
-            except (TypeError, ValueError):
-                continue  # NULL / non-numeric attribution: report only
+            ref_doc = r["ref_id"]
+            if numeric_ids:
+                try:
+                    ref_doc = int(ref_doc)
+                except (TypeError, ValueError):
+                    continue  # NULL / non-numeric attribution: report only
+            elif ref_doc is None:
+                continue
             if ref_doc not in seen:
                 seen.add(ref_doc)
                 nxt.append(ref_doc)
         frontier = nxt
-    return spark.createDataFrame(out_rows, schema).orderBy("hop", "doc_id", "stage")
+    # reason joins the sort: one stage can record several sub-reasons
+    # for a doc (quality_floor), and the chain must print determinately
+    return spark.createDataFrame(out_rows, schema).orderBy(
+        "hop", "doc_id", "stage", "reason"
+    )

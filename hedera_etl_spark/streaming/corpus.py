@@ -514,10 +514,29 @@ class CorpusIngestPipeline:
         bid = f"stream-{batch_id}"
         ledger = None
         if self.ledger_dir is not None and not self._has_ledger_batch(bid):
-            from hedera_etl_spark.operators.provenance import RemovalLedger
+            if self.store.has_batch(bid) and not self._is_latest_epoch(bid):
+                # the heal re-derives against the store MINUS this epoch,
+                # which equals store-as-of-before-the-epoch only while no
+                # LATER epoch has committed — the genuine crash window
+                # always leaves the LAST epoch ledgerless, so that is the
+                # only replay the heal serves.  Backfilling an older
+                # epoch would attribute its near-dup drops against
+                # future store rows (similarity is not transitive), so
+                # refuse loudly instead of writing plausible-but-wrong
+                # provenance (r12 review finding).
+                import warnings
 
-            ledger = RemovalLedger()
-            batch = batch.localCheckpoint(eager=False)  # ledger anti-joins
+                warnings.warn(
+                    f"ledger batch for replayed epoch {bid} is missing but "
+                    "later epochs have committed — refusing to backfill "
+                    "(re-derivation would judge against future store "
+                    "state); provenance for this epoch is unrecoverable"
+                )
+            else:
+                from hedera_etl_spark.operators.provenance import RemovalLedger
+
+                ledger = RemovalLedger()
+                batch = batch.localCheckpoint(eager=False)  # ledger anti-joins
 
         def _ledger_drops(stage, reason, pre, post):
             if ledger is None:
@@ -656,6 +675,28 @@ class CorpusIngestPipeline:
         import os
 
         return os.path.isdir(os.path.join(self.ledger_dir, f"batch-{bid}"))
+
+    def _is_latest_epoch(self, bid: str) -> bool:
+        """True when no committed signature-store epoch is newer than
+        ``bid`` (stream epoch ids are ``stream-<n>``, ordered by n;
+        folded batches count — compaction does not reorder time)."""
+        import re
+
+        from hedera_etl_spark import fsutil
+
+        def _n(entry: str):
+            m = re.fullmatch(r"batch=stream-(\d+)", entry)
+            return int(m.group(1)) if m else None
+
+        mine = _n(f"batch={bid}")
+        if mine is None:
+            return True  # non-stream id: no ordering info
+        committed = self.store.committed_batches() | fsutil.folded_batches(
+            self.store.content_dir
+        )
+        return not any(
+            n is not None and n > mine for n in (_n(e) for e in committed)
+        )
 
     def _commit_ledger_batch(self, ledger, bid: str) -> None:
         """Idempotent per-epoch provenance append — same staged-rename

@@ -849,3 +849,47 @@ def test_url_commit_policy_post_decontam_keeps_urls_reclaimable(spark, dirs):
     m3 = p3.run_until_drained()
     assert m3.dropped_url == 1
     assert sorted(r["doc_id"] for r in p3.read_corpus().collect()) == [2, 10]
+
+
+def test_ledger_heal_refuses_non_latest_epoch(spark, dirs, tmp_path):
+    """r12 review finding: the heal re-derives against store-minus-epoch,
+    which equals store-as-of-before-the-epoch ONLY for the latest epoch
+    (the only one the crash window can leave ledgerless).  Backfilling
+    an older epoch would attribute near-dup drops against future store
+    rows — refuse loudly, write nothing."""
+    import shutil
+
+    ledger_dir = str(tmp_path / "ledger")
+    _write_jsonl(os.path.join(dirs["in"], "b1.jsonl"), [(1, OTHER), (2, OTHER)])
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            ledger_dir=ledger_dir,
+        )
+
+    p = pipeline()
+    p.run_until_drained()
+    _write_jsonl(os.path.join(dirs["in"], "b2.jsonl"), [(10, BASE)])
+    p2 = pipeline()
+    p2.run_until_drained()
+    assert os.path.isdir(os.path.join(ledger_dir, "batch-stream-0"))
+
+    # simulate a lost OLD epoch ledger, then replay it
+    shutil.rmtree(os.path.join(ledger_dir, "batch-stream-0"))
+    p3 = pipeline()
+    batch = spark.createDataFrame([(1, OTHER), (2, OTHER)], ["doc_id", "text"])
+    with pytest.warns(UserWarning, match="refusing to backfill"):
+        p3._process_batch(batch, 0)
+    assert p3.metrics.replayed_batches == 1
+    assert not os.path.isdir(os.path.join(ledger_dir, "batch-stream-0"))
+
+    # the LATEST epoch still heals (the genuine crash window)
+    shutil.rmtree(os.path.join(ledger_dir, "batch-stream-1"))
+    batch2 = spark.createDataFrame([(10, BASE)], ["doc_id", "text"])
+    p3._process_batch(batch2, 1)
+    assert os.path.isdir(os.path.join(ledger_dir, "batch-stream-1"))

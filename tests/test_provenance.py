@@ -326,3 +326,24 @@ def test_cli_why_roundtrip(spark, tmp_path, capsys):
     rc = cli.main(["why", "--ledger", flat, "--doc-id", "1"])
     assert rc == 0
     assert "no removal records" in capsys.readouterr().out
+
+
+def test_drop_chain_string_ids(spark):
+    """r12 review finding: RemovalLedger preserves the corpus id type —
+    string-keyed ledgers must chain too (no hardcoded LongType)."""
+    from hedera_etl_spark.operators.provenance import drop_chain
+
+    ledger = spark.createDataFrame(
+        [
+            ("doc-b", "exact_dedup", "exact_duplicate", "doc-a"),
+            ("doc-a", "quality_floor", "below_min_tokens", None),
+        ],
+        ["doc_id", "stage", "reason", "ref_id"],
+    )
+    chain = drop_chain(ledger, "doc-b")
+    rows = [(r["hop"], r["doc_id"], r["stage"]) for r in chain.collect()]
+    assert rows == [
+        (0, "doc-b", "exact_dedup"),
+        (1, "doc-a", "quality_floor"),
+    ]
+    assert dict(chain.dtypes)["doc_id"] == "string"
