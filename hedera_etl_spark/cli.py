@@ -302,6 +302,15 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         help="target domain mixture, e.g. 'web=0.5,code=0.3,books=0.2' "
         "(solved to per-domain keep-rates; untargeted domains drop)",
     )
+    p.add_argument(
+        "--mixture-temperature",
+        type=float,
+        default=None,
+        help="derive the target mixture from the corpus's own domain "
+        "masses with exponential smoothing w_d ∝ c_d^alpha (alpha=1 "
+        "natural mixture, alpha→0 uniform; mT5 uses 0.3) — mutually "
+        "exclusive with --mixture",
+    )
     p.add_argument("--domain-col", default="source", help="mixture stratum column")
     p.add_argument(
         "--mixture-weight-col",
@@ -588,6 +597,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_weights=quality_weights,
             min_quality_prob=args.min_quality_prob,
             mixture=mixture,
+            mixture_temperature=args.mixture_temperature,
             mixture_weight_col=args.mixture_weight_col,
             domain_col=args.domain_col,
             sample_rate=args.sample_rate,

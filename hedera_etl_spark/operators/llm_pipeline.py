@@ -87,6 +87,7 @@ def prepare_training_corpus(
     lm_model: DataFrame | None = None,
     lm_min_avg_logp: float | None = None,
     mixture: dict[str, float] | None = None,
+    mixture_temperature: float | None = None,
     domain_col: str = "source",
     mixture_weight_col: str | None = None,
     sample_rate: float = 1.0,
@@ -674,6 +675,22 @@ def prepare_training_corpus(
     # other — instead of independent thinning (product of rates).  The
     # base ``salt`` still decorrelates this pipeline run from external
     # splits (r9 review finding; sampling.py "keep split salts distinct").
+    if mixture_temperature is not None:
+        if mixture is not None:
+            raise ValueError(
+                "pass mixture OR mixture_temperature, not both — a "
+                "temperature derives the target weights from the corpus's "
+                "own domain masses (w_d ∝ c_d^alpha), an explicit dict "
+                "overrides them"
+            )
+        from hedera_etl_spark.operators.sampling import temperature_weights
+
+        # derived AFTER the quality floors (the mixture should reshape
+        # what survives, not what was crawled); dimension-sized collect
+        mixture = temperature_weights(
+            out, domain_col, alpha=mixture_temperature,
+            weight_col=mixture_weight_col,
+        )
     if mixture is not None:
         # mixture_weight_col names a per-row mass column (token count):
         # the target weights then hold BY TOKENS, the unit training

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Bucket resolution: 8 hex digits = 32 bits → rates resolve to ~2^-32.
 _BUCKET_MOD = 1 << 32
@@ -123,6 +124,96 @@ def mixture_rates(
     norm = {d: w / total_w for d, w in target_weights.items()}
     t_out = min(counts[d] / w for d, w in norm.items())
     return {d: min(w * t_out / counts[d], 1.0) for d, w in norm.items()}
+
+
+def temperature_weights(
+    docs: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-smoothed target mixture from the corpus's OWN domain
+    masses: ``w_d ∝ c_d^alpha`` (the multilingual-LM exponential
+    smoothing — alpha=1 reproduces the natural mixture, alpha→0
+    approaches uniform; mT5 trains at alpha=0.3).  Boosts low-resource
+    domains relative to their crawl share without hand-writing a target
+    dict.  One dimension-sized aggregate is the only driver
+    materialization (the ``mixture_rates`` discipline); feed the result
+    straight into ``mixture_rates`` / ``mixture_sample``."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    counts = {
+        r["d"]: r["c"]
+        for r in docs.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(mass.cast("double").alias("c"))
+        .collect()
+        if r["c"]
+    }
+    if not counts:
+        raise ValueError(f"no non-null {domain_col!r} mass in the corpus")
+    return {d: c**alpha for d, c in counts.items()}
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    domain_col: str,
+    key_cols: list[str],
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-smoothed mixture resampling, fully DISTRIBUTED — no
+    driver materialization at all, so ``domain_col`` may have any
+    cardinality (per-site mixing over millions of hosts, not just a
+    handful of languages).
+
+    Same math as ``temperature_weights`` + ``mixture_rates`` fused into
+    the plan: one dimension-sized aggregate, the normalizing sum and
+    the binding-domain min as single-partition windows over that
+    DIMENSION (never the corpus), one broadcast join back, one
+    md5-bucket filter.  Output keeps the input schema plus ``rate``
+    (the domain's keep-rate, DECIMAL(9,6)-rounded — the rounding is the
+    cross-engine hash canon, and quantizing the Bernoulli threshold to
+    1e-6 is immaterial to the mixture).
+
+    ``alpha=0.5`` computes the smoothing via ``sqrt`` — IEEE-exact in
+    every engine, unlike ``pow`` whose last ulp is libm-specific —
+    making the whole plan bit-portable (the oracle-checked
+    configuration).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
+    smooth = F.sqrt if alpha == 0.5 else (lambda c: F.pow(c, F.lit(alpha)))
+    dim_w = Window.partitionBy()  # dimension-sized frame only
+    dims = (
+        docs.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(
+            (
+                F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+            ).cast("double").alias("__c")
+        )
+        .withColumn("__w", smooth(F.col("__c")))
+        .withColumn("__wsum", F.sum("__w").over(dim_w))
+        .withColumn(
+            "__t", F.min(F.col("__c") * F.col("__wsum") / F.col("__w")).over(dim_w)
+        )
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("__w") / F.col("__wsum")) * F.col("__t") / F.col("__c"),
+            )
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("rate"),
+        )
+    )
+    return docs.join(F.broadcast(dims), domain_col).filter(
+        hash_bucket(*key_cols, salt=salt) < F.col("rate")
+    )
 
 
 def mixture_sample(

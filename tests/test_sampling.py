@@ -393,3 +393,87 @@ def test_pipeline_token_weighted_mixture(spark):
     assert token_share(by_docs, "code") > 0.75
     # token-weighted mixture: code's token share lands near 0.5
     assert abs(token_share(by_tokens, "code") - 0.5) < 0.15
+
+
+def test_temperature_weights_hand_math(spark):
+    """w_d ∝ c_d^alpha: the multilingual-LM exponential smoothing —
+    alpha=1 reproduces the natural mixture, smaller alpha flattens it."""
+    from hedera_etl_spark.operators.sampling import (
+        mixture_rates,
+        temperature_weights,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "dom"])
+    w1 = temperature_weights(docs, "dom", alpha=1.0)
+    assert w1 == {"big": 400.0, "small": 100.0}  # natural mixture
+    w5 = temperature_weights(docs, "dom", alpha=0.5)
+    assert w5 == {"big": 20.0, "small": 10.0}  # sqrt smoothing, exact
+    # fed into the solver: 'small' binds at rate 1, 'big' downsamples to
+    # give the 2:1 smoothed mixture instead of the natural 4:1
+    rates = mixture_rates(docs, "dom", w5)
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.5) < 1e-12  # 100 * (20/10) / 400
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(docs, "dom", alpha=0.0)
+
+
+def test_temperature_mixture_sample_distributed_matches_dict_form(spark):
+    """The fully-distributed form (dimension windows + broadcast join)
+    keeps exactly the rows the dict-form composition keeps (modulo the
+    DECIMAL(9,6) rate quantization, which both sides here share)."""
+    from hedera_etl_spark.operators.sampling import (
+        mixture_rates,
+        stratified_hash_sample,
+        temperature_mixture_sample,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "a") for i in range(400)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(2000 + i, "c") for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "dom"])
+    dist = temperature_mixture_sample(
+        docs, "dom", key_cols=["doc_id"], alpha=0.5, salt="t"
+    )
+    rates = mixture_rates(docs, "dom", temperature_weights(docs, "dom", 0.5))
+    rates_q = {d: float(round(r, 6)) for d, r in rates.items()}
+    dict_form = stratified_hash_sample(docs, "dom", rates_q, ["doc_id"], salt="t")
+    assert sorted(r["doc_id"] for r in dist.collect()) == sorted(
+        r["doc_id"] for r in dict_form.collect()
+    )
+    # the binding (scarcest-per-weight) domain keeps everything
+    kept_c = dist.filter(F.col("dom") == "c").count()
+    assert kept_c == 25
+    # deterministic under re-run
+    again = temperature_mixture_sample(
+        docs, "dom", key_cols=["doc_id"], alpha=0.5, salt="t"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_pipeline_mixture_temperature_param(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    # unique text per doc (identical texts would exact-dedup to one row
+    # before the mixture stage ever runs)
+    rows = [(i, f"w{i} " * 20, "big") for i in range(200)] + [
+        (1000 + i, f"x{i} " * 20, "small") for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=0, mixture_temperature=0.5
+    )
+    by_dom = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # smoothed target 2:1 (sqrt(4):sqrt(1) on the 200:50 corpus...
+    # sqrt(200):sqrt(50) = 2:1), small binds at 1.0 -> expect ~100 big
+    assert by_dom["small"] == 50
+    assert 75 <= by_dom["big"] <= 125  # Bernoulli noise around 100
+    with pytest.raises(ValueError, match="not both"):
+        prepare_training_corpus(
+            docs, near_threshold=None, min_tokens=0,
+            mixture={"big": 1.0}, mixture_temperature=0.5,
+        )
