@@ -469,9 +469,13 @@ def incremental_dedup_batch(
     cand_sigs = store_candidate_sigs(
         store.signatures(exclude), batch_sigs, bands=bands, rows=rows
     ).localCheckpoint()
+    # lazy checkpoint: est feeds the vs-store drop set (count + anti-join)
+    # AND the in-batch pair set — three consumers would otherwise re-run
+    # the banded pair join (r12: measured as part of the ~7 s fixed cost
+    # of a 500-doc epoch, see docs/PERF_NOTES.md)
     est = signature_estimate_pairs(
         batch_sigs.unionByName(cand_sigs), k=k, bands=bands, rows=rows, max_bucket=max_bucket
-    ).filter(F.col("est_jaccard") >= threshold)
+    ).filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=False)
 
     new_ids = batch_sigs.select("doc_id")
     # lsh_candidates orders doc_a < doc_b; stored ids may be larger or
@@ -519,11 +523,21 @@ def incremental_dedup_batch(
     ).join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi").join(
         remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
     )
-    decision = collapse_components(remaining, in_batch_pairs.select("doc_a", "doc_b"))
-    if removal_ledger is not None:
-        decision = decision.localCheckpoint(eager=False)  # 2nd consumer
+    # always checkpointed (r12): the decision feeds the keeper count,
+    # BOTH store commits, the accepted join, and (with a ledger) the
+    # drop records — five consumers re-running the iterative component
+    # collapse dominated the per-epoch fixed cost
+    decision = collapse_components(
+        remaining, in_batch_pairs.select("doc_a", "doc_b")
+    ).localCheckpoint(eager=False)
     kept_ids = decision.filter("keep").select("doc_id")
-    near_in_batch = remaining.count() - kept_ids.count()
+    # derived, not recounted (r12): remaining = batch_sigs minus the
+    # vs-store drops (both ⊆ new_ids by construction), so its size is
+    # arithmetic; only the keeper count runs a job (on the checkpointed
+    # decision)
+    n_batch_sigs = batch_sigs.count()
+    n_kept_core = kept_ids.count()
+    near_in_batch = (n_batch_sigs - near_vs_store) - n_kept_core
     if removal_ledger is not None:
         kept_by_comp = decision.filter("keep").select(
             "component", F.col("doc_id").alias("__keeper")
@@ -538,11 +552,14 @@ def incremental_dedup_batch(
         )
     # docs shorter than n tokens have no shingles, hence no signature row:
     # they cannot near-dup under this definition and must pass through
-    # (they already survived exact dedup) rather than silently vanish
+    # (they already survived exact dedup) rather than silently vanish.
+    # batch_sigs ⊆ survivors, so |sigless| = n_after_store - n_batch_sigs
+    # and the accepted count is arithmetic too.
     sigless = survivors.select("doc_id").join(
         batch_sigs.select("doc_id"), "doc_id", "left_anti"
     )
     kept_ids = kept_ids.unionByName(sigless)
+    n_accepted = n_kept_core + (n_after_store - n_batch_sigs)
 
     accepted_content = hashed.join(kept_ids, "doc_id", "left_semi").select(
         "content_hash", "doc_id"
@@ -564,6 +581,6 @@ def incremental_dedup_batch(
         exact_vs_store,
         near_vs_store,
         near_in_batch,
-        accepted=kept_ids.count(),
+        accepted=n_accepted,
         already_committed=replaying,
     )
