@@ -417,18 +417,114 @@ class CorpusIngestPipeline:
             if d.startswith("batch-") and d not in retired
         )
 
-    def read_corpus(self) -> DataFrame:
+    def read_corpus(self, as_of: str | None = None) -> DataFrame:
         """The corpus as one DataFrame: explicit per-batch paths (live
         batches minus compaction-retired ones) rather than a blind
         recursive read, so the crash window between a compaction
-        target's rename and its sources' removal never double-counts."""
+        target's rename and its sources' removal never double-counts.
+
+        ``as_of`` (r12): time-travel — the corpus exactly as it stood
+        after epoch ``as_of`` (a batch id like ``stream-7``) committed,
+        the snapshot a training run actually consumed.  Epoch-named
+        batch dirs filter by their number; compacted targets carry
+        per-row ``origin_batch`` attribution (``compact_corpus``) and
+        filter by it.  A corpus compacted BEFORE origin tracking has
+        NULL origins — as-of reads over it raise rather than silently
+        dropping those rows."""
         dirs = self._live_batch_dirs()
         if not dirs:
             return self.spark.createDataFrame([], DOC_SCHEMA)
         import os
+        import re
 
-        return self.spark.read.schema(DOC_SCHEMA).parquet(
-            *[os.path.join(self.corpus_table, d) for d in dirs]
+        if as_of is None:
+            return self.spark.read.schema(DOC_SCHEMA).parquet(
+                *[os.path.join(self.corpus_table, d) for d in dirs]
+            )
+
+        def _n(name: str):
+            m = re.fullmatch(r"batch-stream-(\d+)", name)
+            return int(m.group(1)) if m else None
+
+        bound = _n(f"batch-{as_of}")
+        if bound is None:
+            raise ValueError(
+                f"as_of must be a stream epoch id like 'stream-7', got "
+                f"{as_of!r}"
+            )
+        from hedera_etl_spark import fsutil
+
+        plain = [d for d in dirs if _n(d) is not None and _n(d) <= bound]
+        compacted = [d for d in dirs if _n(d) is None]
+        frames = []
+        if plain:
+            frames.append(
+                self.spark.read.schema(DOC_SCHEMA).parquet(
+                    *[os.path.join(self.corpus_table, d) for d in plain]
+                )
+            )
+        if compacted:
+            ext = fsutil.with_origin_schema(DOC_SCHEMA)
+            folded = self.spark.read.schema(ext).parquet(
+                *[os.path.join(self.corpus_table, d) for d in compacted]
+            )
+            if folded.filter(F.col(fsutil.ORIGIN_COL).isNull()).limit(1).count():
+                raise ValueError(
+                    "corpus was compacted before origin tracking — as-of "
+                    "reads over this table would silently drop the "
+                    "unattributed rows; recompact from per-epoch batches"
+                )
+            origin_n = F.regexp_extract(
+                F.col(fsutil.ORIGIN_COL), r"^batch-stream-(\d+)$", 1
+            )
+            frames.append(
+                folded.filter(
+                    (origin_n != "") & (origin_n.cast("long") <= bound)
+                ).select("doc_id", "text")
+            )
+        if not frames:
+            return self.spark.createDataFrame([], DOC_SCHEMA)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def corpus_epochs(self) -> DataFrame:
+        """Lineage report: one row per contributing epoch — (epoch,
+        n_docs) — resolved from live batch dirs plus the origin
+        attribution inside compacted targets.  Dimension-sized output
+        (one row per epoch ever accepted)."""
+        dirs = self._live_batch_dirs()
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], "epoch string, n_docs long"
+            )
+        import os
+
+        from hedera_etl_spark import fsutil
+
+        ext = fsutil.with_origin_schema(DOC_SCHEMA)
+        frames = []
+        for d in dirs:
+            frames.append(
+                self.spark.read.schema(ext)
+                .parquet(os.path.join(self.corpus_table, d))
+                .withColumn(
+                    fsutil.ORIGIN_COL,
+                    F.coalesce(F.col(fsutil.ORIGIN_COL), F.lit(d)),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return (
+            out.groupBy(
+                F.regexp_replace(F.col(fsutil.ORIGIN_COL), "^batch-", "").alias(
+                    "epoch"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("epoch")
         )
 
     def compact_corpus(self) -> int:
@@ -471,11 +567,26 @@ class CorpusIngestPipeline:
             "batch-compacted-"
             + hashlib.md5("|".join(batches).encode()).hexdigest()[:12]
         )
-        merged = (
-            self.spark.read.schema(DOC_SCHEMA)
-            .parquet(*[os.path.join(self.corpus_table, b) for b in batches])
-            .dropDuplicates(["doc_id"])
-        )
+        # per-row epoch attribution survives the fold (r12): each source
+        # keeps its existing origin (nested compaction) or gains its dir
+        # name — read_corpus(as_of=...) time-travel depends on it
+        from hedera_etl_spark import fsutil
+
+        ext = fsutil.with_origin_schema(DOC_SCHEMA)
+        frames = []
+        for b in batches:
+            frames.append(
+                self.spark.read.schema(ext)
+                .parquet(os.path.join(self.corpus_table, b))
+                .withColumn(
+                    fsutil.ORIGIN_COL,
+                    F.coalesce(F.col(fsutil.ORIGIN_COL), F.lit(b)),
+                )
+            )
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        merged = merged.dropDuplicates(["doc_id"])
         tmp = os.path.join(self.corpus_table, f".{target}.__new")
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)

@@ -893,3 +893,72 @@ def test_ledger_heal_refuses_non_latest_epoch(spark, dirs, tmp_path):
     batch2 = spark.createDataFrame([(10, BASE)], ["doc_id", "text"])
     p3._process_batch(batch2, 1)
     assert os.path.isdir(os.path.join(ledger_dir, "batch-stream-1"))
+
+
+def test_read_corpus_as_of_and_epoch_lineage(spark, dirs):
+    """r12 time-travel: read_corpus(as_of=epoch) reproduces the exact
+    corpus a training run saw after that epoch committed — before AND
+    after compaction (per-row origin attribution in compacted targets);
+    corpus_epochs() reports the per-epoch lineage."""
+    p = _pipeline(spark, dirs)
+    snaps = {}
+    for i, rows in enumerate(
+        [
+            [(1, BASE), (2, OTHER)],
+            [(10, BASE + " zzz tail"), (11, "fresh second epoch words here")],
+            [(20, "third epoch content entirely new words")],
+        ]
+    ):
+        _write_jsonl(os.path.join(dirs["in"], f"b{i}.jsonl"), rows)
+        p = _pipeline(spark, dirs)
+        p.run_until_drained()
+        snaps[f"stream-{i}"] = sorted(
+            map(tuple, p.read_corpus().collect())
+        )
+
+    def as_of(epoch):
+        return sorted(map(tuple, p.read_corpus(as_of=epoch).collect()))
+
+    for epoch, snap in snaps.items():
+        assert as_of(epoch) == snap
+    assert as_of("stream-2") == sorted(map(tuple, p.read_corpus().collect()))
+
+    # lineage before compaction
+    epochs = {r["epoch"]: r["n_docs"] for r in p.corpus_epochs().collect()}
+    assert set(epochs) == {"stream-0", "stream-1", "stream-2"}
+    assert sum(epochs.values()) == len(snaps["stream-2"])
+
+    # compaction folds the dirs; as-of and lineage must survive via origin
+    assert p.compact_corpus() == 3
+    for epoch, snap in snaps.items():
+        assert as_of(epoch) == snap
+    epochs2 = {r["epoch"]: r["n_docs"] for r in p.corpus_epochs().collect()}
+    assert epochs2 == epochs
+
+    with pytest.raises(ValueError, match="stream epoch id"):
+        p.read_corpus(as_of="not-an-epoch")
+
+
+def test_read_corpus_as_of_refuses_unattributed_compaction(spark, dirs):
+    """A corpus compacted BEFORE origin tracking (NULL origins) must
+    refuse as-of reads instead of silently dropping rows."""
+    _write_jsonl(os.path.join(dirs["in"], "b0.jsonl"), [(1, BASE), (2, OTHER)])
+    p = _pipeline(spark, dirs)
+    p.run_until_drained()
+    # simulate a pre-r12 compacted target: fold without the origin column
+    import json as _json
+
+    merged = p.read_corpus()
+    target = "batch-compacted-preorigin"
+    merged.write.parquet(os.path.join(dirs["corpus"], f".{target}.tmp"))
+    os.rename(
+        os.path.join(dirs["corpus"], f".{target}.tmp"),
+        os.path.join(dirs["corpus"], target),
+    )
+    mdir = os.path.join(dirs["corpus"], "_compaction")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{target}.json"), "w") as fh:
+        _json.dump({"target": target, "sources": ["batch-stream-0"]}, fh)
+    assert p.read_corpus().count() == 2  # plain reads still fine
+    with pytest.raises(ValueError, match="before origin tracking"):
+        p.read_corpus(as_of="stream-0").count()
