@@ -786,6 +786,42 @@ def simhash_neardups(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------
+def similarity_histogram(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 20,
+    floor: float = 0.5,
+    bins: int = 10,
+) -> DataFrame:
+    """Threshold-sweep report: exact-Jaccard near-dup PAIR COUNTS per
+    similarity bin, for every pair at jaccard >= ``floor`` — the
+    distribution a curator reads to pick a dedup threshold ("0.8 drops
+    12k pairs, 0.7 drops 48k") instead of guessing one.
+
+    Reuses the prefix-filtered pair pipeline at ``floor`` (recall-
+    complete above it by the SSJoin prefix theorem), then one
+    dimension-sized aggregate: output is ``bins`` rows regardless of
+    corpus size.  Binning multiplies the DECIMAL(9,6)-rounded jaccard
+    as a DECIMAL — exact, so a pair at exactly 0.7 lands in bin 7 in
+    every engine (double multiplication would put 0.7*10 just below 7
+    in BOTH engines — consistently, but surprisingly).
+    """
+    pairs = ngram_jaccard_neardups(docs, n=n, max_df=max_df, threshold=floor)
+    bin_col = F.floor(
+        F.col("jaccard").cast("decimal(9,6)") * F.lit(bins)
+    ).cast("long")
+    return (
+        pairs.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin") / F.lit(float(bins))).alias("sim_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
+
+
 def ngram_jaccard_neardups(
     docs: DataFrame, n: int = 3, max_df: int = 20, threshold: float = 0.8
 ) -> DataFrame:

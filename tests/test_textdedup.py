@@ -295,3 +295,39 @@ def test_ngram_prefix_filter_recall_matches_all_pairs(spark):
     }
     assert blocked == brute
     assert brute  # the corpus must actually contain qualifying pairs
+
+
+def test_similarity_histogram_bins_and_totals(spark):
+    """The threshold-sweep report: per-bin counts partition the pair set
+    at the floor, bin edges are DECIMAL-exact (a pair at exactly 0.7
+    lands in bin 7), and the report is recall-complete above the floor
+    (sum of bins >= t equals the thresholded pair count)."""
+    from hedera_etl_spark.operators.textdedup import (
+        ngram_jaccard_neardups,
+        similarity_histogram,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # jaccard 1.0 with 1
+            (3, base + " kilo"),  # high-sim with 1/2
+            (4, "alpha bravo charlie delta echo xray yankee zulu"),  # mid
+            (5, "totally different words everywhere nothing shared here"),
+        ],
+        ["doc_id", "text"],
+    )
+    hist = similarity_histogram(docs, n=3, max_df=20, floor=0.5)
+    rows = {r["bin"]: r["n_pairs"] for r in hist.collect()}
+    pairs = ngram_jaccard_neardups(docs, n=3, max_df=20, threshold=0.5)
+    assert sum(rows.values()) == pairs.count()
+    # identical docs: jaccard 1.0 -> bin 10 (its own top bin)
+    assert rows.get(10, 0) >= 1
+    # recall-complete above any t >= floor: bins >= 8 cover threshold 0.8
+    n_08 = ngram_jaccard_neardups(docs, n=3, max_df=20, threshold=0.8).count()
+    assert sum(v for b, v in rows.items() if b >= 8) == n_08
+    # sim_lo is the exact bin lower edge
+    assert all(
+        abs(r["sim_lo"] - r["bin"] / 10.0) < 1e-12 for r in hist.collect()
+    )
