@@ -414,8 +414,19 @@ def _add_why(sub: argparse._SubParsersAction) -> None:
         "--removal-ledger-out` or the batch-<epoch> layout from "
         "`corpus-ingest --removal-ledger-out`",
     )
-    p.add_argument("--doc-id", type=int, required=True)
+    p.add_argument(
+        "--doc-id",
+        type=int,
+        default=None,
+        help="the document to explain (omit with --summary)",
+    )
     p.add_argument("--max-hops", type=int, default=10)
+    p.add_argument(
+        "--summary",
+        action="store_true",
+        help="print the whole-ledger drop report instead: one line per "
+        "(stage, reason) with its document count",
+    )
 
 
 def _add_bench(sub: argparse._SubParsersAction) -> None:
@@ -677,7 +688,23 @@ def main(argv: list[str] | None = None) -> int:
             read_ledger_path,
         )
 
+        from pyspark.sql import functions as F
+
         ledger = read_ledger_path(spark, args.ledger)
+        if args.summary:
+            rows = (
+                ledger.groupBy("stage", "reason")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy(F.col("n_docs").desc(), "stage", "reason")
+                .collect()
+            )
+            for r in rows:
+                print(f"{r['stage']}/{r['reason']}: {r['n_docs']}")
+            print(f"total_removed={sum(r['n_docs'] for r in rows)}")
+            return 0
+        if args.doc_id is None:
+            print("--doc-id is required (or pass --summary)", file=sys.stderr)
+            return 2
         chain = drop_chain(ledger, args.doc_id, max_hops=args.max_hops)
         rows = chain.collect()
         if not rows:

@@ -327,6 +327,16 @@ def test_cli_why_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     assert "no removal records" in capsys.readouterr().out
 
+    # whole-ledger drop report
+    rc = cli.main(["why", "--ledger", flat, "--summary"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exact_dedup/exact_duplicate_in_batch: 1" in out
+    assert "near_dedup/near_duplicate_vs_store: 1" in out
+    assert "total_removed=2" in out
+    # neither --doc-id nor --summary: usage error
+    assert cli.main(["why", "--ledger", flat]) == 2
+
 
 def test_drop_chain_string_ids(spark):
     """r12 review finding: RemovalLedger preserves the corpus id type —
