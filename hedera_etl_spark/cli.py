@@ -550,6 +550,9 @@ def main(argv: list[str] | None = None) -> int:
             if pipeline.url_store is not None:
                 folded = pipeline.url_store.compact()
                 print(f"compacted={folded} url-store batch dirs")
+            if pipeline.ledger_dir is not None:
+                folded = pipeline.compact_ledger()
+                print(f"compacted={folded} ledger batch dirs")
         return 0
 
     if args.command == "prepare":

@@ -782,10 +782,103 @@ class CorpusIngestPipeline:
         if ledger is not None and ledger.n_stages:
             self._commit_ledger_batch(ledger, bid)
 
+    def _ledger_retired(self) -> set:
+        """Ledger batch dirs folded into a compacted target whose target
+        exists — same manifest convention as the corpus table."""
+        import json
+        import os
+
+        mdir = os.path.join(self.ledger_dir, "_compaction")
+        if not os.path.isdir(mdir):
+            return set()
+        retired: set = set()
+        for f in sorted(os.listdir(mdir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            if os.path.exists(os.path.join(self.ledger_dir, m["target"])):
+                retired.update(m["sources"])
+        return retired
+
     def _has_ledger_batch(self, bid: str) -> bool:
         import os
 
-        return os.path.isdir(os.path.join(self.ledger_dir, f"batch-{bid}"))
+        # a folded epoch is STILL ledgered (the heal gate must not
+        # re-derive and double-write an epoch whose rows live in a
+        # compacted target)
+        return os.path.isdir(
+            os.path.join(self.ledger_dir, f"batch-{bid}")
+        ) or f"batch-{bid}" in self._ledger_retired()
+
+    def _live_ledger_dirs(self) -> list:
+        import os
+
+        if self.ledger_dir is None or not os.path.isdir(self.ledger_dir):
+            return []
+        retired = self._ledger_retired()
+        return sorted(
+            d
+            for d in os.listdir(self.ledger_dir)
+            if d.startswith("batch-") and d not in retired
+        )
+
+    def compact_ledger(self) -> int:
+        """Fold all live per-epoch ledger directories into one — the
+        same small-file maintenance every sibling store performs (after
+        many micro-batches the per-epoch listing dominates open cost).
+        Rows already carry their ``epoch`` column, so the fold needs no
+        extra attribution; the manifest commit point (stage target →
+        write ``_compaction/<target>.json`` naming the sources → rename
+        target live → delete sources) makes every crash window read
+        each row exactly once, exactly like ``compact_corpus``.
+        Returns the number of dirs folded."""
+        import hashlib
+        import json
+        import os
+        import shutil
+
+        # clear leftovers of a prior crash between target-rename and
+        # source-delete (reads already exclude them)
+        for b in self._ledger_retired():
+            shutil.rmtree(os.path.join(self.ledger_dir, b), ignore_errors=True)
+        dirs = self._live_ledger_dirs()
+        if len(dirs) <= 1:
+            return 0
+        target = (
+            "batch-compacted-"
+            + hashlib.md5("|".join(dirs).encode()).hexdigest()[:12]
+        )
+        merged = self.spark.read.parquet(
+            *[os.path.join(self.ledger_dir, d) for d in dirs]
+        )
+        tmp = os.path.join(self.ledger_dir, f".{target}.__new")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        mdir = os.path.join(self.ledger_dir, "_compaction")
+        os.makedirs(mdir, exist_ok=True)
+        prior = [
+            f for f in sorted(os.listdir(mdir)) if f.endswith(".json")
+        ]
+        all_retired = set(dirs)
+        for f in prior:  # transitive: once retired, always retired
+            with open(os.path.join(mdir, f)) as fh:
+                all_retired.update(json.load(fh)["sources"])
+        all_retired.discard(target)
+        mtmp = os.path.join(mdir, f".{target}.json.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump({"target": target, "sources": sorted(all_retired)}, fh)
+        os.rename(mtmp, os.path.join(mdir, f"{target}.json"))
+        live = os.path.join(self.ledger_dir, target)
+        if not os.path.exists(live):
+            os.rename(tmp, live)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+        for d in dirs:
+            shutil.rmtree(os.path.join(self.ledger_dir, d), ignore_errors=True)
+        for f in prior:  # superseded manifests are redundant now
+            os.remove(os.path.join(mdir, f))
+        return len(dirs)
 
     def _is_latest_epoch(self, bid: str) -> bool:
         """True when no committed signature-store epoch is newer than
@@ -830,17 +923,17 @@ class CorpusIngestPipeline:
             shutil.rmtree(tmp, ignore_errors=True)
 
     def read_ledger(self) -> DataFrame:
-        """Every epoch's removal-provenance records as one frame."""
+        """Every epoch's removal-provenance records as one frame (live
+        dirs minus compaction-retired ones, so the crash window between
+        a compaction target's rename and its sources' removal never
+        double-counts — the corpus-table read discipline)."""
         import os
 
-        if self.ledger_dir is None or not os.path.isdir(self.ledger_dir):
+        dirs = self._live_ledger_dirs()
+        if not dirs:
             raise ValueError("no ledger_dir configured / nothing written yet")
         return self.spark.read.parquet(
-            *[
-                os.path.join(self.ledger_dir, d)
-                for d in sorted(os.listdir(self.ledger_dir))
-                if d.startswith("batch-")
-            ]
+            *[os.path.join(self.ledger_dir, d) for d in dirs]
         )
 
     def start(self, available_now: bool = True) -> StreamingQuery:

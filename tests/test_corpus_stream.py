@@ -962,3 +962,66 @@ def test_read_corpus_as_of_refuses_unattributed_compaction(spark, dirs):
     assert p.read_corpus().count() == 2  # plain reads still fine
     with pytest.raises(ValueError, match="before origin tracking"):
         p.read_corpus(as_of="stream-0").count()
+
+
+def test_ledger_compaction_folds_and_heal_gate_survives(spark, dirs, tmp_path):
+    """r12: the ledger compacts like every sibling store — rows carry
+    their epoch already, reads exclude retired sources in the crash
+    window, and a FOLDED epoch still counts as ledgered (no spurious
+    heal re-derivation / double write on replay)."""
+    import json as _json
+
+    ledger_dir = str(tmp_path / "ledger")
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            min_tokens=2,
+            ledger_dir=ledger_dir,
+        )
+
+    epochs = [
+        [(1, OTHER), (2, OTHER)],          # 2 drops as in-batch clone
+        [(10, OTHER), (11, BASE)],         # 10 drops vs store
+        [(20, "x")],                        # 20 drops below the floor
+    ]
+    for i, rows in enumerate(epochs):
+        _write_jsonl(os.path.join(dirs["in"], f"b{i}.jsonl"), rows)
+        p = pipeline()
+        p.run_until_drained()
+    before = sorted(map(tuple, p.read_ledger().collect()))
+    assert len(before) == 3 and len(p._live_ledger_dirs()) == 3
+
+    assert p.compact_ledger() == 3
+    assert len(p._live_ledger_dirs()) == 1
+    assert sorted(map(tuple, p.read_ledger().collect())) == before
+    assert p.compact_ledger() == 0  # idempotent when nothing to do
+
+    # folded epochs still count as ledgered: a replay must not re-derive
+    for i in range(3):
+        assert p._has_ledger_batch(f"stream-{i}")
+    batch = spark.createDataFrame(epochs[2], ["doc_id", "text"])
+    p._process_batch(batch, 2)
+    assert sorted(map(tuple, p.read_ledger().collect())) == before
+
+    # crash window: target + manifest live, sources still on disk ->
+    # reads see each row exactly once
+    target = p._live_ledger_dirs()[0]
+    src = os.path.join(ledger_dir, "batch-stream-0")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [r for r in before if r[-1] == "stream-0"],
+        p.read_ledger().schema,
+    ).write.mode("overwrite").parquet(src)
+    assert sorted(map(tuple, p.read_ledger().collect())) == before
+
+    # the next compaction's cleanup pass removes the leftover (it is
+    # retired debris, not data — reads never double-counted it) and
+    # finds nothing left to fold
+    assert p.compact_ledger() == 0
+    assert not os.path.isdir(src)
+    assert sorted(map(tuple, p.read_ledger().collect())) == before
