@@ -182,6 +182,10 @@ def temperature_mixture_sample(
     every engine, unlike ``pow`` whose last ulp is libm-specific —
     making the whole plan bit-portable (the oracle-checked
     configuration).
+
+    Rows with a NULL domain, and rows of a domain whose total mass is
+    zero (``weight_col`` all zeros), DROP — the ``mixture_sample``
+    outside-target semantics; a mixture has no share for them.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
@@ -195,6 +199,12 @@ def temperature_mixture_sample(
                 F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
             ).cast("double").alias("__c")
         )
+        # a domain whose mass is zero (all row weights 0) has no target
+        # share and would otherwise poison the solver with NaN rates —
+        # its rows drop via the inner join, exactly like NULL-domain
+        # rows (r12 review finding; mixture_sample's outside-target
+        # semantics)
+        .filter(F.col("__c") > 0)
         .withColumn("__w", smooth(F.col("__c")))
         .withColumn("__wsum", F.sum("__w").over(dim_w))
         .withColumn(

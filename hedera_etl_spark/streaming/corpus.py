@@ -468,19 +468,32 @@ class CorpusIngestPipeline:
             folded = self.spark.read.schema(ext).parquet(
                 *[os.path.join(self.corpus_table, d) for d in compacted]
             )
-            if folded.filter(F.col(fsutil.ORIGIN_COL).isNull()).limit(1).count():
-                raise ValueError(
-                    "corpus was compacted before origin tracking — as-of "
-                    "reads over this table would silently drop the "
-                    "unattributed rows; recompact from per-epoch batches"
-                )
             origin_n = F.regexp_extract(
                 F.col(fsutil.ORIGIN_COL), r"^batch-stream-(\d+)$", 1
             )
-            frames.append(
+            # NULL origins (pre-origin-tracking compactions) AND
+            # non-epoch origins (a pre-tracking target refolded later
+            # coalesces to its "batch-compacted-*" name) are both
+            # unattributable — raise rather than silently dropping them
+            # from the snapshot (r12 review finding: the original guard
+            # caught only the NULL case)
+            if (
                 folded.filter(
-                    (origin_n != "") & (origin_n.cast("long") <= bound)
-                ).select("doc_id", "text")
+                    F.col(fsutil.ORIGIN_COL).isNull() | (origin_n == "")
+                )
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "corpus contains rows compacted before origin "
+                    "tracking (NULL or non-epoch origin_batch) — as-of "
+                    "reads would silently drop them; recompact from "
+                    "per-epoch batches"
+                )
+            frames.append(
+                folded.filter(origin_n.cast("long") <= bound).select(
+                    "doc_id", "text"
+                )
             )
         if not frames:
             return self.spark.createDataFrame([], DOC_SCHEMA)

@@ -960,8 +960,19 @@ def test_read_corpus_as_of_refuses_unattributed_compaction(spark, dirs):
     with open(os.path.join(mdir, f"{target}.json"), "w") as fh:
         _json.dump({"target": target, "sources": ["batch-stream-0"]}, fh)
     assert p.read_corpus().count() == 2  # plain reads still fine
-    with pytest.raises(ValueError, match="before origin tracking"):
+    with pytest.raises(ValueError, match="origin"):
         p.read_corpus(as_of="stream-0").count()
+
+    # r12 review finding: a pre-tracking target REFOLDED by the new
+    # compact_corpus coalesces to a non-epoch origin — as-of must raise
+    # on that too, not silently drop the rows
+    _write_jsonl(os.path.join(dirs["in"], "b1.jsonl"), [(9, "more words here")])
+    p = _pipeline(spark, dirs)
+    p.run_until_drained()
+    assert p.compact_corpus() >= 2  # refolds the pre-origin target too
+    assert p.read_corpus().count() == 3
+    with pytest.raises(ValueError, match="origin"):
+        p.read_corpus(as_of="stream-1").count()
 
 
 def test_ledger_compaction_folds_and_heal_gate_survives(spark, dirs, tmp_path):

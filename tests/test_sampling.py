@@ -477,3 +477,23 @@ def test_pipeline_mixture_temperature_param(spark):
             docs, near_threshold=None, min_tokens=0,
             mixture={"big": 1.0}, mixture_temperature=0.5,
         )
+
+
+def test_temperature_mixture_null_and_zero_mass_domains_drop(spark):
+    """r12 review finding: NULL-domain rows and zero-mass domains (all
+    weights 0) drop cleanly — no NaN rates poisoning the solver."""
+    from hedera_etl_spark.operators.sampling import temperature_mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "z", 0.0), (4, None, 5.0)],
+        ["doc_id", "dom", "w"],
+    )
+    out = temperature_mixture_sample(
+        docs, "dom", key_cols=["doc_id"], alpha=0.5,
+        weight_col="w", salt="t",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 3 not in ids and 4 not in ids  # zero-mass + NULL domain drop
+    assert ids <= {1, 2} and ids  # the positive-mass domain survives
+    # rates are finite for every surviving row
+    assert all(r["rate"] == r["rate"] and r["rate"] > 0 for r in out.collect())
