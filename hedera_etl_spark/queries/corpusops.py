@@ -101,6 +101,14 @@ _CLUSTERS_ORACLE = f"""
     "llm_dup_clusters",
     _CLUSTERS_ORACLE,
     tags=("llm", "dedup", "components", "graph"),
+    # Driver-green r7-r11; parked late in r12 so the two NEW r12 entries
+    # (llm_temperature_mixture, llm_similarity_histogram) enter the
+    # window in the round they were built — zero never-driver-checked
+    # debt.  Verifiers: min-id keeper collapse via llm_exact_dedup (IN);
+    # the connected-components kernel is pinned against union-find
+    # ground truth + the MinHash-pairs e2e in test_components.py; this
+    # recursive-CTE closure oracle stays in tools/verify_oracle.py.
+    driver_visible=False,
     # localCheckpoint per closure round — a cached plan would pin
     # round-1 materializations (same rule as minhash/ngram entries).
     cache_plan=False,
@@ -162,6 +170,12 @@ _PACK_ORACLE = f"""
     _PACK_ORACLE,
     tags=("llm", "packing", "window"),
     bench=True,
+    # Driver-green r7-r11; parked late in r12 (slot ceded to the NEW
+    # llm_similarity_histogram).  Verifiers: the window prefix-sum
+    # kernel stays driver-checked via llm_corpus_shuffle (IN);
+    # capacity/totality/determinism/FFD quality pinned in
+    # test_packing.py; oracle + bench slot retained.
+    driver_visible=False,
 )
 def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.pack_concat):
