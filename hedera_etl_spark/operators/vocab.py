@@ -144,6 +144,59 @@ def _apply_merge(syms, lhs: str, rhs: str):
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize-to-ids — the step that hands a packed corpus to a
+    trainer: apply a trained merge list and map every piece to a
+    frequency-ranked integer id.  Output one row per (doc, term, piece):
+    (doc_id, term, piece_pos, piece, piece_id), piece_pos 1-based.
+
+    Scale shape: segmentation runs over the DISTINCT-term VOCABULARY
+    (``bpe_segment`` on a deduped term frame — the per-row merge folds
+    are the expensive part and the vocabulary is orders of magnitude
+    smaller than the corpus), then joins back to per-document terms;
+    the piece-id ranking is a single-partition window over the PIECE
+    dimension only (the ``vocab_stats`` discipline).  Ids are
+    deterministic: rank by (corpus piece frequency DESC, piece) with
+    exact integer counts — identical across engines and re-runs.
+    """
+    toks = _tokens(docs, text_col, id_col)  # one row per occurrence
+    terms = toks.select("term").distinct()
+    seg = bpe_segment(
+        terms.withColumn("__d", F.lit(0)), merges, text_col="term", id_col="__d"
+    ).select("term", "pieces")
+    # occurrence-weighted piece frequencies -> ranked ids (piece dim only)
+    occ = toks.join(seg, "term").select(F.explode("pieces").alias("piece"))
+    vocab = (
+        occ.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .withColumn(
+            "piece_id",
+            F.row_number()
+            .over(
+                W.partitionBy().orderBy(
+                    F.col("__freq").desc(), F.col("piece")
+                )
+            )
+            .cast("long"),
+        )
+        .drop("__freq")
+    )
+    per_term = toks.select("doc_id", "term").distinct().join(seg, "term")
+    out = per_term.select(
+        "doc_id",
+        "term",
+        F.posexplode("pieces").alias("__p", "piece"),
+    ).withColumn("piece_pos", (F.col("__p") + 1).cast("int")).drop("__p")
+    return out.join(F.broadcast(vocab), "piece").select(
+        "doc_id", "term", "piece_pos", "piece", "piece_id"
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     k: int = 10,

@@ -409,7 +409,10 @@ def llm_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_cte_chain(k: int) -> list:
+    """The k-round unrolled BPE training chain as a CTE list ending in
+    ``s{k}`` (the segmented vocabulary after all merges) — shared by the
+    merge-list oracle and the encode oracle."""
     # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
     # reference, and this chain references each s{r} three times — the
     # inlining compounds exponentially across rounds (observed as "Too
@@ -463,6 +466,11 @@ def _bpe_oracle(k: int) -> str:
              CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
       FROM m{r} WHERE NOT consumed
     )""")
+    return ctes
+
+
+def _bpe_oracle(k: int) -> str:
+    ctes = _bpe_cte_chain(k)
     steps = "\n      UNION ALL\n      ".join(
         f"SELECT CAST({r + 1} AS INT) AS step, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(tf AS BIGINT) AS tf FROM best{r}"
@@ -471,6 +479,35 @@ def _bpe_oracle(k: int) -> str:
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Encode-to-ids twin: the same chain's terminal ``s{k}`` IS the
+    segmented vocabulary, so the oracle only adds the frequency-ranked
+    piece vocabulary and the per-document term join."""
+    ctes = _bpe_cte_chain(k)
+    ctes.append(f"""freq AS MATERIALIZED (
+      SELECT sym AS piece, SUM(cnt) AS f FROM s{k} GROUP BY sym
+    )""")
+    ctes.append("""vocab AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROW_NUMBER() OVER (ORDER BY f DESC, piece) AS BIGINT)
+               AS piece_id
+      FROM freq
+    )""")
+    ctes.append("""dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dt.doc_id, dt.term, CAST(s.pos AS INT) AS piece_pos,
+           s.sym AS piece, v.piece_id
+    FROM dt JOIN s{k} s USING (term) JOIN vocab v ON v.piece = s.sym
+    ORDER BY doc_id, term, piece_pos"""
     )
 
 
@@ -499,6 +536,37 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_merges(docs, k=_BPE_K).orderBy("step")
+
+
+@query(
+    "llm_bpe_encode",
+    _bpe_encode_oracle(_BPE_K),
+    tags=("llm", "vocab", "tokenizer", "bpe", "encode"),
+    # NEW r12, out-of-window (window full; rotation ledger tracks it):
+    # the training loop producing the merge list is the parked-but-
+    # locally-oracled llm_bpe_merges, its kernels driver-checked via
+    # llm_vocab_stats + llm_pair_stats (IN since r12); this entry
+    # hash-checks the ENCODE — every (doc, term, piece) with its
+    # frequency-ranked integer id — via tools/verify_oracle.py.
+    driver_visible=False,
+    # bpe_merges collects the merge list per call (localCheckpoints)
+    cache_plan=False,
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids (operators/vocab.bpe_encode): train 8 BPE merges
+    on the corpus, segment the DISTINCT-term vocabulary once, rank
+    pieces by exact corpus frequency into integer ids, and join back to
+    per-document terms — the step that hands a packed corpus to a
+    trainer.  The oracle reuses the merge chain's terminal segmented
+    vocabulary (s8) and mirrors the ranking with exact BIGINT counts."""
+    from hedera_etl_spark.operators.vocab import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["step"], r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, k=_BPE_K).orderBy("step").collect()
+    ]
+    return bpe_encode(docs, merges).orderBy("doc_id", "term", "piece_pos")
 
 
 # ---------------------------------------------------------------------------

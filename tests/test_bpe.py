@@ -120,3 +120,49 @@ def test_segment_applies_merges_in_order(spark):
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         bpe_merges(_docs(spark, ["ab"]), k=0)
+
+
+def test_bpe_encode_ids_and_roundtrip(spark):
+    """bpe_encode: piece sequences reassemble every term exactly, ids
+    are frequency-ranked (most frequent piece = id 1), and the encode is
+    deterministic across runs."""
+    from hedera_etl_spark.operators.vocab import bpe_encode, bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "low lower newer newest"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = [
+        (r["step"], r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, k=4).orderBy("step").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    rows = enc.collect()
+    # reassembly: concatenating a term's pieces in piece_pos order gives
+    # the term back, for every (doc, term)
+    by_term = {}
+    for r in rows:
+        by_term.setdefault((r["doc_id"], r["term"]), []).append(
+            (r["piece_pos"], r["piece"])
+        )
+    for (_, term), pieces in by_term.items():
+        assert "".join(p for _, p in sorted(pieces)) == term
+    # ids: dense 1..V, frequency-ranked with the (freq desc, piece) tie rule
+    ids = {r["piece"]: r["piece_id"] for r in rows}
+    assert sorted(set(ids.values())) == list(range(1, len(ids) + 1))
+    # the most frequent piece (by per-OCCURRENCE count) must hold id 1
+    from collections import Counter
+
+    seg = {t: [p for _, p in sorted(v)] for (d, t), v in by_term.items()}
+    c = Counter()
+    for _, text in [(1, "low low low lower lowest"), (2, "low lower newer newest")]:
+        for t in text.split(" "):
+            c.update(seg[t])
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    assert ids[top] == 1
+    # deterministic
+    again = bpe_encode(docs, merges)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
