@@ -786,6 +786,78 @@ def simhash_neardups(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------
+def containment_neardups(
+    docs: DataFrame, n: int = 3, max_df: int = 20, threshold: float = 0.9
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dups: pairs with
+    ``|A ∩ B| / min(|A|, |B|) >= threshold`` — the quote/wrapper class
+    Jaccard misses at any threshold (a short document embedded verbatim
+    in a much longer one has containment 1.0 but Jaccard ~|A|/|B|).
+
+    Blocking: the prefix-filter theorem adapted to containment — for
+    the SMALLER member S of a qualifying pair, the partner must share a
+    shingle among S's first ``|S| - floor(c*|S|) + 1`` shingles in the
+    rarest-first global order (missing the whole prefix bounds the
+    overlap below c*|S|).  The partner's side carries no such bound (it
+    may be arbitrarily larger), so candidates join each doc's PREFIX
+    rows against every df-filtered shingle row — one equi-join, recall-
+    complete at the threshold up to the same documented ``max_df``
+    boilerplate cap as the Jaccard path, and crucially NO length filter
+    (asymmetric sizes are the point).  Verify is the exact per-pair set
+    intersection; containment rounds through DECIMAL(9,6), the
+    cross-engine hash canon.
+    """
+    from pyspark.sql import Window as W
+
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    sets = shingle_sets(ensure_parallelism(docs), n).localCheckpoint(eager=False)
+    sh = sets.select(
+        "doc_id",
+        F.size("sh_set").cast("long").alias("__sz"),
+        F.explode("sh_set").alias("shingle"),
+    )
+    wdf = W.partitionBy("shingle")
+    rare = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    ).localCheckpoint(eager=False)  # feeds the prefix AND the probe join
+    wdoc = W.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix = (
+        rare.withColumn("__rn", F.row_number().over(wdoc))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + F.lit(1)
+        )
+        .select(F.col("doc_id").alias("__pd"), "shingle")
+    )
+    cand = (
+        prefix.join(rare.select("doc_id", "shingle"), "shingle")
+        .filter(F.col("__pd") != F.col("doc_id"))
+        .select(
+            F.least("__pd", "doc_id").alias("doc_a"),
+            F.greatest("__pd", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = verify_jaccard_sets(sets, cand)
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (F.col("inter") / F.least("n_a", "n_b"))
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def similarity_histogram(
     docs: DataFrame,
     n: int = 3,

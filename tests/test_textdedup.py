@@ -331,3 +331,54 @@ def test_similarity_histogram_bins_and_totals(spark):
     assert all(
         abs(r["sim_lo"] - r["bin"] / 10.0) < 1e-12 for r in hist.collect()
     )
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """Containment semantics: a short doc embedded verbatim in a longer
+    one has containment 1.0 but jaccard ~|A|/|B| — found at c=0.9 while
+    jaccard-0.8 dedup misses it; unrelated docs stay unpaired; the
+    blocking (smaller-member prefix, no length filter) is complete vs
+    brute force on the fixture."""
+    from hedera_etl_spark.operators.textdedup import (
+        containment_neardups,
+        ngram_jaccard_neardups,
+        shingle_sets,
+    )
+
+    short = "alpha bravo charlie delta echo foxtrot golf hotel"
+    wrapper = (
+        "intro words before the quote begins now " + short +
+        " and after the quote a long tail of commentary follows with "
+        "many additional unrelated tokens extending the document length"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, wrapper),
+            (3, "completely unrelated text about spark shuffles and plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = containment_neardups(docs, n=3, max_df=20, threshold=0.9)
+    got = [(r["doc_a"], r["doc_b"], r["containment"]) for r in pairs.collect()]
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+    assert got[0][2] == 1.0  # every shingle of 1 is inside 2
+    # jaccard at 0.8 misses it (the whole point)
+    assert ngram_jaccard_neardups(docs, n=3, max_df=20, threshold=0.8).count() == 0
+
+    # brute-force completeness on the fixture: every pair with true
+    # containment >= 0.9 is found
+    import itertools
+
+    sets = {
+        r["doc_id"]: set(r["sh_set"])
+        for r in shingle_sets(docs, 3).collect()
+    }
+    brute = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if min(len(sets[a]), len(sets[b])) and inter / min(
+            len(sets[a]), len(sets[b])
+        ) >= 0.9:
+            brute.append((a, b))
+    assert [(a, b) for a, b, _ in got] == brute
