@@ -73,6 +73,13 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("aggregate", "having", "listagg"),
     bench=True,
+    # Parked r12 (driver-green r7-r11) in exchange for llm_dsir_weights
+    # rotating straight IN: A1's grouped dup-detection stays
+    # driver-checked via hed_dedupe_job (its other named entry, IN);
+    # the HAVING / conditional-agg / COUNT DISTINCT / listagg surfaces
+    # keep their local oracle via tools/verify_oracle.py each round.
+    # Keeps its bench slot.
+    driver_visible=False,
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-detection aggregate: GROUP BY key HAVING count>N — the exact

@@ -302,6 +302,13 @@ _SPAN_ORACLE = f"""
     "llm_span_flags",
     _SPAN_ORACLE,
     tags=("llm", "dedup", "spans"),
+    # Parked r12 (driver-green r7-r11) in exchange for llm_bpe_encode
+    # rotating IN: the span fan-out is the q14_explode_tokens family
+    # (IN), the duplicated-hash detection is the hed_dedupe_job /
+    # llm_exact_dedup groupBy-HAVING kernel (both IN), and the cut path
+    # + flag semantics stay pinned in tests/test_spandedup.py; the
+    # entry keeps its local oracle and its bench slot.
+    driver_visible=False,
     # the operator localCheckpoints its span rows — a cached plan would
     # pin that materialization (same rule as the minhash entries)
     cache_plan=False,
@@ -542,13 +549,13 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_bpe_encode",
     _bpe_encode_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "encode"),
-    # NEW r12, out-of-window (window full; rotation ledger tracks it):
-    # the training loop producing the merge list is the parked-but-
-    # locally-oracled llm_bpe_merges, its kernels driver-checked via
-    # llm_vocab_stats + llm_pair_stats (IN since r12); this entry
-    # hash-checks the ENCODE — every (doc, term, piece) with its
-    # frequency-ranked integer id — via tools/verify_oracle.py.
-    driver_visible=False,
+    # NEW r12, rotated INTO the window later the same round (zero
+    # never-driver-checked debt into r13); llm_span_flags parks in
+    # exchange.  The training loop producing the merge list is the
+    # parked-but-locally-oracled llm_bpe_merges, its kernels
+    # driver-checked via llm_vocab_stats + llm_pair_stats (IN since
+    # r12); this entry hash-checks the ENCODE — every (doc, term,
+    # piece) with its frequency-ranked integer id.
     # bpe_merges collects the merge list per call (localCheckpoints)
     cache_plan=False,
 )
@@ -627,3 +634,151 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "shuffle_rank", "shard_id", "pos_in_shard"
     ).orderBy("shuffle_rank")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (operators/dsir.py) — Xie et al., NeurIPS
+# 2023: hashed unigram+bigram bag features, add-one NB log-likelihood
+# ratio between a TARGET corpus (here the 'src1' slice of documents)
+# and the RAW corpus (all documents), then Gumbel-top-k resampling.
+# Float canon: every ln rounds to DECIMAL(12,6) before the exact
+# decimal sums (the lmscore precedent); the Gumbel key is decimal
+# arithmetic over rounded-ln terms, so top-k ranks identically across
+# engines (doc_id tiebreak).
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024
+_DSIR_SALT = "r12dsir"
+_DSIR_GSALT = "r12g"
+_DSIR_K = 50
+
+
+def _dsir_scored_ctes() -> str:
+    """CTE chain ending in ``scored`` = (doc_id, n_features, dsir_logw)
+    — the oracle twin of dsir_scores(dsir_log_ratio_table(...)).
+    Feature rows keep MULTIPLICITY (a bag, not a set): unigrams via
+    unnest, bigrams via the positional-index join (the _LM_ORACLE
+    idiom); the bucket is the salted md5-prefix hash every sampling
+    entry uses."""
+    return f"""toks AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(concat_ws(chr(31), '{_DSIR_SALT}', feat)),
+                                1, 8))::BIGINT % {_DSIR_B} AS bucket
+      FROM (
+        SELECT doc_id, source, unnest(t) AS feat FROM toks
+        UNION ALL
+        SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS feat
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+      )
+    ),
+    tc AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS target_cnt
+      FROM feats WHERE source = 'src1' GROUP BY bucket
+    ),
+    rc AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_cnt
+      FROM feats GROUP BY bucket
+    ),
+    nt AS (SELECT CAST(COALESCE(SUM(target_cnt), 0) AS BIGINT) AS nt FROM tc),
+    nr AS (SELECT CAST(COALESCE(SUM(raw_cnt), 0) AS BIGINT) AS nr FROM rc),
+    ratio AS (
+      SELECT rc.bucket,
+             CAST(ln((CAST(COALESCE(tc.target_cnt, 0) AS DOUBLE) + 1.0)
+                     / (CAST(nt.nt AS DOUBLE) + {_DSIR_B}.0))
+                  AS DECIMAL(12,6))
+             - CAST(ln((CAST(rc.raw_cnt AS DOUBLE) + 1.0)
+                       / (CAST(nr.nr AS DOUBLE) + {_DSIR_B}.0))
+                    AS DECIMAL(12,6)) AS log_ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nt CROSS JOIN nr
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(CAST(SUM(r.log_ratio) AS DECIMAL(38,6)) AS DOUBLE)
+               AS dsir_logw
+      FROM feats f JOIN ratio r USING (bucket)
+      GROUP BY f.doc_id
+    )"""
+
+
+_DSIR_WEIGHTS_ORACLE = f"""
+    WITH {_dsir_scored_ctes()}
+    SELECT doc_id, n_features, dsir_logw FROM scored ORDER BY doc_id
+"""
+
+_DSIR_RESAMPLE_ORACLE = f"""
+    WITH {_dsir_scored_ctes()},
+    keyed AS (
+      SELECT doc_id, n_features, dsir_logw,
+             CAST(-ln(-ln((('0x' || substring(md5(concat_ws(chr(31), '{_DSIR_GSALT}',
+                                              CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                           + 0.5) / 4294967296.0))
+                  AS DECIMAL(12,6))
+             + CAST(dsir_logw AS DECIMAL(20,6)) AS gumbel_key
+      FROM scored
+    )
+    SELECT doc_id, n_features, dsir_logw,
+           CAST(gumbel_key AS DOUBLE) AS gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hedera_etl_spark.operators.dsir import (
+        dsir_log_ratio_table,
+        dsir_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    target = docs.filter(F.col("source") == "src1")
+    table = dsir_log_ratio_table(
+        target, docs, n_buckets=_DSIR_B, salt=_DSIR_SALT
+    )
+    return dsir_scores(docs, table, n_buckets=_DSIR_B, salt=_DSIR_SALT)
+
+
+@query(
+    "llm_dsir_weights",
+    _DSIR_WEIGHTS_ORACLE,
+    tags=("llm", "selection", "importance", "dsir"),
+    # NEW r12, rotated straight INTO the window (zero never-driver-
+    # checked debt); q02_groupby_having parks in exchange — the GROUP
+    # BY/HAVING family stays driver-checked via hed_dedupe_job (A1's
+    # other named entry, IN).
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py): fit the hashed
+    unigram+bigram add-one NB models on the 'src1' target slice vs the
+    whole corpus, score every document's feature bag with the
+    broadcast 1024-row log-ratio table — (doc_id, n_features,
+    dsir_logw).  The model table is corpus-size-INDEPENDENT (<= 1024
+    rows), so the scoring plan is one explode + one broadcast join +
+    one doc-keyed exchange at any scale."""
+    return _dsir_scored(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "llm_dsir_resample",
+    _DSIR_RESAMPLE_ORACLE,
+    tags=("llm", "selection", "importance", "dsir", "gumbel", "topk"),
+    # NEW r12, rotated straight INTO the window; llm_language_id parks
+    # in exchange (its per-row regexp/ratio family stays driver-checked
+    # via llm_text_stats + llm_chunking).
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling (operators/dsir.py): sample
+    50 documents without replacement with probability proportional to
+    exp(dsir_logw) by ranking on log-weight + hash-derived Gumbel
+    noise — one TakeOrderedAndProject, no weight-normalization pass,
+    reproducible across retries, partitionings and engines."""
+    from hedera_etl_spark.operators.dsir import gumbel_topk_resample
+
+    scored = _dsir_scored(spark, sf_dir)
+    return gumbel_topk_resample(scored, _DSIR_K, salt=_DSIR_GSALT).orderBy(
+        F.col("gumbel_key").desc(), "doc_id"
+    )

@@ -242,6 +242,13 @@ _COS_NEARDUP_ORACLE = f"""
     "sim_cosine_neardup",
     _COS_NEARDUP_ORACLE,
     tags=("sim", "dedup"),
+    # Parked r12 (driver-green r7-r11) in exchange for
+    # llm_containment_pairs rotating IN: the exact-cosine kernel
+    # (F.aggregate dot product) and the LSH bucket blocking stay
+    # driver-checked via sim_lsh_ann_topk + sim_ivf_topk (both IN);
+    # pair completeness vs brute force is pinned in
+    # tests/test_similarity.py and the entry keeps its local oracle.
+    driver_visible=False,
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.99) over a corpus with
