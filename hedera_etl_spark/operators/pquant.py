@@ -1,0 +1,295 @@
+"""Product quantization (PQ) for embedding-scale ANN — Jégou, Douze,
+Schmid, "Product quantization for nearest neighbor search", TPAMI 2011.
+
+Why this exists at 100 TB: raw float embeddings do not fit a serving
+budget (768 dims x 4 bytes = 3 KB/vector; 100 TB of documents is
+~10^11 vectors).  PQ splits each vector into ``m`` subvectors,
+quantizes each against its own ``k``-entry codebook, and stores only
+the m code ids (m bytes at k=256) — a 100-1000x compression — while
+distances remain computable DIRECTLY ON THE CODES via asymmetric
+distance computation (ADC): per query, per subspace, a k-entry lookup
+table of exact subdistances, then a distance is m table lookups + m
+adds instead of ``dims`` multiplies on floats that no longer exist.
+
+Spark shapes:
+
+- codebooks are ``m x k x (dims/m)`` doubles — a few KB, driver-side
+  literals embedded in the plan (the ivf_centroids pattern), never a
+  join;
+- ENCODING is a zero-shuffle per-row projection (m in-row argmins over
+  unrolled squared-distance arithmetic — whole-stage codegen);
+- TRAINING is per-subspace Lloyd's: each iteration is ONE corpus scan
+  ending in a sum/count aggregate of m*k*(dims/m) scalar rows (the
+  ivf_train_kmeans shape) — driver state is the codebook matrix only;
+- ADC top-k: the per-query lookup tables are computed ONCE on the
+  broadcast query side, the code table is scanned (never shuffled),
+  and ranking is a per-query window over candidates.
+
+Float canon: every squared distance is a zero-seeded sequential left
+fold (bit-identical to DuckDB ``list_reduce`` per functions.dot's
+contract), argmin is first-match over exact doubles, and the reported
+distance rounds once to DECIMAL(12,6) — so the PQ relation is
+hash-checkable cross-engine with codebooks embedded as literals on
+both sides.
+
+Reference parity: the reference has no vector surface at all — this
+extends the engine's beyond-reference similarity family
+(operators/similarity.py, vectorindex.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def pq_codebooks(
+    m: int, k: int, dims: int, tag: str = "pq", scale: float = 1.0
+) -> list[list[list[float]]]:
+    """Deterministic md5-derived codebooks in [-scale, scale]^(dims/m):
+    ``codebooks[s][c]`` is subspace ``s``'s code ``c``.  Production
+    training swaps these for ``pq_train_codebooks`` output; fixed
+    codebooks keep encode/ADC bit-reproducible for the oracle (the
+    ivf_centroids contract).  ``scale`` should roughly match the data's
+    per-dimension range — codes far outside the data shell collapse
+    the argmin onto a few cells."""
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must divide into m ({m}) subspaces")
+    sub = dims // m
+    return [
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(f"{tag}:{s}:{c}:{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    / 0xFFFFFFFF
+                    * 2.0
+                    - 1.0
+                )
+                * scale
+                for d in range(sub)
+            ]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def _sqdist_unrolled(vec_col, offset: int, code: list[float]):
+    """Zero-seeded left-fold squared L2 distance between
+    ``vec[offset+1 .. offset+len(code)]`` and the literal ``code`` —
+    unrolled flat arithmetic (whole-stage codegen), bit-identical to
+    the fold form per functions.dot's accumulation contract."""
+    acc = F.lit(0.0)
+    for d, v in enumerate(code):
+        x = F.element_at(vec_col, offset + d + 1).cast("double") - F.lit(float(v))
+        acc = acc + x * x
+    return acc
+
+
+def _code_cols(vec_col, codebooks):
+    """Per-subspace 1-based argmin code ids (first-match tiebreak)."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        dists = F.array(
+            *[_sqdist_unrolled(vec_col, s * sub, code) for code in book]
+        )
+        codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return codes
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes) — each vector compressed to m 1-based code ids.
+    Zero shuffle: m in-row argmins over unrolled arithmetic.  ``codes``
+    is ``array<int>``; at k <= 256 a sink may pack it to m bytes."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    vc = F.col(vec_col)
+    return ensure_parallelism(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*_code_cols(vc, codebooks)).alias("codes"),
+    )
+
+
+def pq_reconstruct(codes: list[int], codebooks) -> list[float]:
+    """Driver-side decode of one code word (tests / spot checks)."""
+    out: list[float] = []
+    for s, c in enumerate(codes):
+        out.extend(codebooks[s][c - 1])
+    return out
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means, all m subspaces per scan.
+
+    Each iteration: assign every vector's m subvectors to their argmin
+    codes IN-ROW (the encode kernel), posexplode the vector once to
+    (subspace, code, in-subspace dim, value) scalar rows, and aggregate
+    sum+count — a single shuffle of n*dims scalars with full map-side
+    combine ending in m*k*(dims/m) rows; the driver collect is the
+    codebook size regardless of corpus size (the ivf_train_kmeans
+    shape).  Initialization is Forgy from DATA: the k corpus vectors
+    with the smallest (md5(vec_id), vec_id) key seed every subspace's
+    codebook — deterministic, and, unlike a fixed grid (which can sit
+    outside the data shell and leave most cells permanently empty —
+    the classic Lloyd's stagnation), every initial code is somewhere
+    vectors actually live.  Runs are repeatable given a fixed
+    iteration count; exact float sums depend on partition order, which
+    is why TRAINED codebooks feed rows-only / pytest checks while the
+    fixed-grid path is the oracle twin (the ivf contract).  Empty
+    cells keep their previous code (standard Lloyd's fallback)."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must divide into m ({m}) subspaces")
+    sub = dims // m
+    corpus = ensure_parallelism(emb)
+    seeds = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("__v"))
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(
+            f"pq_train_codebooks: need >= k ({k}) vectors, got {len(seeds)}"
+        )
+    books = [
+        [
+            [float(x) for x in seeds[c]["__v"][s * sub : (s + 1) * sub]]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        codes = F.array(*_code_cols(F.col(vec_col), books))
+        assigned = corpus.select(
+            codes.alias("__codes"), F.posexplode(vec_col).alias("gd", "x")
+        ).select(
+            (F.col("gd") / sub).cast("int").alias("s"),
+            F.element_at(
+                F.col("__codes"), (F.col("gd") / sub).cast("int") + 1
+            ).alias("c"),
+            (F.col("gd") % sub).alias("d"),
+            "x",
+        )
+        stats = (
+            assigned.groupBy("s", "c", "d")
+            .agg(F.sum("x").alias("sum"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            key = (int(r["s"]), int(r["c"]) - 1)
+            sums.setdefault(key, [0.0] * sub)[int(r["d"])] = float(r["sum"])
+            counts[key] = int(r["n"])
+        books = [
+            [
+                [v / counts[(s, c)] for v in sums[(s, c)]]
+                if counts.get((s, c))
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes: (query_id, rank,
+    neighbor_id, adc_dist) — ``adc_dist`` is the squared-L2 distance
+    between the query and the neighbor's RECONSTRUCTION, rounded once
+    to DECIMAL(12,6) and cast back to DOUBLE.
+
+    The compressed-scan plan: queries (with their full vectors) are a
+    broadcast dimension carrying a per-query m x k lookup table of
+    exact subdistances computed ONCE on the build side; the corpus
+    contributes only its code table (``codes_df`` if the caller
+    pre-encoded — the persisted-index path — else encoded in the same
+    scan).  Each candidate distance is m array lookups + m adds; no
+    float vector is touched after encode.  Ranking is a per-query
+    window (asc distance, neighbor-id tiebreak), query count is small
+    by contract."""
+    if codebooks is None:
+        codebooks = pq_codebooks(m, n_codes, dims)
+    sub = dims // m
+    if codes_df is None:
+        codes_df = pq_encode(emb, codebooks, id_col, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist_unrolled(F.col("qvec"), s * sub, code)
+                    for code in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    qside = queries.select("query_id", lut.alias("__lut"))
+    acc = F.lit(0.0)
+    for s in range(len(codebooks)):
+        acc = acc + F.element_at(
+            F.element_at("__lut", s + 1), F.element_at("codes", s + 1)
+        )
+    scored = (
+        codes_df.join(
+            F.broadcast(qside),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            acc.cast("decimal(12,6)").alias("__d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("__d").cast("double").alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )

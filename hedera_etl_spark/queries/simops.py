@@ -499,3 +499,114 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return contrastive_mining(emb, QUERY_IDS, k_pos=_KPOS, k_neg=_KNEG, dims=DIMS)
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC top-k (product quantization, Jégou et al. TPAMI 2011): corpus
+# vectors compressed to m=8 code ids (k=16 codes/subspace over 64 dims),
+# distances computed on the CODES via per-query lookup tables.  Fixed
+# md5-derived codebooks (scale 0.35 ≈ the testdata shell) stand in for
+# k-means training so the oracle reproduces the identical cells — the
+# same contract as sim_ivf_topk; trained codebooks are pytest-pinned
+# (tests/test_pquant.py).  Float canon: every subdistance is a
+# zero-seeded sequential fold (list_reduce twin), the ADC sum folds the
+# m looked-up subdistances in subspace order, and the distance rounds
+# once to DECIMAL(12,6) before ranking (neighbor-id tiebreak).
+# ---------------------------------------------------------------------------
+from hedera_etl_spark.operators.pquant import pq_adc_topk, pq_codebooks
+
+_PQ_M, _PQ_K, _PQ_SCALE = 8, 16, 0.35
+_PQ_SUB = DIMS // _PQ_M
+_PQ_BOOKS = pq_codebooks(_PQ_M, _PQ_K, DIMS, scale=_PQ_SCALE)
+
+
+def _pq_sq_sql(vec: str, offset: int, code: list[float]) -> str:
+    lit = "([" + ", ".join(f"{float(v)}" for v in code) + "]::DOUBLE[])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"d -> ({vec}[{offset} + d]::DOUBLE - {lit}[d]) "
+        f"* ({vec}[{offset} + d]::DOUBLE - {lit}[d])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_dlists(vec: str) -> str:
+    """One column per subspace: the 16-entry subdistance list."""
+    cols = []
+    for s, book in enumerate(_PQ_BOOKS):
+        exprs = ",\n          ".join(
+            _pq_sq_sql(vec, s * _PQ_SUB, code) for code in book
+        )
+        cols.append(f"[{exprs}] AS d{s}")
+    return ",\n        ".join(cols)
+
+
+_PQ_CODE_LIST = "[" + ", ".join(
+    f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) AS INT)"
+    for s in range(_PQ_M)
+) + "]"
+
+_PQ_LUT_LIST = "[" + ", ".join(f"d{s}" for s in range(_PQ_M)) + "]"
+
+_PQ_ORACLE = f"""
+    WITH ed AS (
+      SELECT vec_id,
+        {_pq_dlists('embedding')}
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id, {_PQ_CODE_LIST} AS codes FROM ed
+    ),
+    qd AS (
+      SELECT vec_id AS query_id,
+        {_pq_dlists('embedding')}
+      FROM embeddings WHERE vec_id IN ({_IDS_SQL})
+    ),
+    qlut AS (
+      SELECT query_id, {_PQ_LUT_LIST} AS lut FROM qd
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(list_reduce(
+               list_transform(generate_series(1, {_PQ_M}),
+                              s -> q.lut[s][e.codes[s]]),
+               (acc, x) -> acc + x) AS DECIMAL(12,6)) AS dd
+      FROM qlut q, enc e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dd,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dd ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, CAST(dd AS DOUBLE) AS adc_dist
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    _PQ_ORACLE,
+    tags=("sim", "ann", "pq", "adc"),
+    # NEW r12, out-of-window (window full; next rotation candidate per
+    # the COVERAGE ledger): the ANN probe/rank kernels are
+    # driver-checked via sim_lsh_ann_topk + sim_ivf_topk (IN); this
+    # entry hash-checks the PQ relation itself — encode argmins + ADC
+    # lookup sums — via tools/verify_oracle.py each round, and the
+    # trained-codebook path is pytest-pinned.
+    driver_visible=False,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pquant.py): encode the
+    corpus to 8 code ids per vector (zero-shuffle in-row argmins),
+    broadcast the queries with their per-subspace lookup tables, and
+    rank candidates by the sum of m table lookups — the
+    compressed-domain scan that replaces 64-float arithmetic with 8
+    array reads at serving time, and raw vectors with ~8 bytes at rest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, QUERY_IDS, k_neighbors=K, m=_PQ_M, n_codes=_PQ_K, dims=DIMS,
+        codebooks=_PQ_BOOKS,
+    )

@@ -1,0 +1,177 @@
+"""Product quantization (operators/pquant.py): encode determinism and
+shape, ADC == exact distance-to-reconstruction, training reduces
+quantization error, trained-codebook recall on clustered data, the
+persisted-codes reuse path, and the broadcast-scan plan pin."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hedera_etl_spark.operators.pquant import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_reconstruct,
+    pq_train_codebooks,
+)
+from tests.planutil import plan_of
+
+DIMS = 16
+M = 4
+K = 8
+
+
+def _u(tag: str) -> float:
+    """Deterministic uniform in [-1, 1) from md5 (no random in tests)."""
+    return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF * 2 - 1
+
+
+def _clustered(n_clusters: int, per: int, spread: float = 0.02):
+    """Tightly clustered vectors: cluster centers in [-0.4, 0.4]^DIMS,
+    members jittered by ``spread`` — the regime PQ is built for."""
+    rows = []
+    for c in range(n_clusters):
+        center = [0.4 * _u(f"c:{c}:{d}") for d in range(DIMS)]
+        for i in range(per):
+            vid = c * per + i
+            vec = [
+                center[d] + spread * _u(f"n:{vid}:{d}") for d in range(DIMS)
+            ]
+            rows.append((vid, vec))
+    return rows
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _sq(a, b):
+    return sum((x - y) ** 2 for x, y in zip(a, b))
+
+
+def test_encode_shape_and_determinism(spark):
+    emb = _emb(spark, _clustered(5, 10))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    b = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert a == b
+    for codes in a.values():
+        assert len(codes) == M
+        assert all(1 <= c <= K for c in codes)
+
+
+def test_encode_matches_python_argmin(spark):
+    rows = _clustered(3, 4)
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(_emb(spark, rows), books).collect()
+    }
+    sub = DIMS // M
+    for vid, vec in rows:
+        want = []
+        for s in range(M):
+            dists = [
+                _sq(vec[s * sub : (s + 1) * sub], code) for code in books[s]
+            ]
+            want.append(dists.index(min(dists)) + 1)
+        assert got[vid] == want, vid
+
+
+def test_adc_equals_distance_to_reconstruction(spark):
+    rows = _clustered(4, 8)
+    emb = _emb(spark, rows)
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, books).collect()
+    }
+    vecs = dict(rows)
+    top = pq_adc_topk(
+        emb, [0, 9], k_neighbors=5, m=M, n_codes=K, dims=DIMS, codebooks=books
+    ).collect()
+    assert len(top) == 10
+    for r in top:
+        recon = pq_reconstruct(codes[r["neighbor_id"]], books)
+        want = round(_sq(vecs[r["query_id"]], recon), 6)
+        assert r["adc_dist"] == pytest.approx(want, abs=2e-6)
+
+
+def test_training_reduces_quantization_error(spark):
+    rows = _clustered(K, 12)  # K clusters: a trained book can nail them
+    emb = _emb(spark, rows)
+    grid = pq_codebooks(M, K, DIMS, scale=0.4)
+    trained = pq_train_codebooks(emb, m=M, k=K, dims=DIMS, iters=4)
+    vecs = dict(rows)
+
+    def mean_err(books):
+        codes = pq_encode(emb, books).collect()
+        return sum(
+            _sq(vecs[r["vec_id"]], pq_reconstruct(list(r["codes"]), books))
+            for r in codes
+        ) / len(codes)
+
+    assert mean_err(trained) < 0.5 * mean_err(grid)
+
+
+def test_trained_recall_vs_bruteforce(spark):
+    """PQ resolves neighbors at quantization-cell granularity: within a
+    cell all members tie (tie-broken by id), so the meaningful
+    guarantees are (a) every ADC top-5 neighbor is from the query's
+    true cluster, and (b) the exact top-5 all appear in an ADC
+    shortlist the size of the cluster — the standard
+    shortlist-then-rerank contract."""
+    per = 12
+    rows = _clustered(6, per, spread=0.01)
+    emb = _emb(spark, rows)
+    trained = pq_train_codebooks(emb, m=M, k=K, dims=DIMS, iters=4)
+    vecs = dict(rows)
+    queries = [0, 12, 24]
+    short = {}
+    for r in pq_adc_topk(
+        emb, queries, k_neighbors=per, m=M, n_codes=K, dims=DIMS,
+        codebooks=trained,
+    ).collect():
+        short.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in queries:
+        cluster = set(range(q, q + per))
+        # (a) precision: the top-5 shortlist entries are all in-cluster
+        assert set(short[q][:5]) <= cluster - {q}
+        # (b) shortlist recall: exact top-5 inside the size-12 shortlist
+        exact = sorted(
+            (vid for vid in vecs if vid != q),
+            key=lambda v: (_sq(vecs[q], vecs[v]), v),
+        )[:5]
+        assert set(exact) <= set(short[q])
+
+
+def test_precomputed_codes_path_matches_inline(spark):
+    emb = _emb(spark, _clustered(4, 8))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    inline = pq_adc_topk(
+        emb, [0, 5], 5, M, K, DIMS, codebooks=books
+    ).collect()
+    reuse = pq_adc_topk(
+        emb, [0, 5], 5, M, K, DIMS, codebooks=books,
+        codes_df=pq_encode(emb, books),
+    ).collect()
+    assert inline == reuse
+
+
+def test_adc_plan_broadcasts_queries_and_scans_codes(spark):
+    """The compressed-scan property: the query side (with its lookup
+    tables) broadcasts; the code table is scanned, not shuffled, before
+    scoring — the only exchange below the ranking window is none."""
+    emb = _emb(spark, _clustered(4, 8))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    plan = plan_of(pq_adc_topk(emb, [0, 5], 5, M, K, DIMS, codebooks=books))
+    assert "BroadcastNestedLoopJoin" in plan
+    below_join = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join
