@@ -216,13 +216,24 @@ def dsir_scores(
     default_log_ratio: float | None = None,
     broadcast_table: bool = True,
 ) -> DataFrame:
-    """(doc_id, n_features, dsir_logw) for every document.
+    """(doc_id, n_features, dsir_logw) for every document WITH TEXT.
+
+    Documents whose ``text_col`` is NULL produce no feature rows and
+    therefore NO SCORE ROW — downstream samplers see a NULL weight
+    after their join, which is exactly the case
+    ``weighted_hash_sample(null_weight=...)`` /
+    ``prepare_training_corpus(importance_null_weight=...)`` already
+    owns, so the policy for unscorable docs stays in ONE place.  (An
+    empty STRING still scores: it is one empty-token unigram.)
 
     ``dsir_logw`` is the summed log-likelihood ratio of the document's
     feature bag — the DSIR importance log-weight (up to the additive
     constant the Gumbel-max trick doesn't need).  One explode + one
     broadcast join + ONE doc-keyed exchange; the decimal sum is exact
     and order-free, so the value is partitioning-invariant.
+    ``ratio_table`` must hold each bucket at most once (the
+    ``dsir_log_ratio_table`` output contract); a duplicated bucket
+    would double-count every feature that hashes to it.
 
     ``n_buckets``/``salt``/``hash_fn`` must match the table's fit (they
     parameterize the same feature hash).  Buckets absent from the table
@@ -283,6 +294,13 @@ def gumbel_topk_resample(
     decimal compare, doc_id tiebreak.  The RANKING runs on the exact
     decimal; the output column is its (injective at 6 decimals) DOUBLE
     image, per the registry's no-decimal-outputs canon.
+
+    Rows with a NULL log-weight (e.g. a NULL-text doc that never got a
+    score, reattached by a caller's outer join) get a NULL key, sort
+    LAST under the descending order, and are therefore never sampled —
+    the conservative default for unscorable documents; resolve them
+    upstream (``default_log_ratio`` / ``importance_null_weight``) to
+    opt them in.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")

@@ -242,10 +242,23 @@ def pq_adc_topk(
     scan).  Each candidate distance is m array lookups + m adds; no
     float vector is touched after encode.  Ranking is a per-query
     window (asc distance, neighbor-id tiebreak), query count is small
-    by contract."""
+    by contract.
+
+    Geometry comes from ``codebooks`` when given (``m``/``n_codes``
+    are defaults for building a grid, never trusted over an explicit
+    codebook — a caller-trained book with a different subspace split
+    must not silently shift the lookup offsets); ``dims`` must equal
+    the book's m * (dims/m) coverage."""
+    if k_neighbors < 1:
+        raise ValueError(f"k_neighbors must be >= 1, got {k_neighbors!r}")
     if codebooks is None:
         codebooks = pq_codebooks(m, n_codes, dims)
-    sub = dims // m
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if m * sub != dims:
+        raise ValueError(
+            f"codebooks cover {m} x {sub} = {m * sub} dims, expected {dims}"
+        )
     if codes_df is None:
         codes_df = pq_encode(emb, codebooks, id_col, vec_col)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(

@@ -196,3 +196,25 @@ def test_scoring_plan_broadcasts_model(spark):
     post_join = plan.split("BroadcastHashJoin")[0]
     # above the join (downstream of it): the doc-keyed agg exchange only
     assert post_join.count("Exchange hashpartitioning") <= 1
+
+
+def test_null_text_docs_drop_from_scores_and_sort_last_in_gumbel(spark):
+    """Review pin (r12): NULL-text docs yield no score row (the policy
+    for unscorable docs lives in the downstream null_weight handling),
+    and a NULL log-weight reattached by an outer join sorts LAST in the
+    Gumbel ranking — never sampled by default."""
+    rows = TARGET_ROWS + NOISE_ROWS
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in rows] + [(99, None)],
+        "doc_id long, text string",
+    )
+    target = _docs(spark, TARGET_ROWS)
+    tbl = dsir_log_ratio_table(target, raw, n_buckets=B, salt=SALT)
+    sc = dsir_scores(raw, tbl, n_buckets=B, salt=SALT)
+    ids = {r["doc_id"] for r in sc.collect()}
+    assert 99 not in ids and ids == {i for i, _ in rows}
+    # outer-join the score back onto the full corpus: doc 99 has NULL
+    rejoined = raw.select("doc_id").join(sc, "doc_id", "left")
+    top = gumbel_topk_resample(rejoined, len(rows) + 1, salt="gnull").collect()
+    assert top[-1]["doc_id"] == 99 and top[-1]["gumbel_key"] is None
+    assert all(r["gumbel_key"] is not None for r in top[:-1])

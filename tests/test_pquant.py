@@ -175,3 +175,19 @@ def test_adc_plan_broadcasts_queries_and_scans_codes(spark):
     assert "BroadcastNestedLoopJoin" in plan
     below_join = plan.split("BroadcastNestedLoopJoin", 1)[1]
     assert "Exchange hashpartitioning" not in below_join
+
+
+def test_codebook_geometry_overrides_args(spark):
+    """Review pin (r12): an explicit codebook's own geometry governs the
+    lookup offsets — mismatched m/dims args must not silently shift
+    them, and an inconsistent dims raises loudly."""
+    emb = _emb(spark, _clustered(3, 4))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    # wrong m arg, right codebooks: identical result
+    a = pq_adc_topk(emb, [0], 3, m=1, n_codes=2, dims=DIMS, codebooks=books).collect()
+    b = pq_adc_topk(emb, [0], 3, m=M, n_codes=K, dims=DIMS, codebooks=books).collect()
+    assert a == b
+    with pytest.raises(ValueError, match="cover"):
+        pq_adc_topk(emb, [0], 3, dims=DIMS + 4, codebooks=books)
+    with pytest.raises(ValueError, match="k_neighbors"):
+        pq_adc_topk(emb, [0], 0, codebooks=books, dims=DIMS)
