@@ -306,3 +306,120 @@ def pq_adc_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. §V) — the two compressions
+    composed: the coarse quantizer prunes WHICH vectors are scored
+    (queries probe ``n_probe`` of ``n_centroids`` inverted lists), PQ
+    codes shrink WHAT a score reads (m table lookups per candidate).
+    At 10^11 vectors this is the difference between scanning 300 TB of
+    floats and ~n_probe/n_centroids of an ~800 GB code table.
+
+    One corpus pass computes bucket AND codes in the same zero-shuffle
+    projection; queries broadcast with their probe lists and ADC
+    lookup tables; candidates = probed lists only (a broadcast-join
+    filter, never all-pairs); ranking is a per-query window.  Output:
+    (query_id, rank, neighbor_id, adc_dist) — same contract as
+    ``pq_adc_topk``, recall traded along BOTH axes (n_probe for the
+    coarse stage, k/m for the code resolution).
+
+    Deterministic md5 centroids/codebooks by default (the oracle
+    contract); pass trained ones for production recall."""
+    from hedera_etl_spark.operators.similarity import (
+        _dots_array,
+        ivf_centroids,
+    )
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    if k_neighbors < 1:
+        raise ValueError(f"k_neighbors must be >= 1, got {k_neighbors!r}")
+    if centroids is None:
+        centroids = ivf_centroids(n_centroids, dims)
+    if codebooks is None:
+        codebooks = pq_codebooks(m, n_codes, dims)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if m * sub != dims:
+        raise ValueError(
+            f"codebooks cover {m} x {sub} = {m * sub} dims, expected {dims}"
+        )
+    vc = F.col(vec_col)
+    dots = _dots_array(vec_col, centroids)
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.array_position(dots, F.array_max(dots)).alias("bucket"),
+        F.array(*_code_cols(vc, codebooks)).alias("codes"),
+    )
+    qbase = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qdots = _dots_array("qvec", centroids)
+    probe_buckets = F.slice(
+        F.array_sort(
+            F.transform(
+                qdots, lambda d, i: F.struct((-d).alias("nd"), i.alias("i"))
+            )
+        ),
+        1,
+        n_probe,
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist_unrolled(F.col("qvec"), s * sub, code)
+                    for code in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    qside = qbase.select(
+        "query_id",
+        lut.alias("__lut"),
+        F.explode(
+            F.transform(probe_buckets, lambda st: (st["i"] + 1).cast("long"))
+        ).alias("bucket"),
+    )
+    acc = F.lit(0.0)
+    for s in range(m):
+        acc = acc + F.element_at(
+            F.element_at("__lut", s + 1), F.element_at("codes", s + 1)
+        )
+    scored = (
+        corpus.join(F.broadcast(qside), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            acc.cast("decimal(12,6)").alias("__d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("__d").cast("double").alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -610,3 +610,80 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, QUERY_IDS, k_neighbors=K, m=_PQ_M, n_codes=_PQ_K, dims=DIMS,
         codebooks=_PQ_BOOKS,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ top-k: both compressions composed — the coarse quantizer
+# prunes WHICH vectors are scored (2 of 16 inverted lists probed), PQ
+# codes shrink WHAT a score reads (8 lookups per candidate).  Oracle =
+# the sim_ivf_topk probe CTEs grafted onto the sim_pq_adc_topk
+# encode/LUT CTEs, both built from the SAME md5 literals.
+# ---------------------------------------------------------------------------
+_IVFPQ_ORACLE = f"""
+    WITH ed AS (
+      SELECT vec_id, {_DOTS_SQL} AS dots,
+        {_pq_dlists('embedding')}
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id,
+             CAST(list_position(dots, list_max(dots)) AS BIGINT) AS bucket,
+             {_PQ_CODE_LIST} AS codes
+      FROM ed
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, dots, {_PQ_LUT_LIST} AS lut
+      FROM ed WHERE vec_id IN ({_IDS_SQL})
+    ),
+    qprobe AS (
+      SELECT query_id, lut, idx AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, idx) AS pr
+      FROM (SELECT query_id, lut, unnest(dots) AS d,
+                   CAST(generate_subscripts(dots, 1) AS BIGINT) AS idx
+            FROM qd)
+    ),
+    probes AS (SELECT query_id, lut, bucket FROM qprobe WHERE pr <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             CAST(list_reduce(
+               list_transform(generate_series(1, {_PQ_M}),
+                              s -> p.lut[s][e.codes[s]]),
+               (acc, x) -> acc + x) AS DECIMAL(12,6)) AS dd
+      FROM probes p JOIN enc e USING (bucket)
+      WHERE e.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dd,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dd ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, CAST(dd AS DOUBLE) AS adc_dist
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "sim_ivfpq_topk",
+    _IVFPQ_ORACLE,
+    tags=("sim", "ann", "ivf", "pq", "adc"),
+    # NEW r12, out-of-window (window full; rotation ledger tracks it
+    # with sim_pq_adc_topk): the probe kernel is driver-checked via
+    # sim_ivf_topk (IN) and the ADC kernel locally via sim_pq_adc_topk;
+    # this entry hash-checks their COMPOSITION each round.
+    driver_visible=False,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (operators/pquant.ivfpq_topk): one
+    zero-shuffle corpus pass assigns each vector's inverted list AND
+    its 8 PQ codes; queries broadcast with probe lists + ADC lookup
+    tables; only probed lists are scored, each candidate costing 8
+    array reads — the composition that serves 10^11-vector corpora."""
+    from hedera_etl_spark.operators.pquant import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, QUERY_IDS, k_neighbors=K, n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE, dims=DIMS, codebooks=_PQ_BOOKS,
+    )

@@ -191,3 +191,42 @@ def test_codebook_geometry_overrides_args(spark):
         pq_adc_topk(emb, [0], 3, dims=DIMS + 4, codebooks=books)
     with pytest.raises(ValueError, match="k_neighbors"):
         pq_adc_topk(emb, [0], 0, codebooks=books, dims=DIMS)
+
+
+def test_ivfpq_full_probe_equals_full_adc_scan(spark):
+    """Probing every inverted list removes the coarse filter entirely:
+    IVF-PQ must then reproduce the full-scan ADC ranking bit-for-bit —
+    the composition adds pruning, never different arithmetic."""
+    from hedera_etl_spark.operators.pquant import ivfpq_topk
+
+    emb = _emb(spark, _clustered(5, 10))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    n_cent = 4
+    full = pq_adc_topk(
+        emb, [0, 7], 5, dims=DIMS, codebooks=books
+    ).collect()
+    probed_all = ivfpq_topk(
+        emb, [0, 7], 5, n_centroids=n_cent, n_probe=n_cent, dims=DIMS,
+        codebooks=books,
+    ).collect()
+    assert probed_all == full
+
+
+def test_ivfpq_probe_subset_and_determinism(spark):
+    from hedera_etl_spark.operators.pquant import ivfpq_topk
+
+    emb = _emb(spark, _clustered(5, 10))
+    books = pq_codebooks(M, K, DIMS, scale=0.4)
+    a = ivfpq_topk(emb, [0, 7], 5, n_centroids=8, n_probe=2, dims=DIMS,
+                   codebooks=books).collect()
+    b = ivfpq_topk(emb.repartition(7), [0, 7], 5, n_centroids=8, n_probe=2,
+                   dims=DIMS, codebooks=books).collect()
+    assert a == b
+    # probed candidates are a subset of the full scan's candidate pool:
+    # every reported distance also appears in the unprobed ranking at
+    # an equal-or-better rank
+    full = pq_adc_topk(emb, [0, 7], 60, dims=DIMS, codebooks=books).collect()
+    full_ranks = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in full}
+    for r in a:
+        assert full_ranks[(r["query_id"], r["neighbor_id"])] <= 60
+        assert r["rank"] <= full_ranks[(r["query_id"], r["neighbor_id"])]
