@@ -166,6 +166,14 @@ def dsir_log_ratio_table(
     corpus-size-independent-model property that makes the whole method
     a broadcast join rather than a shuffle.  Totals enter the plan as
     one-row cross joins (broadcast), not driver collects.
+
+    Small-target caveat: with a target corpus much smaller than the
+    raw vocabulary, add-one smoothing dominates — a token the target
+    never saw but the raw corpus barely saw scores ln(1/(Nt+B)) -
+    ln(2/(Nr+B)) > 0, i.e. rare junk looks target-likely.  Use a
+    target with token mass comparable to the vocabulary it should
+    dominate (the paper fits on corpus-sized targets), or shrink
+    ``n_buckets`` toward the target's feature count.
     """
     tgt = bucket_counts(
         target_docs, text_col, id_col, n_buckets, salt, hash_fn
@@ -323,3 +331,91 @@ def gumbel_topk_resample(
         .limit(k)
         .withColumn("gumbel_key", F.col("gumbel_key").cast("double"))
     )
+
+
+def dsir_keep_probs(
+    scores: DataFrame,
+    rate: float,
+    logw_col: str = "dsir_logw",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Map DSIR log-weights to per-row Bernoulli keep PROBABILITIES with
+    an exact expected keep fraction — the bridge into the pipeline's
+    ``weighted_hash_sample`` / ``prepare_training_corpus(
+    importance_col=...)`` acceptance step, which consumes a [0, 1]
+    keep-probability column rather than a rank.
+
+    Solves the water-filling problem: p_i = min(1, c * exp(logw_i))
+    with c chosen so that sum(p_i) = rate * N exactly.  Heavy
+    documents cap at 1 and their excess mass redistributes to the
+    rest; each redistribution round is ONE bounded aggregate (count +
+    log-sum-exp over the still-uncapped rows, computed stably as
+    max + ln sum exp(x - max)), and the capped set only grows, so the
+    loop terminates in at most the number of distinct capped levels —
+    the bpe_merges bounded-driver pattern.  All arithmetic stays in
+    log space until the final per-row ``exp``, so huge log-weights
+    never overflow.
+
+    Returns the input columns plus ``keep_prob``.  Deterministic given
+    the input; rows with a NULL log-weight get keep_prob NULL (the
+    downstream ``null_weight`` policy decides them).  ``rate >= 1``
+    returns all-1s; an empty frame returns empty.
+    """
+    import math
+
+    if not 0.0 <= rate:
+        raise ValueError(f"rate must be >= 0, got {rate!r}")
+    lw = F.col(logw_col)
+    n_total = scores.filter(lw.isNotNull()).count()
+    if n_total == 0 or rate >= 1.0:
+        return scores.withColumn(
+            "keep_prob",
+            F.when(lw.isNotNull(), F.lit(min(1.0, rate))).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+    target = rate * n_total
+    t = math.inf  # cap threshold: rows with logw >= t get p = 1
+    n_cap = 0
+    log_c = None
+    for _ in range(max_iters):
+        agg = (
+            scores.filter(lw.isNotNull() & (lw < F.lit(t)))
+            .agg(
+                F.count("*").alias("n"),
+                F.max(lw).alias("mx"),
+            )
+            .collect()[0]
+        )
+        n_un, mx = int(agg["n"]), agg["mx"]
+        mass = target - n_cap
+        if n_un == 0 or mass <= 0:
+            # every row capped (rate*N >= N can't happen here) or the
+            # cap set alone exhausts the budget: uncapped rows get 0
+            log_c = -math.inf
+            break
+        mx = float(mx)
+        lse = scores.filter(lw.isNotNull() & (lw < F.lit(t))).agg(
+            (
+                F.lit(mx)
+                + F.log(F.sum(F.exp(lw - F.lit(mx))))
+            ).alias("lse")
+        ).collect()[0]["lse"]
+        log_c = math.log(mass) - float(lse)
+        new_t = -log_c  # rows with logw >= -log_c would exceed p = 1
+        crossing = int(
+            scores.filter(
+                lw.isNotNull() & (lw < F.lit(t)) & (lw >= F.lit(new_t))
+            ).count()
+        )
+        if crossing == 0:
+            break
+        n_cap += crossing
+        t = new_t
+    p = F.when(lw.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(lw >= F.lit(t), F.lit(1.0)).otherwise(
+            F.least(F.lit(1.0), F.exp(lw + F.lit(log_c)))
+        )
+    )
+    return scores.withColumn("keep_prob", p)

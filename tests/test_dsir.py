@@ -218,3 +218,72 @@ def test_null_text_docs_drop_from_scores_and_sort_last_in_gumbel(spark):
     top = gumbel_topk_resample(rejoined, len(rows) + 1, salt="gnull").collect()
     assert top[-1]["doc_id"] == 99 and top[-1]["gumbel_key"] is None
     assert all(r["gumbel_key"] is not None for r in top[:-1])
+
+
+def test_keep_probs_hit_target_mass_exactly(spark):
+    """Water-filling: sum(keep_prob) == rate * N even when heavy rows
+    cap at 1 and their excess redistributes."""
+    from hedera_etl_spark.operators.dsir import dsir_keep_probs
+
+    rows = [(i, float(lw)) for i, lw in enumerate(
+        [-3, -2, -1, -0.5, 0.0, 0.5, 1.0, 2.0, 8.0, 15.0]
+    )]
+    sc = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    for rate in (0.2, 0.5, 0.8):
+        got = dsir_keep_probs(sc, rate).collect()
+        probs = {r["doc_id"]: r["keep_prob"] for r in got}
+        assert all(0.0 <= p <= 1.0 for p in probs.values())
+        assert sum(probs.values()) == pytest.approx(rate * len(rows), abs=1e-9)
+        # monotone in log-weight
+        ordered = [probs[i] for i, _ in rows]
+        assert ordered == sorted(ordered)
+    # at rate 0.5 the two huge rows must cap at exactly 1
+    half = {r["doc_id"]: r["keep_prob"] for r in dsir_keep_probs(sc, 0.5).collect()}
+    assert half[8] == 1.0 and half[9] == 1.0
+
+
+def test_keep_probs_edges_and_null_policy(spark):
+    from hedera_etl_spark.operators.dsir import dsir_keep_probs
+
+    sc = spark.createDataFrame(
+        [(0, -1.0), (1, 2.0), (2, None)], "doc_id long, dsir_logw double"
+    )
+    full = {r["doc_id"]: r["keep_prob"] for r in dsir_keep_probs(sc, 1.0).collect()}
+    assert full[0] == 1.0 and full[1] == 1.0 and full[2] is None
+    part = {r["doc_id"]: r["keep_prob"] for r in dsir_keep_probs(sc, 0.5).collect()}
+    assert part[2] is None
+    assert part[0] + part[1] == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="rate"):
+        dsir_keep_probs(sc, -0.1)
+
+
+def test_keep_probs_feed_weighted_sample_end_to_end(spark):
+    """The pipeline bridge: dsir weights -> keep probs -> the existing
+    weighted_hash_sample acceptance step keeps ~rate of the corpus,
+    leaning toward target-like documents."""
+    from hedera_etl_spark.operators.dsir import dsir_keep_probs
+    from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+    raw = _docs(
+        spark,
+        [(i, f"alpha beta w{i % 7}") for i in range(200)]
+        + [(1000 + i, f"qq{i} rr{i % 11} ss{i % 13}") for i in range(200)],
+    )
+    # the target corpus must carry comparable token MASS to the raw
+    # vocabulary it should dominate: under add-one smoothing a tiny
+    # target makes unseen-but-rare raw tokens look target-likely
+    # (1/(Nt+B) > (cnt+1)/(Nr+B)) — the documented small-target
+    # pathology, so fixtures mirror the paper's corpus-sized target
+    target = _docs(
+        spark, [(5000 + i, f"alpha beta gamma t{i % 5}") for i in range(200)]
+    )
+    tbl = dsir_log_ratio_table(target, raw, n_buckets=512, salt=SALT)
+    sc = dsir_scores(raw, tbl, n_buckets=512, salt=SALT)
+    probs = dsir_keep_probs(sc, 0.25)
+    kept = weighted_hash_sample(
+        probs, weight_col="keep_prob", key_cols=["doc_id"], salt="e2e"
+    )
+    n = kept.count()
+    assert 60 <= n <= 140  # ~100 expected of 400
+    frac_target_like = kept.filter(F.col("doc_id") < 1000).count() / n
+    assert frac_target_like > 0.8
