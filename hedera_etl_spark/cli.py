@@ -333,6 +333,26 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "(default 0 = drop unscored rows)",
     )
     p.add_argument(
+        "--dsir-target-input",
+        default=None,
+        help="parquet dir of a TARGET corpus: self-contained DSIR "
+        "selection — hashed n-gram NB log-ratio weights of every "
+        "survivor vs this corpus, water-filled to --dsir-rate expected "
+        "keep fraction (operators/dsir.py)",
+    )
+    p.add_argument(
+        "--dsir-rate",
+        type=float,
+        default=0.5,
+        help="expected keep fraction for --dsir-target-input selection",
+    )
+    p.add_argument(
+        "--dsir-n-buckets",
+        type=int,
+        default=8192,
+        help="hashed-feature bucket count for the DSIR model",
+    )
+    p.add_argument(
         "--token-budget",
         type=int,
         default=None,
@@ -617,6 +637,13 @@ def main(argv: list[str] | None = None) -> int:
             sample_rate=args.sample_rate,
             importance_col=args.importance_col,
             importance_null_weight=args.importance_null_weight,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target_input)
+                if args.dsir_target_input
+                else None
+            ),
+            dsir_rate=args.dsir_rate,
+            dsir_n_buckets=args.dsir_n_buckets,
             token_budget=args.token_budget,
             salt=args.salt,
             embeddings=(

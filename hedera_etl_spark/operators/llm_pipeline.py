@@ -93,6 +93,10 @@ def prepare_training_corpus(
     sample_rate: float = 1.0,
     importance_col: str | None = None,
     importance_null_weight: float = 0.0,
+    dsir_target: DataFrame | None = None,
+    dsir_rate: float = 0.5,
+    dsir_n_buckets: int = 8192,
+    dsir_hash_fn: str = "xxhash64",
     token_budget: int | None = None,
     salt: str = "",
     stage_observations: dict | None = None,
@@ -146,7 +150,14 @@ def prepare_training_corpus(
     of document counts), DSIR-style importance resample
     when ``importance_col`` names a per-row keep-probability column
     (``weighted_hash_sample``; NULL scores follow
-    ``importance_null_weight`` — drop by default), deterministic md5
+    ``importance_null_weight`` — drop by default), SELF-CONTAINED DSIR
+    selection when ``dsir_target`` is given (operators/dsir.py: hashed
+    n-gram NB log-ratio weights of every survivor against the target
+    corpus, water-filled into keep probabilities with ``dsir_rate``
+    expected keep fraction, accepted through the deterministic md5
+    sampler — the one-call "make it look like this corpus" knob;
+    ``importance_col`` remains the bring-your-own-scores variant),
+    deterministic md5
     Bernoulli sample at ``sample_rate`` (salt-decorrelated from other
     splits), and finally — when ``token_budget`` is set — the greedy
     compute-bound cut: keep the highest-``quality_score`` documents
@@ -713,6 +724,47 @@ def prepare_training_corpus(
         )
         out = _observed("importance_sample", out)
         out = _drops("importance_sample", "importance_sample", pre_imp, out)
+
+    if dsir_target is not None:
+        # Self-contained DSIR selection (operators/dsir.py): fit the
+        # raw model on the SURVIVORS themselves (importance sampling's
+        # q is the distribution actually being resampled), the target
+        # model on ``dsir_target``, water-fill the log-weights into
+        # keep probabilities at ``dsir_rate`` expected mass, and accept
+        # through the same deterministic md5 sampler as every other
+        # stage.  The survivor frame gains three consumers (fit, score,
+        # accept-join), so pin it first (checkpoint-vs-rescan: the
+        # whole dedup/floor chain sits above).
+        from hedera_etl_spark.operators.dsir import (
+            dsir_keep_probs,
+            dsir_log_ratio_table,
+            dsir_scores,
+        )
+        from hedera_etl_spark.operators.sampling import weighted_hash_sample
+
+        pre_dsir = out.localCheckpoint(eager=False)
+        tbl = dsir_log_ratio_table(
+            dsir_target, pre_dsir, text_col, id_col,
+            n_buckets=dsir_n_buckets, salt=f"{salt}#dsir",
+            hash_fn=dsir_hash_fn,
+        )
+        sc = dsir_scores(
+            pre_dsir, tbl, text_col, id_col,
+            n_buckets=dsir_n_buckets, salt=f"{salt}#dsir",
+            hash_fn=dsir_hash_fn,
+        )
+        probs = dsir_keep_probs(sc, dsir_rate, id_col="doc_id").select(
+            F.col("doc_id").alias(id_col), F.col("keep_prob")
+        )
+        out = weighted_hash_sample(
+            pre_dsir.join(probs, id_col, "left"),
+            [id_col],
+            "keep_prob",
+            salt=f"{salt}#dsir_accept",
+            null_weight=0.0,
+        ).drop("keep_prob")
+        out = _observed("dsir_sample", out)
+        out = _drops("dsir_sample", "dsir_importance", pre_dsir, out)
 
     if sample_rate < 1.0:
         pre_rate = out

@@ -394,3 +394,45 @@ def test_cli_bloom_decontam_mode(spark, corpus, tmp_path, capsys):
             for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
         }
     assert outs["bloom"] == outs["exact"] and outs["bloom"]
+
+
+def test_dsir_stage_shapes_output_toward_target(spark):
+    """One-call DSIR selection (r12): prepare(dsir_target=...) fits the
+    NB log-ratio model on the survivors vs the target corpus, keeps
+    ~dsir_rate of the mass, and the kept set leans toward target-like
+    documents; stage observations and the removal ledger see the stage."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7} x{i % 5} y{i % 3}") for i in range(150)]
+        + [(1000 + i, f"qq{i} rr{i % 11} ss{i % 13} tt{i % 7} uu{i % 5} vv{i % 3}")
+           for i in range(150)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(5000 + i, f"alpha beta gamma t{i % 5} u{i % 3}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    obs: dict = {}
+    out = prepare_training_corpus(
+        raw,
+        near_threshold=None,
+        min_tokens=2,
+        dsir_target=target,
+        dsir_rate=0.3,
+        dsir_n_buckets=1024,
+        salt="dsir-e2e",
+        stage_observations=obs,
+    )
+    rows = out.collect()
+    n = len(rows)
+    assert 50 <= n <= 130  # ~90 expected of 300
+    target_like = sum(1 for r in rows if r["doc_id"] < 1000)
+    assert target_like / n > 0.8
+    assert "dsir_sample" in obs
+    # deterministic: a re-run keeps the identical set
+    again = prepare_training_corpus(
+        raw, near_threshold=None, min_tokens=2, dsir_target=target,
+        dsir_rate=0.3, dsir_n_buckets=1024, salt="dsir-e2e",
+    )
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
