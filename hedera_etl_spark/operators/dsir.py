@@ -70,9 +70,12 @@ def hashed_feature_rows(
     n_buckets: int = 8192,
     salt: str = "dsir",
     hash_fn: str = "md5",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, bucket) — one row PER OCCURRENCE of each unigram and
-    bigram feature, hashed into ``n_buckets`` buckets.
+    """(doc_id, bucket[, *carry_cols]) — one row PER OCCURRENCE of each
+    unigram and bigram feature, hashed into ``n_buckets`` buckets.
+    ``carry_cols`` ride along unchanged (e.g. a target-membership flag
+    for the one-scan fit).
 
     Everything up to the explode is a per-row projection (tokenize once,
     build the bigram list off the SAME tokenization, hash inside the
@@ -92,6 +95,7 @@ def hashed_feature_rows(
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("__t"),
+        *[F.col(c) for c in carry_cols],
     )
     tc = F.col("__t")
     bigrams = F.when(
@@ -119,7 +123,11 @@ def hashed_feature_rows(
             )
     buckets = F.transform(F.concat(tc, bigrams), bucket_of)
     return (
-        toked.select("doc_id", F.explode_outer(buckets).alias("bucket"))
+        toked.select(
+            "doc_id",
+            F.explode_outer(buckets).alias("bucket"),
+            *[F.col(c) for c in carry_cols],
+        )
         .filter(F.col("bucket").isNotNull())
     )
 
@@ -419,3 +427,63 @@ def dsir_keep_probs(
         )
     )
     return scores.withColumn("keep_prob", p)
+
+
+def dsir_log_ratio_table_where(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """One-scan fit for the common case where the TARGET is a
+    predicate-identified slice of the raw corpus itself (a source
+    label, a quality tier, a language): both count tables fall out of
+    a single feature pass via conditional aggregation, instead of the
+    two corpus scans ``dsir_log_ratio_table(docs.filter(cond), docs)``
+    pays.  At 100 TB that is the difference between two full reads and
+    one.
+
+    Output is BIT-IDENTICAL to the two-frame form on the same data
+    (same counts -> same exact totals -> same rounded ``ln`` terms;
+    pinned in tests), so the same oracle covers both.  ``target_cond``
+    is a boolean Column over ``docs``' columns.
+    """
+    fr = hashed_feature_rows(
+        docs.withColumn("__is_t", target_cond),
+        text_col,
+        id_col,
+        n_buckets,
+        salt,
+        hash_fn,
+        carry_cols=("__is_t",),
+    )
+    counts = fr.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("target_cnt"),
+        F.count("*").cast("long").alias("raw_cnt"),
+    )
+    n_t = counts.agg(
+        F.coalesce(F.sum("target_cnt"), F.lit(0)).cast("long").alias("__nt")
+    )
+    n_r = counts.agg(
+        F.coalesce(F.sum("raw_cnt"), F.lit(0)).cast("long").alias("__nr")
+    )
+    joined = counts.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(n_r))
+    lt = F.log(
+        (F.col("target_cnt") + F.lit(1.0))
+        / (F.col("__nt").cast("double") + F.lit(float(n_buckets)))
+    ).cast("decimal(12,6)")
+    lr = F.log(
+        (F.col("raw_cnt") + F.lit(1.0))
+        / (F.col("__nr").cast("double") + F.lit(float(n_buckets)))
+    ).cast("decimal(12,6)")
+    return joined.select(
+        "bucket",
+        "target_cnt",
+        "raw_cnt",
+        (lt - lr).cast("decimal(13,6)").alias("log_ratio"),
+    )

@@ -727,17 +727,22 @@ _DSIR_RESAMPLE_ORACLE = f"""
 
 
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ONE-SCAN fit (dsir_log_ratio_table_where): the target is a
+    # predicate slice of the corpus, so both count tables fall out of a
+    # single feature pass via conditional aggregation — pinned
+    # bit-equal to the two-frame dsir_log_ratio_table form in
+    # tests/test_dsir.py, so the same oracle covers both and the
+    # driver hash-checks the production scan-count.
     from hedera_etl_spark.operators.dsir import (
-        dsir_log_ratio_table,
+        dsir_log_ratio_table_where,
         dsir_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    target = docs.filter(F.col("source") == "src1")
-    table = dsir_log_ratio_table(
-        target, docs, n_buckets=_DSIR_B, salt=_DSIR_SALT
+    table = dsir_log_ratio_table_where(
+        docs, F.col("source") == "src1", n_buckets=_DSIR_B, salt=_DSIR_SALT
     )
     return dsir_scores(docs, table, n_buckets=_DSIR_B, salt=_DSIR_SALT)
 

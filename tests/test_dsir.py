@@ -287,3 +287,34 @@ def test_keep_probs_feed_weighted_sample_end_to_end(spark):
     assert 60 <= n <= 140  # ~100 expected of 400
     frac_target_like = kept.filter(F.col("doc_id") < 1000).count() / n
     assert frac_target_like > 0.8
+
+
+def test_one_scan_where_fit_bit_equals_two_frame_fit(spark):
+    """dsir_log_ratio_table_where(docs, cond) must reproduce
+    dsir_log_ratio_table(docs.filter(cond), docs) EXACTLY — same
+    counts, same totals, same rounded-ln decimals — while reading the
+    corpus once instead of twice."""
+    from hedera_etl_spark.operators.dsir import dsir_log_ratio_table_where
+
+    rows = [
+        (i, ("alpha beta w%d" % (i % 5)) if i % 3 else ("zz%d yy%d" % (i, i % 7)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    two = dsir_log_ratio_table(
+        docs.filter(F.col("doc_id") % 3 != 0), docs, n_buckets=B, salt=SALT
+    )
+    one = dsir_log_ratio_table_where(
+        docs, F.col("doc_id") % 3 != 0, n_buckets=B, salt=SALT
+    )
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b
+    # xxhash64 production mode agrees with itself across the two forms
+    c = sorted(map(tuple, dsir_log_ratio_table(
+        docs.filter(F.col("doc_id") % 3 != 0), docs,
+        n_buckets=B, salt=SALT, hash_fn="xxhash64").collect()))
+    d = sorted(map(tuple, dsir_log_ratio_table_where(
+        docs, F.col("doc_id") % 3 != 0,
+        n_buckets=B, salt=SALT, hash_fn="xxhash64").collect()))
+    assert c == d
