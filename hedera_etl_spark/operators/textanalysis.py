@@ -612,3 +612,143 @@ def fingerprint_overlap(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scalable: bool = False,
+) -> DataFrame:
+    """(doc_id, n_tokens, token_entropy) — Shannon entropy of the
+    document's token distribution in nats, the classic gibberish /
+    keyword-stuffing signal: near 0 for one repeated token, ln(n) for
+    all-distinct; low entropy at high n_tokens flags degenerate text
+    the length/stopword features miss.
+
+    Computed as H = ln(n) - (sum_t c_t ln c_t) / n, which keeps every
+    transcendental on an exact INTEGER argument: each ln(c) rounds to
+    DECIMAL(12,6) (the repo's float canon), the weighted sum is exact
+    decimal and order-free, and the final value is the raw double of
+    one division + one subtraction over those exact inputs — identical
+    IEEE ops in any engine, with NO re-rounding of a double (the step
+    engines disagree on).
+
+    Two plans, identical values (pinned):
+    - default: ZERO-SHUFFLE per-row form — counts from
+      transform(array_distinct(t), d -> size(filter(t, = d))), O(u*n)
+      per row, the right plan for web documents (u*n ~ 10^5);
+    - ``scalable=True``: explode + (doc, token) aggregate + doc
+      aggregate — two map-side-combined exchanges, linear in tokens,
+      the form for pathological single-token-repeated-10^7-times rows
+      (same guidance as repetition_scores vs _scalable).
+    """
+    from hedera_etl_spark.functions import tokens as _tok
+
+    t = _tok(text_col)
+    if scalable:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(t).alias("__tok")
+        )
+        per_tok = base.groupBy("doc_id", "__tok").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        agg = per_tok.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("c") * F.log(F.col("c")).cast("decimal(12,6)")
+            ).cast("decimal(38,6)").alias("__wsum"),
+        )
+    else:
+        tc = F.col("__t")
+        counts = F.transform(
+            F.array_distinct(tc),
+            lambda d: F.size(F.filter(tc, lambda x: x == d)).cast("long"),
+        )
+        agg = docs.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("__t"),
+        ).select(
+            "doc_id",
+            F.size(tc).cast("long").alias("n_tokens"),
+            F.aggregate(
+                counts,
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, c: acc
+                + (c * F.log(c).cast("decimal(12,6)")).cast("decimal(38,6)"),
+            ).alias("__wsum"),
+        )
+    # the final value stays a RAW double: every input is an exact
+    # decimal (same double image in any engine) and the division +
+    # subtraction are single IEEE ops — re-rounding a DOUBLE through
+    # DECIMAL is the one step engines disagree on near 6-decimal
+    # midpoints (exact-binary-expansion vs multiply-then-round), so the
+    # canon rounds decimals only, never doubles (r12 lesson)
+    h = (
+        F.log(F.col("n_tokens")).cast("decimal(12,6)").cast("double")
+        - F.col("__wsum").cast("double") / F.col("n_tokens")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        h.alias("token_entropy"),
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(doc_id, n_bytes, compressed_bytes, compression_ratio) — zlib
+    deflate ratio of the UTF-8 text, the redundancy signal quality
+    pipelines cut on from both ends: near 0 = degenerate repetition
+    (boilerplate, keyword stuffing), near/above 1 = high-entropy noise
+    (binary spill, encrypted spam); prose sits in a stable mid band.
+
+    Python-side by necessity (no JVM deflate expression) — but
+    Arrow-batched ``mapInPandas`` over (id, text) only, a zero-shuffle
+    map stage whose cost is the deflate itself; NULL text yields NULL
+    metrics.  Not SQL-expressible, so pytest-pinned rather than
+    oracle-checked (the multimodal precedent)."""
+    from typing import Iterator
+
+    schema = (
+        "doc_id long, n_bytes long, compressed_bytes long, "
+        "compression_ratio double"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw_len = []
+            comp_len = []
+            for txt in pdf["__text"]:
+                if txt is None:
+                    raw_len.append(None)
+                    comp_len.append(None)
+                else:
+                    b = txt.encode("utf-8")
+                    raw_len.append(len(b))
+                    comp_len.append(len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(raw_len, dtype="Int64"),
+                    "compressed_bytes": pd.array(comp_len, dtype="Int64"),
+                }
+            )
+            ratio = out["compressed_bytes"] / out["n_bytes"]
+            # empty text: 0 raw bytes but a nonempty deflate header —
+            # an undefined ratio, not an infinite one
+            ratio[out["n_bytes"] == 0] = None
+            out["compression_ratio"] = ratio.astype("Float64").round(6)
+            yield out
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, schema=schema)

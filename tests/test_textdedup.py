@@ -382,3 +382,70 @@ def test_containment_catches_what_jaccard_misses(spark):
         ) >= 0.9:
             brute.append((a, b))
     assert [(a, b) for a, b, _ in got] == brute
+
+
+class TestEntropyAndCompression:
+    """r12 quality signals: token entropy (both plan forms) and zlib
+    compression ratio."""
+
+    def test_token_entropy_matches_python_and_forms_agree(self, spark):
+        import math
+
+        from hedera_etl_spark.operators.textanalysis import token_entropy
+
+        rows = [
+            (0, "a a a a"),                  # degenerate: H = 0
+            (1, "a b c d"),                  # uniform: H = ln(4)
+            (2, "a a b b b c"),              # mixed
+            (3, "x"),                        # single token
+            (4, "w1 w2 w1 w3 w2 w1 w1"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fast = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+        scal = {r["doc_id"]: r for r in token_entropy(docs, scalable=True).collect()}
+        for i, text in rows:
+            toks = text.split(" ")
+            n = len(toks)
+            counts = [toks.count(t) for t in dict.fromkeys(toks)]
+            want = (
+                round(math.log(n), 6)
+                - sum(c * round(math.log(c), 6) for c in counts) / n
+            )
+            assert fast[i]["n_tokens"] == n
+            assert fast[i]["token_entropy"] == pytest.approx(want, abs=1e-9), i
+            # the two plan forms are value-identical
+            assert tuple(fast[i]) == tuple(scal[i]), i
+        assert fast[0]["token_entropy"] == 0.0
+        assert fast[1]["token_entropy"] == pytest.approx(math.log(4), abs=1e-6)
+        # low entropy at high n flags the degenerate doc below the varied one
+        assert fast[0]["token_entropy"] < fast[4]["token_entropy"]
+
+    def test_compression_ratio_separates_repetition_from_noise(self, spark):
+        from hedera_etl_spark.operators.textanalysis import compression_ratio
+
+        import hashlib as _h
+
+        noise = " ".join(
+            _h.md5(f"n{i}".encode()).hexdigest() for i in range(40)
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "spam " * 400),          # boilerplate: tiny ratio
+                (1, noise),                  # high-entropy: large ratio
+                (2, None),                   # NULL text -> NULL metrics
+                (3, ""),                     # empty -> undefined ratio
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+        assert got[0]["compression_ratio"] < 0.05
+        assert got[1]["compression_ratio"] > 0.5
+        assert got[0]["n_bytes"] == 2000
+        assert got[2]["n_bytes"] is None and got[2]["compression_ratio"] is None
+        assert got[3]["n_bytes"] == 0 and got[3]["compression_ratio"] is None
+        # deterministic across partitionings
+        again = {
+            r["doc_id"]: tuple(r)
+            for r in compression_ratio(docs.repartition(5)).collect()
+        }
+        assert again == {k: tuple(v) for k, v in got.items()}
