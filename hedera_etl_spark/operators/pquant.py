@@ -80,26 +80,47 @@ def pq_codebooks(
     ]
 
 
-def _sqdist_unrolled(vec_col, offset: int, code: list[float]):
+def _sqdist_fold(vec_col, offset: int, code_lit, sub: int):
     """Zero-seeded left-fold squared L2 distance between
-    ``vec[offset+1 .. offset+len(code)]`` and the literal ``code`` —
-    unrolled flat arithmetic (whole-stage codegen), bit-identical to
-    the fold form per functions.dot's accumulation contract."""
-    acc = F.lit(0.0)
-    for d, v in enumerate(code):
-        x = F.element_at(vec_col, offset + d + 1).cast("double") - F.lit(float(v))
-        acc = acc + x * x
-    return acc
+    ``vec[offset+1 .. offset+sub]`` and ``code_lit`` (an array<double>
+    Column, usually one element of a nested array LITERAL).  Fold form,
+    not unrolled: a full codebook unrolls to ~dims*k expression nodes,
+    and plan/codegen/task-binary cost then dwarfs the arithmetic at
+    bench row counts — the exact lesson similarity._dots_array records
+    ("a 16-centroid unrolled array measured 21 s of plan time").  The
+    zero-seeded left fold over the zipped products is bit-identical to
+    the unrolled chain per functions.dot's accumulation contract, and
+    to DuckDB's list_reduce twin."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec_col, offset + 1, sub),
+            code_lit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lut_dists(vec_col, s: int, book, sub: int):
+    """The k-entry subdistance list for subspace ``s`` — one nested
+    literal + a transform (1-arg lambda: a 2-param lambda would be
+    treated as (element, index) and the index would clobber the
+    subspace binding)."""
+    book_lit = F.lit([[float(v) for v in code] for code in book])
+    return F.transform(
+        book_lit, lambda code: _sqdist_fold(vec_col, s * sub, code, sub)
+    )
 
 
 def _code_cols(vec_col, codebooks):
-    """Per-subspace 1-based argmin code ids (first-match tiebreak)."""
+    """Per-subspace 1-based argmin code ids (first-match tiebreak).
+    Each subspace's codebook enters the plan as ONE nested-array
+    literal; distances come from a transform over it (fold form)."""
     sub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
-        dists = F.array(
-            *[_sqdist_unrolled(vec_col, s * sub, code) for code in book]
-        )
+        dists = _lut_dists(vec_col, s, book, sub)
         codes.append(
             F.array_position(dists, F.array_min(dists)).cast("int")
         )
@@ -265,15 +286,7 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist_unrolled(F.col("qvec"), s * sub, code)
-                    for code in book
-                ]
-            )
-            for s, book in enumerate(codebooks)
-        ]
+        *[_lut_dists(F.col("qvec"), s, book, sub) for s, book in enumerate(codebooks)]
     )
     qside = queries.select("query_id", lut.alias("__lut"))
     acc = F.lit(0.0)
@@ -378,15 +391,7 @@ def ivfpq_topk(
         n_probe,
     )
     lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist_unrolled(F.col("qvec"), s * sub, code)
-                    for code in book
-                ]
-            )
-            for s, book in enumerate(codebooks)
-        ]
+        *[_lut_dists(F.col("qvec"), s, book, sub) for s, book in enumerate(codebooks)]
     )
     qside = qbase.select(
         "query_id",

@@ -751,6 +751,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dsir_weights",
     _DSIR_WEIGHTS_ORACLE,
     tags=("llm", "selection", "importance", "dsir"),
+    bench=True,
     # NEW r12, rotated straight INTO the window (zero never-driver-
     # checked debt); q02_groupby_having parks in exchange — the GROUP
     # BY/HAVING family stays driver-checked via hed_dedupe_job (A1's

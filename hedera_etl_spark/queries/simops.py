@@ -590,6 +590,7 @@ _PQ_ORACLE = f"""
     "sim_pq_adc_topk",
     _PQ_ORACLE,
     tags=("sim", "ann", "pq", "adc"),
+    bench=True,
     # NEW r12, out-of-window (window full; next rotation candidate per
     # the COVERAGE ledger): the ANN probe/rank kernels are
     # driver-checked via sim_lsh_ann_topk + sim_ivf_topk (IN); this
