@@ -161,6 +161,7 @@ def pq_train_codebooks(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_n: int = 2048,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means, all m subspaces per scan.
 
@@ -170,72 +171,93 @@ def pq_train_codebooks(
     sum+count — a single shuffle of n*dims scalars with full map-side
     combine ending in m*k*(dims/m) rows; the driver collect is the
     codebook size regardless of corpus size (the ivf_train_kmeans
-    shape).  Initialization is Forgy from DATA: the k corpus vectors
-    with the smallest (md5(vec_id), vec_id) key seed every subspace's
-    codebook — deterministic, and, unlike a fixed grid (which can sit
-    outside the data shell and leave most cells permanently empty —
-    the classic Lloyd's stagnation), every initial code is somewhere
-    vectors actually live.  Runs are repeatable given a fixed
-    iteration count; exact float sums depend on partition order, which
-    is why TRAINED codebooks feed rows-only / pytest checks while the
-    fixed-grid path is the oracle twin (the ivf contract).  Empty
-    cells keep their previous code (standard Lloyd's fallback)."""
+    shape).  Initialization is deterministic FARTHEST-FIRST (the
+    max-min k-means++ variant) per subspace over a bounded md5-ordered
+    sample: plain Forgy seeding collides — with k true clusters the
+    chance k random rows hit k distinct clusters is k!/k^k (~0.2% at
+    k=8), so merged cells dominate the quantization error regardless
+    of Lloyd iterations (measured: ~20x the achievable error on
+    cluster-structured data).  The sample collect is ``sample_n`` x
+    dims doubles and the greedy runs driver-side — codebooks training
+    on a bounded sample is the standard PQ practice (Jégou §V.A).
+    Runs are repeatable given a fixed iteration count; exact float
+    sums depend on partition order, which is why TRAINED codebooks
+    feed rows-only / pytest checks while the fixed-grid path is the
+    oracle twin (the ivf contract).  Empty cells keep their previous
+    code (standard Lloyd's fallback)."""
     from hedera_etl_spark.tables import ensure_parallelism
 
     if dims % m != 0:
         raise ValueError(f"dims ({dims}) must divide into m ({m}) subspaces")
     sub = dims // m
     corpus = ensure_parallelism(emb)
-    seeds = (
+    sample = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(k)
+        .limit(max(int(sample_n), k))
         .select(F.col(vec_col).alias("__v"))
         .collect()
     )
-    if len(seeds) < k:
+    if len(sample) < k:
         raise ValueError(
-            f"pq_train_codebooks: need >= k ({k}) vectors, got {len(seeds)}"
+            f"pq_train_codebooks: need >= k ({k}) vectors, got {len(sample)}"
         )
-    books = [
+    sm = [[float(x) for x in r["__v"]] for r in sample]
+    books = []
+    for s in range(m):
+        pts = [v[s * sub : (s + 1) * sub] for v in sm]
+        chosen = [0]  # md5-min row starts the traversal
+        dmin = [
+            sum((a - b) ** 2 for a, b in zip(p, pts[0])) for p in pts
+        ]
+        while len(chosen) < k:
+            nxt = max(range(len(pts)), key=lambda i: (dmin[i], -i))
+            chosen.append(nxt)
+            for i, p in enumerate(pts):
+                d2 = sum((a - b) ** 2 for a, b in zip(p, pts[nxt]))
+                if d2 < dmin[i]:
+                    dmin[i] = d2
+        books.append([list(pts[c]) for c in chosen])
+    for _ in range(iters):
+        books = _lloyd_step(corpus, books, sub, vec_col)
+    return books
+
+
+def _lloyd_step(corpus: DataFrame, books, sub: int, vec_col: str):
+    """One Lloyd iteration over every subspace: in-row assignment, one
+    scalar-row aggregate to m*k*sub cells, driver-side mean update
+    (empty cells keep their previous code)."""
+    m, k = len(books), len(books[0])
+    codes = F.array(*_code_cols(F.col(vec_col), books))
+    assigned = corpus.select(
+        codes.alias("__codes"), F.posexplode(vec_col).alias("gd", "x")
+    ).select(
+        (F.col("gd") / sub).cast("int").alias("s"),
+        F.element_at(
+            F.col("__codes"), (F.col("gd") / sub).cast("int") + 1
+        ).alias("c"),
+        (F.col("gd") % sub).alias("d"),
+        "x",
+    )
+    stats = (
+        assigned.groupBy("s", "c", "d")
+        .agg(F.sum("x").alias("sum"), F.count("*").alias("n"))
+        .collect()
+    )
+    sums: dict[tuple[int, int], list[float]] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for r in stats:
+        key = (int(r["s"]), int(r["c"]) - 1)
+        sums.setdefault(key, [0.0] * sub)[int(r["d"])] = float(r["sum"])
+        counts[key] = int(r["n"])
+    return [
         [
-            [float(x) for x in seeds[c]["__v"][s * sub : (s + 1) * sub]]
+            [v / counts[(s, c)] for v in sums[(s, c)]]
+            if counts.get((s, c))
+            else books[s][c]
             for c in range(k)
         ]
         for s in range(m)
     ]
-    for _ in range(iters):
-        codes = F.array(*_code_cols(F.col(vec_col), books))
-        assigned = corpus.select(
-            codes.alias("__codes"), F.posexplode(vec_col).alias("gd", "x")
-        ).select(
-            (F.col("gd") / sub).cast("int").alias("s"),
-            F.element_at(
-                F.col("__codes"), (F.col("gd") / sub).cast("int") + 1
-            ).alias("c"),
-            (F.col("gd") % sub).alias("d"),
-            "x",
-        )
-        stats = (
-            assigned.groupBy("s", "c", "d")
-            .agg(F.sum("x").alias("sum"), F.count("*").alias("n"))
-            .collect()
-        )
-        sums: dict[tuple[int, int], list[float]] = {}
-        counts: dict[tuple[int, int], int] = {}
-        for r in stats:
-            key = (int(r["s"]), int(r["c"]) - 1)
-            sums.setdefault(key, [0.0] * sub)[int(r["d"])] = float(r["sum"])
-            counts[key] = int(r["n"])
-        books = [
-            [
-                [v / counts[(s, c)] for v in sums[(s, c)]]
-                if counts.get((s, c))
-                else books[s][c]
-                for c in range(k)
-            ]
-            for s in range(m)
-        ]
-    return books
 
 
 def pq_adc_topk(
@@ -427,4 +449,200 @@ def ivfpq_topk(
             F.col("__d").cast("double").alias("adc_dist"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def rotate_vectors(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """x' = x·R as a zero-shuffle per-row projection: the d x d matrix
+    enters the plan as ONE nested-array literal (column-major), each
+    output coordinate is a zero-seeded fold dot — the same
+    literal+fold shape as the PQ kernels.  ``out_col=None`` replaces
+    ``vec_col`` in place; otherwise the rotated vector is added and
+    the original kept (the OPQ training loop needs both)."""
+    d = len(rotation)
+    cols_lit = F.lit(
+        [[float(rotation[i][j]) for i in range(d)] for j in range(d)]
+    )
+    vc = F.col(vec_col)
+    rotated = F.transform(
+        cols_lit,
+        lambda col: F.aggregate(
+            F.zip_with(vc, col, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    if out_col is None:
+        return emb.withColumn(vec_col, rotated)
+    return emb.withColumn(out_col, rotated)
+
+
+def opq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "eig",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized product quantization (Ge, He, Ke, Sun, CVPR 2013,
+    non-parametric solution): learn an ORTHOGONAL rotation R alongside
+    the codebooks so the subspace split aligns with the data's
+    correlation structure — plain PQ quantizes each subspace
+    independently and pays dearly when variance straddles subspace
+    boundaries; OPQ rotates it back into the blocks.
+
+    Alternation, each outer iteration = two bounded-aggregate scans:
+    (1) one Lloyd step on the rotated corpus (the pq_train kernel);
+    (2) the Procrustes update R <- U V' from the SVD of C = X'·Y
+        (original-by-reconstruction cross matrix).  C never
+        materializes row-wise: reconstructions take only m*k distinct
+        values per subspace, so C = sum_s A_s'·B_s where A_s[c] is the
+        d-vector sum of ORIGINAL x over rows whose subspace-s code is
+        c — an m*k*d-cell aggregate (the _lloyd_step shape, x m), and
+        the d x d assembly + SVD are driver-side numpy on
+        codebook-sized state.
+
+    ``init="eig"`` is the PARAMETRIC solution (Ge et al. §4.2):
+    columns of R are PCA eigenvectors with eigenvalue ALLOCATION —
+    greedy balancing of log-variance products across the m subspaces —
+    the paper's recommended start for real (anisotropic, roughly
+    Gaussian) embedding distributions; it costs one covariance
+    aggregate (embedpca.covariance_sums) + a driver-side eigh.
+    ``init="identity"`` skips that; on cluster-MIXTURE data whose
+    covariance is near-isotropic the eigenbasis carries no signal and
+    identity measured slightly better, so neither dominates — both are
+    deterministic, pick per corpus.  Either way the NP alternation
+    improves monotonically but solves a hard non-convex problem: on
+    an adversarially rotated cluster mixture it recovers a 2x+
+    distortion cut over plain PQ rather than the full oracle rotation
+    (consistent with the paper's hard cases).
+
+    Returns ``(rotation, codebooks)`` for ``opq_encode`` /
+    ``opq_adc_topk``.  Trained path: rows-only / pytest-pinned (float
+    sums are partition-order dependent — the pq_train contract)."""
+    import math
+
+    import numpy as np
+
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must divide into m ({m}) subspaces")
+    sub = dims // m
+    corpus = ensure_parallelism(emb).localCheckpoint(eager=False)
+    if init == "eig":
+        from hedera_etl_spark.operators.embedpca import pca_components
+
+        comps, variances = pca_components(corpus, dims, dims, vec_col)
+        order = sorted(range(dims), key=lambda i: -variances[i])
+        buckets: list[list[int]] = [[] for _ in range(m)]
+        logprod = [0.0] * m
+        for idx in order:
+            open_b = [b for b in range(m) if len(buckets[b]) < sub]
+            b = min(open_b, key=lambda bb: logprod[bb])
+            buckets[b].append(idx)
+            logprod[b] += math.log(max(variances[idx], 1e-12))
+        cols = [comps[idx] for bs in buckets for idx in bs]
+        # x' = x R with R's columns the allocated eigenvectors
+        rot = np.array(cols).T
+    elif init == "identity":
+        rot = np.eye(dims)
+    else:
+        raise ValueError(f"unknown init: {init!r}")
+    books = None
+    for _ in range(iters):
+        frame = rotate_vectors(corpus, rot.tolist(), vec_col, out_col="__rot")
+        if books is None:
+            books = pq_train_codebooks(
+                frame.select(F.col(id_col), F.col("__rot").alias(vec_col)),
+                m=m, k=k, dims=dims, iters=1,
+                vec_col=vec_col, id_col=id_col,
+            )
+        else:
+            books = _lloyd_step(
+                frame.select(F.col("__rot").alias(vec_col)),
+                books, sub, vec_col,
+            )
+        codes = F.array(*_code_cols(F.col("__rot"), books))
+        assigned = (
+            frame.select(codes.alias("__codes"), F.posexplode(vec_col).alias("i", "xi"))
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+                F.col("__codes"),
+                "i",
+                "xi",
+            )
+            .select(
+                "s",
+                F.element_at(F.col("__codes"), F.col("s") + 1).alias("c"),
+                "i",
+                "xi",
+            )
+        )
+        stats = (
+            assigned.groupBy("s", "c", "i")
+            .agg(F.sum("xi").alias("sx"))
+            .collect()
+        )
+        a_mats = [np.zeros((k, dims)) for _ in range(m)]
+        for r in stats:
+            a_mats[int(r["s"])][int(r["c"]) - 1][int(r["i"])] = float(r["sx"])
+        c_mat = np.zeros((dims, dims))
+        for s in range(m):
+            b_s = np.array(books[s])  # k x sub
+            c_mat[:, s * sub : (s + 1) * sub] = a_mats[s].T @ b_s
+        u, _, vt = np.linalg.svd(c_mat)
+        rot = u @ vt
+    return rot.tolist(), books
+
+
+def opq_encode(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode in the learned rotated space — still one zero-shuffle
+    per-row projection (rotation fold + argmin folds fuse in the same
+    stage)."""
+    return pq_encode(
+        rotate_vectors(emb, rotation, vec_col), codebooks, id_col, vec_col
+    )
+
+
+def opq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k in the learned rotated space: R is orthogonal, so
+    rotated distances ARE original distances up to quantization error —
+    which is exactly what OPQ shrinks."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return pq_adc_topk(
+        rotate_vectors(emb, rotation, vec_col),
+        query_ids,
+        k_neighbors=k_neighbors,
+        m=m,
+        n_codes=len(codebooks[0]),
+        dims=m * sub,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        codes_df=codes_df,
     )
