@@ -436,3 +436,44 @@ def test_dsir_stage_shapes_output_toward_target(spark):
         dsir_rate=0.3, dsir_n_buckets=1024, salt="dsir-e2e",
     )
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
+
+
+def test_cli_prepare_dsir_target(spark, tmp_path):
+    """--dsir-target-input round trip: the CLI wires the target corpus
+    through the one-call DSIR stage and the output leans target-like."""
+    from hedera_etl_spark import cli
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7} x{i % 5} y{i % 3}") for i in range(120)]
+        + [(1000 + i, f"qq{i} rr{i % 11} ss{i % 13} tt{i % 7} uu{i % 5} vv{i % 3}")
+           for i in range(120)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(5000 + i, f"alpha beta gamma t{i % 5} u{i % 3}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    src, tgt, out = (str(tmp_path / p) for p in ("raw", "tgt", "out"))
+    raw.write.parquet(src)
+    target.write.parquet(tgt)
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", src,
+            "--out-dir", out,
+            "--max-tokens", "256",
+            "--n-shards", "2",
+            "--min-tokens", "2",
+            "--exact-only",
+            "--dsir-target-input", tgt,
+            "--dsir-rate", "0.3",
+            "--dsir-n-buckets", "1024",
+            "--salt", "clidsir",
+        ]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(f"{out}/shards")
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert 35 <= len(ids) <= 110  # ~72 expected of 240
+    target_like = sum(1 for i in ids if i < 1000)
+    assert target_like / len(ids) > 0.8
