@@ -375,6 +375,12 @@ def dsir_keep_probs(
     if not 0.0 <= rate:
         raise ValueError(f"rate must be >= 0, got {rate!r}")
     lw = F.col(logw_col)
+    # the water-filling loop is inherently multi-consumer (one count +
+    # one log-sum-exp + one crossing count per round, then the final
+    # projection) — pin the scores once or every aggregate re-runs the
+    # whole upstream scoring/fit subtree (checkpoint-vs-rescan: the
+    # frame is one row per doc at ~3 columns, cheap to materialize)
+    scores = scores.localCheckpoint(eager=False)
     n_total = scores.filter(lw.isNotNull()).count()
     if n_total == 0 or rate >= 1.0:
         return scores.withColumn(
