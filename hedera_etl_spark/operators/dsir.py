@@ -148,6 +148,40 @@ def bucket_counts(
     ).groupBy("bucket").agg(F.count("*").cast("long").alias("cnt"))
 
 
+def _ratio_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, target_cnt, raw_cnt) -> the rounded-ln log_ratio table.
+
+    Totals come from ONE single-partition window over the counts frame
+    (<= n_buckets rows — a dimension, so the global window is free),
+    NOT from separate total-aggregates cross-joined back: that shape
+    made the counts subtree a three-consumer plan, re-running the
+    corpus feature explode once per consumer and pairing it with
+    one-row nested-loop joins (caught by the r12 plan audit: 7
+    exchanges and a BNLJ on the registry entry; now 4 and none)."""
+    w = Window.partitionBy()
+    totals = counts.select(
+        "bucket",
+        "target_cnt",
+        "raw_cnt",
+        F.sum("target_cnt").over(w).cast("long").alias("__nt"),
+        F.sum("raw_cnt").over(w).cast("long").alias("__nr"),
+    )
+    lt = F.log(
+        (F.col("target_cnt") + F.lit(1.0))
+        / (F.col("__nt").cast("double") + F.lit(float(n_buckets)))
+    ).cast("decimal(12,6)")
+    lr = F.log(
+        (F.col("raw_cnt") + F.lit(1.0))
+        / (F.col("__nr").cast("double") + F.lit(float(n_buckets)))
+    ).cast("decimal(12,6)")
+    return totals.select(
+        "bucket",
+        "target_cnt",
+        "raw_cnt",
+        (lt - lr).cast("decimal(13,6)").alias("log_ratio"),
+    )
+
+
 def dsir_log_ratio_table(
     target_docs: DataFrame,
     raw_docs: DataFrame,
@@ -189,36 +223,12 @@ def dsir_log_ratio_table(
     raw = bucket_counts(
         raw_docs, text_col, id_col, n_buckets, salt, hash_fn
     ).withColumnRenamed("cnt", "raw_cnt")
-    n_t = tgt.agg(
-        F.coalesce(F.sum("target_cnt"), F.lit(0)).cast("long").alias("__nt")
-    )
-    n_r = raw.agg(
-        F.coalesce(F.sum("raw_cnt"), F.lit(0)).cast("long").alias("__nr")
-    )
-    joined = (
-        tgt.join(raw, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("target_cnt", F.lit(0)).cast("long").alias("target_cnt"),
-            F.coalesce("raw_cnt", F.lit(0)).cast("long").alias("raw_cnt"),
-        )
-        .crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_r))
-    )
-    lt = F.log(
-        (F.col("target_cnt") + F.lit(1.0))
-        / (F.col("__nt").cast("double") + F.lit(float(n_buckets)))
-    ).cast("decimal(12,6)")
-    lr = F.log(
-        (F.col("raw_cnt") + F.lit(1.0))
-        / (F.col("__nr").cast("double") + F.lit(float(n_buckets)))
-    ).cast("decimal(12,6)")
-    return joined.select(
+    joined = tgt.join(raw, "bucket", "full_outer").select(
         "bucket",
-        "target_cnt",
-        "raw_cnt",
-        (lt - lr).cast("decimal(13,6)").alias("log_ratio"),
+        F.coalesce("target_cnt", F.lit(0)).cast("long").alias("target_cnt"),
+        F.coalesce("raw_cnt", F.lit(0)).cast("long").alias("raw_cnt"),
     )
+    return _ratio_from_counts(joined, n_buckets)
 
 
 def dsir_scores(
@@ -472,24 +482,4 @@ def dsir_log_ratio_table_where(
         .alias("target_cnt"),
         F.count("*").cast("long").alias("raw_cnt"),
     )
-    n_t = counts.agg(
-        F.coalesce(F.sum("target_cnt"), F.lit(0)).cast("long").alias("__nt")
-    )
-    n_r = counts.agg(
-        F.coalesce(F.sum("raw_cnt"), F.lit(0)).cast("long").alias("__nr")
-    )
-    joined = counts.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(n_r))
-    lt = F.log(
-        (F.col("target_cnt") + F.lit(1.0))
-        / (F.col("__nt").cast("double") + F.lit(float(n_buckets)))
-    ).cast("decimal(12,6)")
-    lr = F.log(
-        (F.col("raw_cnt") + F.lit(1.0))
-        / (F.col("__nr").cast("double") + F.lit(float(n_buckets)))
-    ).cast("decimal(12,6)")
-    return joined.select(
-        "bucket",
-        "target_cnt",
-        "raw_cnt",
-        (lt - lr).cast("decimal(13,6)").alias("log_ratio"),
-    )
+    return _ratio_from_counts(counts, n_buckets)
