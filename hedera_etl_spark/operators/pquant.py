@@ -646,3 +646,195 @@ def opq_adc_topk(
         codebooks=codebooks,
         codes_df=codes_df,
     )
+
+
+class PQIndex:
+    """Persisted PQ code table — the servable compressed-ANN artifact
+    (the PQ analogue of vectorindex.IVFIndex).
+
+    Layout::
+
+        path/_meta.json        {"dims", "m", "k", "rotation": R | null}
+        path/codebooks.json    m x k x (dims/m) doubles
+        path/codes/batch-<id>/ (vec_id, codes) parquet, rename-committed
+
+    Storage is the CODES ONLY (~m ints/vector vs dims floats — the
+    whole point); raw vectors are never written.  Appends are
+    write-once per content-derived batch id (order-free bit_xor of
+    xxhash64(vec_id, codes)), so job retries are idempotent without
+    caller bookkeeping; the publish is one rename
+    (fsutil.stage/publish) and a crash between encode and publish
+    leaves only an invisible staging dir the next open sweeps.  The
+    only driver-side state is the codebook matrix (+ optional OPQ
+    rotation) — bounded at any corpus size.
+    """
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "_meta.json")) as fh:
+            meta = json.load(fh)
+        self.dims = int(meta["dims"])
+        self.m = int(meta["m"])
+        self.k = int(meta["k"])
+        self.rotation = meta.get("rotation")
+        with open(os.path.join(path, "codebooks.json")) as fh:
+            self.codebooks = json.load(fh)
+        from hedera_etl_spark.fsutil import sweep_staging
+
+        sweep_staging(os.path.join(path, "codes"))
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def build(
+        spark,
+        path: str,
+        emb: DataFrame | None,
+        m: int = 8,
+        k: int = 16,
+        dims: int = 64,
+        codebooks: list[list[list[float]]] | None = None,
+        rotation: list[list[float]] | None = None,
+        train: bool = False,
+        train_iters: int = 4,
+        opq: bool = False,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        scale: float = 1.0,
+    ) -> "PQIndex":
+        """Create the index.  Codebooks come from (in precedence
+        order): the ``codebooks`` argument, OPQ training
+        (``opq=True`` — learns ``rotation`` too), plain PQ training
+        (``train=True``), else the deterministic md5 grid at
+        ``scale``.  ``emb=None`` creates an EMPTY index for
+        append-later flows (requires explicit codebooks or the grid)."""
+        import json
+        import os
+
+        if codebooks is None:
+            if opq:
+                if emb is None:
+                    raise ValueError("opq=True requires emb to train on")
+                rotation, codebooks = opq_train(
+                    emb, m=m, k=k, dims=dims, iters=train_iters,
+                    vec_col=vec_col, id_col=id_col,
+                )
+            elif train:
+                if emb is None:
+                    raise ValueError("train=True requires emb to train on")
+                codebooks = pq_train_codebooks(
+                    emb, m=m, k=k, dims=dims, iters=train_iters,
+                    vec_col=vec_col, id_col=id_col,
+                )
+            else:
+                codebooks = pq_codebooks(m, k, dims, scale=scale)
+        m = len(codebooks)
+        sub = len(codebooks[0][0])
+        if m * sub != dims:
+            raise ValueError(
+                f"codebooks cover {m} x {sub} = {m * sub} dims, expected {dims}"
+            )
+        k = len(codebooks[0])
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+        with open(os.path.join(path, "codebooks.json"), "w") as fh:
+            json.dump(codebooks, fh)
+        with open(os.path.join(path, "_meta.json"), "w") as fh:
+            json.dump(
+                {"dims": dims, "m": m, "k": k, "rotation": rotation}, fh
+            )
+        idx = PQIndex(spark, path)
+        if emb is not None:
+            idx.add_vectors(emb, id_col=id_col, vec_col=vec_col)
+        return idx
+
+    # -- append -------------------------------------------------------
+    def _encode(self, emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        src = (
+            rotate_vectors(emb, self.rotation, vec_col)
+            if self.rotation is not None
+            else emb
+        )
+        return pq_encode(src, self.codebooks, id_col, vec_col)
+
+    def add_vectors(
+        self,
+        emb: DataFrame,
+        batch_id: str | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> bool:
+        """Encode and append one batch; returns False when the batch id
+        (given, or content-derived from the CODES so re-encoding with
+        changed codebooks lands instead of being skipped) is already
+        committed — the write-once retry contract."""
+        import os
+
+        from hedera_etl_spark.fsutil import (
+            publish_batch_dir,
+            stage_batch_dir,
+        )
+
+        codes = self._encode(emb, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+        if batch_id is None:
+            row = codes.agg(
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(vec_id, codes))"), F.lit(0)
+                ).alias("sig"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            batch_id = f"{row['n']}-{row['sig'] & ((1 << 63) - 1):x}"
+        entry = f"batch-{batch_id}"
+        root = os.path.join(self.path, "codes")
+        if os.path.exists(os.path.join(root, entry)):
+            return False
+        staged = stage_batch_dir(root, entry, codes)
+        publish_batch_dir(root, entry, staged)
+        return True
+
+    # -- read / query ---------------------------------------------------
+    def codes(self) -> DataFrame:
+        import os
+
+        root = os.path.join(self.path, "codes")
+        dirs = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch-")
+        ]
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], "vec_id long, codes array<int>"
+            )
+        return self.spark.read.parquet(*dirs)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        query_ids: list[int],
+        k_neighbors: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC top-k of ``query_ids`` (rows of ``queries``, which must
+        carry full vectors) against the PERSISTED code table — the
+        serve path: the corpus is never re-read, only its codes."""
+        src = (
+            rotate_vectors(queries, self.rotation, vec_col)
+            if self.rotation is not None
+            else queries
+        )
+        return pq_adc_topk(
+            src,
+            query_ids,
+            k_neighbors=k_neighbors,
+            dims=self.dims,
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=self.codebooks,
+            codes_df=self.codes(),
+        )

@@ -321,3 +321,70 @@ def test_opq_beats_plain_pq_on_rotated_data(spark):
     top = opq_adc_topk(emb, [0], rot, books, k_neighbors=3).collect()
     assert len(top) == 3 and all(r2["neighbor_id"] != 0 for r2 in top)
     assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
+
+
+class TestPQIndex:
+    """Persisted PQ code table: build/append/query round trip,
+    write-once retries, reopen, and the OPQ-rotation variant."""
+
+    def test_roundtrip_and_query_matches_direct(self, spark, tmp_path):
+        from hedera_etl_spark.operators.pquant import PQIndex
+
+        emb = _emb(spark, _clustered(4, 10))
+        books = pq_codebooks(M, K, DIMS, scale=0.4)
+        idx = PQIndex.build(
+            spark, str(tmp_path / "pq"), emb, m=M, k=K, dims=DIMS,
+            codebooks=books,
+        )
+        got = idx.topk(emb, [0, 11], k_neighbors=4).collect()
+        want = pq_adc_topk(
+            emb, [0, 11], 4, dims=DIMS, codebooks=books
+        ).collect()
+        assert got == want
+        # reopen from disk: same codes, same answers
+        again = PQIndex(spark, str(tmp_path / "pq"))
+        assert again.topk(emb, [0, 11], k_neighbors=4).collect() == want
+        assert again.codes().count() == 40
+        # codes only at rest — no vector column anywhere
+        assert set(again.codes().columns) == {"vec_id", "codes"}
+
+    def test_append_is_write_once(self, spark, tmp_path):
+        from hedera_etl_spark.operators.pquant import PQIndex
+
+        rows = _clustered(4, 10)
+        emb = _emb(spark, rows[:20])
+        more = _emb(spark, [(i + 1000, v) for i, v in
+                            ((r[0], r[1]) for r in rows[20:])])
+        idx = PQIndex.build(
+            spark, str(tmp_path / "pq2"), emb, m=M, k=K, dims=DIMS,
+            codebooks=pq_codebooks(M, K, DIMS, scale=0.4),
+        )
+        assert idx.codes().count() == 20
+        # replaying the SAME batch is skipped (content-derived id)
+        assert idx.add_vectors(emb) is False
+        assert idx.codes().count() == 20
+        # a new batch lands
+        assert idx.add_vectors(more) is True
+        assert idx.codes().count() == 40
+        assert idx.add_vectors(more) is False
+
+    def test_opq_variant_persists_rotation(self, spark, tmp_path):
+        import numpy as np
+
+        from hedera_etl_spark.operators.pquant import PQIndex, opq_adc_topk
+
+        z = np.array(_subspace_clustered(80, M, K, DIMS))
+        q = _orthogonal(DIMS)
+        x = z @ q
+        emb = _emb(spark, [(i, [float(v) for v in x[i]]) for i in range(len(x))])
+        idx = PQIndex.build(
+            spark, str(tmp_path / "opq"), emb, m=M, k=K, dims=DIMS,
+            opq=True, train_iters=3,
+        )
+        reopened = PQIndex(spark, str(tmp_path / "opq"))
+        assert reopened.rotation is not None
+        got = reopened.topk(emb, [0], k_neighbors=3).collect()
+        want = opq_adc_topk(
+            emb, [0], reopened.rotation, reopened.codebooks, k_neighbors=3
+        ).collect()
+        assert got == want
