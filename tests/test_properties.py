@@ -746,3 +746,69 @@ def test_url_canonicalization_matches_reference(spark, parts, junk):
     }
     want = {i: _canon_reference(u) for i, u in enumerate(urls)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR weights == the independent python reference on arbitrary text
+# (unicode, empty strings, repeated tokens — the tokenize/hash/ln-canon
+# edge cases the fixed registry fixture never exercises)
+# ---------------------------------------------------------------------------
+dsir_texts = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00\x1f"
+    ),
+    max_size=24,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(dsir_texts, min_size=2, max_size=8),
+    n_target=st.integers(min_value=1, max_value=3),
+)
+def test_dsir_scores_match_python_reference_fuzz(spark, texts, n_target):
+    import hashlib
+    import math
+
+    from hedera_etl_spark.operators.dsir import (
+        dsir_log_ratio_table,
+        dsir_scores,
+    )
+
+    B = 32
+    rows = list(enumerate(texts))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(rows[:n_target], "doc_id long, text string")
+
+    def feats(t):
+        toks = t.split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        dig = hashlib.md5(f"t\x1f{f}".encode()).hexdigest()
+        return int(dig[:8], 16) % B
+
+    tc, rc = {}, {}
+    for _, t in rows[:n_target]:
+        for f_ in feats(t):
+            tc[bucket(f_)] = tc.get(bucket(f_), 0) + 1
+    for _, t in rows:
+        for f_ in feats(t):
+            rc[bucket(f_)] = rc.get(bucket(f_), 0) + 1
+    nt, nr = sum(tc.values()), sum(rc.values())
+
+    def lr(b):
+        lt = round(math.log((tc.get(b, 0) + 1.0) / (nt + B)), 6)
+        lraw = round(math.log((rc.get(b, 0) + 1.0) / (nr + B)), 6)
+        return round(lt - lraw, 6)
+
+    want = {
+        i: (len(feats(t)), round(sum(lr(bucket(f_)) for f_ in feats(t)), 6))
+        for i, t in rows
+    }
+    tbl = dsir_log_ratio_table(target, raw, n_buckets=B, salt="t")
+    got = {
+        r["doc_id"]: (r["n_features"], round(r["dsir_logw"], 6))
+        for r in dsir_scores(raw, tbl, n_buckets=B, salt="t").collect()
+    }
+    assert got == want
