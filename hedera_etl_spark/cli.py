@@ -14,6 +14,9 @@ application mains.
 - ``prepare`` the LLM training-data pipeline (operators/llm_pipeline.py):
   dedup -> near-dup collapse -> quality floor -> sample -> pack ->
   checksummed shard export, one command.
+- ``pqindex`` persisted product-quantization index (codes-only at
+  rest): build (grid / trained / OPQ codebooks), write-once batch
+  appends, ADC top-k serving.
 - ``bench``   runs the registry's bench-tagged queries (bench.py's
   harness is importable; this is the user-facing wrapper).
 
@@ -449,6 +452,41 @@ def _add_why(sub: argparse._SubParsersAction) -> None:
     )
 
 
+def _add_pqindex(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "pqindex",
+        help="persisted product-quantization index: build / add / topk "
+        "(operators/pquant.PQIndex — codes-only at rest)",
+    )
+    p.add_argument("--index", required=True, help="index directory")
+    p.add_argument(
+        "--action", choices=("build", "add", "topk"), required=True
+    )
+    p.add_argument("--input", default=None, help="embeddings parquet dir")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--m", type=int, default=8, help="subspaces")
+    p.add_argument("--k-codes", type=int, default=16, help="codes/subspace")
+    p.add_argument("--dims", type=int, default=64)
+    p.add_argument(
+        "--train", action="store_true",
+        help="train codebooks (per-subspace k-means) instead of the "
+        "deterministic grid",
+    )
+    p.add_argument(
+        "--opq", action="store_true",
+        help="learn an OPQ rotation alongside the codebooks",
+    )
+    p.add_argument("--train-iters", type=int, default=4)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="grid codebook scale (match the data range)")
+    p.add_argument("--batch-id", default=None,
+                   help="explicit write-once batch id for add")
+    p.add_argument("--query-ids", default=None,
+                   help="comma-separated ids for topk (rows of --input)")
+    p.add_argument("--k-neighbors", type=int, default=5)
+
+
 def _add_bench(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("bench", help="run the bench-tagged registry queries")
     p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
@@ -463,6 +501,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_prepare(sub)
     _add_diff(sub)
     _add_why(sub)
+    _add_pqindex(sub)
     _add_bench(sub)
     return parser
 
@@ -485,6 +524,47 @@ def main(argv: list[str] | None = None) -> int:
     from hedera_etl_spark.session import get_spark
 
     spark = get_spark(f"hedera-etl-{args.command}")
+
+    if args.command == "pqindex":
+        from hedera_etl_spark.operators.pquant import PQIndex
+
+        if args.action == "build":
+            emb = spark.read.parquet(args.input) if args.input else None
+            PQIndex.build(
+                spark, args.index, emb,
+                m=args.m, k=args.k_codes, dims=args.dims,
+                train=args.train, opq=args.opq,
+                train_iters=args.train_iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+                scale=args.scale,
+            )
+            print(f"built index at {args.index}")
+            return 0
+        idx = PQIndex(spark, args.index)
+        if args.action == "add":
+            if not args.input:
+                print("--input is required for add", file=sys.stderr)
+                return 2
+            landed = idx.add_vectors(
+                spark.read.parquet(args.input),
+                batch_id=args.batch_id,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print("landed" if landed else "skipped (already committed)")
+            return 0
+        if not args.input or not args.query_ids:
+            print("--input and --query-ids are required for topk",
+                  file=sys.stderr)
+            return 2
+        ids = [int(x) for x in args.query_ids.split(",")]
+        rows = idx.topk(
+            spark.read.parquet(args.input), ids,
+            k_neighbors=args.k_neighbors,
+            id_col=args.id_col, vec_col=args.vec_col,
+        ).collect()
+        for r in rows:
+            print(f"{r['query_id']}\t{r['rank']}\t{r['neighbor_id']}\t{r['adc_dist']}")
+        return 0
 
     if args.command == "ingest":
         from hedera_etl_spark.streaming.ingest import IngestPipeline

@@ -388,3 +388,42 @@ class TestPQIndex:
             emb, [0], reopened.rotation, reopened.codebooks, k_neighbors=3
         ).collect()
         assert got == want
+
+
+def test_cli_pqindex_roundtrip(spark, tmp_path, capsys):
+    """pqindex build/add/topk through the CLI: write-once retries and
+    the served ranking matching the direct operator."""
+    from hedera_etl_spark import cli
+
+    rows = _clustered(4, 10)
+    emb = _emb(spark, rows[:20])
+    more = _emb(spark, [(1000 + r[0], r[1]) for r in rows[20:]])
+    src1, src2, idx = (str(tmp_path / p) for p in ("e1", "e2", "idx"))
+    emb.write.parquet(src1)
+    more.write.parquet(src2)
+    common = ["--index", idx, "--dims", str(DIMS), "--m", str(M),
+              "--k-codes", str(K), "--scale", "0.4"]
+    assert cli.main(["pqindex", "--action", "build", "--input", src1] + common) == 0
+    assert cli.main(["pqindex", "--action", "add", "--input", src2] + common) == 0
+    capsys.readouterr()
+    # write-once: the same batch again is skipped
+    assert cli.main(["pqindex", "--action", "add", "--input", src2] + common) == 0
+    assert "skipped" in capsys.readouterr().out
+    assert cli.main(
+        ["pqindex", "--action", "topk", "--input", src1,
+         "--query-ids", "0,5", "--k-neighbors", "3"] + common
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 6
+    from hedera_etl_spark.operators.pquant import PQIndex
+
+    direct = PQIndex(spark, idx).topk(
+        spark.read.parquet(src1), [0, 5], k_neighbors=3
+    ).collect()
+    got = [tuple(line.split("\t")) for line in out]
+    want = [
+        (str(r["query_id"]), str(r["rank"]), str(r["neighbor_id"]),
+         str(r["adc_dist"]))
+        for r in direct
+    ]
+    assert got == want
