@@ -752,3 +752,114 @@ def compression_ratio(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).mapInPandas(gen, schema=schema)
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, Appendix A.1.1).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The rest of the Gopher rule battery (Rae et al. 2021, A.1.1) —
+    the rules ``repetition_scores`` (dup lines / top token / top
+     2-gram) and ``quality_scores`` don't already carry: word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipses), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and stop-word presence.  Returns the raw
+    metrics, one boolean per rule, and the combined ``gopher_pass``.
+
+    One zero-shuffle per-row projection: tokenize once, derive every
+    metric from the projected arrays (the inlining discipline); counts
+    are exact integers, ratios single divisions rounded through
+    DECIMAL(9,6) (house canon), so the relation is oracle-checkable.
+    Defaults are the paper's thresholds."""
+    from hedera_etl_spark.functions import tokens as _tok
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tok(text_col).alias("__t"),
+        F.split(F.col(text_col), "\n").alias("__l"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), "[#…]", ""))
+            + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
+        ).cast("long").alias("__symbols"),
+    )
+    t, ln = F.col("__t"), F.col("__l")
+    m = base.select(
+        "doc_id",
+        "__symbols",
+        F.size(t).cast("long").alias("n_words"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("__word_chars"),
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long").alias("__alpha_words"),
+        F.size(F.filter(t, lambda x: x.isin(list(GOPHER_STOPWORDS))))
+        .cast("long").alias("__stop_hits"),
+        F.size(ln).cast("long").alias("n_lines"),
+        F.size(F.filter(ln, lambda x: x.rlike("^\\s*[•\\-\\*]")))
+        .cast("long").alias("__bullet_lines"),
+        F.size(F.filter(ln, lambda x: x.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast("long").alias("__ellipsis_lines"),
+    )
+
+    def ratio(num, den):
+        return (num / den).cast("decimal(9,6)").cast("double")
+
+    out = m.select(
+        "doc_id",
+        "n_words",
+        ratio(F.col("__word_chars"), F.col("n_words")).alias("mean_word_len"),
+        ratio(F.col("__symbols"), F.col("n_words")).alias("symbol_ratio"),
+        ratio(F.col("__bullet_lines"), F.col("n_lines")).alias("bullet_frac"),
+        ratio(F.col("__ellipsis_lines"), F.col("n_lines")).alias(
+            "ellipsis_frac"
+        ),
+        ratio(F.col("__alpha_words"), F.col("n_words")).alias(
+            "alpha_word_frac"
+        ),
+        F.col("__stop_hits").alias("stop_hits"),
+    )
+    flags = out.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("ok_n_words"),
+        F.col("mean_word_len")
+        .between(float(min_mean_word_len), float(max_mean_word_len))
+        .alias("ok_word_len"),
+        (F.col("symbol_ratio") <= float(max_symbol_ratio)).alias("ok_symbols"),
+        (F.col("bullet_frac") <= float(max_bullet_frac)).alias("ok_bullets"),
+        (F.col("ellipsis_frac") <= float(max_ellipsis_frac)).alias(
+            "ok_ellipsis"
+        ),
+        (F.col("alpha_word_frac") >= float(min_alpha_word_frac)).alias(
+            "ok_alpha"
+        ),
+        (F.col("stop_hits") >= int(min_stop_hits)).alias("ok_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_n_words")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_bullets")
+            & F.col("ok_ellipsis")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+        ).alias("gopher_pass"),
+    )

@@ -449,3 +449,63 @@ class TestEntropyAndCompression:
             for r in compression_ratio(docs.repartition(5)).collect()
         }
         assert again == {k: tuple(v) for k, v in got.items()}
+
+
+class TestGopherFlags:
+    """Each Gopher rule triggered in isolation: the failing doc fails
+    exactly its rule, everything else passes."""
+
+    def test_each_rule_fires_alone(self, spark):
+        from hedera_etl_spark.operators.textanalysis import (
+            gopher_quality_flags,
+        )
+
+        good = "the quick brown fox and that dog have gone with style now"
+        docs = spark.createDataFrame(
+            [
+                (0, good),                                   # passes all
+                (1, "the of and"),                           # too few words
+                (2, "the be to of and that have with a o u"),  # short words
+                (3, good + " ###########"),                  # symbol ratio
+                (4, "\n".join(["- " + good] * 10)),          # all bullets
+                (5, "\n".join([good + " ..."] * 10)),        # all ellipsis
+                (6, good + " " + " ".join(["123"] * 40)),    # numeric words
+                (7, "quick brown foxes jump over lazy dogs daily"),  # no stops
+            ],
+            "doc_id long, text string",
+        )
+        r = {
+            x["doc_id"]: x
+            for x in gopher_quality_flags(docs, min_words=5).collect()
+        }
+        assert r[0]["gopher_pass"]
+        assert not r[1]["ok_n_words"] and not r[1]["gopher_pass"]
+        assert not r[2]["ok_word_len"] and r[2]["ok_n_words"]
+        assert not r[3]["ok_symbols"] and r[3]["ok_word_len"]
+        assert not r[4]["ok_bullets"] and r[4]["ok_symbols"]
+        assert not r[5]["ok_ellipsis"] and r[5]["ok_bullets"]
+        assert not r[6]["ok_alpha"] and r[6]["ok_ellipsis"]
+        assert not r[7]["ok_stopwords"] and r[7]["ok_alpha"]
+        for i in (1, 2, 3, 4, 5, 6, 7):
+            assert not r[i]["gopher_pass"], i
+
+    def test_metrics_exact(self, spark):
+        from hedera_etl_spark.operators.textanalysis import (
+            gopher_quality_flags,
+        )
+
+        r = gopher_quality_flags(
+            spark.createDataFrame(
+                [(0, "the cat... sat\n- bullet line\nplain …")],
+                "doc_id long, text string",
+            ),
+            min_words=1,
+            min_stop_hits=1,
+        ).collect()[0]
+        # space-split tokens (newlines stay inside tokens): the,
+        # cat..., sat\n-, bullet, line\nplain, … -> 6
+        assert r["n_words"] == 6
+        assert r["stop_hits"] == 1
+        assert r["bullet_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        # symbols: one '...' + one '…'
+        assert r["symbol_ratio"] == pytest.approx(2 / 6, abs=1e-6)
