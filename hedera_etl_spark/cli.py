@@ -336,6 +336,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "(default 0 = drop unscored rows)",
     )
     p.add_argument(
+        "--gopher-rules",
+        action="store_true",
+        help="apply the full remaining Gopher quality battery "
+        "(word-count/word-length bounds, symbol ratio, bullet/ellipsis "
+        "line fractions, alpha-word fraction, stop-word presence) at "
+        "the paper's default thresholds",
+    )
+    p.add_argument(
         "--dsir-target-input",
         default=None,
         help="parquet dir of a TARGET corpus: self-contained DSIR "
@@ -708,6 +716,7 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             max_dup_line_frac=args.max_dup_line_frac,
             max_top_bigram_frac=args.max_top_bigram_frac,
+            gopher_rules={} if args.gopher_rules else None,
             quality_weights=quality_weights,
             min_quality_prob=args.min_quality_prob,
             mixture=mixture,

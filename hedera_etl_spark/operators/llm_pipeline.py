@@ -82,6 +82,7 @@ def prepare_training_corpus(
     min_tokens: int = 5,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    gopher_rules: dict | None = None,
     quality_weights: list[float] | None = None,
     min_quality_prob: float = 0.5,
     lm_model: DataFrame | None = None,
@@ -139,7 +140,10 @@ def prepare_training_corpus(
     additionally drops near-duplicates of eval items at that
     shingle-Jaccard), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
-    ``max_top_bigram_frac``), optional trained-classifier floor
+    ``max_top_bigram_frac``, plus — when ``gopher_rules`` is a dict of
+    threshold overrides, ``{}`` for the paper's defaults — the FULL
+    remaining Gopher battery via
+    ``textanalysis.gopher_quality_flags``), optional trained-classifier floor
     (``quality_weights`` from qualityfilter.train_quality_lr /
     load_weights at ``min_quality_prob``), LM-perplexity floor at
     ``lm_min_avg_logp`` (against ``lm_model`` — a reference-corpus
@@ -650,6 +654,26 @@ def prepare_training_corpus(
             "left_semi",
         )
         out = _drops("quality_floor", "repetition_caps", pre_q, out)
+
+    if gopher_rules is not None:
+        # the rest of the Gopher battery (textanalysis.
+        # gopher_quality_flags): pass a dict of threshold overrides
+        # ({} = the paper's defaults); drops every doc whose combined
+        # gopher_pass is False
+        from hedera_etl_spark.operators.textanalysis import (
+            gopher_quality_flags,
+        )
+
+        pre_q = out
+        flags = gopher_quality_flags(out, text_col, id_col, **gopher_rules)
+        out = out.join(
+            flags.filter(F.col("gopher_pass")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        out = _drops("quality_floor", "gopher_rules", pre_q, out)
 
     if quality_weights is not None:
         from hedera_etl_spark.operators.qualityfilter import filter_by_quality

@@ -477,3 +477,23 @@ def test_cli_prepare_dsir_target(spark, tmp_path):
     assert 35 <= len(ids) <= 110  # ~72 expected of 240
     target_like = sum(1 for i in ids if i < 1000)
     assert target_like / len(ids) > 0.8
+
+
+def test_gopher_rules_stage(spark):
+    """prepare(gopher_rules=...) drops rule-violating docs and records
+    the stage; {} applies the paper's defaults (overridable)."""
+    good = "the quick brown fox and that dog have gone with style now"
+    docs = spark.createDataFrame(
+        [(0, good), (1, good + " #############################"),
+         (2, "quick brown foxes jump over lazy dogs daily today fine")],
+        "doc_id long, text string",
+    )
+    obs: dict = {}
+    out = prepare_training_corpus(
+        docs, near_threshold=None, min_tokens=2,
+        gopher_rules=dict(min_words=5),
+        stage_observations=obs, salt="gof",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0}  # 1 fails symbols, 2 fails stop-words
+    assert "quality_floor" in obs
