@@ -105,6 +105,12 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--store", required=True, help="signature store directory")
     p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     p.add_argument("--min-tokens", type=int, default=0, help="quality floor (0 disables)")
+    p.add_argument(
+        "--gopher-rules",
+        action="store_true",
+        help="apply the full Gopher quality battery per epoch (paper "
+        "defaults; same stage key as prepare's --gopher-rules)",
+    )
     p.add_argument("--near-threshold", type=float, default=0.5)
     p.add_argument(
         "--paragraph-dedup-sep",
@@ -621,6 +627,7 @@ def main(argv: list[str] | None = None) -> int:
             store_path=args.store,
             checkpoint=args.checkpoint,
             min_tokens=args.min_tokens,
+            gopher_rules={} if args.gopher_rules else None,
             near_threshold=args.near_threshold,
             max_files_per_trigger=args.max_files_per_trigger,
             paragraph_dedup_sep=args.paragraph_dedup_sep,

@@ -71,6 +71,7 @@ class CorpusIngestPipeline:
         store_path: str,
         checkpoint: str,
         min_tokens: int = 0,
+        gopher_rules: dict | None = None,
         near_threshold: float = 0.5,
         shingle_n: int = 3,
         max_files_per_trigger: int | None = None,
@@ -89,6 +90,10 @@ class CorpusIngestPipeline:
         self.store = CorpusSignatureStore(spark, store_path)
         self.checkpoint = checkpoint
         self.min_tokens = min_tokens
+        #: dict of textanalysis.gopher_quality_flags threshold overrides
+        #: ({} = paper defaults) — applied as part of the quality floor;
+        #: per-row deterministic, so replays re-derive identical drops
+        self.gopher_rules = gopher_rules
         self.near_threshold = near_threshold
         self.shingle_n = shingle_n
         self.max_files_per_trigger = max_files_per_trigger
@@ -700,6 +705,22 @@ class CorpusIngestPipeline:
             # filter (llm_pipeline.py) so ledgers aggregate across the
             # two pipelines under one key (ADVICE r11)
             batch = _ledger_drops("quality_floor", "below_min_tokens", pre, batch)
+        if self.gopher_rules is not None:
+            from hedera_etl_spark.operators.textanalysis import (
+                gopher_quality_flags,
+            )
+
+            pre = batch
+            flags = gopher_quality_flags(batch, "text", "doc_id",
+                                         **self.gopher_rules)
+            batch = batch.join(
+                flags.filter(F.col("gopher_pass")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            # same stage/reason keys as the batch pipeline's gopher
+            # stage (llm_pipeline.py) — cross-pipeline ledger unity
+            batch = _ledger_drops("quality_floor", "gopher_rules", pre, batch)
         eval_sh = self._eval_sh_for(bid)
         if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (

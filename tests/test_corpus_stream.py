@@ -1036,3 +1036,38 @@ def test_ledger_compaction_folds_and_heal_gate_survives(spark, dirs, tmp_path):
     assert p.compact_ledger() == 0
     assert not os.path.isdir(src)
     assert sorted(map(tuple, p.read_ledger().collect())) == before
+
+
+def test_streaming_gopher_rules_floor(spark, dirs):
+    """gopher_rules in the streaming pipeline: rule-violating docs drop
+    per epoch (same stage key as the batch pipeline), replays re-derive
+    identical decisions."""
+    import glob
+    import os
+
+    good = "the quick brown fox and that dog have gone with style today fine"
+    pipe = CorpusIngestPipeline(
+        spark,
+        input_dir=dirs["in"],
+        corpus_table=dirs["corpus"],
+        store_path=dirs["store"],
+        checkpoint=dirs["ckpt"],
+        gopher_rules=dict(min_words=5),
+        ledger_dir=str(os.path.join(dirs["corpus"] + "_ledger")),
+    )
+    _write_jsonl(
+        os.path.join(dirs["in"], "b0.jsonl"),
+        [(1, good), (2, good + " ###########################"),
+         (3, "quick brown foxes jump over lazy dogs daily today fine")],
+    )
+    pipe.run_until_drained()
+    kept = {r["doc_id"] for r in pipe.read_corpus().collect()}
+    assert kept == {1}
+    ledger = spark.read.parquet(
+        *glob.glob(os.path.join(dirs["corpus"] + "_ledger", "batch-*"))
+    )
+    rows = {
+        (r["doc_id"], r["reason"])
+        for r in ledger.filter("stage = 'quality_floor'").collect()
+    }
+    assert (2, "gopher_rules") in rows and (3, "gopher_rules") in rows
