@@ -115,8 +115,12 @@ def _lut_dists(vec_col, s: int, book, sub: int):
 
 def _code_cols(vec_col, codebooks):
     """Per-subspace 1-based argmin code ids (first-match tiebreak).
-    Each subspace's codebook enters the plan as ONE nested-array
-    literal; distances come from a transform over it (fold form)."""
+    Fold form ONLY, and measured to be the right call both ways: an
+    unrolled-codegen twin was benchmarked at 200k x 64 dims and came
+    out ~20% SLOWER — at dims*k ~ 1000 expression nodes the generated
+    method blows past JIT/codegen limits and quietly degrades, while
+    paying full plan/compile/task-binary cost (tools/pq_throughput.py,
+    docs/PERF_NOTES.md r12)."""
     sub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
@@ -134,8 +138,9 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, codes) — each vector compressed to m 1-based code ids.
-    Zero shuffle: m in-row argmins over unrolled arithmetic.  ``codes``
-    is ``array<int>``; at k <= 256 a sink may pack it to m bytes."""
+    Zero shuffle: m in-row argmins (fold form — see _code_cols for why
+    the codegen twin measured slower).  ``codes`` is ``array<int>``;
+    at k <= 256 a sink may pack it to m bytes."""
     from hedera_etl_spark.tables import ensure_parallelism
 
     vc = F.col(vec_col)
