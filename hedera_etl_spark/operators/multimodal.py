@@ -373,3 +373,187 @@ def cdc_dedup_stats(chunks) -> "DataFrame":
             / F.sum(F.col("refs") * F.col("n_bytes")).cast("double")
         ).alias("dedup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (dHash): the image-dedup stage
+# ---------------------------------------------------------------------------
+#: dHash grid geometry: 8 rows x 9 cols of grayscale cells -> 64
+#: adjacent-cell comparisons -> a 64-bit fingerprint.
+_DHASH_ROWS, _DHASH_COLS = 8, 9
+
+
+def fake_gray_grid(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload, gray) — the deterministic stand-in for
+    decode+downsample: cell (r, c) is the first md5 byte of
+    ``md5(payload):r:c``.  Same contract as the image_meta fake — the
+    REAL path (PIL decode, grayscale, 9x8 resize) plugs in behind the
+    identical ``gray: array<int>`` column; everything downstream
+    (dHash, banding, verify) is production code either way.  Pure JVM
+    expressions, so the relation is oracle-checkable."""
+    digest = F.md5(F.col("payload"))
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(_DHASH_ROWS * _DHASH_COLS - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        digest,
+                        (i / _DHASH_COLS).cast("int").cast("string"),
+                        (i % _DHASH_COLS).cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    return docs_with_payload.select("doc_id", "payload", grid.alias("gray"))
+
+
+def dhash_halves(gray_col) -> tuple:
+    """The REAL dHash kernel: bit b (row r = b//8, col c = b%8) is set
+    iff cell (r, c) is brighter than its right neighbor — the standard
+    difference hash, gradient-based so real-image variants (re-encode,
+    resize, small crops) land within a few bits.  Returned as two
+    32-bit halves ``(fp_hi, fp_lo)`` — bit 63 does not fit a SIGNED
+    long as a positive weight, and halves keep every band/xor step in
+    exact nonneg arithmetic (the simhash_fingerprints representation).
+    The 64 comparison terms unroll python-side (64 flat when-exprs —
+    tiny plan, full codegen)."""
+
+    def bit(b: int):
+        idx = (b // 8) * _DHASH_COLS + (b % 8) + 1
+        return F.when(
+            F.element_at(gray_col, idx) > F.element_at(gray_col, idx + 1),
+            F.lit(1 << (b % 32)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    lo = F.lit(0).cast("long")
+    for b in range(32):
+        lo = lo + bit(b)
+    hi = F.lit(0).cast("long")
+    for b in range(32, 64):
+        hi = hi + bit(b)
+    return hi, lo
+
+
+def image_dhash(
+    docs_with_payload: DataFrame, real_decode: bool = False
+) -> DataFrame:
+    """(doc_id, dhash) — 64-bit perceptual fingerprints for every
+    payload.  ``real_decode=True`` raises (no PIL in this container —
+    the documented stub contract); the fake grid exercises the full
+    fingerprint pipeline."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv (not in this container); "
+            "run with real_decode=False for the deterministic fake grid"
+        )
+    grids = fake_gray_grid(docs_with_payload)
+    hi, lo = dhash_halves(F.col("gray"))
+    return grids.select(
+        "doc_id", hi.alias("fp_hi"), lo.alias("fp_lo")
+    )
+
+
+def phash_neardups(
+    docs_with_payload: DataFrame,
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs: (doc_a, doc_b, hamming) with
+    hamming(dhash_a, dhash_b) <= ``max_hamming``, banded blocking over
+    the (fp_hi, fp_lo) 32-bit-half fingerprints.
+
+    Pigeonhole-complete: fingerprints within ``max_hamming`` bits agree
+    on at least one of ``n_bands`` disjoint bands whenever
+    ``n_bands > max_hamming`` (the simhash_neardups scheme; 8 bands of
+    8 bits here — image thresholds run higher than text simhash's, so
+    more, narrower bands).  One fingerprint pass, one shuffle on
+    (band, value), pairs generated inside each bucket; ``max_bucket``
+    is the loud degenerate-bucket guard.  Pass ``fps`` (doc_id, dhash)
+    to rank REAL decoder output through the same machinery."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"blocking is lossy unless n_bands > max_hamming "
+            f"(got {n_bands} <= {max_hamming})"
+        )
+    if n_bands % 2 or 64 % n_bands:
+        raise ValueError(f"n_bands must be even and divide 64 (got {n_bands})")
+    band_bits = 64 // n_bands
+    per_half = n_bands // 2
+    if fps is None:
+        fps = image_dhash(docs_with_payload)
+
+    def band_value(b: int):
+        half = F.col("fp_lo") if b < per_half else F.col("fp_hi")
+        shift = (b % per_half) * band_bits
+        return F.shiftrightunsigned(half, shift).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_value(b).alias("bv"))
+            for b in range(n_bands)
+        ]
+    )
+    buckets = fps.select(
+        "doc_id", "fp_hi", "fp_lo", F.explode(bands_arr).alias("bk")
+    ).select(
+        "doc_id", "fp_hi", "fp_lo",
+        F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band", "bv")
+        buckets = (
+            buckets.withColumn("__bn", F.count("*").over(wb))
+            .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket))
+            .drop("__bn")
+        )
+    member = F.struct("doc_id", "fp_hi", "fp_lo")
+    grouped = buckets.groupBy("band", "bv").agg(
+        F.array_sort(F.collect_list(member)).alias("ds")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("ds"),
+                                i + 2,
+                                F.greatest(
+                                    F.size(F.col("ds")) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda b_: F.struct(
+                                a["doc_id"].alias("doc_a"),
+                                b_["doc_id"].alias("doc_b"),
+                                (
+                                    F.bit_count(
+                                        a["fp_hi"].bitwiseXOR(b_["fp_hi"])
+                                    )
+                                    + F.bit_count(
+                                        a["fp_lo"].bitwiseXOR(b_["fp_lo"])
+                                    )
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["hamming"] <= max_hamming,
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.hamming")
+    return pairs.distinct()

@@ -164,3 +164,109 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (operators/multimodal.image_dhash /
+# phash_neardups): the image-dedup stage — 64-bit dHash fingerprints
+# (two 32-bit halves), 8x8-bit banded blocking (pigeonhole-complete at
+# hamming <= 6), in-bucket pair generation, exact xor-popcount verify.
+# The decode is the deterministic md5 fake (the mm contract: the REAL
+# PIL path plugs in behind the same gray column); every downstream
+# stage is production code and the oracle reproduces it all — md5
+# grid, unrolled bit terms, band values, pairs.  Corpus: every 10th
+# payload re-ingested under a new id, so the exact-clone class must
+# come out at hamming 0 and nothing else pairs (random 64-bit
+# fingerprints collide below 7 bits with probability ~5e-12).
+# ---------------------------------------------------------------------------
+def _dhash_bits_sql(lo: bool) -> str:
+    rng = "generate_series(0, 31)" if lo else "generate_series(32, 63)"
+    shift = "b" if lo else "(b - 32)"
+    return (
+        f"CAST(list_sum(list_transform({rng}, b -> "
+        f"CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] "
+        f"> gray[(b // 8) * 9 + (b % 8) + 2] "
+        f"THEN (1::BIGINT << {shift}) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+_PHASH_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      -- md5(text VARCHAR) == python/Spark md5 over the UTF-8 payload
+      -- bytes (the mm oracle contract, see module docstring)
+      SELECT doc_id,
+             list_transform(generate_series(0, 71), i ->
+               ('0x' || substring(md5(md5(text) || ':'
+                        || CAST(i // 9 AS VARCHAR) || ':'
+                        || CAST(i % 9 AS VARCHAR)), 1, 2))::INT) AS gray
+      FROM corpus
+    ),
+    fp AS (
+      SELECT doc_id,
+             {_dhash_bits_sql(lo=False)} AS fp_hi,
+             {_dhash_bits_sql(lo=True)} AS fp_lo
+      FROM g
+    ),
+    bands AS (
+      SELECT doc_id, fp_hi, fp_lo, band,
+             CASE WHEN band < 4 THEN (fp_lo >> (band * 8)) & 255
+                  ELSE (fp_hi >> ((band - 4) * 8)) & 255 END AS bv
+      FROM fp, unnest(generate_series(0, 7)) AS u(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+                + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+    FROM bands a JOIN bands b USING (band, bv)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.fp_hi, b.fp_hi))
+          + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "mm_phash_neardup",
+    _PHASH_ORACLE,
+    tags=("mm", "dedup", "phash", "image"),
+    # NEW r12, out-of-window (window full; rotation ledger tracks it
+    # with the other r12 candidates): the banded-fingerprint family is
+    # driver-checked via llm_simhash_neardup (IN) and the multimodal
+    # payload plumbing via mm_payload_decode / mm_audio_features (IN);
+    # this entry hash-checks the dHash relation via
+    # tools/verify_oracle.py each round.
+    driver_visible=False,
+    # the fingerprint pass feeds bucket collection twice under AQE
+    # re-use; keep plans fresh like the other pair detectors
+    cache_plan=False,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (operators/multimodal.phash_neardups):
+    dHash fingerprints over the (fake-decoded) payload grid, 8-band
+    blocking, exact hamming verify — (doc_a, doc_b, hamming) for every
+    pair within 6 bits; the re-ingested clone class lands at 0."""
+    from hedera_etl_spark.operators.multimodal import (
+        phash_neardups,
+        with_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = with_payload(docs).unionByName(
+        with_payload(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        phash_neardups(corpus)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -134,3 +134,82 @@ def test_null_payload_yields_no_chunks(spark):
     )
     rows = cdc_chunks(df, **KW).collect()
     assert {r.doc_id for r in rows} == {1}
+
+
+class TestPerceptualHash:
+    """dHash + banded hamming near-dup (operators/multimodal.py):
+    kernel correctness on hand-built grids, controlled-hamming recall
+    through the fps injection path, completeness bound, exact-clone
+    class, and the real-decode gate."""
+
+    def test_dhash_kernel_on_handbuilt_grids(self, spark):
+        from pyspark.sql import functions as F
+
+        from hedera_etl_spark.operators.multimodal import dhash_halves
+
+        # grid of strictly increasing cells: every right neighbor is
+        # brighter -> NO bit set; strictly decreasing -> ALL bits set
+        inc = list(range(72))
+        dec = list(range(72, 0, -1))
+        df = spark.createDataFrame(
+            [(0, inc), (1, dec)], "doc_id long, gray array<int>"
+        )
+        hi, lo = dhash_halves(F.col("gray"))
+        r = {x["doc_id"]: x for x in df.select("doc_id", hi.alias("h"), lo.alias("l")).collect()}
+        assert (r[0]["h"], r[0]["l"]) == (0, 0)
+        assert (r[1]["h"], r[1]["l"]) == ((1 << 32) - 1, (1 << 32) - 1)
+
+    def test_controlled_hamming_pairs_via_fps_injection(self, spark):
+        from hedera_etl_spark.operators.multimodal import phash_neardups
+
+        # fingerprints with known pairwise hamming: base, 3-bit flip
+        # (in one band), 6-bit flip spread across bands, 9-bit flip
+        fps = spark.createDataFrame(
+            [
+                (1, 0, 0),
+                (2, 0, 0b111),                # hamming 3 vs 1
+                (3, 0b1_00000001, 0b1_00000001 << 8),  # spread bits
+                (4, (1 << 32) - 1, (1 << 32) - 1),     # far from all
+            ],
+            "doc_id long, fp_hi long, fp_lo long",
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in phash_neardups(None, fps=fps, max_hamming=6).collect()
+        }
+        assert pairs[(1, 2)] == 3
+        assert pairs[(1, 3)] == 4
+        assert (1, 4) not in pairs and (2, 4) not in pairs
+        # completeness bound: lossy blocking refused loudly
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="lossy"):
+            phash_neardups(None, fps=fps, n_bands=4, max_hamming=6)
+
+    def test_exact_clone_class_and_decode_gate(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from hedera_etl_spark.operators.multimodal import (
+            image_dhash,
+            phash_neardups,
+            with_payload,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(30)],
+            "doc_id long, text string",
+        )
+        corpus = with_payload(docs).unionByName(
+            with_payload(
+                docs.filter(F.col("doc_id") % 10 == 0).select(
+                    (F.col("doc_id") + 1000).alias("doc_id"), "text"
+                )
+            )
+        )
+        pairs = phash_neardups(corpus).collect()
+        assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs} == {
+            (0, 1000, 0), (10, 1010, 0), (20, 1020, 0)
+        }
+        with _pt.raises(NotImplementedError, match="PIL"):
+            image_dhash(corpus, real_decode=True)
