@@ -350,6 +350,14 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "the paper's default thresholds",
     )
     p.add_argument(
+        "--dataset-card",
+        action="store_true",
+        help="write <out-dir>/dataset_card.json — the machine-readable "
+        "datasheet: content totals, per-source/lang mixes, column "
+        "profile, removal-ledger drop report (when "
+        "--removal-ledger-out is set), shard checksum verdict",
+    )
+    p.add_argument(
         "--dsir-target-input",
         default=None,
         help="parquet dir of a TARGET corpus: self-contained DSIR "
@@ -778,6 +786,33 @@ def main(argv: list[str] | None = None) -> int:
             f"shards={totals['shards']} rows={totals['rows']} tokens={totals['tokens']} "
             f"out={args.out_dir}"
         )
+        if args.dataset_card:
+            import os
+
+            from hedera_etl_spark.operators.datasetcard import (
+                dataset_card,
+                write_dataset_card,
+            )
+
+            shipped = spark.read.parquet(os.path.join(args.out_dir, "shards"))
+            group_cols = tuple(
+                c for c in (args.domain_col,) if c in shipped.columns
+            )
+            card = dataset_card(
+                spark,
+                shipped,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                group_cols=group_cols,
+                ledger_dir=args.removal_ledger_out
+                if args.removal_ledger_out
+                else None,
+                shards_dir=args.out_dir,
+                name=os.path.basename(os.path.normpath(args.out_dir)),
+            )
+            card_path = os.path.join(args.out_dir, "dataset_card.json")
+            write_dataset_card(card, card_path)
+            print(f"dataset_card -> {card_path}")
         return 0
 
     if args.command == "diff":

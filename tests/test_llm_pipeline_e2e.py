@@ -497,3 +497,40 @@ def test_gopher_rules_stage(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {0}  # 1 fails symbols, 2 fails stop-words
     assert "quality_floor" in obs
+
+
+def test_cli_prepare_dataset_card(spark, corpus, tmp_path):
+    """--dataset-card writes the datasheet next to the shards: totals
+    match the manifest, ledger drop report aggregates every removal,
+    checksum verdict rides the existing verify."""
+    import json
+    import os
+
+    from hedera_etl_spark import cli
+
+    src = str(tmp_path / "docs_card")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "cardprep")
+    ledger = str(tmp_path / "cardledger")
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", src,
+            "--out-dir", out,
+            "--max-tokens", "256",
+            "--n-shards", "4",
+            "--removal-ledger-out", ledger,
+            "--dataset-card",
+        ]
+    )
+    assert rc == 0
+    card = json.load(open(os.path.join(out, "dataset_card.json")))
+    shipped = spark.read.parquet(os.path.join(out, "shards"))
+    assert card["content"]["n_docs"] == shipped.count()
+    assert card["shards"]["all_checksums_ok"] is True
+    assert card["shards"]["n_rows"] == card["content"]["n_docs"]
+    assert card["removals"]["total_dropped"] > 0  # clones + floor drops
+    stages = {e["stage"] for e in card["removals"]["by_stage"]}
+    assert "exact_dedup" in stages or "near_dedup" in stages
+    cols = {c["column"] for c in card["schema"]}
+    assert {"doc_id", "text"} <= cols
