@@ -230,13 +230,23 @@ def audio_chunk_features(
     # JVM built-ins, integer-exact on any engine.  sequence(1, 0) DESCENDS
     # in Spark, so an empty chunk (empty payload) must short-circuit to an
     # empty array, giving energy=0 / peak=0 instead of NULL garbage.
-    byte_vals = F.when(F.octet_length("chunk") > 0, F.transform(
-        F.sequence(F.lit(1), F.octet_length("chunk")),
-        lambda i: F.conv(F.substring(F.hex("chunk"), (i - 1) * 2 + 1, 2), 16, 10).cast(
+    #
+    # The hex encoding is PROJECTED once into __hex (the shingles()
+    # inlining discipline, textanalysis._repetition_base): referencing
+    # F.hex("chunk") straight inside the per-byte transform lambda
+    # re-hexes the WHOLE chunk for every byte index — O(chunk_bytes^2)
+    # per chunk.  __hex is referenced three times below, so
+    # CollapseProject keeps the projection barrier instead of inlining.
+    with_hex = chunks.select(
+        "doc_id", "chunk_idx", "chunk", F.hex("chunk").alias("__hex")
+    )
+    byte_vals = F.when(F.length("__hex") > 0, F.transform(
+        F.sequence(F.lit(1), (F.length("__hex") / F.lit(2)).cast("int")),
+        lambda i: F.conv(F.substring(F.col("__hex"), (i - 1) * 2 + 1, 2), 16, 10).cast(
             "long"
         ),
     )).otherwise(F.array().cast("array<long>"))
-    with_bytes = chunks.select("doc_id", "chunk_idx", "chunk", byte_vals.alias("__b"))
+    with_bytes = with_hex.select("doc_id", "chunk_idx", "chunk", byte_vals.alias("__b"))
     return with_bytes.select(
         "doc_id",
         "chunk_idx",

@@ -206,7 +206,16 @@ def pq_train_codebooks(
         raise ValueError(
             f"pq_train_codebooks: need >= k ({k}) vectors, got {len(sample)}"
         )
-    sm = [[float(x) for x in r["__v"]] for r in sample]
+    n_bad = sum(
+        1 for r in sample if r["__v"] is None or len(r["__v"]) < dims
+    )
+    if n_bad:
+        raise ValueError(
+            f"pq_train_codebooks: {n_bad} of {len(sample)} sampled vectors "
+            f"are null or shorter than dims={dims} — clean or filter them "
+            "first (same n_valid guard as covariance_matrix)"
+        )
+    sm = [[float(x) for x in r["__v"][:dims]] for r in sample]
     books = []
     for s in range(m):
         pts = [v[s * sub : (s + 1) * sub] for v in sm]
@@ -686,6 +695,11 @@ class PQIndex:
         self.m = int(meta["m"])
         self.k = int(meta["k"])
         self.rotation = meta.get("rotation")
+        #: Spark type of the stored vec_id column (simpleString form).
+        #: Recorded at build time (when vectors are given) or on first
+        #: append, so the empty-codes schema and every later batch agree
+        #: even for string/binary-keyed indexes.
+        self.id_type = meta.get("id_type")
         with open(os.path.join(path, "codebooks.json")) as fh:
             self.codebooks = json.load(fh)
         from hedera_etl_spark.fsutil import sweep_staging
@@ -746,10 +760,11 @@ class PQIndex:
         os.makedirs(os.path.join(path, "codes"), exist_ok=True)
         with open(os.path.join(path, "codebooks.json"), "w") as fh:
             json.dump(codebooks, fh)
+        meta = {"dims": dims, "m": m, "k": k, "rotation": rotation}
+        if emb is not None:
+            meta["id_type"] = emb.schema[id_col].dataType.simpleString()
         with open(os.path.join(path, "_meta.json"), "w") as fh:
-            json.dump(
-                {"dims": dims, "m": m, "k": k, "rotation": rotation}, fh
-            )
+            json.dump(meta, fh)
         idx = PQIndex(spark, path)
         if emb is not None:
             idx.add_vectors(emb, id_col=id_col, vec_col=vec_col)
@@ -785,6 +800,18 @@ class PQIndex:
         codes = self._encode(emb, id_col, vec_col).localCheckpoint(
             eager=False
         )
+        # pin the id type: first append records it in _meta.json; later
+        # appends must agree, else codes() unions would silently produce
+        # a mixed-type column (loud error instead).
+        batch_id_type = codes.schema["vec_id"].dataType.simpleString()
+        if self.id_type is None:
+            self._record_id_type(batch_id_type)
+        elif batch_id_type != self.id_type:
+            raise ValueError(
+                f"PQIndex at {self.path} stores vec_id as {self.id_type}; "
+                f"this batch's {id_col} is {batch_id_type} — cast the id "
+                "column to match the index"
+            )
         if batch_id is None:
             row = codes.agg(
                 F.coalesce(
@@ -801,6 +828,18 @@ class PQIndex:
         publish_batch_dir(root, entry, staged)
         return True
 
+    def _record_id_type(self, id_type: str) -> None:
+        import json
+        import os
+
+        meta_path = os.path.join(self.path, "_meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["id_type"] = id_type
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        self.id_type = id_type
+
     # -- read / query ---------------------------------------------------
     def codes(self) -> DataFrame:
         import os
@@ -812,8 +851,11 @@ class PQIndex:
             if d.startswith("batch-")
         ]
         if not dirs:
+            # empty path mirrors the recorded id type so a string- or
+            # binary-keyed index agrees with later-appended batches and
+            # with topk's join even before the first append
             return self.spark.createDataFrame(
-                [], "vec_id long, codes array<int>"
+                [], f"vec_id {self.id_type or 'long'}, codes array<int>"
             )
         return self.spark.read.parquet(*dirs)
 

@@ -389,6 +389,64 @@ class TestPQIndex:
         ).collect()
         assert got == want
 
+    def test_string_keyed_index_empty_schema_agrees_with_batches(
+        self, spark, tmp_path
+    ):
+        """A non-long id column: the empty codes() schema must match
+        later-appended batches (the id type is recorded in _meta.json
+        at build / first-append time)."""
+        from hedera_etl_spark.operators.pquant import PQIndex
+
+        books = pq_codebooks(M, K, DIMS, scale=0.4)
+        # empty build: no vectors yet, so no id type — defaults to long
+        idx = PQIndex.build(
+            spark, str(tmp_path / "pqs"), None, m=M, k=K, dims=DIMS,
+            codebooks=books,
+        )
+        assert idx.codes().schema["vec_id"].dataType.simpleString() == "bigint"
+        rows = [(f"doc-{i}", v) for i, v in _clustered(3, 5)]
+        emb = spark.createDataFrame(
+            rows, "doc_id string, embedding array<double>"
+        )
+        assert idx.add_vectors(emb, id_col="doc_id") is True
+        # first append pinned the type; empty-path schema now agrees
+        reopened = PQIndex(spark, str(tmp_path / "pqs"))
+        assert reopened.id_type == "string"
+        assert (
+            reopened.codes().schema["vec_id"].dataType.simpleString()
+            == "string"
+        )
+        # a conflicting id type is a loud error, not a silent union
+        bad = _emb(spark, _clustered(2, 3))
+        with pytest.raises(ValueError, match="stores vec_id as string"):
+            reopened.add_vectors(bad)
+
+    def test_build_with_vectors_records_id_type(self, spark, tmp_path):
+        import json
+
+        from hedera_etl_spark.operators.pquant import PQIndex
+
+        emb = _emb(spark, _clustered(3, 5))
+        PQIndex.build(
+            spark, str(tmp_path / "pql"), emb, m=M, k=K, dims=DIMS,
+            codebooks=pq_codebooks(M, K, DIMS, scale=0.4),
+        )
+        with open(tmp_path / "pql" / "_meta.json") as fh:
+            assert json.load(fh)["id_type"] == "bigint"
+
+
+def test_train_rejects_null_and_short_vectors(spark):
+    """pq_train_codebooks fails loudly (naming the count) on null/short
+    sampled vectors instead of an opaque TypeError — the covariance_matrix
+    n_valid guard applied to the PQ trainer."""
+    rows = _clustered(3, 8)
+    bad = rows + [(900, None), (901, [0.0] * (DIMS - 2))]
+    emb = spark.createDataFrame(
+        bad, "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="2 of .* null or shorter"):
+        pq_train_codebooks(emb, m=M, k=K, dims=DIMS, iters=1, sample_n=64)
+
 
 def test_cli_pqindex_roundtrip(spark, tmp_path, capsys):
     """pqindex build/add/topk through the CLI: write-once retries and
