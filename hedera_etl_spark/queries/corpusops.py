@@ -354,8 +354,12 @@ _VOCAB_ORACLE = """
     "llm_vocab_stats",
     _VOCAB_ORACLE,
     tags=("llm", "vocab", "tokenizer", "window"),
-    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
-    # r8-stale cohort refresh).
+    # parked r13 (driver-green r12): the tokenize-explode-aggregate
+    # kernel stays driver-checked via llm_pair_stats (IN, the same
+    # explode + hash-aggregate over bigrams) and the dimension-sized
+    # ranking window via llm_profile; coverage-curve values keep their
+    # local oracle.
+    driver_visible=False,
 )
 def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary table (operators/vocab.vocab_stats):
@@ -522,12 +526,11 @@ def _bpe_encode_oracle(k: int) -> str:
     "llm_bpe_merges",
     _bpe_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "iterative"),
-    # Driver-green r8-r11; parked in r12 in exchange for llm_vocab_stats
-    # + llm_pair_stats rotating back IN: the first merge round IS the
-    # argmax over llm_pair_stats' relation and the corpus symbolization
-    # shares llm_vocab_stats' tokenize+aggregate kernel, so both kernels
-    # stay driver-checked; the full k-round loop is pinned against an
-    # independent Python reference trainer in test_bpe.py.
+    # Driver-green r8-r11; parked since r12: the first merge round IS
+    # the argmax over llm_pair_stats' relation (IN) and the corpus
+    # symbolization shares its tokenize+aggregate kernel, so both
+    # kernels stay driver-checked; the full k-round loop is pinned
+    # against an independent Python reference trainer in test_bpe.py.
     driver_visible=False,
     # iterative: per-round localCheckpoints during construction
     cache_plan=False,
@@ -549,13 +552,12 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_bpe_encode",
     _bpe_encode_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "encode"),
-    # NEW r12, rotated INTO the window later the same round (zero
-    # never-driver-checked debt into r13); llm_span_flags parks in
-    # exchange.  The training loop producing the merge list is the
-    # parked-but-locally-oracled llm_bpe_merges, its kernels
-    # driver-checked via llm_vocab_stats + llm_pair_stats (IN since
-    # r12); this entry hash-checks the ENCODE — every (doc, term,
-    # piece) with its frequency-ranked integer id.
+    # parked r13 (driver-green r12): the tokenize+aggregate and
+    # round-one argmax kernels stay driver-checked via llm_pair_stats
+    # (IN); the merge loop keeps its local oracle via llm_bpe_merges and
+    # the encode join-back is pinned vs an independent Python encoder in
+    # tests/test_bpe.py.
+    driver_visible=False,
     # bpe_merges collects the merge list per call (localCheckpoints)
     cache_plan=False,
 )
@@ -772,9 +774,11 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dsir_resample",
     _DSIR_RESAMPLE_ORACLE,
     tags=("llm", "selection", "importance", "dsir", "gumbel", "topk"),
-    # NEW r12, rotated straight INTO the window; llm_language_id parks
-    # in exchange (its per-row regexp/ratio family stays driver-checked
-    # via llm_text_stats + llm_chunking).
+    # parked r13 (driver-green r12): the weight computation stays
+    # driver-checked via llm_dsir_weights (IN) and the
+    # TakeOrderedAndProject top-k shape via q07_bigjoin_topk (IN); the
+    # hash-derived Gumbel key is value-pinned in tests/test_dsir.py.
+    driver_visible=False,
 )
 def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-k importance resampling (operators/dsir.py): sample

@@ -42,8 +42,12 @@ from hedera_etl_spark.tables import load_table
     FROM documents ORDER BY doc_id
     """,
     tags=("mm", "binary", "decode", "image", "pandas-udf"),
-    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
-    # r8-stale cohort refresh).
+    # parked r13 (driver-green r12): the Arrow mapInPandas decode
+    # plumbing stays driver-checked via mm_audio_features (IN) and the
+    # payload fingerprint path via mm_phash_neardup (IN this round);
+    # the fake-decode contract stays pinned in tests/test_stateful.py
+    # and the entry keeps its local oracle.
+    driver_visible=False,
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three multimodal image paths in one entry, joined on the doc
@@ -82,10 +86,9 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
-    # Driver-green r11; parked in r12 in exchange for mm_payload_decode
-    # rotating back IN (the explode fan-out stays driver-checked via
-    # q14_explode_tokens and the multimodal family via mm_payload_decode
-    # + mm_audio_features, both IN this round).
+    # Driver-green r11; parked since r12 (the explode fan-out stays
+    # driver-checked via q14_explode_tokens and the multimodal family
+    # via mm_audio_features + mm_phash_neardup, both IN since r13).
     driver_visible=False,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,13 +237,8 @@ _PHASH_ORACLE = f"""
     "mm_phash_neardup",
     _PHASH_ORACLE,
     tags=("mm", "dedup", "phash", "image"),
-    # NEW r12, out-of-window (window full; rotation ledger tracks it
-    # with the other r12 candidates): the banded-fingerprint family is
-    # driver-checked via llm_simhash_neardup (IN) and the multimodal
-    # payload plumbing via mm_payload_decode / mm_audio_features (IN);
-    # this entry hash-checks the dHash relation via
-    # tools/verify_oracle.py each round.
-    driver_visible=False,
+    # rotated IN r13 (VERDICT r12 #1 — first driver row for the NEW-r12
+    # perceptual-dedup surface): hash-checks the dHash relation itself.
     # the fingerprint pass feeds bucket collection twice under AQE
     # re-use; keep plans fresh like the other pair detectors
     cache_plan=False,

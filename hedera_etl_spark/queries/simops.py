@@ -427,8 +427,11 @@ def _cov_oracle(dims: int) -> str:
     "sim_pca_covariance",
     _cov_oracle(_PCA_DIMS),
     tags=("sim", "pca", "covariance", "aggregate"),
-    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
-    # r8-stale cohort refresh).
+    # parked r13 (driver-green r12): the in-row vector fold/aggregate
+    # kernels stay driver-checked via sim_pq_adc_topk + sim_lsh_ann_topk
+    # (IN); exact covariance values stay pinned vs numpy in
+    # tests/test_embedpca.py and the entry keeps its local oracle.
+    driver_visible=False,
 )
 def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise covariance of the first 16 embedding dimensions in ONE
@@ -481,10 +484,8 @@ _HARDNEG_ORACLE = f"""
     "sim_hard_negatives",
     _HARDNEG_ORACLE,
     tags=("sim", "contrastive", "mining"),
-    # parked r10 (driver-green r9): the LSH bucket-join kernel keeps its
-    # driver row via sim_lsh_ann_topk; band-margin mining stays pinned in
-    # tests/test_similarity.py and local-oracled.
-    driver_visible=False,
+    # rotated back IN r13 (VERDICT r12 #1 — r9-stale cohort): fresh
+    # driver row for the band-margin mining relation itself.
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for embedding-model training data: per
@@ -591,13 +592,9 @@ _PQ_ORACLE = f"""
     _PQ_ORACLE,
     tags=("sim", "ann", "pq", "adc"),
     bench=True,
-    # NEW r12, out-of-window (window full; next rotation candidate per
-    # the COVERAGE ledger): the ANN probe/rank kernels are
-    # driver-checked via sim_lsh_ann_topk + sim_ivf_topk (IN); this
-    # entry hash-checks the PQ relation itself — encode argmins + ADC
-    # lookup sums — via tools/verify_oracle.py each round, and the
-    # trained-codebook path is pytest-pinned.
-    driver_visible=False,
+    # rotated IN r13 (VERDICT r12 #1 — first driver row for the NEW-r12
+    # PQ surface): hash-checks the PQ relation itself — encode argmins
+    # + ADC lookup sums; the trained-codebook path stays pytest-pinned.
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pquant.py): encode the
@@ -669,11 +666,8 @@ _IVFPQ_ORACLE = f"""
     "sim_ivfpq_topk",
     _IVFPQ_ORACLE,
     tags=("sim", "ann", "ivf", "pq", "adc"),
-    # NEW r12, out-of-window (window full; rotation ledger tracks it
-    # with sim_pq_adc_topk): the probe kernel is driver-checked via
-    # sim_ivf_topk (IN) and the ADC kernel locally via sim_pq_adc_topk;
-    # this entry hash-checks their COMPOSITION each round.
-    driver_visible=False,
+    # rotated IN r13 (VERDICT r12 #1 — first driver row for the NEW-r12
+    # IVF-PQ composition, alongside sim_pq_adc_topk's ADC kernel row).
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k (operators/pquant.ivfpq_topk): one
