@@ -771,6 +771,47 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dsir_weights_fast",
+    None,  # xxhash64 has no DuckDB twin — rows-only check by design
+    tags=("llm", "selection", "importance", "dsir", "production-hash"),
+    bench=True,
+    # Bench-only twin of llm_dsir_weights (VERDICT r12 #2): the
+    # production xxhash64 bucket hash — one native JVM hash per feature
+    # occurrence instead of the interpreted conv(md5hex, 16, 10) parse,
+    # the exact residual llm_minhash_neardup_fast eliminated for
+    # minhash signatures.  Never takes a window slot; correctness rides
+    # (a) the md5 entry's driver hash-match (every stage downstream of
+    # the bucket digest is shared — same fit, same smoothing, same
+    # score aggregate) and (b) the mode-pair pin in tests/test_dsir.py
+    # (identical doc set + n_features — the feature bag is
+    # hash-independent — and finite non-degenerate weights).
+    driver_visible=False,
+)
+def llm_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact llm_dsir_weights pipeline with hash_fn='xxhash64'
+    (operators/dsir.py): one native JVM hash per token+bigram
+    occurrence instead of two interpreted hex-digest parses — the
+    production mode for 100 TB scoring runs; md5 stays the
+    cross-engine oracle canon."""
+    from hedera_etl_spark.operators.dsir import (
+        dsir_log_ratio_table_where,
+        dsir_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    table = dsir_log_ratio_table_where(
+        docs, F.col("source") == "src1", n_buckets=_DSIR_B,
+        salt=_DSIR_SALT, hash_fn="xxhash64",
+    )
+    return dsir_scores(
+        docs, table, n_buckets=_DSIR_B, salt=_DSIR_SALT,
+        hash_fn="xxhash64",
+    ).orderBy("doc_id")
+
+
+@query(
     "llm_dsir_resample",
     _DSIR_RESAMPLE_ORACLE,
     tags=("llm", "selection", "importance", "dsir", "gumbel", "topk"),

@@ -318,3 +318,26 @@ def test_one_scan_where_fit_bit_equals_two_frame_fit(spark):
         docs, F.col("doc_id") % 3 != 0,
         n_buckets=B, salt=SALT, hash_fn="xxhash64").collect()))
     assert c == d
+
+
+def test_fast_registry_twin_pins_to_md5_canon(spark):
+    """llm_dsir_weights_fast (xxhash64, bench-only, rows-only oracle)
+    vs llm_dsir_weights (md5 canon): identical doc set and n_features
+    (the feature bag is hash-independent), finite non-degenerate
+    weights — the pin that lets the fast twin ride the md5 entry's
+    driver hash-match (the llm_minhash_neardup_fast pattern)."""
+    import math
+
+    from hedera_etl_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.001"
+    md5 = {r["doc_id"]: r for r in reg["llm_dsir_weights"].spark_fn(spark, sf).collect()}
+    fast = {r["doc_id"]: r for r in reg["llm_dsir_weights_fast"].spark_fn(spark, sf).collect()}
+    assert set(md5) == set(fast)
+    assert all(md5[d]["n_features"] == fast[d]["n_features"] for d in md5)
+    ws = [r["dsir_logw"] for r in fast.values()]
+    assert all(math.isfinite(w) for w in ws)
+    assert len(set(ws)) > 1  # non-degenerate: the model separates docs
+    spec = reg["llm_dsir_weights_fast"]
+    assert spec.oracle is None and spec.bench and not spec.driver_visible

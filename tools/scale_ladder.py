@@ -47,6 +47,8 @@ ENTRIES = [
     "llm_text_stats",
     "llm_paragraph_dedup",
     "q13_scalar_functions",
+    "llm_dsir_weights",           # md5 canon importance weights (r13 rung)
+    "llm_dsir_weights_fast",      # production xxhash64 bucket hash
 ]
 
 
