@@ -482,7 +482,9 @@ def _add_pqindex(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--index", required=True, help="index directory")
     p.add_argument(
-        "--action", choices=("build", "add", "topk"), required=True
+        "--action",
+        choices=("build", "add", "topk", "probe", "rebuild"),
+        required=True,
     )
     p.add_argument("--input", default=None, help="embeddings parquet dir")
     p.add_argument("--id-col", default="vec_id")
@@ -573,6 +575,30 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col, vec_col=args.vec_col,
             )
             print("landed" if landed else "skipped (already committed)")
+            return 0
+        if args.action == "rebuild":
+            if not args.input:
+                print("--input is required for rebuild", file=sys.stderr)
+                return 2
+            idx.rebuild_codebooks(
+                spark.read.parquet(args.input),
+                train_iters=args.train_iters, opq=args.opq,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(f"rebuilt codebooks + re-encoded at {args.index}")
+            return 0
+        if args.action == "probe":
+            if not args.input or not args.query_ids:
+                print("--input and --query-ids are required for probe",
+                      file=sys.stderr)
+                return 2
+            ids = [int(x) for x in args.query_ids.split(",")]
+            for r in idx.recall_probe(
+                spark.read.parquet(args.input), ids,
+                k_neighbors=args.k_neighbors,
+                id_col=args.id_col, vec_col=args.vec_col,
+            ).collect():
+                print(f"{r['batch_id']}\t{r['query_id']}\t{r['overlap']}")
             return 0
         if not args.input or not args.query_ids:
             print("--input and --query-ids are required for topk",

@@ -687,6 +687,12 @@ class PQIndex:
         import json
         import os
 
+        from hedera_etl_spark.fsutil import heal
+
+        # a rebuild_codebooks() crash between its two renames leaves the
+        # live dir missing and the old sibling present — self-repair on
+        # open, same rule as every other table-commit path
+        heal(path)
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "_meta.json")) as fh:
@@ -885,3 +891,139 @@ class PQIndex:
             codebooks=self.codebooks,
             codes_df=self.codes(),
         )
+
+    # -- maintenance ----------------------------------------------------
+    def recall_probe(
+        self,
+        emb: DataFrame,
+        query_ids: list,
+        k_neighbors: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Sampled exact-vs-ADC overlap@k PER CODE BATCH — the drift
+        detector for frozen codebooks: codebooks are trained once at
+        build time, so a corpus whose distribution moves (new domains,
+        new embedding model epoch) silently degrades ADC recall on the
+        batches it lands in.  This report makes the decay measurable
+        per batch, so the operator knows WHEN ``rebuild_codebooks`` is
+        due and which appends drifted.
+
+        ``emb`` supplies raw vectors for the sampled ids (the index
+        stores codes only); ``query_ids`` are the probe sample.  For
+        each batch: ADC top-k restricted to that batch's codes vs the
+        exact squared-L2 top-k over the same candidate set, overlap =
+        |intersection| / k.  Returns (batch_id, query_id, overlap)
+        ordered, plus the candidate counts — the per-batch mean is one
+        groupBy away.  The loop is driver-side over BATCH DIRECTORIES
+        (a maintenance-run dimension, not a data dimension); per batch
+        the work is two bounded top-k jobs."""
+        import os
+
+        root = os.path.join(self.path, "codes")
+        batches = sorted(
+            d for d in os.listdir(root) if d.startswith("batch-")
+        )
+        queries = (
+            emb.filter(F.col(id_col).isin(list(query_ids)))
+            .select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+            )
+        )
+        rows = []
+        for b in batches:
+            codes_b = self.spark.read.parquet(os.path.join(root, b))
+            src = (
+                rotate_vectors(emb, self.rotation, vec_col)
+                if self.rotation is not None
+                else emb
+            )
+            adc = pq_adc_topk(
+                src, list(query_ids), k_neighbors=k_neighbors,
+                dims=self.dims, id_col=id_col, vec_col=vec_col,
+                codebooks=self.codebooks, codes_df=codes_b,
+            )
+            adc_ids: dict = {}
+            for r in adc.collect():
+                adc_ids.setdefault(r["query_id"], set()).add(
+                    r["neighbor_id"]
+                )
+            # exact squared-L2 ranking over the SAME candidate set, in
+            # the original space (rotation is orthogonal: L2 invariant)
+            cand = emb.join(
+                codes_b.select(F.col("vec_id").alias(id_col)).distinct(),
+                on=id_col, how="left_semi",
+            )
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("__q"), F.col(vec_col),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            from pyspark.sql import Window
+
+            scored = (
+                cand.crossJoin(F.broadcast(queries))
+                .filter(F.col(id_col) != F.col("query_id"))
+                .select(
+                    "query_id", F.col(id_col).alias("neighbor_id"),
+                    d2.alias("__d2"),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                "__d2", "neighbor_id"
+            )
+            exact = scored.select(
+                "query_id", "neighbor_id", F.row_number().over(w).alias("r")
+            ).filter(F.col("r") <= k_neighbors)
+            exact_ids: dict = {}
+            for r in exact.collect():
+                exact_ids.setdefault(r["query_id"], set()).add(
+                    r["neighbor_id"]
+                )
+            for qid in sorted(exact_ids):
+                ex = exact_ids[qid]
+                got = adc_ids.get(qid, set())
+                rows.append(
+                    (b.removeprefix("batch-"), str(qid),
+                     len(ex), float(len(ex & got)) / max(len(ex), 1))
+                )
+        # query_id reported as string so string/binary-keyed indexes
+        # share the report schema
+        return self.spark.createDataFrame(
+            rows,
+            "batch_id string, query_id string, n_exact int, overlap double",
+        ).orderBy("batch_id", "query_id")
+
+    def rebuild_codebooks(
+        self,
+        emb: DataFrame,
+        train_iters: int = 4,
+        opq: bool = False,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "PQIndex":
+        """Retrain codebooks on the CURRENT corpus and re-encode it, in
+        ONE crash-safe move-aside swap (fsutil.atomic_replace — the
+        compact_partitions protocol): at every instant a reader opening
+        the path sees the complete old index or the complete new one,
+        never new codebooks over stale codes (which would silently
+        corrupt every ADC distance).  A crash between the two renames
+        self-repairs on the next open (``heal`` in ``__init__``).
+
+        ``emb`` is the current raw corpus (the index stores codes only,
+        so history cannot re-encode itself) — the same maintenance
+        contract as a compaction reading its own table."""
+        from hedera_etl_spark.fsutil import atomic_replace
+
+        def write_fn(tmp: str) -> None:
+            PQIndex.build(
+                self.spark, tmp, emb, m=self.m, k=self.k, dims=self.dims,
+                train=not opq, opq=opq, train_iters=train_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+        atomic_replace(self.path, write_fn)
+        return PQIndex(self.spark, self.path)
