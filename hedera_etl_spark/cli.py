@@ -835,6 +835,15 @@ def main(argv: list[str] | None = None) -> int:
                 else None,
                 shards_dir=args.out_dir,
                 name=os.path.basename(os.path.normpath(args.out_dir)),
+                # r13 report surfaces: residual near-dup mass on the
+                # SHIPPED corpus, contamination verification against the
+                # eval set prepare decontaminated with, and (via the
+                # ledger) the dup-cluster histogram
+                similarity_report=True,
+                eval_docs=spark.read.parquet(args.eval_input)
+                if args.eval_input
+                else None,
+                decontam_n=args.decontam_n,
             )
             card_path = os.path.join(args.out_dir, "dataset_card.json")
             write_dataset_card(card, card_path)

@@ -37,9 +37,32 @@ def dataset_card(
     ledger_dir: str | None = None,
     shards_dir: str | None = None,
     name: str = "corpus",
+    similarity_report: bool = False,
+    sim_floor: float = 0.5,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> dict:
     """Build the card as a plain dict (JSON-ready; no timestamps — the
-    caller stamps release metadata, keeping the build deterministic)."""
+    caller stamps release metadata, keeping the build deterministic).
+
+    r13 report surfaces (VERDICT r12 #7), each an already-oracled
+    relation folded into the datasheet:
+
+    - ``similarity_report=True``: the residual near-dup threshold-sweep
+      histogram over the SHIPPED corpus (textdedup.similarity_histogram
+      — ``llm_similarity_histogram``'s relation): after dedup this is
+      the near-dup mass that survived the chosen threshold, the number
+      a reviewer checks before raising it;
+    - ``eval_docs``: the contamination verification — a one-row
+      aggregate of decontam.contamination_profile
+      (``llm_decontaminate``'s kernel) over the shipped corpus vs the
+      eval set; ~zero flagged is the claim a decontaminated release
+      ships with, now measured on the artifact itself;
+    - ``ledger_dir`` (already an input) additionally yields the
+      dup-cluster histogram: dedup drops grouped by keeper attribution
+      (cluster_size = drops + the keeper), the "how duplicated was
+      this corpus" report — dimension-sized, derived from the oracled
+      ledger relation rather than a second pair computation."""
     toks = F.size(F.split(F.col(text_col), " "))
     agg = docs.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -63,6 +86,9 @@ def dataset_card(
         "quality_profile": [],
         "removals": None,
         "shards": None,
+        "similarity_histogram": None,
+        "contamination": None,
+        "dup_clusters": None,
     }
     for g in group_cols:
         rows = (
@@ -92,6 +118,52 @@ def dataset_card(
     for r in prof.collect():
         d = r.asDict()
         card["quality_profile"].append({k: d.get(k) for k in keep if k in d})
+    if similarity_report:
+        from hedera_etl_spark.operators.textdedup import similarity_histogram
+
+        bins = similarity_histogram(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            floor=sim_floor,
+        ).collect()
+        card["similarity_histogram"] = {
+            "floor": sim_floor,
+            "residual_pairs": int(sum(r["n_pairs"] for r in bins)),
+            "bins": [
+                {
+                    "sim_lo": float(r["sim_lo"]),
+                    "n_pairs": int(r["n_pairs"]),
+                }
+                for r in bins
+            ],
+        }
+    if eval_docs is not None:
+        from hedera_etl_spark.operators.decontam import contamination_profile
+
+        prof_row = (
+            contamination_profile(
+                docs, eval_docs, n=decontam_n,
+                text_col=text_col, id_col=id_col,
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_profiled"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("n_flagged"),
+                F.coalesce(F.max("contamination"), F.lit(0.0)).alias(
+                    "max_contamination"
+                ),
+            )
+            .collect()[0]
+        )
+        card["contamination"] = {
+            "ngram_n": decontam_n,
+            "n_docs_profiled": int(prof_row["n_profiled"]),
+            "n_docs_flagged": int(prof_row["n_flagged"]),
+            "max_contamination": float(prof_row["max_contamination"]),
+        }
     if ledger_dir is not None:
         from hedera_etl_spark.operators.provenance import read_ledger_path
 
@@ -113,6 +185,33 @@ def dataset_card(
                 for r in rows
             ],
         }
+        # dup-cluster histogram from keeper attribution: each dedup-stage
+        # keeper's cluster = its drops + itself; sizes histogram like
+        # components.cluster_size_profile, derived from the ledger
+        # relation instead of recomputing pairs
+        hist = (
+            led.filter(
+                F.col("ref_id").isNotNull()
+                & F.col("stage").isin(
+                    "exact_dedup", "near_dedup", "semantic_dedup"
+                )
+            )
+            .groupBy("ref_id")
+            .agg((F.count(F.lit(1)) + 1).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .orderBy(F.col("cluster_size").desc())
+            .collect()
+        )
+        if hist:
+            card["dup_clusters"] = [
+                {
+                    "cluster_size": int(r["cluster_size"]),
+                    "n_clusters": int(r["n_clusters"]),
+                    "n_docs": int(r["cluster_size"] * r["n_clusters"]),
+                }
+                for r in hist
+            ]
     if shards_dir is not None:
         from hedera_etl_spark.operators.export import verify_shards
 

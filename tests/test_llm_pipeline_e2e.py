@@ -510,6 +510,8 @@ def test_cli_prepare_dataset_card(spark, corpus, tmp_path):
 
     src = str(tmp_path / "docs_card")
     corpus.write.parquet(src)
+    eval_src = str(tmp_path / "card_eval")
+    corpus.orderBy("doc_id").limit(3).write.parquet(eval_src)
     out = str(tmp_path / "cardprep")
     ledger = str(tmp_path / "cardledger")
     rc = cli.main(
@@ -520,6 +522,7 @@ def test_cli_prepare_dataset_card(spark, corpus, tmp_path):
             "--max-tokens", "256",
             "--n-shards", "4",
             "--removal-ledger-out", ledger,
+            "--eval-input", eval_src,
             "--dataset-card",
         ]
     )
@@ -534,3 +537,24 @@ def test_cli_prepare_dataset_card(spark, corpus, tmp_path):
     assert "exact_dedup" in stages or "near_dedup" in stages
     cols = {c["column"] for c in card["schema"]}
     assert {"doc_id", "text"} <= cols
+    # r13 report surfaces: residual similarity over the SHIPPED corpus —
+    # the dedup already ran, so every bin at/above its threshold is empty
+    sim = card["similarity_histogram"]
+    assert sim is not None and sim["floor"] == 0.5
+    assert sim["residual_pairs"] == sum(b["n_pairs"] for b in sim["bins"])
+    assert all(b["n_pairs"] >= 0 for b in sim["bins"])
+    # contamination verification: prepare decontaminated against this
+    # exact eval set, so nothing shipped may still hit it at n=13
+    cont = card["contamination"]
+    assert cont is not None and cont["ngram_n"] == 13
+    assert cont["n_docs_flagged"] == 0
+    assert cont["n_docs_profiled"] > 0
+    # dup-cluster histogram from the ledger's keeper attribution: the
+    # injected exact clones form one 3-member cluster (doc 0 + 2 clones)
+    clusters = card["dup_clusters"]
+    assert clusters is not None
+    assert all(c["cluster_size"] >= 2 for c in clusters)
+    assert all(
+        c["n_docs"] == c["cluster_size"] * c["n_clusters"] for c in clusters
+    )
+    assert any(c["cluster_size"] == 3 for c in clusters)
