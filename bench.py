@@ -216,6 +216,7 @@ def main() -> int:
     # One untimed warmup + 2 timed runs, min reported; no DuckDB twin
     # (stateful streaming), so it stays outside `queries`/vs_duckdb.
     epoch_runs: list[float] = []
+    out_epoch_10x: dict = {}
     import shutil
     import tempfile
 
@@ -259,11 +260,11 @@ def main() -> int:
             "doc_id", "text"
         )
 
-        def run_epoch(tag: str) -> float:
+        def run_epoch(tag: str, src_dir: str = in_dir) -> float:
             root = os.path.join(tmp_root, tag)
             pipe = CorpusIngestPipeline(
                 spark,
-                input_dir=in_dir,
+                input_dir=src_dir,
                 corpus_table=os.path.join(root, "corpus"),
                 store_path=os.path.join(root, "store"),
                 checkpoint=os.path.join(root, "ckpt"),
@@ -279,6 +280,64 @@ def main() -> int:
         run_epoch("warmup")
         for i in range(2):
             epoch_runs.append(run_epoch(f"r{i}"))
+
+        # Batch-size amortization rung (VERDICT r12 #8): the epoch
+        # ladder showed a ~12 s FIXED term per epoch — fine at the
+        # reference's 100 TPS design target, but the headline
+        # continuous-ingest number should also show an epoch whose
+        # batch is sized so the data term dominates.  Same pipeline,
+        # 10x the docs per drained epoch (50k at sf0.1): copies get
+        # offset doc_ids and a per-copy token prefix so shingle spaces
+        # stay disjoint (the scale_ladder synthesis — plain copies
+        # would collapse into 10-member dup clusters and measure a
+        # different workload).  One timed run (codegen/JIT warm from
+        # the small-rung epochs; a second ~20 s run buys only noise
+        # damping the ladder already provides).
+        in_dir_10x = os.path.join(tmp_root, "in10x")
+        big = None
+        for i in range(10):
+            c = base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.expr(
+                    f"array_join(transform(split(text, ' '), "
+                    f"t -> concat('c{i}', t)), ' ')"
+                ).alias("text"),
+                "source", "lang",
+            )
+            big = c if big is None else big.unionByName(c)
+        big_stream = big.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.concat(
+                        F.lit("intro "), F.col("doc_id").cast("string"),
+                        F.lit("\n\n"),
+                        F.lit("This website uses cookies to improve your experience."),
+                        F.lit("\n\n"), F.col("text"),
+                    ).alias("text"),
+                    F.concat(
+                        F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/"), F.col("lang"), F.lit("/page-"),
+                        F.when(
+                            F.col("doc_id") % 10 == 0,
+                            (F.col("doc_id") % 50).cast("string"),
+                        ).otherwise(F.col("doc_id").cast("string")),
+                        F.when(
+                            F.col("doc_id") % 2 == 0,
+                            F.lit("?utm_source=feed&a=1"),
+                        ).otherwise(F.lit("?a=1")),
+                    ).alias("url"),
+                )
+            ).alias("value")
+        )
+        big_stream.coalesce(8).write.mode("overwrite").text(in_dir_10x)
+        n_docs_10x = 10 * base.count()
+        epoch_10x = run_epoch("r10x", in_dir_10x)
+        out_epoch_10x = {
+            "epoch_sec_10x": epoch_10x,
+            "epoch_docs_10x": int(n_docs_10x),
+            "epoch_docs_per_sec_10x": round(n_docs_10x / epoch_10x, 1),
+        }
     except Exception as exc:
         errors["corpus_ingest_epoch"] = str(exc).split("\n")[0][:300]
         print(f"bench: streaming epoch failed: {exc}", file=sys.stderr)
@@ -370,6 +429,7 @@ def main() -> int:
         # paragraph -> store dedup -> commit.  Stateful, no oracle twin.
         out["epoch_sec"] = min(epoch_runs)
         out["epoch_runs"] = epoch_runs
+    out.update(out_epoch_10x)
     # back-to-back repeats (VERDICT r10 #6): session noise shows as
     # uniform inflation across these totals
     if spark_run_totals:

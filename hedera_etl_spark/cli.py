@@ -249,6 +249,13 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
         "corpus (keeps the canonical first occurrence)",
     )
     p.add_argument(
+        "--exact-substr-min-len",
+        type=int,
+        default=None,
+        help="ExactSubstr: cut every repeated substring of >= this many "
+        "tokens at ANY length/alignment (all occurrences go)",
+    )
+    p.add_argument(
         "--keeper-score-col",
         default=None,
         help="column naming a per-doc quality score: the near-dup "
@@ -746,6 +753,7 @@ def main(argv: list[str] | None = None) -> int:
             minhash_hash_fn=args.minhash_hash_fn,
             winnow_min_shared=args.winnow_min_shared,
             span_dedup_n=args.span_dedup_n,
+            exact_substr_min_len=args.exact_substr_min_len,
             keeper_score_col=args.keeper_score_col,
             eval_docs=spark.read.parquet(args.eval_input) if args.eval_input else None,
             decontam_n=args.decontam_n,

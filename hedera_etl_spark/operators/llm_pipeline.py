@@ -63,6 +63,7 @@ def prepare_training_corpus(
     keeper_score_col: str | None = None,
     span_dedup_n: int | None = None,
     span_keep_first: bool = True,
+    exact_substr_min_len: int | None = None,
     embeddings: DataFrame | None = None,
     embedding_index_path: str | None = None,
     embedding_threshold: float = 0.95,
@@ -124,7 +125,11 @@ def prepare_training_corpus(
     regardless since byte-identical copies have nothing to rank —
     repeated-span removal at
     ``span_dedup_n`` tokens (skipped when None; ``span_keep_first``
-    keeps the canonical occurrence), SEMANTIC near-dup collapse when
+    keeps the canonical occurrence), arbitrary-length ExactSubstr
+    cutting at ``exact_substr_min_len`` tokens (skipped when None; all
+    occurrences go — the Lee et al. 2022 semantics, exact by the
+    spandedup.repeated_intervals coverage equivalence), SEMANTIC
+    near-dup collapse when
     ``embeddings`` is given (cosine >= ``embedding_threshold`` against
     the persisted IVF index at ``embedding_index_path`` — built on the
     first call, probed and appended on every later batch, so cross-batch
@@ -435,6 +440,21 @@ def prepare_training_corpus(
             text_col=text_col, id_col=id_col,
         )
         out = _observed("span_dedup", out)
+
+    if exact_substr_min_len is not None:
+        # ExactSubstr (Lee et al. 2022, r13): cut every repeated
+        # substring of >= min_len tokens at ANY length/alignment — the
+        # interval form of the span stage (coverage-equivalence proof
+        # at spandedup.repeated_intervals); ALL occurrences go, per the
+        # published semantics.  Runs after paragraph/span stages so the
+        # min_tokens floor below still drops docs the cut hollowed out.
+        from hedera_etl_spark.operators.spandedup import exact_substr_dedup
+
+        out = exact_substr_dedup(
+            out, min_len=exact_substr_min_len,
+            text_col=text_col, id_col=id_col,
+        )
+        out = _observed("exact_substr", out)
 
     if embeddings is not None:
         if embedding_index_path is None:

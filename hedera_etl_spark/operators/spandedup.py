@@ -182,3 +182,137 @@ def remove_repeated_spans(
             for c in docs.columns
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: arbitrary-length repeated-substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+def repeated_intervals(
+    docs: DataFrame,
+    min_len: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated-coverage intervals per document: (doc_id, start,
+    end_pos, n_tokens), 1-based inclusive token positions, for every
+    maximal run of positions covered by SOME repeated substring of
+    >= ``min_len`` tokens — the exact removal set of ExactSubstr
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") at ANY repeat length and alignment.
+
+    Why fixed-width windows suffice (the equivalence that makes this
+    EXACT rather than an approximation, pinned against a brute-force
+    any-length reference in tests/test_spandedup.py):
+
+      position p is covered by a repeated substring of length >= w
+      iff p is covered by a flagged stride-1 w-window.
+
+    (=>) a repeat R = [a, b) with b-a >= w containing p contains a full
+    w-window [s, s+w) ⊆ R with s in [max(a, p-w+1), min(p, b-w)] — that
+    window is a substring of R, so it occurs wherever R occurs and is
+    flagged.  (<=) a flagged w-window containing p IS a repeated
+    substring of length w >= w containing p.  So the union of flagged
+    w-windows equals the union of >= w-token repeats, and a suffix
+    array's generality buys nothing for the coverage/cut semantics —
+    only for reporting each repeat's full extent as one unit, which the
+    interval MERGE below recovers (overlapping/adjacent windows chain
+    into the maximal covered run).
+
+    Plan shape (the 100 TB story): span fan-out + frequency aggregate
+    + join-back are :func:`repeated_spans` (one checkpointed span pass,
+    one hash-agg exchange, one equi-join); the merge adds a lag window
+    + running-sum island ids + a (doc, island) aggregate — ONE further
+    doc-keyed exchange whose window partitions by doc_id, never a
+    corpus-wide sort.  The oracle mirrors the merge with the identical
+    lag/sum/groupBy chain over string-equality span groups.
+    """
+    from pyspark.sql import Window
+
+    w = int(min_len)
+    starts = repeated_spans(
+        docs, n=w, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    # two flagged windows at starts a < b chain iff b <= a + w: their
+    # coverage [a, a+w) and [b, b+w) overlaps or abuts into one run
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(order) <= w, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = (
+        starts.withColumn("__brk", brk)
+        .withColumn(
+            "__g",
+            F.sum("__brk").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        grouped.groupBy("doc_id", "__g")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + w - 1).cast("int").alias("end_pos"),
+            (F.max("pos") + w - F.min("pos")).cast("int").alias("n_tokens"),
+        )
+        .select("doc_id", "start", "end_pos", "n_tokens")
+    )
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    min_len: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document with every repeated substring of
+    >= ``min_len`` tokens cut out — distributed ExactSubstr.  Returns
+    the input schema with ``text_col`` rewritten; untouched documents
+    pass through byte-identical.
+
+    Cut semantics follow the published choice: ALL occurrences go (no
+    owner election — see :func:`remove_repeated_spans` ``keep_first``
+    for the window-level variant).  By the coverage equivalence in
+    :func:`repeated_intervals` this equals ``remove_repeated_spans``
+    at ``n=min_len`` (equality pinned in tests); the interval form
+    tests each token against the doc's MERGED islands rather than
+    every flagged window start — fewer in-row comparisons on
+    boilerplate-heavy documents, same output."""
+    ivals = repeated_intervals(
+        docs, min_len=min_len, min_count=min_count,
+        text_col=text_col, id_col=id_col,
+    )
+    per_doc = ivals.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("start", "end_pos"))
+        ).alias("__iv")
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda p: F.exists(
+        F.col("__iv"),
+        lambda iv: (iv["start"] <= p) & (p <= iv["end_pos"]),
+    )
+    rebuilt = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks")),
+                lambda p: F.when(~covered(p), F.element_at("__toks", p)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    joined = docs.join(
+        per_doc.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("__toks", toks)
+    return joined.select(
+        *[
+            F.when(F.col("__iv").isNull(), F.col(text_col))
+            .otherwise(rebuilt)
+            .alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in docs.columns
+        ]
+    )

@@ -833,3 +833,114 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_resample(scored, _DSIR_K, salt=_DSIR_GSALT).orderBy(
         F.col("gumbel_key").desc(), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: arbitrary-length repeated-substring intervals (NEW r13)
+# ---------------------------------------------------------------------------
+#: 60-token planted template; the first 50 form a second, shorter plant.
+#: Appended to doc_id % 7 == 0 (END alignment) and prepended to
+#: doc_id % 11 == 0 (START alignment), so the corpus carries repeats of
+#: two different lengths at two different alignments, PLUS the 50-token
+#: cross-group overlap (the prefix of the 60 IS the 50) — exactly the
+#: any-length/any-alignment class a fixed-width reporter cannot name.
+_XS_TPL60 = " ".join(f"xs{i}" for i in range(60))
+_XS_TPL50 = " ".join(f"xs{i}" for i in range(50))
+_XS_W = 20
+
+_XS_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_XS_TPL60}'
+                  WHEN doc_id % 11 = 0 THEN '{_XS_TPL50} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ),
+    -- stride-1 {_XS_W}-token windows grouped by STRING equality: the
+    -- engine-independent twin of the Spark side's xxhash64-over-slice
+    -- (equality decides the flag set either way)
+    spans AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(list_slice(t, i, i + {_XS_W - 1}), ' ') AS s
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t) - {_XS_W - 1}, 0)))
+             AS u(i)
+    ),
+    flagged AS (SELECT s FROM spans GROUP BY s HAVING COUNT(*) >= 2),
+    starts AS (SELECT doc_id, pos FROM spans JOIN flagged USING (s)),
+    -- island merge: windows at a < b chain iff b <= a + w
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_XS_W}
+                  THEN 0 ELSE 1 END AS brk
+      FROM starts
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM marks
+    )
+    SELECT doc_id, MIN(pos) AS start,
+           CAST(MAX(pos) + {_XS_W - 1} AS INTEGER) AS end_pos,
+           CAST(MAX(pos) + {_XS_W} - MIN(pos) AS INTEGER) AS n_tokens
+    FROM grp GROUP BY doc_id, g
+    ORDER BY doc_id, start
+"""
+
+
+@query(
+    "llm_exact_substr",
+    _XS_ORACLE,
+    tags=("llm", "dedup", "exact-substr", "intervals"),
+    bench=True,
+    # NEW r13 (VERDICT r12 #3): arbitrary-length repeated-substring
+    # dedup — ExactSubstr (Lee et al. 2022) — as maximal coverage
+    # intervals.  The fixed-width machinery is EXACT for this (see the
+    # repeated_intervals equivalence proof; pinned vs a brute-force
+    # any-length reference in test_spandedup.py).  Registers
+    # out-of-window (the r13 window carries the rotation cohort; this
+    # is the lead r14 rotation candidate): span fan-out via
+    # q14_explode_tokens, flagged-hash GROUP BY/HAVING via
+    # llm_exact_dedup, the lag/island window via q10_window_frame (all
+    # IN); the merged-intervals relation itself is hash-checked via
+    # tools/verify_oracle.py each round.
+    # repeated_spans localCheckpoints the span rows (two consumers) —
+    # cache opt-out like the other pair detectors
+    cache_plan=False,
+    driver_visible=False,
+)
+def llm_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length repeated-substring intervals
+    (operators/spandedup.repeated_intervals): every maximal run of
+    token positions covered by a >= 20-token substring occurring >= 2
+    times across the planted corpus — (doc_id, start, end_pos,
+    n_tokens), the exact removal set of ExactSubstr at ANY repeat
+    length and alignment.  The plant appends a 60-token template to
+    every doc_id % 7 == 0 document and prepends its 50-token prefix to
+    every doc_id % 11 == 0 one, so reported intervals span multiple
+    lengths and both alignments; natural near-dup repeats in the
+    underlying table surface too (the oracle reproduces them from the
+    same string-equality flag set)."""
+    from hedera_etl_spark.operators.spandedup import repeated_intervals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _XS_TPL60)),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(_XS_TPL50 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_intervals(planted, min_len=_XS_W).orderBy(
+        "doc_id", "start"
+    )

@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import Row
 
 from hedera_etl_spark.operators.spandedup import (
+    exact_substr_dedup,
     remove_repeated_spans,
+    repeated_intervals,
     repeated_spans,
 )
 
@@ -108,3 +110,136 @@ def test_pipeline_span_stage(spark):
     }
     assert out[1].startswith(HEADER)  # canonical occurrence kept
     assert out[2] == "second unique body different words"
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: arbitrary-length repeated-substring dedup
+# ---------------------------------------------------------------------------
+def _bruteforce_any_length_coverage(texts: dict, L: int) -> dict:
+    """The DEFINITION, not the algorithm: for every substring of every
+    length >= L, count its corpus-wide occurrences; a position is
+    covered iff some >= L-length substring through it occurs >= 2
+    times.  O(n^3)-ish — only viable on the tiny fixture, which is the
+    point: it pins the any-length semantics the operator claims."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    for t in toks.values():
+        for length in range(L, len(t) + 1):
+            for s in range(0, len(t) - length + 1):
+                counts[tuple(t[s:s + length])] += 1
+    cov: dict = {}
+    for d, t in toks.items():
+        pos: set = set()
+        for length in range(L, len(t) + 1):
+            for s in range(0, len(t) - length + 1):
+                if counts[tuple(t[s:s + length])] >= 2:
+                    pos.update(range(s + 1, s + length + 1))  # 1-based
+        cov[d] = pos
+    return cov
+
+
+@pytest.fixture(scope="module")
+def xs_docs(spark):
+    """Variable-length planted repeats at different alignments: a
+    9-token phrase shared END vs MIDDLE vs START, a 5-token sub-phrase
+    shared with a third doc, a self-periodic doc, and a clean doc."""
+    phrase = "p0 p1 p2 p3 p4 p5 p6 p7 p8"          # 9 tokens
+    sub = "p2 p3 p4 p5 p6"                          # inner 5 of them
+    return {
+        1: f"alpha beta gamma delta {phrase}",
+        2: f"one {phrase} two three four five",
+        3: f"{sub} completely different tail words here",
+        4: "ha ho " * 4 + "done",                   # self-repeat (8 tokens)
+        5: "nothing here repeats at all in any way",
+    }
+
+
+def _xs_df(spark, xs_docs):
+    return spark.createDataFrame(
+        [Row(doc_id=d, text=t.strip()) for d, t in xs_docs.items()]
+    )
+
+
+def test_intervals_match_any_length_bruteforce(spark, xs_docs):
+    """The coverage-equivalence theorem (repeated_intervals docstring):
+    stride-1 w-window coverage == any-length >= w repeat coverage,
+    checked against the brute-force DEFINITION."""
+    L = 5
+    want = _bruteforce_any_length_coverage(xs_docs, L)
+    got: dict = {d: set() for d in xs_docs}
+    ivals = repeated_intervals(_xs_df(spark, xs_docs), min_len=L).collect()
+    for r in ivals:
+        got[r["doc_id"]].update(range(r["start"], r["end_pos"] + 1))
+    assert got == want
+    # intervals are MAXIMAL and disjoint: no two touch or overlap
+    by_doc: dict = {}
+    for r in ivals:
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["end_pos"]))
+    for spans in by_doc.values():
+        spans.sort()
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert a2 > b1 + 1
+    # lengths reported correctly
+    assert all(
+        r["n_tokens"] == r["end_pos"] - r["start"] + 1 for r in ivals
+    )
+
+
+def test_intervals_report_variable_lengths_and_alignments(spark, xs_docs):
+    L = 5
+    ivals = {
+        (r["doc_id"], r["start"]): r["n_tokens"]
+        for r in repeated_intervals(_xs_df(spark, xs_docs), min_len=L).collect()
+    }
+    # doc 1: the 9-token phrase at the END (tokens 5..13)
+    assert ivals[(1, 5)] == 9
+    # doc 2: same phrase MID-doc (tokens 2..10) — different alignment
+    assert ivals[(2, 2)] == 9
+    # doc 3: only the 5-token sub-phrase, at the START
+    assert ivals[(3, 1)] == 5
+    # doc 5: clean
+    assert not any(d == 5 for d, _ in ivals)
+
+
+def test_exact_substr_equals_window_form(spark, xs_docs):
+    """The cut is provably the same relation remove_repeated_spans
+    produces at n=min_len — pinned here so the two forms can never
+    drift."""
+    df = _xs_df(spark, xs_docs)
+    L = 5
+    a = {r["doc_id"]: r["text"] for r in exact_substr_dedup(df, min_len=L).collect()}
+    b = {r["doc_id"]: r["text"] for r in remove_repeated_spans(df, n=L).collect()}
+    assert a == b
+    # and the clean doc is byte-identical to its input
+    assert a[5] == "nothing here repeats at all in any way"
+
+
+def test_pipeline_exact_substr_stage(spark):
+    """prepare_training_corpus(exact_substr_min_len=...): the planted
+    arbitrary-length repeat is cut from every survivor, and documents
+    hollowed below the token floor drop."""
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    boiler = " ".join(f"b{i}" for i in range(7))
+    rows = [
+        Row(doc_id=1, text=f"unique alpha words one two three {boiler}"),
+        Row(doc_id=2, text=f"{boiler} other body text four five six"),
+        Row(doc_id=3, text=f"{boiler} tiny"),  # hollowed below the floor
+        Row(doc_id=4, text="independent document with plenty of words here"),
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in prepare_training_corpus(
+            spark.createDataFrame(rows),
+            near_threshold=0.0,  # disable near-dup noise on this fixture
+            exact_substr_min_len=5,
+            min_tokens=3,
+            sample_rate=1.0,
+        ).collect()
+    }
+    assert out[1] == "unique alpha words one two three"
+    assert out[2] == "other body text four five six"
+    assert 3 not in out  # 'tiny' alone is below min_tokens=3
+    assert out[4] == "independent document with plenty of words here"
