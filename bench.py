@@ -293,54 +293,61 @@ def main() -> int:
         # different workload).  One timed run (codegen/JIT warm from
         # the small-rung epochs; a second ~20 s run buys only noise
         # damping the ladder already provides).
-        in_dir_10x = os.path.join(tmp_root, "in10x")
-        big = None
-        for i in range(10):
-            c = base.select(
-                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-                F.expr(
-                    f"array_join(transform(split(text, ' '), "
-                    f"t -> concat('c{i}', t)), ' ')"
-                ).alias("text"),
-                "source", "lang",
-            )
-            big = c if big is None else big.unionByName(c)
-        big_stream = big.select(
-            F.to_json(
-                F.struct(
-                    F.col("doc_id"),
-                    F.concat(
-                        F.lit("intro "), F.col("doc_id").cast("string"),
-                        F.lit("\n\n"),
-                        F.lit("This website uses cookies to improve your experience."),
-                        F.lit("\n\n"), F.col("text"),
-                    ).alias("text"),
-                    F.concat(
-                        F.lit("https://"), F.col("source"),
-                        F.lit(".example.com/"), F.col("lang"), F.lit("/page-"),
-                        F.when(
-                            F.col("doc_id") % 10 == 0,
-                            (F.col("doc_id") % 50).cast("string"),
-                        ).otherwise(F.col("doc_id").cast("string")),
-                        F.when(
-                            F.col("doc_id") % 2 == 0,
-                            F.lit("?utm_source=feed&a=1"),
-                        ).otherwise(F.lit("?a=1")),
-                    ).alias("url"),
-                )
-            ).alias("value")
-        )
-        big_stream.coalesce(8).write.mode("overwrite").text(in_dir_10x)
-        n_docs_10x = 10 * base.count()
-        epoch_10x = run_epoch("r10x", in_dir_10x)
-        out_epoch_10x = {
-            "epoch_sec_10x": epoch_10x,
-            "epoch_docs_10x": int(n_docs_10x),
-            "epoch_docs_per_sec_10x": round(n_docs_10x / epoch_10x, 1),
-        }
     except Exception as exc:
         errors["corpus_ingest_epoch"] = str(exc).split("\n")[0][:300]
         print(f"bench: streaming epoch failed: {exc}", file=sys.stderr)
+    # the 10x rung gets its own fault isolation: a failure here must not
+    # mislabel the (already measured) small-batch epochs above
+    try:
+        if epoch_runs:
+            in_dir_10x = os.path.join(tmp_root, "in10x")
+            big = None
+            for i in range(10):
+                c = base.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.expr(
+                        f"array_join(transform(split(text, ' '), "
+                        f"t -> concat('c{i}', t)), ' ')"
+                    ).alias("text"),
+                    "source", "lang",
+                )
+                big = c if big is None else big.unionByName(c)
+            big_stream = big.select(
+                F.to_json(
+                    F.struct(
+                        F.col("doc_id"),
+                        F.concat(
+                            F.lit("intro "), F.col("doc_id").cast("string"),
+                            F.lit("\n\n"),
+                            F.lit("This website uses cookies to improve your experience."),
+                            F.lit("\n\n"), F.col("text"),
+                        ).alias("text"),
+                        F.concat(
+                            F.lit("https://"), F.col("source"),
+                            F.lit(".example.com/"), F.col("lang"), F.lit("/page-"),
+                            F.when(
+                                F.col("doc_id") % 10 == 0,
+                                (F.col("doc_id") % 50).cast("string"),
+                            ).otherwise(F.col("doc_id").cast("string")),
+                            F.when(
+                                F.col("doc_id") % 2 == 0,
+                                F.lit("?utm_source=feed&a=1"),
+                            ).otherwise(F.lit("?a=1")),
+                        ).alias("url"),
+                    )
+                ).alias("value")
+            )
+            big_stream.coalesce(8).write.mode("overwrite").text(in_dir_10x)
+            n_docs_10x = 10 * base.count()
+            epoch_10x = run_epoch("r10x", in_dir_10x)
+            out_epoch_10x = {
+                "epoch_sec_10x": epoch_10x,
+                "epoch_docs_10x": int(n_docs_10x),
+                "epoch_docs_per_sec_10x": round(n_docs_10x / epoch_10x, 1),
+            }
+    except Exception as exc:
+        errors["corpus_ingest_epoch_10x"] = str(exc).split("\n")[0][:300]
+        print(f"bench: 10x epoch rung failed: {exc}", file=sys.stderr)
     finally:
         if tmp_root:  # a failed run must not leak the staged corpus
             shutil.rmtree(tmp_root, ignore_errors=True)
