@@ -13,15 +13,15 @@ trades the exact minimal-cut of a suffix array for a fixed span width
 1. explode each document's n-token spans WITH their token positions —
    one map-side fan-out off a single tokenization (the projected-column
    discipline of textdedup/textanalysis);
-2. one hash aggregate counts each span hash's corpus frequency; spans at
-   or above ``min_count`` become the repeated-span dimension.  Frequency
-   counting uses xxhash64 over the span's per-token-hash slice — a
-   64-bit collision risk of ~n_spans²/2⁶⁴, and a collision only
-   over-cuts one span;
-3. join flagged hashes back to (doc, position) — broadcastable when the
-   repeated dimension is small, shuffled equi-join otherwise, linear
-   either way;
-4. per document: collect the flagged start positions (bounded by the
+2. one COUNT-OVER-WINDOW partitioned by the span hash flags every
+   (doc, position) whose span content reaches ``min_count`` corpus
+   occurrences — a single exchange on the hash, no join, no broadcast
+   (r13: the former aggregate+join-back form broadcast-OOM'd once the
+   flagged dimension outgrew the driver; the window form is also
+   faster).  Hashing is xxhash64 over the span's per-token-hash
+   slice — a 64-bit collision risk of ~n_spans²/2⁶⁴, and a collision
+   only over-cuts one span;
+3. per document: collect the flagged start positions (bounded by the
    doc's own span count), merge them into coverage, and rebuild the
    text keeping tokens outside every flagged [start, start+n) interval.
    The rebuild is a pure per-row filter over the projected token array —
@@ -31,8 +31,8 @@ trades the exact minimal-cut of a suffix array for a fixed span width
 Cut semantics: ALL occurrences of a repeated span are removed (the
 published ExactSubstr choice: keeping one canonical occurrence requires
 a global owner election per span; ``keep_first=True`` does that election
-with a deterministic min-(doc_id, pos) rule at the cost of one extra
-aggregate).
+with a deterministic min-(doc_id, pos) rule as a second window function
+on the same exchange).
 """
 
 from __future__ import annotations
@@ -97,24 +97,28 @@ def repeated_spans(
     """(doc_id, pos) of every n-token span whose verbatim content occurs
     at least ``min_count`` times across the corpus.
 
-    The span-rows subtree feeds BOTH the frequency aggregate and the
-    join-back; Catalyst evaluates a shared subtree once per consumer, so
-    without intervention the corpus pays tokenize + span-hash twice.
-    The lazy localCheckpoint materializes it once (the minhash
-    discipline) — r7 A/B at sf0.1/n=50: 0.89 s double-eval vs 0.65 s
-    checkpointed (docs/PERF_NOTES.md).  At 100 TB the checkpoint writes
-    ~20 B/token to executor disk, comparable to the shuffle the
-    frequency aggregate performs anyway and cheaper than re-running the
-    span fan-out.  Callers must not cache this plan across input
-    changes (registry entries set cache_plan=False)."""
-    rows = _span_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
-    flagged = (
-        rows.groupBy("h")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("h")
+    Flagging is a COUNT OVER a window partitioned by the span hash —
+    ONE exchange on h, no join, no broadcast, no materialized
+    intermediate.  r13 replaced the r7 aggregate + join-back +
+    localCheckpoint form after a 10x scale rung OOM'd it: the
+    flagged-hash side of that join is an UNBOUNDED dimension (it grows
+    with the corpus), so AQE's size estimate eventually promotes the
+    join-back to a driver-built broadcast — which cannot degrade
+    gracefully, it throws when the build exceeds driver memory.  The
+    window form cannot broadcast by construction, AND measured faster
+    at sf0.1/w=20 (0.82 s vs 1.07 s, docs/PERF_NOTES.md r13): the
+    checkpoint materialization and the join both disappear, and the
+    span-rows subtree now has exactly ONE consumer so no checkpoint is
+    needed at all."""
+    from pyspark.sql import Window
+
+    rows = _span_rows(docs, n, text_col, id_col)
+    w = Window.partitionBy("h")
+    return (
+        rows.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__cnt") >= min_count)
+        .select("doc_id", "pos")
     )
-    return rows.join(flagged, "h").select("doc_id", "pos")
 
 
 def remove_repeated_spans(
@@ -130,23 +134,30 @@ def remove_repeated_spans(
     Returns the input schema with ``text_col`` rewritten (documents with
     no repeated span pass through byte-identical).  ``keep_first`` keeps
     the single deterministic min-(doc_id, pos) occurrence of each span
-    uncut (one extra aggregate electing the owner).
+    uncut — the owner election is a second window function over the
+    SAME (h)-partitioned window spec, so it rides the one existing
+    exchange instead of adding an aggregate + join.
 
-    Single-pass discipline: the span-rows subtree has two consumers
-    (frequency count + join-back; three with ``keep_first``), so it is
-    lazily localCheckpoint'ed — see :func:`repeated_spans` for the A/B
-    and the 100 TB accounting."""
-    rows = _span_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
-    counted = rows.groupBy("h").agg(F.count("*").alias("cnt"))
-    flagged = rows.join(
-        counted.filter(F.col("cnt") >= min_count).select("h"), "h"
-    )
+    Same window-form rationale as :func:`repeated_spans` (r13): the
+    old aggregate + join-back broadcast-OOMs once the flagged
+    dimension outgrows the driver, and the window form is faster at
+    bench SF anyway."""
+    from pyspark.sql import Window
+
+    rows = _span_rows(docs, n, text_col, id_col)
+    w = Window.partitionBy("h")
+    flagged = rows.withColumn("__cnt", F.count(F.lit(1)).over(w))
     if keep_first:
-        owner = flagged.groupBy("h").agg(
-            F.min(F.struct("doc_id", "pos")).alias("o")
+        flagged = flagged.withColumn(
+            "__o", F.min(F.struct("doc_id", "pos")).over(w)
         )
-        flagged = flagged.join(owner, "h").filter(
-            ~((F.col("doc_id") == F.col("o.doc_id")) & (F.col("pos") == F.col("o.pos")))
+    flagged = flagged.filter(F.col("__cnt") >= min_count)
+    if keep_first:
+        flagged = flagged.filter(
+            ~(
+                (F.col("doc_id") == F.col("__o.doc_id"))
+                & (F.col("pos") == F.col("__o.pos"))
+            )
         )
     cuts = flagged.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("pos")).alias("__cuts")
@@ -219,10 +230,10 @@ def repeated_intervals(
     interval MERGE below recovers (overlapping/adjacent windows chain
     into the maximal covered run).
 
-    Plan shape (the 100 TB story): span fan-out + frequency aggregate
-    + join-back are :func:`repeated_spans` (one checkpointed span pass,
-    one hash-agg exchange, one equi-join); the merge adds a lag window
-    + running-sum island ids + a (doc, island) aggregate — ONE further
+    Plan shape (the 100 TB story): span fan-out + the count-over-window
+    flag are :func:`repeated_spans` (one span pass, ONE exchange on the
+    span hash — no join, no broadcast); the merge adds a lag window +
+    running-sum island ids + a (doc, island) aggregate — ONE further
     doc-keyed exchange whose window partitions by doc_id, never a
     corpus-wide sort.  The oracle mirrors the merge with the identical
     lag/sum/groupBy chain over string-equality span groups.

@@ -309,15 +309,13 @@ _SPAN_ORACLE = f"""
     # + flag semantics stay pinned in tests/test_spandedup.py; the
     # entry keeps its local oracle and its bench slot.
     driver_visible=False,
-    # the operator localCheckpoints its span rows — a cached plan would
-    # pin that materialization (same rule as the minhash entries)
-    cache_plan=False,
 )
 def llm_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span detection (operators/spandedup.repeated_spans): the
     ExactSubstr-style substring dedup stage — per-doc span fan-out off
-    one tokenization, one hash aggregate on the span hash, join back to
-    (doc, pos).  The rebuilt-text cut path is pytest-pinned
+    one tokenization, one count-over-window on the span hash (r13: no
+    join, no checkpoint — see the operator's broadcast-OOM rationale)
+    flagging each (doc, pos).  The rebuilt-text cut path is pytest-pinned
     (tests/test_spandedup.py); this entry hash-checks the flag set."""
     from hedera_etl_spark.operators.spandedup import repeated_spans
 
@@ -908,9 +906,6 @@ _XS_ORACLE = f"""
     # llm_exact_dedup, the lag/island window via q10_window_frame (all
     # IN); the merged-intervals relation itself is hash-checked via
     # tools/verify_oracle.py each round.
-    # repeated_spans localCheckpoints the span rows (two consumers) —
-    # cache opt-out like the other pair detectors
-    cache_plan=False,
     driver_visible=False,
 )
 def llm_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
