@@ -334,20 +334,20 @@ def test_bm25_topk_no_corpus_shuffle(spark, registry):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
 
 
-def test_span_rows_single_tokenization_via_checkpoint(spark):
-    """repeated_spans' two consumers must share ONE materialized span
-    subtree (the lazy localCheckpoint): the executed plan reads the
-    checkpoint RDD on both sides instead of re-running tokenize +
-    span-hash fan-out."""
+def test_span_flagging_single_pass_no_join_no_broadcast(spark):
+    """repeated_spans (r13 window form): ONE corpus pass, ONE exchange
+    (on the span hash), NO join of any kind — the r7 aggregate +
+    join-back form is forbidden because its flagged side is an
+    unbounded dimension that AQE eventually promotes to a driver-built
+    broadcast (the 10x-rung OOM recorded in docs/PERF_NOTES.md r13)."""
     from hedera_etl_spark.operators.spandedup import repeated_spans
     from hedera_etl_spark.tables import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     df = repeated_spans(docs, n=3)
-    df.collect()
-    plan = plan_of(df).split("== Initial Plan ==")[0]
-    # both consumers scan the checkpointed RDD; the raw parquet + the
-    # span Generate appear ZERO times in the executed plan
-    assert plan.count("Scan ExistingRDD") == 2
-    assert "FileScan parquet" not in plan
-    assert "Generate explode" not in plan
+    plan = plan_of(df)
+    # exactly one tokenize+fan-out pass and one exchange; no join node
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("Join", "BroadcastExchange", "CartesianProduct"):
+        assert node not in plan, node
