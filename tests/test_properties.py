@@ -812,3 +812,49 @@ def test_dsir_scores_match_python_reference_fuzz(spark, texts, n_target):
         for r in dsir_scores(raw, tbl, n_buckets=B, salt="t").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: window-coverage == any-length repeat coverage, ANY corpus
+# ---------------------------------------------------------------------------
+# a 3-symbol alphabet forces repeats at every length scale
+_xs_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=24
+).map(" ".join)
+
+
+@settings(**SPARK_SETTINGS)
+@given(texts=st.lists(_xs_doc, min_size=1, max_size=5), L=st.integers(2, 4))
+def test_repeated_intervals_match_bruteforce_any_corpus(spark, texts, L):
+    """The coverage-equivalence theorem holds for ARBITRARY corpora, not
+    just the planted fixture: repeated_intervals' covered positions
+    equal the brute-force any-length >= L repeat coverage."""
+    from collections import Counter
+
+    from hedera_etl_spark.operators.spandedup import repeated_intervals
+
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    counts: Counter = Counter()
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    for t in toks.values():
+        for ln in range(L, len(t) + 1):
+            for s in range(0, len(t) - ln + 1):
+                counts[tuple(t[s:s + ln])] += 1
+    want = {}
+    for d, t in toks.items():
+        pos: set = set()
+        for ln in range(L, len(t) + 1):
+            for s in range(0, len(t) - ln + 1):
+                if counts[tuple(t[s:s + ln])] >= 2:
+                    pos.update(range(s + 1, s + ln + 1))
+        if pos:
+            want[d] = pos
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in repeated_intervals(df, min_len=L).collect():
+        got.setdefault(r["doc_id"], set()).update(
+            range(r["start"], r["end_pos"] + 1)
+        )
+    assert got == want
