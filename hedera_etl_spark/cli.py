@@ -127,6 +127,15 @@ def _add_corpus_ingest(sub: argparse._SubParsersAction) -> None:
         "short headers survive); same knob as prepare's flag",
     )
     p.add_argument(
+        "--exact-substr-min-len",
+        type=int,
+        default=None,
+        help="incremental ExactSubstr: cut repeated substrings of >= "
+        "this many tokens within the epoch AND against every earlier "
+        "epoch's accepted spans (persisted span-hash store; storage is "
+        "corpus-order sized — see SpanHashStore)",
+    )
+    p.add_argument(
         "--eval-input",
         default=None,
         help="benchmark/eval parquet: every epoch decontaminates against "
@@ -673,6 +682,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             paragraph_dedup_sep=args.paragraph_dedup_sep,
             paragraph_min_chars=args.paragraph_min_chars,
+            exact_substr_min_len=args.exact_substr_min_len,
             eval_docs=spark.read.parquet(args.eval_input)
             if args.eval_input
             else None,

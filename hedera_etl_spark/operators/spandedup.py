@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hedera_etl_spark import fsutil
+
 
 def _span_rows(
     docs: DataFrame, n: int, text_col: str, id_col: str
@@ -238,12 +240,19 @@ def repeated_intervals(
     corpus-wide sort.  The oracle mirrors the merge with the identical
     lag/sum/groupBy chain over string-equality span groups.
     """
-    from pyspark.sql import Window
-
     w = int(min_len)
     starts = repeated_spans(
         docs, n=w, min_count=min_count, text_col=text_col, id_col=id_col
     )
+    return _starts_to_intervals(starts, w)
+
+
+def _starts_to_intervals(starts: DataFrame, w: int) -> DataFrame:
+    """Merge flagged (doc_id, pos) window starts into maximal covered
+    runs: (doc_id, start, end_pos, n_tokens).  Lag + running-sum island
+    ids + one (doc, island) aggregate — one doc-keyed exchange."""
+    from pyspark.sql import Window
+
     order = Window.partitionBy("doc_id").orderBy("pos")
     # two flagged windows at starts a < b chain iff b <= a + w: their
     # coverage [a, a+w) and [b, b+w) overlaps or abuts into one run
@@ -294,6 +303,14 @@ def exact_substr_dedup(
         docs, min_len=min_len, min_count=min_count,
         text_col=text_col, id_col=id_col,
     )
+    return _cut_by_intervals(docs, ivals, text_col, id_col)
+
+
+def _cut_by_intervals(
+    docs: DataFrame, ivals: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild ``text_col`` with every token inside an interval cut;
+    documents with no interval pass through byte-identical."""
     per_doc = ivals.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("start", "end_pos"))
@@ -327,3 +344,226 @@ def exact_substr_dedup(
             for c in docs.columns
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ExactSubstr: cross-epoch repeated-substring cutting
+# ---------------------------------------------------------------------------
+def _span_hash_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField("span_hash", T.LongType(), False)])
+
+
+class SpanHashStore:
+    """Append-only parquet store of ACCEPTED span hashes (one xxhash64
+    per surviving w-token window) — the persisted history that lets the
+    continuous-ingest pipeline cut repeated substrings ACROSS epochs,
+    completing the dedup-granularity matrix (content / URL / paragraph
+    / semantic stores already exist; ParagraphHashStore defines the
+    protocol this mirrors: fsutil batch-dir commits, single rename,
+    single-writer per path, replay-heal across compaction).
+
+    Storage honesty (the reason published ExactSubstr is a BATCH job):
+    the history carries ~one 8-byte hash per accepted TOKEN, i.e. the
+    store is corpus-order sized (at parquet encoding, roughly 2-6% of
+    the text bytes it covers).  That is the true cost of exact
+    cross-epoch substring dedup at any engine — the suffix array pays
+    the same order at build time; here it is spread across epochs,
+    compactable (``compact``), and probed with ZERO history shuffles
+    (the inverted-probe discipline)."""
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.hashes_dir = os.path.join(path, "hashes")
+        os.makedirs(self.hashes_dir, exist_ok=True)
+        fsutil.sweep_staging(self.hashes_dir)
+
+    def committed_batches(self) -> set:
+        return fsutil.batch_dirs(self.hashes_dir)
+
+    def has_batch(self, batch_id: str) -> bool:
+        return f"batch={batch_id}" in self.committed_batches() or (
+            f"batch={batch_id}" in fsutil.folded_batches(self.hashes_dir)
+        )
+
+    def hashes(self, exclude_batch: str | None = None) -> DataFrame:
+        """Committed hashes, optionally excluding one batch (a RETRY of
+        a committed batch must judge against the store as it stood
+        before that batch).  Exclusion survives compaction via the
+        ``origin_batch`` attribution — same replay-heal semantics as
+        ParagraphHashStore.hashes."""
+        import os
+
+        entry = f"batch={exclude_batch}" if exclude_batch is not None else None
+        batches = sorted(self.committed_batches())
+        if entry is not None:
+            batches = [b for b in batches if b != entry]
+        if not batches:
+            return self.spark.createDataFrame([], _span_hash_schema())
+        if entry is not None and entry in fsutil.folded_batches(self.hashes_dir):
+            ext = fsutil.with_origin_schema(_span_hash_schema())
+            return (
+                self.spark.read.schema(ext)
+                .parquet(*[os.path.join(self.hashes_dir, b) for b in batches])
+                .filter(
+                    F.col(fsutil.ORIGIN_COL).isNull()
+                    | (F.col(fsutil.ORIGIN_COL) != entry)
+                )
+                .drop(fsutil.ORIGIN_COL)
+            )
+        return self.spark.read.schema(_span_hash_schema()).parquet(
+            *[os.path.join(self.hashes_dir, b) for b in batches]
+        )
+
+    def commit_batch(self, batch_id: str, hashes: DataFrame) -> None:
+        entry = f"batch={batch_id}"
+        if self.has_batch(batch_id):
+            return
+        staged = fsutil.stage_batch_dir(self.hashes_dir, entry, hashes)
+        fsutil.publish_batch_dir(self.hashes_dir, entry, staged)
+
+    def compact(self) -> int:
+        """Fold all batch dirs into one (file-count maintenance after
+        thousands of epochs), replay-heal preserved via origin
+        attribution — the shared fsutil primitive."""
+        return fsutil.compact_batch_dirs(
+            self.spark, self.hashes_dir, _span_hash_schema(), track_origin=True
+        )
+
+
+def incremental_exact_substr_plan(
+    docs: DataFrame,
+    store: SpanHashStore,
+    batch_id: str,
+    min_len: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """One epoch of continuous ExactSubstr WITHOUT the store commit:
+    cut every >= ``min_len``-token substring present in any earlier
+    committed epoch (ALL occurrences — history already ships the
+    canonical copy), plus within-batch repeats with KEEP-FIRST
+    semantics (the min-(doc_id, pos) occurrence survives).  Returns
+    ``(rebuilt_docs, new_canon_hashes)`` where the second frame is
+    (doc_id, span_hash) for every SURVIVING window — the rows a caller
+    commits after its downstream acceptance decision (the deferred-
+    commit contract of incremental_paragraph_dedup_plan: committing a
+    span whose document is later rejected would permanently cut
+    content that never shipped).
+
+    Why keep-first WITHIN the batch (vs the batch operator's published
+    all-occurrences choice): this stage runs BEFORE document-level
+    dedup in the streaming pipeline, where all-occurrences is
+    self-destructive — two identical documents arriving in one epoch
+    would annihilate EACH OTHER (every shared run repeated, both cut
+    to empty) before doc dedup could elect a keeper.  Keep-first makes
+    the composition safe: content survives in exactly one place, the
+    canonical copy, and doc dedup judges post-cut text — the same
+    ordering contract as the paragraph stage.  The batch
+    ``exact_substr_dedup`` keeps the published all-occurrences
+    semantics (it runs AFTER doc dedup in ``prepare``).
+
+    Survivor rule (the seam caveat, documented not hidden): a window
+    commits only if it was not cut AND none of its positions fall in a
+    cut interval —
+    cutting concatenates the text around the seam, and windows
+    straddling a seam describe token runs that no longer exist in the
+    shipped text.  Seam-created NEW runs are not fingerprinted (the
+    one approximation vs a from-scratch re-scan; a re-run of the batch
+    form over the compacted corpus recovers them, the same way the
+    two-tier batch dedup heals the streaming tier's misses).
+
+    Late-duplicate asymmetry (same as every incremental store here): a
+    span accepted in epoch 1 stays in epoch 1's shipped text; a copy
+    arriving in epoch 3 is cut from epoch 3 only.
+
+    Scale shape: the within-batch flag is the count-over-window form
+    (one exchange on the span hash, no join); the history probe is
+    INVERTED (the batch's own distinct hash set broadcasts, history
+    scans map-side to the tiny hit set — one history scan, ZERO
+    history shuffles, plan-pinned); the merge + cut are the batch
+    operators unchanged."""
+    from pyspark.sql import Window
+
+    from hedera_etl_spark.operators.joins import inverted_store_probe
+
+    w = int(min_len)
+    rows = _span_rows(docs, w, text_col, id_col)
+    win = Window.partitionBy("h")
+    counted = rows.withColumn(
+        "__cnt", F.count(F.lit(1)).over(win)
+    ).localCheckpoint(eager=False)
+    history = store.hashes(exclude_batch=batch_id).withColumnRenamed(
+        "span_hash", "h"
+    )
+    batch_hashes = counted.select("h").distinct()
+    hits = inverted_store_probe(history, batch_hashes, "h").localCheckpoint(
+        eager=True
+    )
+    vs_store = counted.join(F.broadcast(hits), "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    # within-batch: the min-(doc_id, pos) occurrence of each repeated
+    # hash is the canonical keeper — its election rides the SAME
+    # h-partitioned window as the count, no extra exchange
+    owner = F.min(F.struct("doc_id", "pos")).over(win)
+    flagged = counted.withColumn("__own", owner)
+    in_batch = flagged.filter(
+        (F.col("__cnt") >= min_count)
+        & ~(
+            (F.col("doc_id") == F.col("__own.doc_id"))
+            & (F.col("pos") == F.col("__own.pos"))
+        )
+    ).select("doc_id", "pos")
+    starts = vs_store.unionByName(in_batch).distinct()
+    ivals = _starts_to_intervals(starts, w).localCheckpoint(eager=False)
+    out = _cut_by_intervals(docs, ivals, text_col, id_col)
+    # surviving canon: every occurrence that was not cut (anti-join on
+    # the start set covers history hits AND within-batch non-canonical
+    # copies) and is clear of every cut interval (per-doc bounded
+    # exists) — seam-straddling windows describe token runs that no
+    # longer exist in the shipped text
+    per_doc = ivals.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start", "end_pos")).alias("__iv")
+    )
+    candidates = (
+        counted.join(starts, ["doc_id", "pos"], "left_anti")
+        .join(per_doc, "doc_id", "left")
+    )
+    clear = F.col("__iv").isNull() | ~F.exists(
+        F.col("__iv"),
+        lambda iv: (iv["start"] <= F.col("pos") + F.lit(w - 1))
+        & (F.col("pos") <= iv["end_pos"]),
+    )
+    new_canon = candidates.filter(clear).select(
+        "doc_id", F.col("h").alias("span_hash")
+    )
+    return out, new_canon
+
+
+def incremental_exact_substr(
+    docs: DataFrame,
+    store: SpanHashStore,
+    batch_id: str,
+    min_len: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The committing form: plan, then commit every surviving span hash.
+    Deterministic under retries without storing outputs — the store
+    read excludes ``batch_id`` itself, so a replay judges against the
+    same history it saw the first time (pinned in tests); the commit is
+    one idempotent rename."""
+    out, new_canon = incremental_exact_substr_plan(
+        docs, store, batch_id, min_len, min_count, text_col, id_col
+    )
+    store.commit_batch(
+        batch_id, new_canon.select("span_hash").distinct()
+    )
+    return out

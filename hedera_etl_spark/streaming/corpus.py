@@ -54,6 +54,7 @@ class CorpusIngestMetrics:
     dropped_exact: int = 0
     dropped_near: int = 0
     dropped_paragraph_docs: int = 0
+    dropped_exact_substr_docs: int = 0
     dropped_contaminated: int = 0
     dropped_url: int = 0
     replayed_batches: int = 0
@@ -77,6 +78,7 @@ class CorpusIngestPipeline:
         max_files_per_trigger: int | None = None,
         paragraph_dedup_sep: str | None = None,
         paragraph_min_chars: int = 1,
+        exact_substr_min_len: int | None = None,
         eval_docs: DataFrame | None = None,
         decontam_n: int = 13,
         eval_version: str = "v1",
@@ -99,6 +101,7 @@ class CorpusIngestPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.paragraph_dedup_sep = paragraph_dedup_sep
         self.paragraph_min_chars = paragraph_min_chars
+        self.exact_substr_min_len = exact_substr_min_len
         self.decontam_n = decontam_n
         # streaming decontamination: the eval/benchmark shingle dimension
         # is computed ONCE and pinned; every epoch probes it map-side
@@ -183,6 +186,20 @@ class CorpusIngestPipeline:
 
             self.paragraph_store = ParagraphHashStore(
                 spark, os.path.join(store_path, "paragraphs")
+            )
+        # the span-hash store (incremental ExactSubstr, r13) lives beside
+        # the signature store under the SAME stable batch id — the
+        # identical crash-replay contract as the paragraph store; see
+        # SpanHashStore's docstring for the corpus-order storage cost
+        # that makes this an OPT-IN stage
+        self.span_store = None
+        if exact_substr_min_len is not None:
+            import os
+
+            from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+            self.span_store = SpanHashStore(
+                spark, os.path.join(store_path, "spans")
             )
         self.metrics = CorpusIngestMetrics()
 
@@ -785,6 +802,34 @@ class CorpusIngestPipeline:
             batch = _ledger_drops("paragraph_dedup", "emptied", pre_para, batch)
             if not para_replay:  # replays must not double-count drops
                 m.dropped_paragraph_docs += before - batch.count()
+        span_new_canon = None
+        if self.span_store is not None:
+            from hedera_etl_spark.operators.spandedup import (
+                incremental_exact_substr_plan,
+            )
+
+            # after paragraph dedup (whole repeated paragraphs are the
+            # cheaper cut), before document dedup — same deferred-commit
+            # discipline as the paragraph store: only spans whose
+            # document is ACCEPTED downstream may enter history, or a
+            # rejected doc's content would be permanently cut from every
+            # later epoch without ever shipping.
+            span_replay = self.span_store.has_batch(bid)
+            pre_span = batch
+            before = batch.count()
+            batch, span_new_canon = incremental_exact_substr_plan(
+                batch,
+                self.span_store,
+                bid,
+                min_len=self.exact_substr_min_len,
+            )
+            batch = batch.localCheckpoint(eager=False)
+            # only WHOLE-DOC drops (text cut to empty) enter the ledger;
+            # partial cuts are text rewrites, exactly like paragraphs
+            batch = batch.filter(F.col("text") != "")
+            batch = _ledger_drops("exact_substr", "emptied", pre_span, batch)
+            if not span_replay:
+                m.dropped_exact_substr_docs += before - batch.count()
         replay = self.store.has_batch(bid)
         accepted, stats = incremental_dedup_batch(
             self.store,
@@ -801,6 +846,15 @@ class CorpusIngestPipeline:
                     accepted.select("doc_id"), "doc_id", "left_semi"
                 )
                 .select("para_hash")
+                .distinct(),
+            )
+        if span_new_canon is not None:
+            self.span_store.commit_batch(
+                bid,
+                span_new_canon.join(
+                    accepted.select("doc_id"), "doc_id", "left_semi"
+                )
+                .select("span_hash")
                 .distinct(),
             )
         m.batches += 1

@@ -1071,3 +1071,106 @@ def test_streaming_gopher_rules_floor(spark, dirs):
         for r in ledger.filter("stage = 'quality_floor'").collect()
     }
     assert (2, "gopher_rules") in rows and (3, "gopher_rules") in rows
+
+
+def test_streaming_exact_substr_across_epochs(spark, dirs):
+    """With --exact-substr-min-len, each epoch's >= L-token substrings
+    are judged against every EARLIER epoch's accepted spans via the
+    persisted span-hash store (incremental ExactSubstr): recycled runs
+    are cut from later arrivals at ANY alignment, a doc cut to nothing
+    vanishes, and a fresh-checkpoint replay reproduces the corpus
+    without double-counting."""
+    run = "r0 r1 r2 r3 r4 r5 r6"  # 7 tokens, min_len=5
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            exact_substr_min_len=5,
+        )
+
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, f"{BASE} {run}"), (2, OTHER)],
+    )
+    p1 = pipeline()
+    m1 = p1.run_until_drained()
+    assert m1.accepted == 2 and m1.dropped_exact_substr_docs == 0
+    texts = {r["doc_id"]: r["text"] for r in p1.read_corpus().collect()}
+    assert run in texts[1]  # once-seen: ships intact
+
+    # epoch 2: doc 10 is ONLY the recycled run (cut to empty -> drops);
+    # doc 11 embeds it mid-text at a new alignment (run cut, rest ships)
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [(10, run), (11, f"novel epoch prose {run} continues here")],
+    )
+    p2 = pipeline()
+    m2 = p2.run_until_drained()
+    assert m2.dropped_exact_substr_docs == 1  # doc 10
+    texts = {r["doc_id"]: r["text"] for r in p2.read_corpus().collect()}
+    assert texts[11] == "novel epoch prose continues here"
+    assert sorted(texts) == [1, 2, 11]
+
+    # fresh-checkpoint replay: every epoch replays its recorded
+    # decision — corpus unchanged, nothing double-counted
+    import shutil
+
+    shutil.rmtree(dirs["ckpt"])
+    p3 = pipeline()
+    m3 = p3.run_until_drained()
+    assert m3.dropped_exact_substr_docs == 0 and m3.accepted == 0
+    assert m3.replayed_batches == m3.batches
+    assert sorted(
+        r["doc_id"] for r in p3.read_corpus().collect()
+    ) == [1, 2, 11]
+
+
+def test_rejected_doc_spans_stay_claimable(spark, dirs):
+    """Deferred-commit contract for the span store: spans commit only
+    for documents the DOC-level stage accepted.  The rejected near-dup
+    here shares NO exact >= min_len run with its keeper (every 12th
+    token mutated, runs capped at 11 < 12), so the span stage leaves
+    both intact and DOC-level dedup makes the rejection — the rejected
+    doc's unique run never shipped, and a later clean arrival must
+    still be able to claim it."""
+    base2 = " ".join(f"w{i:02d}" for i in range(80))
+    var_toks = [f"w{i:02d}" for i in range(80)]
+    for j, i in enumerate(range(4, 80, 12)):  # runs capped at 11 < 12
+        var_toks[i] = f"X{j}"
+    run = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"  # 12 fresh tokens
+
+    def pipeline():
+        return CorpusIngestPipeline(
+            spark,
+            input_dir=dirs["in"],
+            corpus_table=dirs["corpus"],
+            store_path=dirs["store"],
+            checkpoint=dirs["ckpt"],
+            exact_substr_min_len=12,
+            near_threshold=0.3,
+        )
+
+    # epoch 1: base2 ships; the mutated variant carrying the run is
+    # REJECTED by doc-level dedup — its spans must not commit
+    _write_jsonl(
+        os.path.join(dirs["in"], "b1.jsonl"),
+        [(1, base2), (2, " ".join(var_toks) + " " + run)],
+    )
+    p1 = pipeline()
+    p1.run_until_drained()
+    texts = {r["doc_id"]: r["text"] for r in p1.read_corpus().collect()}
+    assert sorted(texts) == [1]  # doc 2 rejected as near-dup of 1
+    # epoch 2: a clean novel document carrying the run — the run was
+    # never published, so it must ship INTACT here
+    _write_jsonl(
+        os.path.join(dirs["in"], "b2.jsonl"),
+        [(20, f"entirely new subject matter himself {run} closing words")],
+    )
+    p2 = pipeline()
+    p2.run_until_drained()
+    texts = {r["doc_id"]: r["text"] for r in p2.read_corpus().collect()}
+    assert run in texts[20]

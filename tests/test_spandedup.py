@@ -243,3 +243,141 @@ def test_pipeline_exact_substr_stage(spark):
     assert out[2] == "other body text four five six"
     assert 3 not in out  # 'tiny' alone is below min_tokens=3
     assert out[4] == "independent document with plenty of words here"
+
+
+# ---------------------------------------------------------------------------
+# incremental ExactSubstr: cross-epoch repeated-substring cutting
+# ---------------------------------------------------------------------------
+PHRASE = "q0 q1 q2 q3 q4 q5 q6"  # 7 tokens; epochs run at min_len=5
+
+
+def _inc(spark, store, bid, rows, **kw):
+    from hedera_etl_spark.operators.spandedup import incremental_exact_substr
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r["text"]
+        for r in incremental_exact_substr(
+            df, store, bid, min_len=5, **kw
+        ).collect()
+    }
+
+
+def test_incremental_epochs_cut_history_substrings(spark, tmp_path):
+    """Epoch 1 ships a once-seen phrase (survives, commits); an epoch-2
+    document embedding that phrase mid-text gets it cut at ANY
+    alignment; epoch-2 within-batch repeats cut too; clean text always
+    passes byte-identical."""
+    from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+    store = SpanHashStore(spark, str(tmp_path / "sstore"))
+    e1 = _inc(spark, store, "e1", [(1, f"intro words {PHRASE} outro")])
+    assert e1[1] == f"intro words {PHRASE} outro"  # once-seen: survives
+    e2 = _inc(
+        spark, store, "e2",
+        [
+            (2, f"fresh start {PHRASE} fresh finish"),   # history hit
+            (3, f"one {PHRASE} two"),                     # history hit
+            (4, "totally novel text with no shared runs"),
+        ],
+    )
+    assert PHRASE not in e2[2] and PHRASE not in e2[3]
+    assert "fresh start" in e2[2] and "fresh finish" in e2[2]
+    assert e2[4] == "totally novel text with no shared runs"
+
+
+def test_incremental_replay_is_deterministic(spark, tmp_path):
+    """A replay of a committed epoch judges against the store as it
+    stood BEFORE that epoch (hashes(exclude_batch=...)), so it returns
+    byte-identical documents instead of cutting its own rows."""
+    from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+    store = SpanHashStore(spark, str(tmp_path / "sstore2"))
+    rows1 = [(1, f"alpha {PHRASE} beta")]
+    first = _inc(spark, store, "e1", rows1)
+    again = _inc(spark, store, "e1", rows1)  # replay after commit
+    assert first == again
+    assert store.has_batch("e1")
+    # and a SECOND epoch still sees e1's history
+    e2 = _inc(spark, store, "e2", [(9, f"x {PHRASE} y")])
+    assert PHRASE not in e2[9]
+
+
+def test_incremental_seam_rule_commits_only_clear_windows(spark, tmp_path):
+    """Windows overlapping a cut interval do not commit: after the cut
+    the text concatenates around the seam, so those windows describe
+    token runs that no longer exist in the shipped document."""
+    from hedera_etl_spark.operators.spandedup import (
+        SpanHashStore,
+        incremental_exact_substr_plan,
+    )
+
+    store = SpanHashStore(spark, str(tmp_path / "sstore3"))
+    _inc(spark, store, "e1", [(1, f"pad {PHRASE} tail")])
+    df = spark.createDataFrame(
+        [(2, f"a0 a1 a2 a3 {PHRASE} b0 b1 b2 b3")],
+        "doc_id long, text string",
+    )
+    out, new_canon = incremental_exact_substr_plan(
+        df, store, "e2", min_len=5
+    )
+    text2 = out.collect()[0]["text"]
+    assert PHRASE not in text2
+    # committed hashes must all correspond to intact 5-token windows of
+    # the ORIGINAL text that are clear of the cut [5, 11] (1-based):
+    # a-prefix windows start at 1..? need pos+4 < 5 -> none (window at 1
+    # covers 1-5, overlaps start 5); b-suffix windows start at 12..? a
+    # 16-token doc has starts 1..12; only start 12 (b0..b3 is 4 tokens —
+    # no clear 5-window exists on either side), so NOTHING commits.
+    assert new_canon.count() == 0
+    # whereas a doc with a clear run away from the seam DOES commit
+    df3 = spark.createDataFrame(
+        [(3, f"c0 c1 c2 c3 c4 c5 filler {PHRASE}")],
+        "doc_id long, text string",
+    )
+    _, canon3 = incremental_exact_substr_plan(df3, store, "e3", min_len=5)
+    assert canon3.count() > 0
+
+
+def test_incremental_history_probe_never_shuffles_store(spark, tmp_path):
+    """The inverted-probe pin for the span store: no Exchange between
+    the history scan and the probe join — one history SCAN, zero
+    history SHUFFLES per epoch at any store size."""
+    from planutil import assert_scan_probes_unshuffled, plan_of
+
+    from hedera_etl_spark.operators.joins import inverted_store_probe
+    from hedera_etl_spark.operators.spandedup import (
+        SpanHashStore,
+        _span_rows,
+    )
+
+    store = SpanHashStore(spark, str(tmp_path / "sstore4"))
+    _inc(spark, store, "e1", [(1, f"alpha {PHRASE} beta")])
+    _inc(spark, store, "e2", [(2, "other words entirely here now")])
+    batch = spark.createDataFrame(
+        [(10, f"novel {PHRASE} run")], "doc_id long, text string"
+    )
+    rows = _span_rows(batch, 5, "text", "doc_id")
+    hits = inverted_store_probe(
+        store.hashes().withColumnRenamed("span_hash", "h"),
+        rows.select("h").distinct(),
+        "h",
+    )
+    assert hits.count() > 0  # the phrase windows hit history
+    assert_scan_probes_unshuffled(plan_of(hits), "struct<span_hash:bigint>")
+
+
+def test_span_store_compact_preserves_replay(spark, tmp_path):
+    """Compaction folds batch dirs; a replay of a pre-compaction epoch
+    still excludes its own rows (origin attribution) and reproduces its
+    original output."""
+    from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+    store = SpanHashStore(spark, str(tmp_path / "sstore5"))
+    rows1 = [(1, f"alpha {PHRASE} beta")]
+    first = _inc(spark, store, "e1", rows1)
+    _inc(spark, store, "e2", [(2, "unrelated second epoch text body")])
+    assert store.compact() >= 2
+    assert store.has_batch("e1")  # folded but still committed
+    again = _inc(spark, store, "e1", rows1)
+    assert first == again
