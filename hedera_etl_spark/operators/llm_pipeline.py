@@ -325,12 +325,16 @@ def prepare_training_corpus(
     out = _observed("exact_dedup", out)
     if removal_ledger is not None:
         # keeper attribution from the same hash-group the stage keys on
+        # (r13: min-over-window instead of aggregate + join-back — one
+        # exchange, no join; the repeated_spans class sweep)
+        from pyspark.sql import Window
+
         hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
-        keep_map = hashed.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
+        keeper = F.min(id_col).over(Window.partitionBy("__h"))
         removal_ledger.record(
             "exact_dedup",
             "exact_duplicate",
-            hashed.join(keep_map, "__h").filter(
+            hashed.withColumn("__keeper", keeper).filter(
                 F.col(id_col) != F.col("__keeper")
             ),
             id_col=id_col,

@@ -86,19 +86,30 @@ def paragraph_occurrences(
 
 def duplicate_paragraph_drops(occ: DataFrame) -> DataFrame:
     """(doc_id, idx) of every NON-canonical occurrence of a duplicated
-    paragraph: one aggregate on the hash finds the corpus-wide min
-    (doc_id, idx) keeper, then occurrences that are not it survive as
-    the drop set.  Both the aggregate and the join move only narrow
-    hash/index rows."""
-    keepers = occ.groupBy("para_hash").agg(
-        F.min(F.struct("doc_id", "idx")).alias("keep"),
-        F.count(F.lit(1)).alias("occurrences"),
-    )
+    paragraph: count + min-(doc_id, idx) keeper election as two window
+    functions over ONE (para_hash)-partitioned exchange, then a row
+    filter — no join node at all.
+
+    r13 form (the repeated_spans class sweep): the previous
+    aggregate + join-back put an aggregate-derived, duplication-sized
+    dimension on a join's build side — the shape whose size estimate
+    sits near the broadcast threshold at mid scale (driver-built
+    relation) and pays a second exchange at any scale.  The window
+    form is structurally join-free and measured 26% faster at sf0.1
+    (0.67 s vs 0.90 s, docs/PERF_NOTES.md); only narrow
+    hash/index rows move, as before."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("para_hash")
     return (
-        occ.join(keepers.filter(F.col("occurrences") >= 2), "para_hash")
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn("__keep", F.min(F.struct("doc_id", "idx")).over(w))
         .filter(
-            (F.col("doc_id") != F.col("keep.doc_id"))
-            | (F.col("idx") != F.col("keep.idx"))
+            (F.col("__cnt") >= 2)
+            & (
+                (F.col("doc_id") != F.col("__keep.doc_id"))
+                | (F.col("idx") != F.col("__keep.idx"))
+            )
         )
         .select("doc_id", "idx")
     )
