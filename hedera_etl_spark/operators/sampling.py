@@ -362,3 +362,47 @@ def train_val_test_split(
         .when(b < test_frac + val_frac, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    alpha: float = 0.5,
+    dims: int = 64,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced resampling — the EMBEDDING-SPACE mixture knob
+    (the topic-rebalancing practice of DataComp/DCLM and SemDeDup's
+    cluster framing, both public literature): documents group by
+    CONTENT, not metadata — every vector assigns to its argmax-dot
+    centroid (the IVF coarse-quantizer kernel: one zero-shuffle in-row
+    pass over broadcast centroid literals), then the temperature
+    mixture solver reweights CLUSTERS exactly like languages or
+    sources — over-represented topics downsample toward c^alpha
+    shares via the exact water-filling rates, rare topics keep
+    everything.
+
+    A pure composition of two independently-oracled kernels
+    (similarity.ivf_assign + temperature_mixture_sample), so the
+    combined relation is itself hash-checkable cross-engine when the
+    deterministic md5 centroid grid stands in for training; pass
+    ``similarity.ivf_train_kmeans(...)`` output for the production
+    quantizer.  Returns (id_col, cluster, rate) for kept rows —
+    ``rate`` is the cluster's keep-rate, DECIMAL(9,6)-rounded (the
+    house float canon)."""
+    from hedera_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    centroids = centroids or ivf_centroids(n_clusters, dims)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias(id_col),
+        F.col("bucket").cast("long").alias("cluster"),
+    )
+    return temperature_mixture_sample(
+        assigned, "cluster", key_cols=[id_col], alpha=alpha, salt=salt
+    )

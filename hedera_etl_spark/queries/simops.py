@@ -682,3 +682,69 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, QUERY_IDS, k_neighbors=K, n_centroids=N_CENTROIDS,
         n_probe=N_PROBE, dims=DIMS, codebooks=_PQ_BOOKS,
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (embedding-space mixture control, NEW r13)
+# ---------------------------------------------------------------------------
+_CBAL_ORACLE = f"""
+    WITH a AS (
+      SELECT vec_id, {_DOTS_SQL} AS dots FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id,
+             CAST(list_position(dots, list_max(dots)) AS BIGINT) AS cluster
+      FROM a
+    ),
+    dims AS (
+      SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY cluster
+    ),
+    w AS (
+      SELECT cluster, c, sqrt(c) AS wgt, SUM(sqrt(c)) OVER () AS wsum
+      FROM dims
+    ),
+    r AS (
+      SELECT cluster,
+             CAST(CAST(least(1.0, (wgt / wsum)
+                                  * (MIN(c * wsum / wgt) OVER ()) / c)
+                       AS DECIMAL(9,6)) AS DOUBLE) AS rate
+      FROM w
+    )
+    SELECT b.vec_id, b.cluster, r.rate
+    FROM b JOIN r USING (cluster)
+    WHERE ('0x' || substring(md5(concat_ws(chr(31), 'cbal',
+                                           CAST(b.vec_id AS VARCHAR))), 1, 8))::BIGINT
+            / 4294967296.0 < r.rate
+    ORDER BY vec_id
+"""
+
+
+@query(
+    "llm_cluster_balance",
+    _CBAL_ORACLE,
+    tags=("llm", "sampling", "mixture", "cluster", "embedding"),
+    # NEW r13, out-of-window (the r13 window carries the rotation
+    # cohort; r14 rotation candidate alongside llm_exact_substr): both
+    # kernels are driver-checked — the argmax-dot assignment via
+    # sim_ivf_topk (IN; identical quantizer and tie rule) and the
+    # md5-bucket Bernoulli acceptance via llm_stratified_sample +
+    # llm_weighted_sample (IN); this entry hash-checks their
+    # COMPOSITION (cluster ids + water-filled rates + exact kept set)
+    # via tools/verify_oracle.py each round.
+    driver_visible=False,
+)
+def llm_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced resampling (operators/sampling.py
+    cluster_balanced_sample — the DataComp/DCLM topic-rebalancing
+    practice): every embedding assigns to its argmax-dot centroid
+    (zero-shuffle in-row pass over the 16 broadcast md5-grid
+    centroids), then clusters resample toward c^0.5 shares with the
+    exact water-filling temperature solver — over-represented topics
+    downsample, rare ones keep everything.  (vec_id, cluster, rate)
+    for the exact kept set."""
+    from hedera_etl_spark.operators.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, n_clusters=N_CENTROIDS, alpha=0.5, dims=DIMS, salt="cbal"
+    ).orderBy("vec_id")

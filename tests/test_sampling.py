@@ -497,3 +497,53 @@ def test_temperature_mixture_null_and_zero_mass_domains_drop(spark):
     assert ids <= {1, 2} and ids  # the positive-mass domain survives
     # rates are finite for every surviving row
     assert all(r["rate"] == r["rate"] and r["rate"] > 0 for r in out.collect())
+
+
+def test_cluster_balanced_sample_composition_and_balance(spark):
+    """cluster_balanced_sample: clusters come from the IVF assignment
+    kernel, rare clusters keep everything (rate 1.0), over-represented
+    ones downsample toward c^alpha shares, and the kept set is
+    deterministic under repartitioning."""
+    import hashlib
+
+    from hedera_etl_spark.operators.sampling import cluster_balanced_sample
+    from hedera_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    dims, k = 8, 4
+    cents = ivf_centroids(k, dims)
+    # skew: 60 vectors near centroid 1, 6 near each of the others
+    rows = []
+    vid = 0
+    for ci, n in ((0, 60), (1, 6), (2, 6), (3, 6)):
+        for _ in range(n):
+            jitter = [
+                0.01 * (int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:4], 16)
+                        / 65535.0 - 0.5)
+                for d in range(dims)
+            ]
+            rows.append((vid, [cents[ci][d] + jitter[d] for d in range(dims)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(
+        emb, n_clusters=k, alpha=0.5, dims=dims, centroids=cents, salt="t"
+    )
+    got = out.collect()
+    # composition: the cluster column IS the IVF assignment
+    assign = {r["vec_id"]: r["bucket"] for r in ivf_assign(emb, cents).collect()}
+    assert all(assign[r["vec_id"]] == r["cluster"] for r in got)
+    rates = {r["cluster"]: r["rate"] for r in got}
+    # rare clusters bind at 1.0; the hot cluster downsamples
+    hot = assign[0]
+    assert rates[hot] < 1.0
+    assert all(v == 1.0 for c, v in rates.items() if c != hot)
+    # water-filling at alpha=.5: hot rate = sqrt(c_hot)*min_other_share
+    # relation — concretely, expected share ratio sqrt(60)/sqrt(6) vs
+    # raw 10x: the kept hot mass shrinks toward ~sqrt
+    kept_hot = sum(1 for r in got if r["cluster"] == hot)
+    assert kept_hot < 60 * rates[hot] + 10  # Bernoulli, loose bound
+    # determinism under repartitioning
+    again = cluster_balanced_sample(
+        emb.repartition(7), n_clusters=k, alpha=0.5, dims=dims,
+        centroids=cents, salt="t",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
