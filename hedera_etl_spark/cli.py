@@ -411,6 +411,15 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--shard-size", type=int, default=None, help="rows per ordered shard")
     p.add_argument(
+        "--cluster-balance-k",
+        type=int,
+        default=None,
+        help="embedding-space mixture control: assign each doc's "
+        "embedding to one of K centroids and resample clusters toward "
+        "c^alpha shares (requires --embeddings-input)",
+    )
+    p.add_argument("--cluster-balance-alpha", type=float, default=0.5)
+    p.add_argument(
         "--embeddings-input",
         default=None,
         help="embeddings parquet (vec_id, embedding) keyed by the doc id; "
@@ -794,6 +803,8 @@ def main(argv: list[str] | None = None) -> int:
             dsir_n_buckets=args.dsir_n_buckets,
             token_budget=args.token_budget,
             salt=args.salt,
+            cluster_balance_k=args.cluster_balance_k,
+            cluster_balance_alpha=args.cluster_balance_alpha,
             embeddings=(
                 spark.read.parquet(args.embeddings_input)
                 if args.embeddings_input

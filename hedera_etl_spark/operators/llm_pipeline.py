@@ -90,6 +90,9 @@ def prepare_training_corpus(
     lm_min_avg_logp: float | None = None,
     mixture: dict[str, float] | None = None,
     mixture_temperature: float | None = None,
+    cluster_balance_k: int | None = None,
+    cluster_balance_alpha: float = 0.5,
+    cluster_centroids: list[list[float]] | None = None,
     domain_col: str = "source",
     mixture_weight_col: str | None = None,
     sample_rate: float = 1.0,
@@ -460,12 +463,19 @@ def prepare_training_corpus(
         )
         out = _observed("exact_substr", out)
 
-    if embeddings is not None:
+    if embeddings is not None and (
+        embedding_index_path is not None or cluster_balance_k is None
+    ):
+        # embeddings arm the SEMANTIC-DEDUP stage, which is index-backed;
+        # the one carve-out is cluster_balance_k-only use (embeddings
+        # feed the clustering stage below, no index involved)
         if embedding_index_path is None:
             raise ValueError(
                 "embeddings given without embedding_index_path — the "
                 "semantic stage is index-backed (build once, probe per "
-                "batch); pass a directory for the persisted IVF index"
+                "batch); pass a directory for the persisted IVF index "
+                "(or set cluster_balance_k to use the embeddings for "
+                "cluster balancing only)"
             )
         from hedera_etl_spark.operators.vectorindex import (
             semantic_dedup_decisions,
@@ -734,6 +744,41 @@ def prepare_training_corpus(
     # other — instead of independent thinning (product of rates).  The
     # base ``salt`` still decorrelates this pipeline run from external
     # splits (r9 review finding; sampling.py "keep split salts distinct").
+    if cluster_balance_k is not None:
+        # embedding-space mixture control (r13): rebalance by CONTENT
+        # topic — IVF argmax-dot assignment + the water-filling
+        # temperature solver over cluster ids (sampling.
+        # cluster_balanced_sample).  Runs after the quality floors like
+        # the metadata mixture; documents WITHOUT an embedding row drop
+        # (the mixture-no-share semantics, same as a NULL domain).
+        # Orthogonal to mixture/mixture_temperature, which reshape by
+        # metadata domain — both may run.
+        if embeddings is None:
+            raise ValueError(
+                "cluster_balance_k requires embeddings (vec_id keyed by "
+                "the doc id) — the clusters are computed from them"
+            )
+        from hedera_etl_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        kept = cluster_balanced_sample(
+            embeddings,
+            n_clusters=cluster_balance_k,
+            alpha=cluster_balance_alpha,
+            dims=embedding_dims,
+            centroids=cluster_centroids,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+            salt=f"{salt}:cbal",
+        )
+        out = out.join(
+            kept.select(F.col(emb_id_col).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        out = _observed("cluster_balance", out)
+
     if mixture_temperature is not None:
         if mixture is not None:
             raise ValueError(
@@ -843,11 +888,13 @@ def prepare_training_corpus(
         out = _drops("token_budget", "over_budget", pre_budget, out)
     out = _observed("final", out)
 
-    if embeddings is not None:
+    if embeddings is not None and embedding_index_path is not None:
         # commit the FINAL survivors' vectors to the index (write-once
-        # per content-derived batch id — retries re-commit nothing).
-        # The eager checkpoint pins `out` so the append and the caller
-        # share ONE evaluation of the full pipeline instead of two.
+        # per content-derived batch id — retries re-commit nothing);
+        # skipped in the cluster_balance_k-only use, where no index
+        # exists.  The eager checkpoint pins `out` so the append and
+        # the caller share ONE evaluation of the full pipeline instead
+        # of two.
         from hedera_etl_spark.operators.vectorindex import IVFIndex
 
         out = out.localCheckpoint(eager=True)

@@ -558,3 +558,60 @@ def test_cli_prepare_dataset_card(spark, corpus, tmp_path):
         c["n_docs"] == c["cluster_size"] * c["n_clusters"] for c in clusters
     )
     assert any(c["cluster_size"] == 3 for c in clusters)
+
+
+def test_prepare_cluster_balance_stage(spark):
+    """prepare_training_corpus(cluster_balance_k=...): docs rebalance by
+    embedding-space cluster — rare-topic docs all survive, the hot
+    topic downsamples, docs without an embedding row drop (the
+    mixture-no-share semantics), and embeddings are required."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+    from hedera_etl_spark.operators.similarity import ivf_centroids
+
+    dims, k = 8, 4
+    cents = ivf_centroids(k, dims)
+    rows, erows = [], []
+    vid = 0
+    for ci, n in ((0, 50), (1, 5), (2, 5)):
+        for _ in range(n):
+            jit = [
+                0.01 * (int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:4], 16)
+                        / 65535.0 - 0.5)
+                for d in range(dims)
+            ]
+            rows.append((vid, f"document number {vid} with unique words w{vid}a w{vid}b"))
+            erows.append((vid, [cents[ci][d] + jit[d] for d in range(dims)]))
+            vid += 1
+    rows.append((9_999, "no embedding for this one so it has no cluster share"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(erows, "vec_id long, embedding array<double>")
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=0.0,
+        min_tokens=2,
+        cluster_balance_k=k,
+        cluster_centroids=cents,
+        embedding_dims=dims,
+        embeddings=emb,
+        # embeddings alone would also arm the semantic-dedup stage,
+        # which needs an index path — not under test here
+        embedding_index_path=None,
+        sample_rate=1.0,
+        salt="cbal-e2e",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    # rare-topic docs (clusters of 5) all survive; hot topic downsamples
+    rare = set(range(50, 60))
+    assert rare <= ids
+    assert len([i for i in ids if i < 50]) < 50
+    # the no-embedding doc dropped
+    assert 9_999 not in ids
+    # guard: the knob without embeddings is a loud error
+    with _pytest.raises(ValueError, match="requires embeddings"):
+        prepare_training_corpus(
+            docs, near_threshold=0.0, cluster_balance_k=k,
+        )
