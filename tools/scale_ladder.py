@@ -49,6 +49,7 @@ ENTRIES = [
     "q13_scalar_functions",
     "llm_dsir_weights",           # md5 canon importance weights (r13 rung)
     "llm_dsir_weights_fast",      # production xxhash64 bucket hash
+    "llm_exact_substr",           # arbitrary-length repeat intervals (r13)
 ]
 
 
