@@ -612,12 +612,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"rebuilt codebooks + re-encoded at {args.index}")
             return 0
+        def _parse_query_ids(raw: str) -> list:
+            # parse according to the index's RECORDED key type (r13
+            # advice): an unconditional int() cast breaks string-keyed
+            # indexes (ValueError on non-numeric ids) or silently
+            # type-mismatches the isin filter.
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            vals = raw.split(",")
+            if idx.id_type is None:
+                # empty index (no batch recorded a key type yet): best
+                # effort — numeric if every id parses, else strings
+                try:
+                    return [int(x) for x in vals]
+                except ValueError:
+                    return vals
+            if idx.id_type in integral:
+                return [int(x) for x in vals]
+            if idx.id_type == "binary":
+                # CLI strings can't spell arbitrary bytes faithfully —
+                # refuse loudly rather than guess an encoding
+                raise SystemExit(
+                    "this index is binary-keyed; drive probes from the "
+                    "Python API where ids can be passed as bytes"
+                )
+            return vals
+
         if args.action == "probe":
             if not args.input or not args.query_ids:
                 print("--input and --query-ids are required for probe",
                       file=sys.stderr)
                 return 2
-            ids = [int(x) for x in args.query_ids.split(",")]
+            ids = _parse_query_ids(args.query_ids)
             for r in idx.recall_probe(
                 spark.read.parquet(args.input), ids,
                 k_neighbors=args.k_neighbors,
@@ -629,7 +654,7 @@ def main(argv: list[str] | None = None) -> int:
             print("--input and --query-ids are required for topk",
                   file=sys.stderr)
             return 2
-        ids = [int(x) for x in args.query_ids.split(",")]
+        ids = _parse_query_ids(args.query_ids)
         rows = idx.topk(
             spark.read.parquet(args.input), ids,
             k_neighbors=args.k_neighbors,

@@ -772,12 +772,18 @@ def prepare_training_corpus(
             vec_col=emb_vec_col,
             salt=f"{salt}:cbal",
         )
+        pre_cbal = out
         out = out.join(
             kept.select(F.col(emb_id_col).alias(id_col)),
             id_col,
             "left_semi",
         )
         out = _observed("cluster_balance", out)
+        # ledger invariant ("every dropped doc exactly once",
+        # test_provenance.py): the semi-join drops BOTH downsampled docs
+        # and docs with no embedding row — record them like the mixture
+        # stage (NULL ref; the reason string distinguishes the stage).
+        out = _drops("cluster_balance", "cluster_downsample", pre_cbal, out)
 
     if mixture_temperature is not None:
         if mixture is not None:

@@ -84,7 +84,9 @@ def paragraph_occurrences(
     )
 
 
-def duplicate_paragraph_drops(occ: DataFrame) -> DataFrame:
+def duplicate_paragraph_drops(
+    occ: DataFrame, skew_safe: bool = False
+) -> DataFrame:
     """(doc_id, idx) of every NON-canonical occurrence of a duplicated
     paragraph: count + min-(doc_id, idx) keeper election as two window
     functions over ONE (para_hash)-partitioned exchange, then a row
@@ -97,9 +99,39 @@ def duplicate_paragraph_drops(occ: DataFrame) -> DataFrame:
     relation) and pays a second exchange at any scale.  The window
     form is structurally join-free and measured 26% faster at sf0.1
     (0.67 s vs 0.90 s, docs/PERF_NOTES.md); only narrow
-    hash/index rows move, as before."""
+    hash/index rows move, as before.
+
+    Skew exposure (r13 advice, disclosed): one ultra-hot paragraph
+    hash (a cookie banner repeated across a crawl) buffers every
+    occurrence in a single window task with no map-side combine.
+    ``skew_safe=True`` switches to the groupBy + SHUFFLE_HASH-hinted
+    join-back: the count and the min-struct keeper election combine
+    map-side (one partial row per distinct hash per task), the hint
+    forbids the driver-built broadcast the r7 form died on, and
+    occurrences STREAM through the probe instead of buffering.  Cost:
+    ``occ`` gains a second consumer — callers that pass a
+    localCheckpoint'ed occurrence frame (paragraph_dedup does) pay
+    nothing extra.  Equality of the two forms is pytest-pinned."""
     from pyspark.sql import Window
 
+    if skew_safe:
+        agg = (
+            occ.groupBy("para_hash")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("doc_id", "idx")).alias("__keep"),
+            )
+            .filter(F.col("__cnt") >= 2)
+            .select("para_hash", "__keep")
+        )
+        return (
+            occ.join(agg.hint("shuffle_hash"), "para_hash", "inner")
+            .filter(
+                (F.col("doc_id") != F.col("__keep.doc_id"))
+                | (F.col("idx") != F.col("__keep.idx"))
+            )
+            .select("doc_id", "idx")
+        )
     w = Window.partitionBy("para_hash")
     return (
         occ.withColumn("__cnt", F.count(F.lit(1)).over(w))

@@ -842,8 +842,14 @@ class PQIndex:
         with open(meta_path) as fh:
             meta = json.load(fh)
         meta["id_type"] = id_type
-        with open(meta_path, "w") as fh:
+        # tmp + atomic rename (the fsutil single-rename discipline): an
+        # in-place rewrite crashing mid-write would leave the index
+        # permanently unopenable (__init__ json.load fails) — every
+        # other commit path here is rename-based and heal-able.
+        tmp_path = meta_path + ".tmp"
+        with open(tmp_path, "w") as fh:
             json.dump(meta, fh)
+        os.replace(tmp_path, meta_path)
         self.id_type = id_type
 
     # -- read / query ---------------------------------------------------

@@ -95,6 +95,7 @@ def repeated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """(doc_id, pos) of every n-token span whose verbatim content occurs
     at least ``min_count`` times across the corpus.
@@ -111,10 +112,39 @@ def repeated_spans(
     at sf0.1/w=20 (0.82 s vs 1.07 s, docs/PERF_NOTES.md r13): the
     checkpoint materialization and the join both disappear, and the
     span-rows subtree now has exactly ONE consumer so no checkpoint is
-    needed at all."""
+    needed at all.
+
+    Skew exposure (r13 advice, disclosed): the window partitions by
+    the span hash, so EVERY occurrence of one ultra-hot hash (a
+    ubiquitous cookie banner, a license header) buffers in a single
+    task's window partition — a straggler/spill task on
+    boilerplate-heavy corpora, with no map-side partial combine.
+    ``skew_safe=True`` is the escape hatch: per-hash counts via
+    groupBy (partial aggregation combines the hot hash map-side, each
+    map task emits ONE row per distinct hash) joined back with an
+    explicit SHUFFLE_HASH hint — the hint forbids the driver-built
+    broadcast that OOM'd the r7 join-back form (the build side stays
+    partition-wise and bounded by distinct flagged hashes, and the
+    occurrence side STREAMS through the probe instead of buffering).
+    Cost: the span-rows subtree gains a second consumer, i.e. one
+    extra corpus scan (deterministic recompute — cheaper than
+    checkpointing corpus-sized span rows).  Default stays the window
+    form: faster when no hash is pathologically hot (one exchange, no
+    join, docs/PERF_NOTES.md r13); equality of the two forms is
+    pytest-pinned."""
     from pyspark.sql import Window
 
     rows = _span_rows(docs, n, text_col, id_col)
+    if skew_safe:
+        flagged_h = (
+            rows.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= min_count)
+            .select("h")
+        )
+        return rows.join(
+            flagged_h.hint("shuffle_hash"), "h", "left_semi"
+        ).select("doc_id", "pos")
     w = Window.partitionBy("h")
     return (
         rows.withColumn("__cnt", F.count(F.lit(1)).over(w))
@@ -130,6 +160,7 @@ def remove_repeated_spans(
     keep_first: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Rebuild each document with every repeated n-token span cut out.
 
@@ -143,24 +174,48 @@ def remove_repeated_spans(
     Same window-form rationale as :func:`repeated_spans` (r13): the
     old aggregate + join-back broadcast-OOMs once the flagged
     dimension outgrows the driver, and the window form is faster at
-    bench SF anyway."""
+    bench SF anyway.  Same hot-hash skew exposure too —
+    ``skew_safe=True`` switches to the groupBy + SHUFFLE_HASH-hinted
+    join-back (map-side partial combine for the count AND the
+    min-struct owner election, both algebraic; occurrences stream
+    through the probe instead of buffering in one window partition) at
+    the cost of a second span-rows scan; see repeated_spans."""
     from pyspark.sql import Window
 
     rows = _span_rows(docs, n, text_col, id_col)
-    w = Window.partitionBy("h")
-    flagged = rows.withColumn("__cnt", F.count(F.lit(1)).over(w))
-    if keep_first:
-        flagged = flagged.withColumn(
-            "__o", F.min(F.struct("doc_id", "pos")).over(w)
-        )
-    flagged = flagged.filter(F.col("__cnt") >= min_count)
-    if keep_first:
-        flagged = flagged.filter(
-            ~(
-                (F.col("doc_id") == F.col("__o.doc_id"))
-                & (F.col("pos") == F.col("__o.pos"))
+    if skew_safe:
+        agg = (
+            rows.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("doc_id", "pos")).alias("__o"),
             )
+            .filter(F.col("__cnt") >= min_count)
+            .select("h", "__o")
         )
+        flagged = rows.join(agg.hint("shuffle_hash"), "h", "inner")
+        if keep_first:
+            flagged = flagged.filter(
+                ~(
+                    (F.col("doc_id") == F.col("__o.doc_id"))
+                    & (F.col("pos") == F.col("__o.pos"))
+                )
+            )
+    else:
+        w = Window.partitionBy("h")
+        flagged = rows.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        if keep_first:
+            flagged = flagged.withColumn(
+                "__o", F.min(F.struct("doc_id", "pos")).over(w)
+            )
+        flagged = flagged.filter(F.col("__cnt") >= min_count)
+        if keep_first:
+            flagged = flagged.filter(
+                ~(
+                    (F.col("doc_id") == F.col("__o.doc_id"))
+                    & (F.col("pos") == F.col("__o.pos"))
+                )
+            )
     cuts = flagged.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("pos")).alias("__cuts")
     )
@@ -482,6 +537,16 @@ def incremental_exact_substr_plan(
     span accepted in epoch 1 stays in epoch 1's shipped text; a copy
     arriving in epoch 3 is cut from epoch 3 only.
 
+    ``min_count`` must be 2 (the ExactSubstr default): the store
+    records hash PRESENCE, not per-hash occurrence counts, so the
+    history probe can only answer "seen before" — exactly the
+    min_count=2 threshold.  A higher threshold would need per-hash
+    counts in the store (cross-epoch count merges, a compaction
+    invariant, and a re-judgment of already-committed epochs when a
+    hash crosses the threshold late) for a parameter the published
+    algorithm never varies; we refuse loudly instead of over-cutting
+    silently (r13 advice).
+
     Scale shape: the within-batch flag is the count-over-window form
     (one exchange on the span hash, no join); the history probe is
     INVERTED (the batch's own distinct hash set broadcasts, history
@@ -492,6 +557,13 @@ def incremental_exact_substr_plan(
 
     from hedera_etl_spark.operators.joins import inverted_store_probe
 
+    if int(min_count) != 2:
+        raise ValueError(
+            "incremental_exact_substr supports min_count=2 only: the "
+            "span store records hash presence, not occurrence counts, "
+            "so any history hit means 'second occurrence'.  Use the "
+            "batch exact_substr_dedup for min_count > 2."
+        )
     w = int(min_len)
     rows = _span_rows(docs, w, text_col, id_col)
     win = Window.partitionBy("h")

@@ -154,11 +154,8 @@ def duped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
     tags=("dedup", "window"),
-    # parked in r11 (driver-green r10; slot ceded to the r7-stale
-    # rotation cohort): A2 first-row-per-group stays driver-checked via
-    # hed_dedupe_job; oracle stays in tools/verify_oracle.py + bench.
+    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
     bench=True,
-    driver_visible=False,
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep exactly one row per key with a deterministic tiebreak —
@@ -189,10 +186,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'
     """,
     tags=("aggregate",),
-    # parked in r11 (driver-green r10; slot ceded to the r7-stale
-    # rotation cohort): ungrouped MIN/MAX/COUNT is a subset of
-    # llm_profile's one-pass stats; P6 bounds via q08_theta_join.
-    driver_visible=False,
+    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup job's window-advance probes: ungrouped MIN over a filtered
@@ -381,6 +375,11 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "theta"),
     bench=True,
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): range/non-equi joins stay driver-checked via
+    # q17_asof_join; P6 open-ended bounds via the incoming
+    # q04_minmax_probe; oracle stays in tools/verify_oracle.py + bench.
+    driver_visible=False,
 )
 def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range residual: the equi part drives the shuffle/join
@@ -476,6 +475,12 @@ def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "rank"),
     bench=True,
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): the rank-window kernel stays driver-checked via
+    # llm_domain_topk (grouped top-k over the same exchange) and the
+    # rn=1 case via the incoming q03_dedup_first_per_group; analytic
+    # frames keep q10_window_frame IN.
+    driver_visible=False,
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group via ranking window — one shuffle on the partition key,
@@ -777,6 +782,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("explode", "aggregate"),
     bench=True,
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): explode stays driver-checked via the incoming
+    # hed_tx_explode_transfers (the reference's own REPEATED-record
+    # shape) plus llm_chunking / llm_pair_stats' explode fan-outs.
+    driver_visible=False,
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode() over an array column — the load-bearing repeated-record
@@ -824,6 +834,12 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window-agg", "streaming"),
     bench=True,
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): ST6 time-window aggregation stays
+    # driver-checked via the incoming q18_session_window; the tumbling
+    # F.window expression also runs driver-checked under real
+    # streaming in hed_stream_ingest's windowed stats.
+    driver_visible=False,
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling + hopping event-time windows via F.window, tagged union —

@@ -899,14 +899,8 @@ _XS_ORACLE = f"""
     # dedup — ExactSubstr (Lee et al. 2022) — as maximal coverage
     # intervals.  The fixed-width machinery is EXACT for this (see the
     # repeated_intervals equivalence proof; pinned vs a brute-force
-    # any-length reference in test_spandedup.py).  Registers
-    # out-of-window (the r13 window carries the rotation cohort; this
-    # is the lead r14 rotation candidate): span fan-out via
-    # q14_explode_tokens, flagged-hash GROUP BY/HAVING via
-    # llm_exact_dedup, the lag/island window via q10_window_frame (all
-    # IN); the merged-intervals relation itself is hash-checked via
-    # tools/verify_oracle.py each round.
-    driver_visible=False,
+    # any-length reference in test_spandedup.py).  Rotated IN r14
+    # (VERDICT r13 #1 lead candidate — first driver check).
 )
 def llm_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length repeated-substring intervals

@@ -109,10 +109,7 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     tags=("window-agg", "session", "streaming"),
-    # parked in r11 (driver-green r10; slot ceded to the r7-stale
-    # rotation cohort): ST6 stays driver-checked via q16_window_tumbling
-    # and the real-streaming session pytest.
-    driver_visible=False,
+    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
 )
 def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) via F.session_window —

@@ -237,11 +237,14 @@ _PHASH_ORACLE = f"""
     "mm_phash_neardup",
     _PHASH_ORACLE,
     tags=("mm", "dedup", "phash", "image"),
-    # rotated IN r13 (VERDICT r12 #1 — first driver row for the NEW-r12
-    # perceptual-dedup surface): hash-checks the dHash relation itself.
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): the Arrow mapInPandas decode path stays
+    # driver-checked via mm_audio_features; banded-hash near-dup via
+    # llm_simhash_neardup (same band→equi-join→hamming-verify shape).
     # the fingerprint pass feeds bucket collection twice under AQE
     # re-use; keep plans fresh like the other pair detectors
     cache_plan=False,
+    driver_visible=False,
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (operators/multimodal.phash_neardups):

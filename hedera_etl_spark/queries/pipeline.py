@@ -37,16 +37,18 @@ DEC = "decimal(18,2)"
     "hed_dedupe_pipeline",
     f"""
     WITH dups AS ({_DUPED_EVENTS_SQL}),
+    g AS (
+      SELECT event_id, COUNT(*) AS n_copies FROM dups GROUP BY event_id
+    ),
     deduped AS (
       SELECT event_id, ts, user_id, event_type, value
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ingest_seq) rn
             FROM dups)
       WHERE rn = 1
     )
-    SELECT COUNT(*) AS n_rows,
-           COUNT(DISTINCT event_id) AS n_keys,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
-    FROM deduped
+    SELECT d.event_id, d.ts, d.user_id, d.event_type, d.value, g.n_copies
+    FROM deduped d JOIN g USING (event_id)
+    ORDER BY event_id
     """,
     tags=("dedup", "pipeline"),
     bench=True,
@@ -54,32 +56,36 @@ DEC = "decimal(18,2)"
 def hed_dedupe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup over a stream-shaped table with every 5th row
     duplicated (the reference integration test's generator pattern,
-    TransactionsGenerator.java:70-81): detection, first-per-group collapse
-    and the invariant aggregates FUSED into one shuffle on the dedup key —
-    groupBy(key).agg(count, min_by(value, tiebreak)) computes the A1/A6
-    duplicate stats and the surviving row's payload in the same hash
+    TransactionsGenerator.java:70-81): detection, first-per-group
+    collapse and the A1/A6 duplicate stats FUSED into one shuffle on
+    the dedup key — groupBy(key).agg(min_by(payload, tiebreak)..., count)
+    elects the surviving row AND counts its copies in the same hash
     aggregate, so the whole pipeline is one pass over the data (the
     reference issues detection and removal as separate queries,
     AbstractDeduplication.java:109-116; that literal gate-then-collapse
     protocol — including the collect'd gate — is exercised by
-    hed_dedupe_job and the dedupe pytests)."""
+    hed_dedupe_job and the dedupe pytests).
+
+    r14 (VERDICT r13 #4): the oracle now hash-checks the DEDUPED
+    RELATION row-by-row against DuckDB's ROW_NUMBER()=1 twin
+    (RemoveDuplicatesTemplateQuery.java:29-43 semantics — SURVEY Q15's
+    literal "hash final table"), not the former 3-column invariant
+    digest; n_copies keeps the A1 detection surface in the same hash."""
     dups = duped_events(spark, sf_dir)
-    per_key = dups.groupBy("event_id").agg(
-        F.count("*").alias("__num"),
-        # replays are byte-identical copies, but min_by pins the choice to
-        # the lowest ingest_seq anyway — same tiebreak as collapse_duplicates
-        F.min_by("value", "ingest_seq").alias("value"),
+    # replays are byte-identical copies, but min_by pins every payload
+    # column to the lowest ingest_seq anyway — same tiebreak as
+    # collapse_duplicates — so the fused form IS first-row-per-group
+    return (
+        dups.groupBy("event_id")
+        .agg(
+            F.min_by("ts", "ingest_seq").alias("ts"),
+            F.min_by("user_id", "ingest_seq").alias("user_id"),
+            F.min_by("event_type", "ingest_seq").alias("event_type"),
+            F.min_by("value", "ingest_seq").alias("value"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("event_id")
     )
-    # post-collapse, rows == distinct keys by construction: emit the ONE
-    # count under both contract names instead of computing it twice
-    # (ADVICE r5: twin aggregates invite silent drift)
-    return per_key.agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("value").cast(DEC))
-        .cast("decimal(28,2)")
-        .cast("double")
-        .alias("total_value"),
-    ).select("n_rows", F.col("n_rows").alias("n_keys"), "total_value")
 
 
 # ---------------------------------------------------------------------------

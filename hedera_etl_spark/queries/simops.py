@@ -72,12 +72,8 @@ MAX_BUCKET = 500
     ORDER BY query_id, rank
     """,
     tags=("sim", "ann", "baseline"),
-    # parked in r11 (driver-green r10; slot ceded to the r7-stale
-    # rotation cohort): the ANN family keeps sim_lsh_ann_topk /
-    # sim_ivf_topk / sim_cosine_neardup in-window; bucketed variants are
-    # property-pinned against this baseline (test_similarity.py).
+    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
     bench=True,
-    driver_visible=False,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast query set, one corpus scan, per-query
@@ -592,9 +588,11 @@ _PQ_ORACLE = f"""
     _PQ_ORACLE,
     tags=("sim", "ann", "pq", "adc"),
     bench=True,
-    # rotated IN r13 (VERDICT r12 #1 — first driver row for the NEW-r12
-    # PQ surface): hash-checks the PQ relation itself — encode argmins
-    # + ADC lookup sums; the trained-codebook path stays pytest-pinned.
+    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
+    # rotation cohort): the encode-argmin + ADC-lookup kernels stay
+    # driver-checked via sim_ivfpq_topk (IN), which composes them with
+    # IVF routing; trained-codebook path stays pytest-pinned.
+    driver_visible=False,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pquant.py): encode the
@@ -723,15 +721,12 @@ _CBAL_ORACLE = f"""
     "llm_cluster_balance",
     _CBAL_ORACLE,
     tags=("llm", "sampling", "mixture", "cluster", "embedding"),
-    # NEW r13, out-of-window (the r13 window carries the rotation
-    # cohort; r14 rotation candidate alongside llm_exact_substr): both
-    # kernels are driver-checked — the argmax-dot assignment via
-    # sim_ivf_topk (IN; identical quantizer and tie rule) and the
-    # md5-bucket Bernoulli acceptance via llm_stratified_sample +
-    # llm_weighted_sample (IN); this entry hash-checks their
-    # COMPOSITION (cluster ids + water-filled rates + exact kept set)
-    # via tools/verify_oracle.py each round.
-    driver_visible=False,
+    # NEW r13; rotated IN r14 (VERDICT r13 #1 — first driver check).
+    # Kernels separately driver-checked: argmax-dot assignment via
+    # sim_ivf_topk, md5-bucket Bernoulli acceptance via
+    # llm_stratified_sample + llm_weighted_sample; this entry
+    # hash-checks their COMPOSITION (cluster ids + water-filled rates
+    # + exact kept set).
 )
 def llm_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced resampling (operators/sampling.py

@@ -203,11 +203,7 @@ def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY account_num ORDER BY account_num
     """,
     tags=("tx", "explode"),
-    # parked in r11 (driver-green r10; slot ceded to the r7-stale
-    # rotation cohort): explode stays driver-checked via
-    # q14_explode_tokens; tx wire-schema parity via hed_tx_transform +
-    # hed_tx_errors.
-    driver_visible=False,
+    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
 )
 def hed_tx_explode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(transactionRecord.transferList.accountAmounts) — the only

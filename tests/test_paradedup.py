@@ -447,3 +447,26 @@ def test_paragraph_store_compact_crash_leftover_converges(spark, tmp_path):
     assert {r["text"] for r in out.collect()} == {"new text"}
     assert store.compact() == 3
     assert store.hashes().count() == 3  # dropDuplicates folded the overlap
+
+
+def test_skew_safe_drops_equal_window_form(spark, corpus):
+    """r13 advice: duplicate_paragraph_drops(skew_safe=True) — the
+    groupBy + SHUFFLE_HASH join-back escape hatch for hot-hash skew —
+    must produce the exact window-form drop set, and its plan must not
+    contain a broadcast join."""
+    from hedera_etl_spark.operators.paradedup import (
+        duplicate_paragraph_drops,
+        paragraph_occurrences,
+    )
+
+    occ = paragraph_occurrences(corpus)
+    base = sorted(
+        (r["doc_id"], r["idx"])
+        for r in duplicate_paragraph_drops(occ).collect()
+    )
+    safe_df = duplicate_paragraph_drops(occ, skew_safe=True)
+    safe = sorted((r["doc_id"], r["idx"]) for r in safe_df.collect())
+    assert safe == base
+    plan = safe_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -357,3 +357,59 @@ def test_drop_chain_string_ids(spark):
         (1, "doc-a", "quality_floor"),
     ]
     assert dict(chain.dtypes)["doc_id"] == "string"
+
+
+def test_cluster_balance_drops_ledgered(spark):
+    """r13 advice (medium): with removal_ledger AND cluster_balance_k
+    both set, the cluster stage's semi-join drops — downsampled docs
+    AND docs with no embedding row — must land in the ledger (NULL
+    ref), preserving the partition invariant."""
+    import hashlib
+
+    from hedera_etl_spark.operators.similarity import ivf_centroids
+
+    dims, k = 8, 4
+    cents = ivf_centroids(k, dims)
+    rows, erows = [], []
+    vid = 0
+    for ci, n in ((0, 50), (1, 5), (2, 5)):
+        for _ in range(n):
+            jit = [
+                0.01 * (int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:4], 16)
+                        / 65535.0 - 0.5)
+                for d in range(dims)
+            ]
+            rows.append((vid, f"document number {vid} with unique words w{vid}a w{vid}b"))
+            erows.append((vid, [cents[ci][d] + jit[d] for d in range(dims)]))
+            vid += 1
+    rows.append((9_999, "no embedding for this one so it has no cluster share"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(erows, "vec_id long, embedding array<double>")
+    ledger = RemovalLedger()
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=0.0,
+        min_tokens=2,
+        cluster_balance_k=k,
+        cluster_centroids=cents,
+        embedding_dims=dims,
+        embeddings=emb,
+        embedding_index_path=None,
+        sample_rate=1.0,
+        salt="cbal-ledger",
+        removal_ledger=ledger,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    rows_l = _ledger_rows(ledger)
+    _assert_partition([r[0] for r in rows], kept, rows_l)
+    by_doc = {r[0]: r[1:] for r in rows_l}
+    # the no-embedding doc is a cluster_balance drop with NULL ref
+    assert by_doc[9_999] == ("cluster_balance", "cluster_downsample", None)
+    # the hot topic downsampled: at least one of its docs is ledgered
+    # under the stage, none under any other stage
+    hot_dropped = [d for d in by_doc if d < 50]
+    assert hot_dropped, "hot cluster downsampled nothing?"
+    assert all(
+        by_doc[d] == ("cluster_balance", "cluster_downsample", None)
+        for d in hot_dropped
+    )

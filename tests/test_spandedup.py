@@ -381,3 +381,57 @@ def test_span_store_compact_preserves_replay(spark, tmp_path):
     assert store.has_batch("e1")  # folded but still committed
     again = _inc(spark, store, "e1", rows1)
     assert first == again
+
+
+def test_skew_safe_forms_equal_window_forms(spark, docs):
+    """r13 advice: the skew_safe escape hatch (groupBy partial-combine +
+    SHUFFLE_HASH-hinted join-back) must produce the exact window-form
+    relations — flags, all-occurrences cut, and keep-first cut."""
+    flags_w = sorted(
+        (r["doc_id"], r["pos"])
+        for r in repeated_spans(docs, n=6, min_count=2).collect()
+    )
+    flags_s = sorted(
+        (r["doc_id"], r["pos"])
+        for r in repeated_spans(docs, n=6, min_count=2, skew_safe=True).collect()
+    )
+    assert flags_s == flags_w
+    for kf in (False, True):
+        out_w = {
+            r["doc_id"]: r["text"]
+            for r in remove_repeated_spans(docs, n=6, keep_first=kf).collect()
+        }
+        out_s = {
+            r["doc_id"]: r["text"]
+            for r in remove_repeated_spans(
+                docs, n=6, keep_first=kf, skew_safe=True
+            ).collect()
+        }
+        assert out_s == out_w
+
+
+def test_skew_safe_plan_never_broadcasts_the_flag_join(spark, docs):
+    """The escape hatch exists to forbid the driver-built broadcast the
+    r7 join-back died on: the flagged-hash join must plan as a shuffled
+    hash join, with no BroadcastExchange feeding it."""
+    df = repeated_spans(docs, n=6, min_count=2, skew_safe=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_incremental_exact_substr_rejects_min_count_above_two(spark, tmp_path):
+    """r13 advice: the span store records presence, not counts — a
+    min_count other than 2 would silently over-cut on the history path,
+    so the incremental form refuses it loudly."""
+    from hedera_etl_spark.operators.spandedup import (
+        SpanHashStore,
+        incremental_exact_substr_plan,
+    )
+
+    store = SpanHashStore(spark, str(tmp_path / "spans"))
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    with pytest.raises(ValueError, match="min_count=2 only"):
+        incremental_exact_substr_plan(
+            docs, store, "b1", min_len=2, min_count=3
+        )
