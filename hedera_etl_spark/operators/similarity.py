@@ -482,7 +482,14 @@ def cosine_neardup_pairs(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), dims))
+        # FOLD form on purpose (r14): the threshold filter below gets
+        # pushed into the join CONDITION, and join-condition codegen
+        # cannot method-split — the unrolled 64-dim cosine blows janino's
+        # 64 KB limit there, paying an expensive failed compile and then
+        # running interpreted anyway.  The fold is equally interpreted
+        # but compiles the rest of the stage cleanly (bit-identical
+        # values; see functions.dot).
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), None))
         .filter(F.col("cos") >= threshold)
         .select(
             "id_a", "id_b", _sim_round(F.col("cos")).alias("cos_sim")

@@ -394,7 +394,11 @@ def semantic_dedup_decisions(
             "bucket",
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), idx.dims))
+        # fold form: the threshold predicate fuses into the join
+        # condition, where codegen can't method-split — the unrolled
+        # cosine exceeds janino's 64 KB there (failed compile + fallback;
+        # see functions.dot / similarity.cosine_neardup_pairs r14 note)
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b"), None))
         .filter(F.col("cos") >= threshold)
         .select(
             F.least("id_a", "id_b").alias("src"),
@@ -475,7 +479,9 @@ def semantic_dedup_decisions(
             # self-id guard: a replayed batch's own vectors in the index
             # must not count as "history" — retry idempotence
             .filter(F.col("vec_id") != F.col("hist_id"))
-            .withColumn("cos", cosine(F.col("vec"), F.col("hist_vec"), idx.dims))
+            # fold form: same join-condition codegen constraint as the
+            # within-batch pair verify above
+            .withColumn("cos", cosine(F.col("vec"), F.col("hist_vec"), None))
             .filter(F.col("cos") >= threshold)
             .select("vec_id")
             .distinct()

@@ -325,14 +325,17 @@ _SEM_ORACLE = f"""
     "sim_semantic_dedup",
     _SEM_ORACLE,
     tags=("sim", "dedup", "ivf", "components"),
-    # parked in r11 (driver-green r8; slot ceded to the r7-stale
-    # rotation cohort): IVF bucket-probe family stays driver-checked via
-    # sim_ivf_topk; cluster collapse via llm_dup_clusters.
-    # The function builds a throwaway index directory per call (side
-    # effect), so its plan must never be served from the prepared-plan
-    # cache.
+    # rotated back IN r14 (VERDICT r13 #3 — was the stalest parked row,
+    # driver-green r8, AND the one local-cost sore spot): the entry now
+    # probes a PERSISTED index (build-once/probe-many, like PQIndex)
+    # instead of building a throwaway index directory per call.  The
+    # relation is unchanged — replay determinism (same corpus, same
+    # batch marker) re-derives the identical first-batch decisions, so
+    # the oracle stays the first-batch recursive-CTE twin; persisted ==
+    # throwaway equality is pytest-pinned (test_vectorindex.py).
+    # Still a side-effecting function (index read + possible build), so
+    # its plan must never be served from the prepared-plan cache.
     cache_plan=False,
-    driver_visible=False,
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed semantic dedup decisions (first-batch form) over the
@@ -340,7 +343,16 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.99 collapse transitively to a min-id keeper via connected
     components — (vec_id, keep).  The oracle mirrors the probe blocking
     from the same literal centroid grid and closes pairs with a
-    recursive CTE."""
+    recursive CTE.
+
+    Index lifecycle (r14): the directory is keyed by an order-free
+    corpus fingerprint (bit_xor of xxhash64(vec_id, embedding)), so a
+    regenerated/different corpus can never probe a stale index — it
+    simply builds a fresh one; the first call on a machine pays the
+    one-time build+append (write-once batch marker), every later call
+    replays: identical decisions, zero writes, probe-only cost."""
+    import hashlib
+    import os
     import tempfile
 
     from hedera_etl_spark.operators.vectorindex import semantic_dedup_decisions
@@ -350,7 +362,19 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(clones)
-    path = tempfile.mkdtemp(prefix="semdedup_ivf_")
+    fp = corpus.agg(
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(vec_id, embedding))"), F.lit(0)
+        ).alias("sig"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    token = f"{fp['n']}-{fp['sig'] & ((1 << 64) - 1):016x}"
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hedera_etl_spark_idx",
+        f"semdedup-v1-{sf_tag}-{token}",
+    )
     return semantic_dedup_decisions(
         spark,
         corpus,
@@ -359,6 +383,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=N_PROBE,
         n_centroids=N_CENTROIDS,
         dims=DIMS,
+        batch_id="registry-corpus",
     ).orderBy("vec_id")
 
 

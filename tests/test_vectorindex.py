@@ -80,3 +80,61 @@ def test_incremental_add_extends_index(spark, emb, index):
     res = index.query(_queries(emb, ids), k=1, n_probe=1).collect()
     for r in res:
         assert r["neighbor_id"] == r["query_id"] + 1_000_000 or r["cos_sim"] >= 0.999999
+
+
+def test_registry_replay_equals_throwaway_first_batch(spark, emb, tmp_path):
+    """r14 (VERDICT r13 #3): the registry entry probes a PERSISTED index
+    — its replay decisions (2nd+ call on the same corpus, same batch
+    marker) must equal the throwaway first-batch form the oracle
+    models, and the replay must not grow the index."""
+    from hedera_etl_spark.operators.vectorindex import (
+        semantic_dedup_decisions,
+    )
+
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+
+    def run(path):
+        return sorted(
+            (r["vec_id"], r["keep"])
+            for r in semantic_dedup_decisions(
+                spark, corpus, str(path), threshold=0.99, n_probe=2,
+                n_centroids=16, dims=64, batch_id="registry-corpus",
+            ).collect()
+        )
+
+    p = tmp_path / "sem_idx"
+    first = run(p)   # builds + appends (throwaway-form decisions)
+    batches = set(os.listdir(p / "_batches"))
+    second = run(p)  # replay: history path, own-id-excluded
+    third = run(p)
+    assert second == first
+    assert third == first
+    # write-once: the replay committed nothing new
+    assert set(os.listdir(p / "_batches")) == batches
+
+
+def test_pair_verify_stages_compile_without_codegen_overflow(spark, emb, tmp_path):
+    """r14: the threshold cosine fuses into the join condition, which
+    codegen cannot method-split — the fold form must keep every
+    generated method under janino's 64 KB limit (the unrolled form
+    failed compile and fell back interpreted).  Assert by running with
+    codegen fallback DISABLED: any overflow now raises instead of
+    silently degrading."""
+    from hedera_etl_spark.operators.vectorindex import (
+        semantic_dedup_decisions,
+    )
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        n = semantic_dedup_decisions(
+            spark, emb, str(tmp_path / "cg_idx"), threshold=0.99,
+            n_probe=2, n_centroids=16, dims=64, batch_id="cg",
+        ).count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
