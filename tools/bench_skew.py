@@ -206,6 +206,92 @@ def main() -> int:
     )
     ok &= r is not None and r < THRESH
 
+    # -- paragraph/span dedup: ONE ultra-hot hash (r13 advice) -------------
+    # 25% of docs carry an identical boilerplate paragraph, so one
+    # para_hash (and each of its w-window span hashes) collects ~n/4
+    # occurrences.  The default count-over-window form buffers them all
+    # in ONE task's window partition (the disclosed exposure); the
+    # skew_safe form partial-aggregates map-side and STREAMS occurrences
+    # through a SHUFFLE_HASH probe.  Pass criterion applies to the
+    # skew_safe form; the window form's ratio is recorded as the
+    # documented exposure, not gated.
+    from hedera_etl_spark.operators.paradedup import (
+        duplicate_paragraph_drops,
+        paragraph_occurrences,
+    )
+    from hedera_etl_spark.operators.spandedup import repeated_spans
+
+    hot_para = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % HOT_FRAC_MOD == 0,
+            F.concat(F.lit(BOILER), F.lit("\n\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint()
+    uni_para = base.select("doc_id", "text").localCheckpoint()
+
+    para_rows = {}
+    for form, safe in (("window", False), ("skew_safe", True)):
+        t_u = timed(
+            lambda: materialize(
+                duplicate_paragraph_drops(
+                    paragraph_occurrences(uni_para), skew_safe=safe
+                )
+            )
+        )
+        t_s = timed(
+            lambda: materialize(
+                duplicate_paragraph_drops(
+                    paragraph_occurrences(hot_para), skew_safe=safe
+                )
+            )
+        )
+        para_rows[form] = {
+            "uniform_sec": t_u, "skew_sec": t_s,
+            "ratio": round(t_s / t_u, 2) if t_u else None,
+        }
+    results.append(
+        {"op": "paragraph_dedup_hot_hash", **{
+            f"{k}_{m}": v for k, row in para_rows.items()
+            for m, v in row.items()},
+         "hot_share": f"~{100 // HOT_FRAC_MOD}% one paragraph",
+         "n_docs": n_docs}
+    )
+    ok &= (
+        para_rows["skew_safe"]["ratio"] is not None
+        and para_rows["skew_safe"]["ratio"] < THRESH
+    )
+
+    span_rows = {}
+    for form, safe in (("window", False), ("skew_safe", True)):
+        t_u = timed(
+            lambda: materialize(
+                repeated_spans(uni_para, n=20, skew_safe=safe)
+            )
+        )
+        t_s = timed(
+            lambda: materialize(
+                repeated_spans(hot_para, n=20, skew_safe=safe)
+            )
+        )
+        span_rows[form] = {
+            "uniform_sec": t_u, "skew_sec": t_s,
+            "ratio": round(t_s / t_u, 2) if t_u else None,
+        }
+    results.append(
+        {"op": "repeated_spans_hot_hash", **{
+            f"{k}_{m}": v for k, row in span_rows.items()
+            for m, v in row.items()},
+         "hot_share": f"~{100 // HOT_FRAC_MOD}% one boilerplate run",
+         "n_docs": n_docs}
+    )
+    ok &= (
+        span_rows["skew_safe"]["ratio"] is not None
+        and span_rows["skew_safe"]["ratio"] < THRESH
+    )
+
     for row in results:
         print(json.dumps(row))
     print(json.dumps({"verdict": "PASS" if ok else "FAIL",
