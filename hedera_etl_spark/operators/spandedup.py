@@ -261,6 +261,7 @@ def repeated_intervals(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Maximal repeated-coverage intervals per document: (doc_id, start,
     end_pos, n_tokens), 1-based inclusive token positions, for every
@@ -297,7 +298,8 @@ def repeated_intervals(
     """
     w = int(min_len)
     starts = repeated_spans(
-        docs, n=w, min_count=min_count, text_col=text_col, id_col=id_col
+        docs, n=w, min_count=min_count, text_col=text_col, id_col=id_col,
+        skew_safe=skew_safe,
     )
     return _starts_to_intervals(starts, w)
 
@@ -340,6 +342,7 @@ def exact_substr_dedup(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Rebuild each document with every repeated substring of
     >= ``min_len`` tokens cut out — distributed ExactSubstr.  Returns
@@ -356,7 +359,7 @@ def exact_substr_dedup(
     boilerplate-heavy documents, same output."""
     ivals = repeated_intervals(
         docs, min_len=min_len, min_count=min_count,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, skew_safe=skew_safe,
     )
     return _cut_by_intervals(docs, ivals, text_col, id_col)
 

@@ -435,3 +435,27 @@ def test_incremental_exact_substr_rejects_min_count_above_two(spark, tmp_path):
         incremental_exact_substr_plan(
             docs, store, "b1", min_len=2, min_count=3
         )
+
+
+def test_exact_substr_skew_safe_passthrough(spark, xs_docs):
+    """skew_safe threads through repeated_intervals/exact_substr_dedup
+    to the span-flag stage: identical intervals and identical cuts."""
+    df = _xs_df(spark, xs_docs)
+    base_iv = sorted(
+        tuple(r) for r in repeated_intervals(df, min_len=5).collect()
+    )
+    safe_iv = sorted(
+        tuple(r)
+        for r in repeated_intervals(df, min_len=5, skew_safe=True).collect()
+    )
+    assert base_iv, "fixture planted repeats should flag"
+    assert safe_iv == base_iv
+    base_cut = {
+        r["doc_id"]: r["text"]
+        for r in exact_substr_dedup(df, min_len=5).collect()
+    }
+    safe_cut = {
+        r["doc_id"]: r["text"]
+        for r in exact_substr_dedup(df, min_len=5, skew_safe=True).collect()
+    }
+    assert safe_cut == base_cut
