@@ -489,6 +489,23 @@ def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     # was tried: one scan, but it shuffles BOTH members' sets per pair —
     # measured 46 s vs ~3 s here when weak blocking produced 1.3M
     # candidate pairs at sf0.1.  Joins it is.)
+    #
+    # Broadcast adjudication (r14, after a 10x ladder OOM in a
+    # 1g-driver session): AQE promotes the SETS side of these joins to
+    # broadcast at small/mid scale.  That promotion is a RUNTIME
+    # decision from MEASURED shuffle bytes, hard-capped by
+    # spark.sql.adaptive.autoBroadcastJoinThreshold (~10 MB
+    # compressed), so the driver-side build is bounded at
+    # compression-ratio x threshold — tens of MB on any properly
+    # provisioned driver, and at 100 TB the measured size simply
+    # disqualifies promotion.  This is NOT the r13 span-join-back
+    # hazard, which was a STATIC plan from aggregate estimates (those
+    # can be arbitrarily wrong, so that build was unbounded).  A
+    # SHUFFLE_HASH hint on the sets side was built and A/B'd anyway:
+    # 3x slower on the benched minhash entries at sf0.1 (the sets
+    # exchange + lost AQE coalescing), so the hint was rejected and
+    # the harness under-provisioning fixed instead
+    # (docs/PERF_NOTES.md r14).
     carry = [c for c in ("__n_a", "__n_b") if c in pairs.columns]
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__set_b"))

@@ -108,6 +108,18 @@ def main():
         )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.showConsoleProgress", "false")
+        # r14: provision the driver like the engine's own sessions
+        # (session.py uses 16g).  The bare-session default (~1g) OOM'd
+        # the minhash rung when AQE's bounded broadcast promotion of
+        # the shingle-set dimension (~10 MB compressed -> tens of MB
+        # as a HashedRelation) landed in a driver that small — a
+        # harness under-provisioning, not an engine plan hazard (the
+        # promotion is capped by measured bytes; see
+        # textdedup.verify_jaccard_sets adjudication).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .appName("scale_ladder")
         .getOrCreate()
     )

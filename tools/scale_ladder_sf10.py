@@ -102,6 +102,12 @@ def main():
         # partitions-scale-with-data knob a real cluster turns.
         .config("spark.sql.shuffle.partitions", "256")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14: same driver provisioning as scale_ladder.py (the bare
+        # default OOM'd a bounded AQE broadcast promotion)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         # the sf10 rung holds ~100x the sf0.1 working set across 32
         # concurrent tasks — the 1g local default OOMs in text_stats.
