@@ -403,6 +403,59 @@ def char_fingerprints(
     )
 
 
+def char_fingerprints_scalable(
+    docs: DataFrame, gram: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``char_fingerprints`` as explode + two-level aggregate — the
+    repetition_scores_scalable rewrite applied to the fingerprint (r14,
+    after the sf10 ladder decade flagged the per-row form at ~14x on
+    10x data).  This form explodes (doc_id, gram) rows: md5 runs inside
+    whole-stage codegen, no per-row gram/md5 arrays are materialized,
+    the first groupBy(doc_id, gram) partial-combines map-side
+    (duplicate grams collapse before the exchange), and the doc-keyed
+    reduce computes COUNT(*) = distinct grams + MIN(md5 of distinct).
+
+    Measured crossover (docs/PERF_NOTES.md r14, min-of-2 after warm):
+    sf1 per-row 2.9 s vs exploded 11.5 s (char-granularity explode
+    moves one row per character — at bench scale the per-row form
+    wins easily), sf10 40.4 s vs 38.6 s (par), and the DECADE ratios
+    flip the verdict going up: per-row 13.9x/decade (superlinear —
+    allocation churn of interpreted lambdas on a shared heap) vs
+    3.3x/decade here (sublinear).  One decade past sf10 the exploded
+    form wins ~4x and keeps widening, so THIS is the 100 TB path; the
+    per-row form remains the entry/bench form at small SF.  An
+    aggregate-running-min variant of the per-row form (no md5 array)
+    was also built and measured: no change (2.74/41.1) — the cost is
+    the md5 calls themselves, not the array.  Bit-equal to the per-row
+    form (min over duplicates == min over distinct; pinned in
+    test_textdedup.py)."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    exploded = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text_col) - F.lit(gram - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+            F.col(text_col).alias("__t"),
+        )
+        .select("doc_id", F.expr(f"substring(__t, __i, {int(gram)})").alias("__g"))
+    )
+    return (
+        exploded.groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.substring(F.min(F.md5("__g")), 1, 16).alias("fingerprint"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

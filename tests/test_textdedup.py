@@ -509,3 +509,35 @@ class TestGopherFlags:
         assert r["bullet_frac"] == pytest.approx(1 / 3, abs=1e-6)
         # symbols: one '...' + one '…'
         assert r["symbol_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_char_fingerprint_scalable_twin_bit_equal(spark):
+    """r14 (sf10 ladder decade advisory): the explode+aggregate
+    fingerprint twin — the 100 TB path past the measured sf10
+    crossover — is bit-equal to the per-row HOF form, including
+    duplicate grams, short docs (text shorter than one gram), and
+    NULL text."""
+    from hedera_etl_spark.operators.textanalysis import (
+        char_fingerprints,
+        char_fingerprints_scalable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "aaaaaaaaaa"),          # one distinct gram, many dups
+            (3, "abc"),                  # shorter than gram=5
+            (4, None),                   # NULL text
+            (5, "the quick brown fox jumps over the lazy dog " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: (r["fingerprint"], r["n_grams"])
+        for r in char_fingerprints(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (r["fingerprint"], r["n_grams"])
+        for r in char_fingerprints_scalable(docs).collect()
+    }
+    assert b == a
