@@ -187,6 +187,7 @@ def paragraph_dedup(
     sep: str = "\n\n",
     min_chars: int = 1,
     drop_empty: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Corpus with duplicated paragraphs removed (module docstring
     semantics): same schema as ``docs`` with ``text_col`` rebuilt from
@@ -206,7 +207,10 @@ def paragraph_dedup(
     occ = paragraph_occurrences(docs, text_col, id_col, sep, min_chars).localCheckpoint(
         eager=False
     )
-    drops = duplicate_paragraph_drops(occ)
+    # skew_safe (r14): the hot-hash escape hatch threads through to the
+    # production path — the occurrence frame is already checkpointed
+    # here, so its second consumer costs nothing extra
+    drops = duplicate_paragraph_drops(occ, skew_safe=skew_safe)
     return rebuild_without(docs, drops, text_col, id_col, sep, drop_empty)
 
 

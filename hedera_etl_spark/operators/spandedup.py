@@ -184,14 +184,17 @@ def remove_repeated_spans(
 
     rows = _span_rows(docs, n, text_col, id_col)
     if skew_safe:
+        # owner election only when keep_first needs it (r14 review:
+        # the default cut-all path shouldn't pay a second corpus-scale
+        # aggregate and carry __o through the join for nothing)
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
+        if keep_first:
+            aggs.append(F.min(F.struct("doc_id", "pos")).alias("__o"))
         agg = (
             rows.groupBy("h")
-            .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.min(F.struct("doc_id", "pos")).alias("__o"),
-            )
+            .agg(*aggs)
             .filter(F.col("__cnt") >= min_count)
-            .select("h", "__o")
+            .select("h", *(["__o"] if keep_first else []))
         )
         flagged = rows.join(agg.hint("shuffle_hash"), "h", "inner")
         if keep_first:

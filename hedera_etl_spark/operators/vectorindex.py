@@ -104,8 +104,15 @@ class IVFIndex:
             )
         else:
             os.makedirs(lists_dir, exist_ok=True)
-        with open(os.path.join(path, "_meta.json"), "w") as fh:
+        # tmp + atomic rename (r14 review): _meta.json is the open
+        # gate — semantic_dedup_decisions treats its existence as "index
+        # complete", and callers now reuse DETERMINISTIC paths, so a
+        # crash mid-write must not leave a truncated meta that bricks
+        # every later open (the same fsutil discipline as PQIndex).
+        meta_path = os.path.join(path, "_meta.json")
+        with open(meta_path + ".tmp", "w") as fh:
             json.dump({"dims": dims, "n_centroids": n_centroids}, fh)
+        os.replace(meta_path + ".tmp", meta_path)
         return IVFIndex(spark, path)
 
     def add_vectors(
@@ -432,6 +439,30 @@ def semantic_dedup_decisions(
         )
         lists_all = idx.lists().filter(F.col("bucket").isin(probed))
         if max_bucket is not None:
+            # Within-batch/history SYMMETRY (r14 review): the
+            # within-batch pass drops PRIMARY rows in buckets hot
+            # WITHIN THE BATCH (_cap_buckets above), so the history
+            # pass must skip those same buckets — otherwise a replayed
+            # batch (history == own keepers) finds the hot-bucket
+            # pairs the first run's cap skipped and flips BOTH members
+            # of a never-merged pair to keep=False, dropping content
+            # with no keeper and breaking replay determinism.  One
+            # driver-bounded aggregate (<= n_centroids rows); the same
+            # documented recall trade as the primary cap, recorded
+            # loudly below.
+            hot_batch = sorted(
+                r["bucket"]
+                for r in primary.groupBy("bucket")
+                .agg(F.countDistinct("vec_id").alias("__n"))
+                .filter(F.col("__n") > max_bucket)
+                .collect()
+            )
+            if hot_batch:
+                lists_all = lists_all.filter(~F.col("bucket").isin(hot_batch))
+                if cap_observations is not None:
+                    cap_observations["ivf_batch_hot_history_skip"] = {
+                        "skipped_buckets": len(hot_batch),
+                    }
             batch_ids = emb.select(F.col(id_col).alias("vec_id"))
             # one per-probed-bucket aggregate (driver rows bounded by
             # n_centroids), counting BOTH raw rows and DISTINCT ids:

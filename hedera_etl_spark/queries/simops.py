@@ -369,11 +369,20 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     ).collect()[0]
     token = f"{fp['n']}-{fp['sig'] & ((1 << 64) - 1):016x}"
+    # key = sf_dir + corpus fingerprint + the INDEX-GEOMETRY params
+    # (r14 review: a later N_CENTROIDS/DIMS tune with an unchanged
+    # corpus must build fresh, not probe the old grid — build params
+    # are ignored when _meta.json already exists); threshold/n_probe
+    # are probe-time knobs that don't change the artifacts, so they
+    # stay out of the key.  The root dir is per-user (uid suffix):
+    # a shared fixed /tmp dir is owned 0755 by whoever runs first and
+    # PermissionErrors every other user.
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     path = os.path.join(
         tempfile.gettempdir(),
-        "hedera_etl_spark_idx",
-        f"semdedup-v1-{sf_tag}-{token}",
+        f"hedera_etl_spark_idx_{uid}",
+        f"semdedup-v1-k{N_CENTROIDS}-d{DIMS}-{sf_tag}-{token}",
     )
     return semantic_dedup_decisions(
         spark,

@@ -138,3 +138,56 @@ def test_pair_verify_stages_compile_without_codegen_overflow(spark, emb, tmp_pat
         assert n > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_replay_equals_first_run_when_primary_cap_fires(spark, tmp_path):
+    """r14 review finding: when max_bucket drops a hot bucket from the
+    within-batch pass, the history pass must skip that bucket too —
+    otherwise a replay (history == own keepers) finds the pairs the
+    first run's cap skipped and flips BOTH members of a never-merged
+    pair to keep=False (content dropped with no keeper)."""
+    from hedera_etl_spark.operators.similarity import ivf_centroids
+    from hedera_etl_spark.operators.vectorindex import (
+        semantic_dedup_decisions,
+    )
+
+    dims, k = 8, 4
+    cents = ivf_centroids(k, dims)
+
+    def near(ci, eps):
+        return [cents[ci][d] + (eps if d == 0 else 0.0) for d in range(dims)]
+
+    rows = [
+        # HOT bucket (5 members > max_bucket=3), containing an exact
+        # clone pair (1, 2) the cap prevents from merging
+        (1, near(0, 0.0)),
+        (2, near(0, 0.0)),
+        (3, near(0, 0.30)),
+        (4, near(0, 0.55)),
+        (5, near(0, 0.80)),
+        # normal bucket with a clone pair that MUST merge
+        (10, near(1, 0.0)),
+        (11, near(1, 0.0)),
+        (12, near(1, 0.9)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return sorted(
+            (r["vec_id"], r["keep"])
+            for r in semantic_dedup_decisions(
+                spark, emb, str(tmp_path / "cap_idx"), threshold=0.999,
+                n_probe=2, n_centroids=k, dims=dims, max_bucket=3,
+                batch_id="cap-b1",
+            ).collect()
+        )
+
+    first = run()
+    d1 = dict(first)
+    # the cap really fired: the hot-bucket clone pair did NOT merge
+    assert d1[1] and d1[2], "cap did not fire — fixture needs a hotter bucket"
+    # the normal bucket merged to a min-id keeper
+    assert d1[10] and not d1[11]
+    # replay (history now holds the first run's keepers) is identical
+    assert run() == first
+    assert run() == first
