@@ -36,11 +36,7 @@ DEC = "decimal(18,2)"
     """,
     tags=("scan", "filter", "project"),
     bench=True,
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): S4/P5 scan pushdown stays pinned by
-    # test_q01_pushdown_and_pruning, the BETWEEN shape by
-    # q08_theta_join's bounds, and this oracle by tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan: predicate + projection must both reach the parquet
@@ -73,13 +69,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("aggregate", "having", "listagg"),
     bench=True,
-    # Parked r12 (driver-green r7-r11) in exchange for llm_dsir_weights
-    # rotating straight IN: A1's grouped dup-detection stays
-    # driver-checked via hed_dedupe_job (its other named entry, IN);
-    # the HAVING / conditional-agg / COUNT DISTINCT / listagg surfaces
-    # keep their local oracle via tools/verify_oracle.py each round.
-    # Keeps its bench slot.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-detection aggregate: GROUP BY key HAVING count>N — the exact
@@ -156,6 +146,10 @@ def duped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "window"),
     # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
     bench=True,
+    # Driver-green r14; parked r15: A2 first-per-group stays driver-checked
+    # via hed_dedupe_pipeline (IN), whose r14-upgraded oracle IS the full
+    # ROW_NUMBER()=1 relation hashed row-by-row; keeps its bench slot.
+    driver_visible=False,
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep exactly one row per key with a deterministic tiebreak —
@@ -186,7 +180,11 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'
     """,
     tags=("aggregate",),
-    # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
+    # Driver-green r14; parked r15: ungrouped MIN/MAX/COUNT is a strict
+    # subset of llm_profile's (IN) one-pass stats (the r7 park rationale);
+    # P6 open-ended bounds via q01_filter_project's pushdown pins and
+    # q17_asof_join's non-equi bounds (both IN r15).
+    driver_visible=False,
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup job's window-advance probes: ungrouped MIN over a filtered
@@ -219,12 +217,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "broadcast", "aggregate"),
     bench=True,
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): J3 broadcast dimension join + aggregate stays
-    # driver-checked via hed_tx_types_join (the reference's own dim) and
-    # q12_rollup's star chain; this oracle stays in
-    # tools/verify_oracle.py and the bench.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readable-analytics dimension chain — the reason transaction_types
@@ -278,12 +271,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY mode, c_custkey
     """,
     tags=("join", "semi", "anti"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): semi/anti semantics stay driver-checked via
-    # llm_exact_dedup / hed_dedupe_pipeline (anti-join survivors) and
-    # decontaminate's anti-join; this oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as a left-semi join (no row multiplication, early out) and
@@ -375,10 +363,11 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "theta"),
     bench=True,
-    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
-    # rotation cohort): range/non-equi joins stay driver-checked via
-    # q17_asof_join; P6 open-ended bounds via the incoming
-    # q04_minmax_probe; oracle stays in tools/verify_oracle.py + bench.
+    # parked in r14 (driver-green r13): range/non-equi joins stay
+    # driver-checked via q17_asof_join (IN); P6 open-ended bounds via
+    # q01_filter_project's BETWEEN + pushdown pins (IN r15; q04 parked
+    # r15 into llm_profile); oracle stays in tools/verify_oracle.py +
+    # bench.
     driver_visible=False,
 )
 def q08a(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,11 +464,11 @@ def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "rank"),
     bench=True,
-    # parked in r14 (driver-green r13; slot ceded to the r9/r10-stale
-    # rotation cohort): the rank-window kernel stays driver-checked via
-    # llm_domain_topk (grouped top-k over the same exchange) and the
-    # rn=1 case via the incoming q03_dedup_first_per_group; analytic
-    # frames keep q10_window_frame IN.
+    # parked in r14 (driver-green r13): the rank-window kernel stays
+    # driver-checked via llm_grouped_sample (IN r15 — two-phase grouped
+    # top-k over the same exchange; llm_domain_topk parked r15 into it)
+    # and the rn=1 case via hed_dedupe_pipeline's full ROW_NUMBER()=1
+    # oracle (IN); analytic frames keep q10_window_frame IN.
     driver_visible=False,
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,12 +582,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY op, c_custkey
     """,
     tags=("setop", "distinct"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): hash-elimination set-op shapes stay
-    # driver-checked via llm_exact_dedup (DISTINCT + anti) and
-    # hed_dedupe_pipeline; the INTERSECT/EXCEPT oracle stays in
-    # tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT, EXCEPT and plain DISTINCT, tagged and unioned into one
@@ -641,6 +625,11 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_name NULLS FIRST, p_brand NULLS FIRST
     """,
     tags=("rollup", "aggregate", "star-join"),
+    # Driver-green r14; parked r15: the EXPAND grouping family stays
+    # driver-checked via q19_cube_grouping_sets + q25_pivot (IN r15 —
+    # rollup's grouping-set list is a subset of the cube entry's); decimal
+    # canon values keep their local oracle; keeps its bench slot.
+    driver_visible=False,
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate via ROLLUP over a 5-table star join (the
@@ -716,12 +705,7 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("scalar",),
     bench=True,
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): the scalar surface is exercised across the
-    # in-window entries (dates/regexp in q14 and q16, decimal math in
-    # q07/q12, conditionals everywhere); this all-in-one oracle stays in
-    # tools/verify_oracle.py and the bench.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared scalar surface in one projection (SURVEY §2.6):

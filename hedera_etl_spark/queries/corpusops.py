@@ -101,14 +101,7 @@ _CLUSTERS_ORACLE = f"""
     "llm_dup_clusters",
     _CLUSTERS_ORACLE,
     tags=("llm", "dedup", "components", "graph"),
-    # Driver-green r7-r11; parked late in r12 so the two NEW r12 entries
-    # (llm_temperature_mixture, llm_similarity_histogram) enter the
-    # window in the round they were built — zero never-driver-checked
-    # debt.  Verifiers: min-id keeper collapse via llm_exact_dedup (IN);
-    # the connected-components kernel is pinned against union-find
-    # ground truth + the MinHash-pairs e2e in test_components.py; this
-    # recursive-CTE closure oracle stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
     # localCheckpoint per closure round — a cached plan would pin
     # round-1 materializations (same rule as minhash/ngram entries).
     cache_plan=False,
@@ -170,12 +163,7 @@ _PACK_ORACLE = f"""
     _PACK_ORACLE,
     tags=("llm", "packing", "window"),
     bench=True,
-    # Driver-green r7-r11; parked late in r12 (slot ceded to the NEW
-    # llm_similarity_histogram).  Verifiers: the window prefix-sum
-    # kernel stays driver-checked via llm_corpus_shuffle (IN);
-    # capacity/totality/determinism/FFD quality pinned in
-    # test_packing.py; oracle + bench slot retained.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.pack_concat):
@@ -302,13 +290,7 @@ _SPAN_ORACLE = f"""
     "llm_span_flags",
     _SPAN_ORACLE,
     tags=("llm", "dedup", "spans"),
-    # Parked r12 (driver-green r7-r11) in exchange for llm_bpe_encode
-    # rotating IN: the span fan-out is the q14_explode_tokens family
-    # (IN), the duplicated-hash detection is the hed_dedupe_job /
-    # llm_exact_dedup groupBy-HAVING kernel (both IN), and the cut path
-    # + flag semantics stay pinned in tests/test_spandedup.py; the
-    # entry keeps its local oracle and its bench slot.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def llm_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span detection (operators/spandedup.repeated_spans): the
@@ -524,12 +506,7 @@ def _bpe_encode_oracle(k: int) -> str:
     "llm_bpe_merges",
     _bpe_oracle(_BPE_K),
     tags=("llm", "vocab", "tokenizer", "bpe", "iterative"),
-    # Driver-green r8-r11; parked since r12: the first merge round IS
-    # the argmax over llm_pair_stats' relation (IN) and the corpus
-    # symbolization shares its tokenize+aggregate kernel, so both
-    # kernels stay driver-checked; the full k-round loop is pinned
-    # against an independent Python reference trainer in test_bpe.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
     # iterative: per-round localCheckpoints during construction
     cache_plan=False,
 )
@@ -617,6 +594,11 @@ _SHUFFLE_ORACLE = f"""
     # the plan embeds running_total's lazy localCheckpoint — same
     # cache opt-out rationale as llm_token_budget_select
     cache_plan=False,
+    # Driver-green r14; parked r15: the window prefix-sum + deterministic
+    # shard kernel stays driver-checked via llm_pack_chunks (IN r15, same
+    # kernel); shard determinism pinned in test_packing.py; keeps its
+    # bench slot.
+    driver_visible=False,
 )
 def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle for training order
@@ -901,6 +883,11 @@ _XS_ORACLE = f"""
     # repeated_intervals equivalence proof; pinned vs a brute-force
     # any-length reference in test_spandedup.py).  Rotated IN r14
     # (VERDICT r13 #1 lead candidate — first driver check).
+    # Driver-green r14; parked r15: the span fan-out + count-over-window
+    # kernel stays driver-checked via llm_span_flags (IN r15, same
+    # spandedup module); batch==streaming parity and the cut paths are
+    # pinned in test_spandedup.py; keeps its bench slot.
+    driver_visible=False,
 )
 def llm_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length repeated-substring intervals

@@ -155,11 +155,7 @@ def q18_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, event_type NULLS FIRST, ub NULLS FIRST
     """,
     tags=("cube", "grouping-sets", "aggregate"),
-    # parked r10 (driver-green r9): its slot goes to the NEW
-    # llm_url_dedup; the EXPAND-based grouping family keeps its driver
-    # row via q12_rollup (same operator, different grouping-set list),
-    # and the cube/grouping-sets values stay local-oracled.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — the ledger's stalest row, r9).
 )
 def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (DataFrame API) and GROUPING SETS (SQL — the DataFrame API
@@ -194,11 +190,7 @@ def q19_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY k_mod ORDER BY k_mod
     """,
     tags=("json", "map", "scalar"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): the JSON parse family stays driver-checked via
-    # hed_tx_transform (from_json over the full 57-leaf wire schema);
-    # this oracle stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON + map function surface (SURVEY §2.6): parse the props JSON
@@ -240,11 +232,7 @@ def q21_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY event_type ORDER BY event_type
     """,
     tags=("aggregate", "percentile"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): rank-selected discrete percentiles stay pinned
-    # by the histogram-form equality test, the windowed-rank kernel via
-    # q09_window_rank; this oracle stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (element-based) percentiles via rank selection: the
@@ -297,12 +285,7 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src, key
     """,
     tags=("subquery", "correlated"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): the decorrelated-join shapes stay driver-checked
-    # via q06_semi_anti_join's family verifiers (llm_exact_dedup /
-    # hed_dedupe_pipeline anti-joins) and q07's join+agg; this oracle
-    # stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (Catalyst plans it as a one-row
@@ -339,11 +322,7 @@ def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY ub ORDER BY ub
     """,
     tags=("pivot", "aggregate"),
-    # Driver-green r11; parked in r12 (slot ceded to the r8-stale
-    # rotation cohort): the pivot-as-filtered-aggregation kernel stays
-    # driver-checked via q12_rollup (same conditional-agg EXPAND
-    # family); this oracle stays in tools/verify_oracle.py.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type (explicit value list — the

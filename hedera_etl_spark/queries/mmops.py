@@ -86,10 +86,7 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
     tags=("mm", "video", "explode"),
-    # Driver-green r11; parked since r12 (the explode fan-out stays
-    # driver-checked via q14_explode_tokens and the multimodal family
-    # via mm_audio_features + mm_phash_neardup, both IN since r13).
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out: explode over a computed per-row index

@@ -205,6 +205,11 @@ def tx_dups_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it beats by ~15x at sf0.1
     tags=("dedup", "stateful", "q15"),
     cache_plan=False,
+    # Driver-green r14; parked r15: hed_dedupe_pipeline (IN) composes this
+    # exact IncrementalDeduplication kernel end-to-end and its r14-upgraded
+    # oracle hashes the full deduped relation row-by-row; window-advance and
+    # state-upsert semantics stay pinned in test_dedupe.py.
+    driver_visible=False,
 )
 def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the full stateful dedup protocol (AbstractDeduplication.java:
@@ -266,6 +271,11 @@ def hed_dedupe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "join"),
     cache_plan=False,
+    # Driver-green r14; parked r15: streaming source/sink/watermark stay
+    # driver-checked via hed_stream_ingest (IN) and the dim-join kernel via
+    # q05_dim_join_agg (IN r15); stream-side join semantics + state expiry
+    # stay pinned in the streaming tests.
+    driver_visible=False,
 )
 def hed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream join (streaming/joins.py): the
@@ -354,6 +364,11 @@ def hed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "dedup"),
     cache_plan=False,
+    # Driver-green r14; parked r15: ST2 watermark dedup stays driver-checked
+    # via hed_stream_ingest (IN — the ingest path runs the same arrival-time
+    # watermark dedup); dropDuplicatesWithinWatermark semantics + restart
+    # recovery pinned in test_streaming_ingest.py.
+    driver_visible=False,
 )
 def hed_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming micro-batch run: file-stream source ->

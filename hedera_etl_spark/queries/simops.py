@@ -74,6 +74,11 @@ MAX_BUCKET = 500
     tags=("sim", "ann", "baseline"),
     # rotated back IN r14 (VERDICT r13 #1 — r10-stale cohort).
     bench=True,
+    # Driver-green r14; parked r15: the ANN family keeps sim_lsh_ann_topk /
+    # sim_ivf_topk / sim_ivfpq_topk + sim_cosine_neardup (IN r15) driver
+    # rows; every bucketed variant stays property-pinned against this
+    # brute-force baseline in test_similarity.py; keeps its bench slot.
+    driver_visible=False,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast query set, one corpus scan, per-query
@@ -238,13 +243,7 @@ _COS_NEARDUP_ORACLE = f"""
     "sim_cosine_neardup",
     _COS_NEARDUP_ORACLE,
     tags=("sim", "dedup"),
-    # Parked r12 (driver-green r7-r11) in exchange for
-    # llm_containment_pairs rotating IN: the exact-cosine kernel
-    # (F.aggregate dot product) and the LSH bucket blocking stay
-    # driver-checked via sim_lsh_ann_topk + sim_ivf_topk (both IN);
-    # pair completeness vs brute force is pinned in
-    # tests/test_similarity.py and the entry keeps its local oracle.
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.99) over a corpus with
@@ -514,8 +513,11 @@ _HARDNEG_ORACLE = f"""
     "sim_hard_negatives",
     _HARDNEG_ORACLE,
     tags=("sim", "contrastive", "mining"),
-    # rotated back IN r13 (VERDICT r12 #1 — r9-stale cohort): fresh
-    # driver row for the band-margin mining relation itself.
+    # Driver-green r14; parked r15: ranked ANN retrieval via sim_ivf_topk /
+    # sim_ivfpq_topk (IN); the grouped rank-band filter via
+    # llm_grouped_sample (IN r15); negative-band values keep their local
+    # oracle each round.
+    driver_visible=False,
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for embedding-model training data: per
@@ -755,12 +757,11 @@ _CBAL_ORACLE = f"""
     "llm_cluster_balance",
     _CBAL_ORACLE,
     tags=("llm", "sampling", "mixture", "cluster", "embedding"),
-    # NEW r13; rotated IN r14 (VERDICT r13 #1 — first driver check).
-    # Kernels separately driver-checked: argmax-dot assignment via
-    # sim_ivf_topk, md5-bucket Bernoulli acceptance via
-    # llm_stratified_sample + llm_weighted_sample; this entry
-    # hash-checks their COMPOSITION (cluster ids + water-filled rates
-    # + exact kept set).
+    # Driver-green r14; parked r15: the IVF argmax assignment stays
+    # driver-checked via sim_ivf_topk (IN) and the grouped-cap draw via
+    # llm_grouped_sample (IN r15); the water-filling solver is value-pinned
+    # in test_sampling.py.
+    driver_visible=False,
 )
 def llm_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced resampling (operators/sampling.py

