@@ -34,6 +34,12 @@ import argparse
 import sys
 
 
+class _QueryIdUsageError(Exception):
+    """--query-ids can't be parsed for this index's key type (usage
+    error: message to stderr, exit code 2 — same contract as the other
+    argument-validation paths)."""
+
+
 def _add_ingest(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("ingest", help="JSON-lines stream -> transactions + errors tables")
     src = p.add_mutually_exclusive_group(required=True)
@@ -618,7 +624,10 @@ def main(argv: list[str] | None = None) -> int:
             # indexes (ValueError on non-numeric ids) or silently
             # type-mismatches the isin filter.
             integral = {"tinyint", "smallint", "int", "bigint"}
-            vals = raw.split(",")
+            # strip whitespace so `--query-ids "a, b"` probes "b", not " b"
+            # (the int path raised on " 2"; the string path silently
+            # returned empty isin matches — r14 advice)
+            vals = [x.strip() for x in raw.split(",")]
             if idx.id_type is None:
                 # empty index (no batch recorded a key type yet): best
                 # effort — numeric if every id parses, else strings
@@ -630,8 +639,10 @@ def main(argv: list[str] | None = None) -> int:
                 return [int(x) for x in vals]
             if idx.id_type == "binary":
                 # CLI strings can't spell arbitrary bytes faithfully —
-                # refuse loudly rather than guess an encoding
-                raise SystemExit(
+                # refuse loudly rather than guess an encoding.  Usage
+                # errors exit 2 via the caller, same contract as the
+                # --input/--query-ids validation paths (r14 advice).
+                raise _QueryIdUsageError(
                     "this index is binary-keyed; drive probes from the "
                     "Python API where ids can be passed as bytes"
                 )
@@ -642,7 +653,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("--input and --query-ids are required for probe",
                       file=sys.stderr)
                 return 2
-            ids = _parse_query_ids(args.query_ids)
+            try:
+                ids = _parse_query_ids(args.query_ids)
+            except _QueryIdUsageError as e:
+                print(e, file=sys.stderr)
+                return 2
             for r in idx.recall_probe(
                 spark.read.parquet(args.input), ids,
                 k_neighbors=args.k_neighbors,
@@ -654,7 +669,11 @@ def main(argv: list[str] | None = None) -> int:
             print("--input and --query-ids are required for topk",
                   file=sys.stderr)
             return 2
-        ids = _parse_query_ids(args.query_ids)
+        try:
+            ids = _parse_query_ids(args.query_ids)
+        except _QueryIdUsageError as e:
+            print(e, file=sys.stderr)
+            return 2
         rows = idx.topk(
             spark.read.parquet(args.input), ids,
             k_neighbors=args.k_neighbors,

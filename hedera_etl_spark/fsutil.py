@@ -279,3 +279,211 @@ def compact_batch_dirs(
         if b != entry:
             shutil.rmtree(os.path.join(root, b), ignore_errors=True)
     return len(old)
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index cache hygiene (r15: ADVICE r14 #1/#2 + VERDICT r14 #4).
+# Deterministic fingerprint-keyed index paths (build-once/probe-many,
+# introduced r14) created three lifecycle gaps these close:
+#   - the cache root lived at a predictable world-visible /tmp path that
+#     another local user could pre-create and seed -> secure_cache_root
+#     creates 0700 and verifies ownership+mode before reuse;
+#   - no writer exclusion between the _meta.json existence check and
+#     build/append -> dir_lock (O_EXCL lockfile, dead-holder steal);
+#   - one stranded directory per (corpus, geometry) forever ->
+#     reap_stale_cache_dirs (keep newest N per family, rename-then-rmtree
+#     so a half-deleted dir is never visible under its live name).
+# ---------------------------------------------------------------------------
+
+
+def secure_cache_root(subdir: str = "index-cache") -> str:
+    """Per-user cache root for persisted index artifacts, created 0700
+    and ownership-verified before reuse (mkdtemp-style trust).
+
+    Resolution order: ``$XDG_CACHE_HOME/hedera_etl_spark/<subdir>``,
+    else ``~/.cache/hedera_etl_spark/<subdir>`` when HOME resolves, else
+    ``<tempdir>/hedera_etl_spark_idx_<uid>/<subdir>``.  Every component
+    from the app dir down is chmod'd 0700 on creation; if the app dir
+    already exists but is owned by someone else or is group/other
+    writable, raise instead of silently trusting planted artifacts —
+    another local user pre-creating the predictable path must not be
+    able to seed or tamper with index contents (ADVICE r14)."""
+    import stat
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.environ.get("XDG_CACHE_HOME")
+    if not base:
+        home = os.path.expanduser("~")
+        if home and home != "~" and os.path.isdir(home):
+            base = os.path.join(home, ".cache")
+    if base:
+        app = os.path.join(base, "hedera_etl_spark")
+        os.makedirs(base, exist_ok=True)
+    else:
+        app = os.path.join(tempfile.gettempdir(), f"hedera_etl_spark_idx_{uid}")
+    root = os.path.join(app, subdir)
+    for d in (app, root):
+        try:
+            os.mkdir(d, 0o700)
+            # umask may have stripped bits at mkdir time; re-assert
+            os.chmod(d, 0o700)
+        except FileExistsError:
+            pass
+        st = os.stat(d)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"index cache dir {d} is owned by uid {st.st_uid}, not "
+                f"{os.getuid()} — refusing to reuse a directory another "
+                "user created (possible planted artifacts)"
+            )
+        if not stat.S_ISDIR(st.st_mode):
+            raise RuntimeError(f"index cache path {d} is not a directory")
+        if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+            raise RuntimeError(
+                f"index cache dir {d} is group/other-writable "
+                f"(mode {stat.S_IMODE(st.st_mode):o}) — refusing; "
+                "chmod 700 it or point XDG_CACHE_HOME elsewhere"
+            )
+    return root
+
+
+def _lock_path(path: str) -> str:
+    parent, base = os.path.split(os.path.normpath(path))
+    return os.path.join(parent, f".{base}.__lock")
+
+
+class dir_lock:
+    """Single-writer exclusion for a local index directory.
+
+    O_CREAT|O_EXCL lockfile beside ``path`` recording the holder pid; a
+    lockfile whose pid no longer runs is stolen (unlink + retry — two
+    concurrent stealers race on the unlink, which one loses with
+    FileNotFoundError and simply retries).  LOCAL filesystems only:
+    O_EXCL+pid liveness is not meaningful across NFS clients — the
+    documented single-writer-per-host assumption (ADVICE r14).  Readers
+    are not excluded: a probe-only open never takes the lock; writers
+    (first-batch build, batch append) serialize behind it, so two
+    sessions can no longer both run the build or interleave one batch's
+    append.  A reader overlapping an in-flight APPEND can still hit a
+    transient missing-file error listing parquet parts — decisions are
+    correct on retry; the build path has no such window because
+    _meta.json (the open gate) is written last."""
+
+    def __init__(self, path: str, timeout: float = 600.0, poll: float = 0.1):
+        self.lock = _lock_path(path)
+        self.timeout = timeout
+        self.poll = poll
+        self._fd: int | None = None
+
+    def __enter__(self) -> "dir_lock":
+        import time
+
+        os.makedirs(os.path.dirname(self.lock) or ".", exist_ok=True)
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600)
+                os.write(fd, str(os.getpid()).encode())
+                os.fsync(fd)
+                self._fd = fd
+                return self
+            except FileExistsError:
+                pass
+            # holder dead? (crashed before releasing) -> steal
+            try:
+                with open(self.lock) as fh:
+                    pid = int(fh.read().strip() or "0")
+                if pid > 0:
+                    os.kill(pid, 0)  # raises if gone
+                    alive = True
+                else:
+                    alive = False
+            except (FileNotFoundError, ValueError, ProcessLookupError):
+                alive = False
+            except PermissionError:
+                alive = True  # other-user pid: treat as live
+            if not alive:
+                try:
+                    os.unlink(self.lock)
+                except FileNotFoundError:
+                    pass  # lost the steal race; loop
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"could not acquire index write lock {self.lock} within "
+                    f"{self.timeout}s (held by pid {pid})"
+                )
+            time.sleep(self.poll)
+
+    def __exit__(self, *exc) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.lock)
+        except FileNotFoundError:
+            pass
+
+
+def reap_stale_cache_dirs(
+    root: str, prefix: str, keep: int = 3, exclude: tuple = ()
+) -> list[str]:
+    """Bounded retention for fingerprint-keyed index caches: keep the
+    ``keep`` most-recently-modified ``<root>/<prefix>*`` directories
+    (plus anything in ``exclude`` — the caller's live key — and any dir
+    whose writer currently holds its lock), delete the rest.  Deletion
+    is rename-to-hidden-sibling then rmtree, so a concurrent opener
+    either sees the complete dir or no dir — never a half-deleted one.
+    Returns the basenames reaped.  Unbounded growth otherwise: every
+    corpus/geometry change strands one directory forever (VERDICT r14)."""
+    import shutil as _sh
+
+    if not os.path.isdir(root):
+        return []
+    cand = []
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if (
+            not name.startswith(prefix)
+            or name in exclude
+            or is_swap_sibling(name)
+            or not os.path.isdir(full)
+        ):
+            continue
+        # skip dirs with a live writer (lockfile with a running pid)
+        lp = _lock_path(full)
+        if os.path.exists(lp):
+            try:
+                with open(lp) as fh:
+                    pid = int(fh.read().strip() or "0")
+                os.kill(pid, 0)
+                continue  # writer alive — not stale
+            except (ValueError, ProcessLookupError, FileNotFoundError):
+                pass
+            except PermissionError:
+                continue
+        try:
+            cand.append((os.stat(full).st_mtime, name))
+        except FileNotFoundError:
+            continue  # raced with another reaper
+    cand.sort(reverse=True)
+    reaped = []
+    for _, name in cand[max(keep, 0):]:
+        full = os.path.join(root, name)
+        doomed = os.path.join(root, f".{name}.__reap")
+        try:
+            os.rename(full, doomed)
+        except (FileNotFoundError, OSError):
+            continue  # raced with another reaper or opener — leave it
+        _sh.rmtree(doomed, ignore_errors=True)
+        try:
+            os.unlink(_lock_path(full))
+        except FileNotFoundError:
+            pass
+        reaped.append(name)
+    # sweep debris from reapers that died mid-rmtree
+    for name in os.listdir(root):
+        if name.startswith(".") and name.endswith(".__reap"):
+            _sh.rmtree(os.path.join(root, name), ignore_errors=True)
+    return reaped

@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hedera_etl_spark import fsutil
 from hedera_etl_spark.functions import cosine
 from hedera_etl_spark.operators.similarity import (
     _bounded_sort,
@@ -87,6 +88,20 @@ class IVFIndex:
                 if train
                 else ivf_centroids(n_centroids, dims)
             )
+        # writer lock (ADVICE r14): two sessions racing the same
+        # deterministic path must serialize — without it both pass the
+        # caller's _meta.json check and overwrite each other's artifact
+        # writes mid-flight.  _meta.json still lands LAST, so an
+        # unlocked reader only ever opens a complete index.
+        with fsutil.dir_lock(path):
+            return IVFIndex._build_locked(
+                spark, path, emb, n_centroids, dims, id_col, vec_col, centroids
+            )
+
+    @staticmethod
+    def _build_locked(
+        spark, path, emb, n_centroids, dims, id_col, vec_col, centroids
+    ) -> "IVFIndex":
         os.makedirs(path, exist_ok=True)
         cdf = spark.createDataFrame(
             [(b + 1, c) for b, c in enumerate(centroids)], ["bucket", "centroid"]
@@ -167,10 +182,18 @@ class IVFIndex:
         marker = os.path.join(self.path, "_batches", batch_id)
         if os.path.exists(marker):
             return
-        assigned.select("vec_id", "vec", "bucket").write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(os.path.join(self.path, "lists"))
-        os.makedirs(marker, exist_ok=True)
+        # writer lock (ADVICE r14): serialize concurrent appenders so
+        # the marker check-then-append is atomic per batch_id — without
+        # it two sessions replaying the same batch both pass the check
+        # and double-append (duplicate-tolerant, but needless).  The
+        # marker re-check inside the lock closes the race.
+        with fsutil.dir_lock(self.path):
+            if os.path.exists(marker):
+                return
+            assigned.select("vec_id", "vec", "bucket").write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(os.path.join(self.path, "lists"))
+            os.makedirs(marker, exist_ok=True)
 
     # -- reads --------------------------------------------------------------
     def lists(self) -> DataFrame:

@@ -352,8 +352,8 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays: identical decisions, zero writes, probe-only cost."""
     import hashlib
     import os
-    import tempfile
 
+    from hedera_etl_spark import fsutil
     from hedera_etl_spark.operators.vectorindex import semantic_dedup_decisions
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -373,16 +373,18 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus must build fresh, not probe the old grid — build params
     # are ignored when _meta.json already exists); threshold/n_probe
     # are probe-time knobs that don't change the artifacts, so they
-    # stay out of the key.  The root dir is per-user (uid suffix):
-    # a shared fixed /tmp dir is owned 0755 by whoever runs first and
-    # PermissionErrors every other user.
+    # stay out of the key.  The root is fsutil.secure_cache_root
+    # (r15, ADVICE r14): user-owned XDG/~/.cache when available,
+    # created 0700 and ownership/mode-verified before reuse, so
+    # another local user can neither PermissionError us nor pre-plant
+    # index artifacts at the predictable path; fingerprint-keyed
+    # siblings from superseded corpora/geometries are reaped on open
+    # (keep newest 3 — VERDICT r14 #4's unbounded-growth wart).
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"hedera_etl_spark_idx_{uid}",
-        f"semdedup-v1-k{N_CENTROIDS}-d{DIMS}-{sf_tag}-{token}",
-    )
+    root = fsutil.secure_cache_root("semdedup")
+    key = f"semdedup-v1-k{N_CENTROIDS}-d{DIMS}-{sf_tag}-{token}"
+    fsutil.reap_stale_cache_dirs(root, "semdedup-v1-", keep=3, exclude=(key,))
+    path = os.path.join(root, key)
     return semantic_dedup_decisions(
         spark,
         corpus,

@@ -598,3 +598,62 @@ def test_cli_pqindex_probe_and_rebuild(spark, tmp_path, capsys):
     from hedera_etl_spark.operators.pquant import PQIndex
 
     assert PQIndex(spark, idx).codes().count() == 40
+
+
+def test_cli_query_ids_whitespace_and_binary_refusal(spark, tmp_path, capsys):
+    """--query-ids parsing contract (r14 advice): whitespace around the
+    commas must be stripped for every key type (an int-keyed " 5" used to
+    raise; a string-keyed " b" silently probed nothing), and a
+    binary-keyed index refuses with the usage exit code 2 + a stderr
+    message, same contract as the sibling --input validation paths."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark import cli
+
+    rows = _clustered(4, 10)
+    # int-keyed index: " 0, 11" must parse as [0, 11]
+    emb = _emb(spark, rows)
+    src, idx = str(tmp_path / "pe"), str(tmp_path / "pidx")
+    emb.write.parquet(src)
+    common = ["--index", idx, "--dims", str(DIMS), "--m", str(M),
+              "--k-codes", str(K), "--id-col", "vec_id"]
+    assert cli.main(["pqindex", "--action", "build", "--input", src,
+                     "--train", "--train-iters", "2"] + common) == 0
+    capsys.readouterr()
+    assert cli.main(["pqindex", "--action", "probe", "--input", src,
+                     "--query-ids", " 0, 11", "--k-neighbors", "3"] + common) == 0
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    assert len(out) == 2
+
+    # string-keyed index: "a, b"-style ids must strip to real matches
+    emb_s = _emb(spark, rows).withColumn(
+        "vec_id", F.concat(F.lit("id-"), F.col("vec_id").cast("string"))
+    )
+    src_s, idx_s = str(tmp_path / "pes"), str(tmp_path / "pidxs")
+    emb_s.write.parquet(src_s)
+    common_s = ["--index", idx_s, "--dims", str(DIMS), "--m", str(M),
+                "--k-codes", str(K), "--id-col", "vec_id"]
+    assert cli.main(["pqindex", "--action", "build", "--input", src_s,
+                     "--train", "--train-iters", "2"] + common_s) == 0
+    capsys.readouterr()
+    assert cli.main(["pqindex", "--action", "probe", "--input", src_s,
+                     "--query-ids", "id-0, id-11", "--k-neighbors", "3"] + common_s) == 0
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    assert len(out) == 2, "stripped string ids must both match"
+
+    # binary-keyed index: usage refusal = exit 2 + stderr, not exit 1
+    emb_b = _emb(spark, rows).withColumn(
+        "vec_id", F.encode(F.col("vec_id").cast("string"), "utf-8")
+    )
+    src_b, idx_b = str(tmp_path / "peb"), str(tmp_path / "pidxb")
+    emb_b.write.parquet(src_b)
+    common_b = ["--index", idx_b, "--dims", str(DIMS), "--m", str(M),
+                "--k-codes", str(K), "--id-col", "vec_id"]
+    assert cli.main(["pqindex", "--action", "build", "--input", src_b,
+                     "--train", "--train-iters", "2"] + common_b) == 0
+    capsys.readouterr()
+    rc = cli.main(["pqindex", "--action", "probe", "--input", src_b,
+                   "--query-ids", "0", "--k-neighbors", "3"] + common_b)
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "binary-keyed" in captured.err
