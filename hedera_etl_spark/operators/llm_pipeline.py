@@ -37,7 +37,7 @@ from hedera_etl_spark.operators.decontam import decontaminate
 from hedera_etl_spark.operators.export import export_shards
 from hedera_etl_spark.operators.packing import pack_sequences
 from hedera_etl_spark.operators.sampling import hash_sample, mixture_sample
-from hedera_etl_spark.operators.textanalysis import quality_scores, repetition_scores
+from hedera_etl_spark.operators.textanalysis import quality_scores
 from hedera_etl_spark.operators.textdedup import exact_duplicates, minhash_lsh_neardups
 
 
@@ -84,6 +84,7 @@ def prepare_training_corpus(
     min_tokens: int = 5,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    analysis_form: str = "auto",
     gopher_rules: dict | None = None,
     quality_weights: list[float] | None = None,
     min_quality_prob: float = 0.5,
@@ -153,7 +154,12 @@ def prepare_training_corpus(
     additionally drops near-duplicates of eval items at that
     shingle-Jaccard), quality floor (``min_tokens`` whitespace tokens, plus
     optional Gopher repetition caps ``max_dup_line_frac`` /
-    ``max_top_bigram_frac``, plus — when ``gopher_rules`` is a dict of
+    ``max_top_bigram_frac``, computed by the per-row or the
+    explode+aggregate repetition form per ``analysis_form`` — 'auto'
+    (default) sizes off the input corpus chars against the measured
+    crossover, 'per_row'/'scalable' force a form; the twins are
+    bit-equal so results never change (r15, VERDICT r14 #7); plus —
+    when ``gopher_rules`` is a dict of
     threshold overrides, ``{}`` for the paper's defaults — the FULL
     remaining Gopher battery via
     ``textanalysis.gopher_quality_flags``), optional trained-classifier floor
@@ -682,7 +688,32 @@ def prepare_training_corpus(
 
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
         pre_q = out
-        rep = repetition_scores(out, text_col, id_col)
+        # form selection (r15, VERDICT r14 #7): the per-row O(d*n)
+        # lambdas fuse with neighboring stages at epoch scale; past
+        # REP_SCALABLE_MIN_CHARS corpus chars the explode+aggregate twin
+        # is ~3x faster and keeps widening.  'auto' sizes off the
+        # PIPELINE INPUT (scan-only aggregate; stages only shrink the
+        # corpus, so input chars upper-bound the floor's input — the
+        # conservative direction is the scale form) rather than forcing
+        # a mid-pipeline recompute of the dedup stages.  Twins are
+        # bit-equal (test-pinned), so this is a physical choice only.
+        from hedera_etl_spark.operators.textanalysis import (
+            repetition_scores_auto,
+        )
+
+        rep_form = analysis_form
+        if rep_form == "auto":
+            from hedera_etl_spark.operators.textanalysis import (
+                REP_SCALABLE_MIN_CHARS,
+                _corpus_chars,
+            )
+
+            rep_form = (
+                "scalable"
+                if _corpus_chars(docs, text_col) >= REP_SCALABLE_MIN_CHARS
+                else "per_row"
+            )
+        rep = repetition_scores_auto(out, text_col, id_col, form=rep_form)
         keep = F.lit(True)
         if max_dup_line_frac is not None:
             keep = keep & (F.col("dup_line_frac") <= max_dup_line_frac)

@@ -413,7 +413,27 @@ def _cut_by_intervals(
 def _span_hash_schema():
     from pyspark.sql import types as T
 
-    return T.StructType([T.StructField("span_hash", T.LongType(), False)])
+    # ``n`` (r15, VERDICT r14 #6) = SHIPPED occurrences of the hash in
+    # that committed batch, so the history probe can honor min_count>2.
+    # Nullable: stores written before r15 carry presence-only rows, and
+    # hashes() coalesces a missing n to 1 (each old row was committed
+    # DISTINCT, i.e. "at least one shipped occurrence" — the exact
+    # information the old min_count=2 path consumed, so old stores stay
+    # correct at min_count=2 and conservatively UNDER-count — never
+    # over-cut — at higher thresholds).
+    # ``b`` = committing batch id.  The count path sums per-hash counts
+    # across batches, and a crash-interrupted compaction can transiently
+    # leave a batch's rows in BOTH source and target dirs — the presence
+    # path absorbs that through its semi-join, the count path dedups by
+    # (hash, batch) before summing.  Constant per batch dir, so parquet
+    # dictionary-encodes it to nothing.
+    return T.StructType(
+        [
+            T.StructField("span_hash", T.LongType(), False),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
 
 
 class SpanHashStore:
@@ -467,7 +487,7 @@ class SpanHashStore:
             return self.spark.createDataFrame([], _span_hash_schema())
         if entry is not None and entry in fsutil.folded_batches(self.hashes_dir):
             ext = fsutil.with_origin_schema(_span_hash_schema())
-            return (
+            out = (
                 self.spark.read.schema(ext)
                 .parquet(*[os.path.join(self.hashes_dir, b) for b in batches])
                 .filter(
@@ -476,14 +496,28 @@ class SpanHashStore:
                 )
                 .drop(fsutil.ORIGIN_COL)
             )
-        return self.spark.read.schema(_span_hash_schema()).parquet(
-            *[os.path.join(self.hashes_dir, b) for b in batches]
-        )
+        else:
+            out = self.spark.read.schema(_span_hash_schema()).parquet(
+                *[os.path.join(self.hashes_dir, b) for b in batches]
+            )
+        # presence-only rows from pre-r15 stores read n as NULL -> 1
+        return out.withColumn("n", F.coalesce(F.col("n"), F.lit(1)))
 
     def commit_batch(self, batch_id: str, hashes: DataFrame) -> None:
+        """``hashes`` is either (span_hash, n) — one row per hash with
+        its shipped-occurrence count, the r15 form — or a bare
+        span_hash column from a pre-r15 caller, stored as n=1 per row
+        (presence)."""
         entry = f"batch={batch_id}"
         if self.has_batch(batch_id):
             return
+        if "n" not in hashes.columns:
+            hashes = hashes.withColumn("n", F.lit(1).cast("long"))
+        hashes = hashes.select(
+            "span_hash",
+            F.col("n").cast("long").alias("n"),
+            F.lit(batch_id).alias("b"),
+        )
         staged = fsutil.stage_batch_dir(self.hashes_dir, entry, hashes)
         fsutil.publish_batch_dir(self.hashes_dir, entry, staged)
 
@@ -543,15 +577,23 @@ def incremental_exact_substr_plan(
     span accepted in epoch 1 stays in epoch 1's shipped text; a copy
     arriving in epoch 3 is cut from epoch 3 only.
 
-    ``min_count`` must be 2 (the ExactSubstr default): the store
-    records hash PRESENCE, not per-hash occurrence counts, so the
-    history probe can only answer "seen before" — exactly the
-    min_count=2 threshold.  A higher threshold would need per-hash
-    counts in the store (cross-epoch count merges, a compaction
-    invariant, and a re-judgment of already-committed epochs when a
-    hash crosses the threshold late) for a parameter the published
-    algorithm never varies; we refuse loudly instead of over-cutting
-    silently (r13 advice).
+    ``min_count`` semantics (r15, VERDICT r14 #6 — batch parity
+    restored): the store carries per-hash SHIPPED-occurrence counts
+    (one bounded int per hash per batch; history total = sum across
+    committed batches), so any threshold the batch form accepts works
+    here.  A window cuts when history + batch occurrences reach
+    ``min_count``; if history already ships a copy, ALL batch
+    occurrences cut (the canonical copy lives in an earlier epoch),
+    else the min-(doc_id, pos) batch occurrence survives as keeper —
+    the same keep-first composition rule as min_count=2.  Below the
+    threshold every occurrence ships and its count commits, so a hash
+    crossing the threshold in a LATER epoch cuts from that epoch on
+    while earlier shipped copies stay (the documented late-duplicate
+    asymmetry; the published algorithm's fixed min_count=2 is the
+    degenerate case where presence alone decides, and that path keeps
+    its r14 plan shape bit-for-bit).  Pre-r15 presence-only store rows
+    count as 1 — exact at min_count=2, conservatively under-counting
+    (never over-cutting) above it.
 
     Scale shape: the within-batch flag is the count-over-window form
     (one exchange on the span hash, no join); the history probe is
@@ -563,13 +605,8 @@ def incremental_exact_substr_plan(
 
     from hedera_etl_spark.operators.joins import inverted_store_probe
 
-    if int(min_count) != 2:
-        raise ValueError(
-            "incremental_exact_substr supports min_count=2 only: the "
-            "span store records hash presence, not occurrence counts, "
-            "so any history hit means 'second occurrence'.  Use the "
-            "batch exact_substr_dedup for min_count > 2."
-        )
+    if int(min_count) < 2:
+        raise ValueError("min_count must be >= 2 (1 would cut everything)")
     w = int(min_len)
     rows = _span_rows(docs, w, text_col, id_col)
     win = Window.partitionBy("h")
@@ -580,25 +617,61 @@ def incremental_exact_substr_plan(
         "span_hash", "h"
     )
     batch_hashes = counted.select("h").distinct()
-    hits = inverted_store_probe(history, batch_hashes, "h").localCheckpoint(
-        eager=True
-    )
-    vs_store = counted.join(F.broadcast(hits), "h", "left_semi").select(
-        "doc_id", "pos"
-    )
+    # prune before the probe: the presence path consumes only h (scan
+    # reads one column, r14 plan shape byte-identical); the count path
+    # also needs (n, b) for the per-batch sums
+    probe_cols = ["h"] if int(min_count) == 2 else ["h", "n", "b"]
+    hits = inverted_store_probe(
+        history.select(*probe_cols), batch_hashes, "h"
+    ).localCheckpoint(eager=True)
     # within-batch: the min-(doc_id, pos) occurrence of each repeated
     # hash is the canonical keeper — its election rides the SAME
     # h-partitioned window as the count, no extra exchange
     owner = F.min(F.struct("doc_id", "pos")).over(win)
-    flagged = counted.withColumn("__own", owner)
-    in_batch = flagged.filter(
-        (F.col("__cnt") >= min_count)
-        & ~(
-            (F.col("doc_id") == F.col("__own.doc_id"))
-            & (F.col("pos") == F.col("__own.pos"))
+    not_owner = ~(
+        (F.col("doc_id") == F.col("__own.doc_id"))
+        & (F.col("pos") == F.col("__own.pos"))
+    )
+    if int(min_count) == 2:
+        # presence path, r14 plan shape unchanged: any history hit IS
+        # the second occurrence; duplicate hit keys are semi-join-safe
+        vs_store = counted.join(F.broadcast(hits), "h", "left_semi").select(
+            "doc_id", "pos"
         )
-    ).select("doc_id", "pos")
-    starts = vs_store.unionByName(in_batch).distinct()
+        in_batch = (
+            counted.withColumn("__own", owner)
+            .filter((F.col("__cnt") >= min_count) & not_owner)
+            .select("doc_id", "pos")
+        )
+        starts = vs_store.unionByName(in_batch).distinct()
+    else:
+        # count path (r15): total = history shipped occurrences + batch
+        # occurrences.  The hit-set aggregate dedups compaction-debris
+        # rows per (h, committing batch) first — compact can transiently
+        # leave a batch's rows in both source and target dirs, and
+        # summing the duplicate would inflate history counts (the same
+        # duplicate-tolerance rule the presence path gets from its
+        # semi-join).  Pre-r15 presence rows have b NULL: distinct old
+        # batches sharing a hash then collapse to one row — an
+        # UNDER-count, the documented conservative direction.
+        hit_counts = (
+            hits.dropDuplicates(["h", "b"])
+            .groupBy("h")
+            .agg(F.sum("n").alias("__hn"))
+        )
+        flagged = (
+            counted.withColumn("__own", owner)
+            .join(F.broadcast(hit_counts), "h", "left")
+            .withColumn("__hn", F.coalesce(F.col("__hn"), F.lit(0)))
+        )
+        starts = (
+            flagged.filter(
+                (F.col("__hn") + F.col("__cnt") >= min_count)
+                & ((F.col("__hn") >= 1) | not_owner)
+            )
+            .select("doc_id", "pos")
+            .distinct()
+        )
     ivals = _starts_to_intervals(starts, w).localCheckpoint(eager=False)
     out = _cut_by_intervals(docs, ivals, text_col, id_col)
     # surviving canon: every occurrence that was not cut (anti-join on
@@ -642,6 +715,11 @@ def incremental_exact_substr(
         docs, store, batch_id, min_len, min_count, text_col, id_col
     )
     store.commit_batch(
-        batch_id, new_canon.select("span_hash").distinct()
+        batch_id,
+        # per-hash SHIPPED-occurrence counts (r15): the history side of
+        # the min_count threshold for later epochs
+        new_canon.groupBy("span_hash").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
     )
     return out

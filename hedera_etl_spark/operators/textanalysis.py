@@ -456,6 +456,81 @@ def char_fingerprints_scalable(
     )
 
 
+#: Measured form crossovers (total corpus characters), so production
+#: callers don't hand-pick the 100 TB path (VERDICT r14 #7):
+#: - fingerprint: per-row wins to ~sf1 (15M chars: 2.05 s vs 11.5 s),
+#:   par at the sf10 rung (~150M chars: 40.4 vs 38.6), scalable wins
+#:   every decade after (3.3x/decade vs 13.9x/decade) — PERF_NOTES r14;
+#: - repetition: the O(d*n) per-row lambdas lose much earlier — r15
+#:   measurement (local[32], min-of-2, all columns forced): sf0.1
+#:   (1.5M chars) 2.46 s vs 1.63 s, sf1 (15M) 18.2 s vs 6.6 s.  Inside
+#:   ``prepare`` the per-row form fuses with neighboring projections
+#:   and prunes to the two filter columns, so the threshold sits at the
+#:   decade where standalone per-row is ~3x worse, not at first
+#:   standalone crossover.
+FP_SCALABLE_MIN_CHARS = 150_000_000
+REP_SCALABLE_MIN_CHARS = 10_000_000
+
+
+def _corpus_chars(docs: DataFrame, text_col: str) -> int:
+    """One scan-only aggregate (column-pruned to text) — the size probe
+    behind form='auto'.  Callers pass an already-materialized frame (or
+    accept one upstream recompute); the probe costs ~1% of the md5 work
+    either form then does."""
+    row = docs.agg(F.sum(F.length(text_col)).alias("c")).collect()[0]
+    return int(row["c"] or 0)
+
+
+def _pick_form(
+    docs: DataFrame, text_col: str, form: str, threshold: int
+) -> bool:
+    """True -> scalable.  ``form``: 'auto' | 'per_row' | 'scalable'."""
+    if form == "per_row":
+        return False
+    if form == "scalable":
+        return True
+    if form != "auto":
+        raise ValueError(
+            f"form must be 'auto', 'per_row' or 'scalable', got {form!r}"
+        )
+    return _corpus_chars(docs, text_col) >= threshold
+
+
+def char_fingerprints_auto(
+    docs: DataFrame,
+    gram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "auto",
+    auto_threshold_chars: int = FP_SCALABLE_MIN_CHARS,
+) -> DataFrame:
+    """Production entry for the document fingerprint: picks the per-row
+    HOF form below ``auto_threshold_chars`` total corpus characters and
+    the explode+aggregate scale form at/above it (the measured sf10
+    crossover), or obeys an explicit ``form=``.  The two forms are
+    bit-equal (pinned in test_textdedup.py), so the choice is purely a
+    physical-plan decision — exactly the dedup_skew_safe pattern."""
+    scalable = _pick_form(docs, text_col, form, auto_threshold_chars)
+    fn = char_fingerprints_scalable if scalable else char_fingerprints
+    return fn(docs, gram=gram, text_col=text_col, id_col=id_col)
+
+
+def repetition_scores_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "auto",
+    auto_threshold_chars: int = REP_SCALABLE_MIN_CHARS,
+) -> DataFrame:
+    """Form selector for the Gopher repetition signals — same contract
+    as ``char_fingerprints_auto`` (bit-equal twins, physical choice
+    only).  This is the selector ``prepare_training_corpus`` threads
+    through its quality floor (``analysis_form=``)."""
+    scalable = _pick_form(docs, text_col, form, auto_threshold_chars)
+    fn = repetition_scores_scalable if scalable else repetition_scores
+    return fn(docs, text_col=text_col, id_col=id_col)
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

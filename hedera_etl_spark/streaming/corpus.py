@@ -854,8 +854,11 @@ class CorpusIngestPipeline:
                 span_new_canon.join(
                     accepted.select("doc_id"), "doc_id", "left_semi"
                 )
-                .select("span_hash")
-                .distinct(),
+                # per-hash shipped-occurrence counts (r15) so the store
+                # can serve min_count>2 probes; presence semantics at
+                # min_count=2 are unchanged (any n >= 1 row is a hit)
+                .groupBy("span_hash")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")),
             )
         m.batches += 1
         m.rows_in += stats.rows_in

@@ -358,8 +358,11 @@ def test_incremental_history_probe_never_shuffles_store(spark, tmp_path):
         [(10, f"novel {PHRASE} run")], "doc_id long, text string"
     )
     rows = _span_rows(batch, 5, "text", "doc_id")
+    # mirror the operator's presence path: prune to h before the probe
+    # (the scan must read ONE column — the count columns only load on
+    # the min_count>2 path)
     hits = inverted_store_probe(
-        store.hashes().withColumnRenamed("span_hash", "h"),
+        store.hashes().withColumnRenamed("span_hash", "h").select("h"),
         rows.select("h").distinct(),
         "h",
     )
@@ -420,10 +423,7 @@ def test_skew_safe_plan_never_broadcasts_the_flag_join(spark, docs):
     assert "BroadcastHashJoin" not in plan
 
 
-def test_incremental_exact_substr_rejects_min_count_above_two(spark, tmp_path):
-    """r13 advice: the span store records presence, not counts — a
-    min_count other than 2 would silently over-cut on the history path,
-    so the incremental form refuses it loudly."""
+def test_incremental_min_count_rejects_below_two(spark, tmp_path):
     from hedera_etl_spark.operators.spandedup import (
         SpanHashStore,
         incremental_exact_substr_plan,
@@ -431,10 +431,124 @@ def test_incremental_exact_substr_rejects_min_count_above_two(spark, tmp_path):
 
     store = SpanHashStore(spark, str(tmp_path / "spans"))
     docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
-    with pytest.raises(ValueError, match="min_count=2 only"):
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
         incremental_exact_substr_plan(
-            docs, store, "b1", min_len=2, min_count=3
+            docs, store, "b1", min_len=2, min_count=1
         )
+
+
+OTHER = "z0 z1 z2 z3 z4 z5 z6"  # a second 7-token phrase
+
+
+def test_incremental_min_count_three_matches_batch_modulo_keep_first(
+    spark, tmp_path
+):
+    """VERDICT r14 #6: batch/streaming parity at min_count=3.  On one
+    epoch over an empty store, the incremental form must equal the
+    batch ``exact_substr_dedup(min_count=3)`` on every document EXCEPT
+    the canonical keeper of an over-threshold phrase — the documented
+    keep-first deviation (batch cuts ALL occurrences; incremental keeps
+    the min-(doc_id, pos) copy so content survives somewhere)."""
+    from hedera_etl_spark.operators.spandedup import (
+        SpanHashStore,
+        exact_substr_dedup,
+    )
+
+    rows = [
+        (1, f"intro {PHRASE} end"),    # PHRASE x3 across docs -> cut
+        (2, f"a1 a2 a3 {PHRASE} b1 b2"),
+        (3, f"x1 x2 {PHRASE} y1 y2"),
+        (4, f"p1 p2 {OTHER} q1 q2"),   # OTHER x2 < 3 -> everything ships
+        (5, f"m1 m2 {OTHER} n1 n2"),
+        (6, "totally novel text with no shared runs at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in exact_substr_dedup(df, min_len=5, min_count=3).collect()
+    }
+    store = SpanHashStore(spark, str(tmp_path / "spans3"))
+    inc = _inc(spark, store, "e1", rows, min_count=3)
+    # keeper (doc 1, the min-(doc_id, pos) occurrence) keeps the phrase
+    assert PHRASE in inc[1] and PHRASE not in batch[1]
+    # every other doc: byte-identical to the batch form
+    for d in (2, 3, 4, 5, 6):
+        assert inc[d] == batch[d], f"doc {d} diverged from batch form"
+    assert PHRASE not in inc[2] and PHRASE not in inc[3]
+    assert OTHER in inc[4] and OTHER in inc[5]  # below threshold: ships
+
+
+def test_incremental_min_count_three_counts_accumulate_across_epochs(
+    spark, tmp_path
+):
+    """The store's per-hash counts make the threshold cross EPOCHS: two
+    shipped occurrences in history + one more arriving = 3 >= 3 -> the
+    new arrival cuts, while the first two epochs' copies stay shipped
+    (the documented late-duplicate asymmetry).  A replay of the cutting
+    epoch stays deterministic (store read excludes its own batch)."""
+    from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+    store = SpanHashStore(spark, str(tmp_path / "spans_acc"))
+    e1 = _inc(spark, store, "e1", [(1, f"alpha {PHRASE} beta")], min_count=3)
+    assert PHRASE in e1[1]  # count 1 < 3
+    e2 = _inc(spark, store, "e2", [(2, f"gamma {PHRASE} delta")], min_count=3)
+    assert PHRASE in e2[2]  # 1 (history) + 1 = 2 < 3
+    e3 = _inc(spark, store, "e3", [(3, f"eps {PHRASE} zeta")], min_count=3)
+    assert PHRASE not in e3[3]  # 2 + 1 = 3 -> cut
+    assert "eps" in e3[3] and "zeta" in e3[3]
+    # replay of the cutting epoch: byte-identical (exclude_batch rule)
+    again = _inc(spark, store, "e3", [(3, f"eps {PHRASE} zeta")], min_count=3)
+    assert again == e3
+
+
+def test_incremental_min_count_three_history_plus_batch_cuts_all(
+    spark, tmp_path
+):
+    """When history already ships a copy and the combined total crosses
+    the threshold, ALL batch occurrences cut — the canonical copy lives
+    in the earlier epoch, so no in-batch keeper is elected."""
+    from hedera_etl_spark.operators.spandedup import SpanHashStore
+
+    store = SpanHashStore(spark, str(tmp_path / "spans_hb"))
+    _inc(spark, store, "e1", [(1, f"alpha {PHRASE} beta")], min_count=3)
+    e2 = _inc(
+        spark, store, "e2",
+        [(2, f"g1 g2 {PHRASE} d1 d2"), (3, f"k1 k2 {PHRASE} l1 l2")],
+        min_count=3,
+    )  # 1 (history) + 2 (batch) = 3 -> both batch copies cut
+    assert PHRASE not in e2[2] and PHRASE not in e2[3]
+
+
+def test_span_store_reads_pre_r15_presence_rows_as_count_one(spark, tmp_path):
+    """Back-compat: a store written before the count column existed
+    (bare span_hash rows) reads n as 1 — exact for min_count=2 (the
+    only threshold the old form served), conservative above it."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark import fsutil
+    from hedera_etl_spark.operators.spandedup import SpanHashStore, _span_rows
+
+    store = SpanHashStore(spark, str(tmp_path / "legacy"))
+
+    h = (
+        _span_rows(
+            spark.createDataFrame(
+                [(1, f"alpha {PHRASE} beta")], "doc_id long, text string"
+            ),
+            5,
+            "text",
+            "doc_id",
+        )
+        .select(F.col("h").alias("span_hash"))
+        .distinct()
+    )
+    staged = fsutil.stage_batch_dir(store.hashes_dir, "batch=legacy", h)
+    fsutil.publish_batch_dir(store.hashes_dir, "batch=legacy", staged)
+    got = store.hashes().collect()
+    assert got and all(r["n"] == 1 for r in got)
+    # and the min_count=2 presence path still cuts against legacy rows
+    e2 = _inc(spark, store, "e2", [(9, f"x {PHRASE} y")])
+    assert PHRASE not in e2[9]
 
 
 def test_exact_substr_skew_safe_passthrough(spark, xs_docs):

@@ -541,3 +541,78 @@ def test_char_fingerprint_scalable_twin_bit_equal(spark):
         for r in char_fingerprints_scalable(docs).collect()
     }
     assert b == a
+
+
+def test_form_auto_selectors_pick_by_size_and_stay_bit_equal(spark):
+    """r15 (VERDICT r14 #7): production callers no longer hand-pick the
+    scale form.  form='auto' sizes the corpus (one scan-only char-count
+    aggregate) against the measured crossover; explicit forms force;
+    all three answers are bit-identical because the twins are."""
+    from pyspark.sql import functions as F
+
+    from hedera_etl_spark.operators.textanalysis import (
+        char_fingerprints_auto,
+        repetition_scores_auto,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "aaaaaaaaaa"),
+            (3, "abc"),
+            (4, "line one\nline one\nline two"),
+            (5, "the quick brown fox jumps over the lazy dog " * 3),
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (char_fingerprints_auto, repetition_scores_auto):
+        per_row = rows(fn(docs, form="per_row"))
+        scalable = rows(fn(docs, form="scalable"))
+        assert per_row == scalable
+        # auto below the threshold -> per-row plan; above -> scalable.
+        # The plans differ (scalable has the explode+aggregate), the
+        # values must not.
+        small = fn(docs, form="auto", auto_threshold_chars=10**9)
+        big = fn(docs, form="auto", auto_threshold_chars=1)
+        assert "Generate" not in small._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in big._jdf.queryExecution().executedPlan().toString()
+        assert rows(small) == per_row == rows(big)
+        with pytest.raises(ValueError, match="form must be"):
+            fn(docs, form="bogus")
+
+
+def test_prepare_analysis_form_is_a_physical_choice_only(spark):
+    """e2e: prepare_training_corpus survivors are identical under
+    analysis_form='per_row' / 'scalable' / 'auto' — the quality-floor
+    repetition caps select the same documents through either kernel."""
+    from hedera_etl_spark.operators.llm_pipeline import (
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, "s", "unique document with plenty of varied words here ok"),
+        (2, "s", "nav\nnav\nnav\nnav\nnav\nnav"),          # dup-line spam
+        (3, "s", "spam spam spam spam spam spam spam spam"),  # bigram spam
+        (4, "s", "another perfectly reasonable training document text"),
+        (5, "s", "short but fine document with enough tokens present"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {}
+    for form in ("per_row", "scalable", "auto"):
+        got[form] = sorted(
+            r["doc_id"]
+            for r in prepare_training_corpus(
+                docs,
+                min_tokens=3,
+                max_dup_line_frac=0.5,
+                max_top_bigram_frac=0.6,
+                analysis_form=form,
+            ).collect()
+        )
+    assert got["per_row"] == got["scalable"] == got["auto"]
+    assert 2 not in got["auto"] and 3 not in got["auto"]
+    assert {1, 4, 5} <= set(got["auto"])
