@@ -45,6 +45,10 @@ ENTRIES = [
     "llm_text_stats",
     "llm_ngram_jaccard",
     "llm_minhash_neardup_fast",
+    # r15 (VERDICT r14 #3): the other worst-first-ladder entry gets its
+    # second decade — decade1 improved 3.67 -> 3.35 in r14 but the
+    # 100x question was open for the banded simhash join.
+    "llm_simhash_neardup",
 ]
 
 
