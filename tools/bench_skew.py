@@ -34,6 +34,7 @@ Usage: python tools/bench_skew.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -71,6 +72,11 @@ def timed(fn) -> float:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # quiet-start disclosure (r15, after the r14 ladder's text_stats
+    # sf10 rung over-read 82.6 s in a busy session): same
+    # self-identification bench.py grew in r14.
+    print(json.dumps({"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}),
+          flush=True)
     spark = get_spark("bench-skew")
     base = load_table(spark, sf_dir, "documents").persist()
     n_docs = base.count()

@@ -94,6 +94,10 @@ def timed(fn, runs: int = 2) -> float:
 
 def main():
     keep = "--keep" in sys.argv
+    # quiet-start disclosure (r15, after the r14 ladder's text_stats
+    # sf10 rung over-read 82.6 s in a busy session): same
+    # self-identification bench.py grew in r14.
+    log(loadavg_1m_at_start=round(os.getloadavg()[0], 2))
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
