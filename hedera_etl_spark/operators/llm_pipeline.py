@@ -88,6 +88,10 @@ def prepare_training_corpus(
     gopher_rules: dict | None = None,
     quality_weights: list[float] | None = None,
     min_quality_prob: float = 0.5,
+    text_classifier_weights: "DataFrame | bool | None" = None,
+    text_classifier_min_score: float = 0.5,
+    text_classifier_buckets: int = 2048,
+    text_classifier_scale: int = 1000,
     lm_model: DataFrame | None = None,
     lm_min_avg_logp: float | None = None,
     mixture: dict[str, float] | None = None,
@@ -164,7 +168,11 @@ def prepare_training_corpus(
     remaining Gopher battery via
     ``textanalysis.gopher_quality_flags``), optional trained-classifier floor
     (``quality_weights`` from qualityfilter.train_quality_lr /
-    load_weights at ``min_quality_prob``), LM-perplexity floor at
+    load_weights at ``min_quality_prob``), optional hashed-text-feature
+    classifier floor (``text_classifier_weights`` — a trained
+    (bucket, w_int) DataFrame or ``True`` for the qualityclf stand-in —
+    keeping docs with score >= ``text_classifier_min_score``; the
+    fastText serving pass, r15), LM-perplexity floor at
     ``lm_min_avg_logp`` (against ``lm_model`` — a reference-corpus
     bigram LM per CCNet — or self-trained on the survivors when None;
     skipped when the threshold is None), target-``mixture`` resample over
@@ -756,8 +764,35 @@ def prepare_training_corpus(
         )
         out = _drops("quality_floor", "quality_classifier", pre_q, out)
 
+    if text_classifier_weights is not None:
+        # the hashed-TEXT-feature sibling of the engineered-feature LR
+        # above (operators/qualityclf.py, fastText serving shape):
+        # ``True`` uses the deterministic stand-in table, a DataFrame
+        # is a trained (bucket, w_int) model.  Both floors may run —
+        # they read different evidence (battery features vs the token
+        # stream itself).
+        from hedera_etl_spark.operators.qualityclf import (
+            quality_classifier_scores,
+        )
+
+        pre_q = out
+        w = None if text_classifier_weights is True else text_classifier_weights
+        scored = quality_classifier_scores(
+            out, weights=w, n_buckets=text_classifier_buckets,
+            scale=text_classifier_scale, text_col=text_col, id_col=id_col,
+        )
+        out = out.join(
+            scored.filter(
+                F.col("score") >= F.lit(text_classifier_min_score)
+            ).select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        out = _drops("quality_floor", "text_classifier", pre_q, out)
+
     if min_tokens > 0 or max_dup_line_frac is not None \
-            or max_top_bigram_frac is not None or quality_weights is not None:
+            or max_top_bigram_frac is not None or quality_weights is not None \
+            or text_classifier_weights is not None:
         out = _observed("quality_floor", out)
 
     if lm_min_avg_logp is not None:

@@ -100,6 +100,8 @@ def doc_features(
     Generate node (no common-subexpression factoring across lambda
     boundaries — verified in the formatted plan), quadrupling the
     per-row tokenize cost."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
     toks = F.col("__toks")
     bigrams = F.filter(
         F.zip_with(
@@ -109,8 +111,10 @@ def doc_features(
         ),
         lambda g: g.isNotNull(),
     )
+    # one md5 per feature occurrence — spread the small-file scan split
     return (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""

@@ -134,3 +134,61 @@ def test_scoring_plan_broadcasts_weights_single_doc_exchange(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     # the corpus side must never shuffle on bucket — doc-keyed exchanges only
     assert "hashpartitioning(bucket" not in plan
+
+
+def test_prepare_text_classifier_floor(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+    from hedera_etl_spark.operators.provenance import RemovalLedger
+
+    # stand-in scores straddle 0.5: alpha/gamma/delta high, beta/theta/kappa low
+    rows = [
+        (1, "alpha gamma"),
+        (2, "beta theta"),
+        (3, "delta iota"),
+        (4, "kappa kappa"),
+        (5, "gamma delta iota"),
+        (6, "theta beta kappa"),
+    ]
+    docs = _docs(spark, rows)
+    expect_keep = sorted(
+        doc_id for doc_id, text in rows if _py_score(text)[2] >= 0.5
+    )
+    expect_drop = sorted(
+        doc_id for doc_id, text in rows if _py_score(text)[2] < 0.5
+    )
+    assert expect_keep and expect_drop  # the fixture must exercise both sides
+
+    ledger = RemovalLedger()
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=None,
+        min_tokens=1,
+        text_classifier_weights=True,
+        text_classifier_min_score=0.5,
+        text_classifier_buckets=B,
+        text_classifier_scale=SCALE,
+        removal_ledger=ledger,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == expect_keep
+    dropped = {
+        r["doc_id"]
+        for r in ledger.df().filter(F.col("reason") == "text_classifier").collect()
+    }
+    assert dropped == set(expect_drop)
+
+
+def test_prepare_text_classifier_trained_weights_override(spark):
+    from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+    docs = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    all_negative = spark.range(B).select(
+        F.col("id").alias("bucket"), F.lit(-3).cast("long").alias("w_int")
+    )
+    out = prepare_training_corpus(
+        docs,
+        near_threshold=None,
+        min_tokens=1,
+        text_classifier_weights=all_negative,
+        text_classifier_buckets=B,
+    )
+    assert out.count() == 0  # trained table wins over the stand-in
