@@ -50,6 +50,7 @@ ENTRIES = [
     "llm_dsir_weights",           # md5 canon importance weights (r13 rung)
     "llm_dsir_weights_fast",      # production xxhash64 bucket hash
     "llm_exact_substr",           # arbitrary-length repeat intervals (r13)
+    "llm_quality_classifier",     # hashed-feature classifier scoring (r15)
 ]
 
 
