@@ -34,7 +34,10 @@ integer-exact.
 The shipped weight table is a deterministic md5-derived stand-in (the
 same pretrained-model convention as the BM25/LM entries — no labelled
 corpus ships with the repo); production callers pass their trained
-``weights`` DataFrame with the same (bucket, w_int) schema.
+``weights`` DataFrame with the same (bucket, w_int) schema, or train
+one in-cluster with ``train_nb_weights`` (Naive-Bayes log-odds from a
+positive/negative corpus pair — one aggregate per class, no
+iteration).
 
 Reference parity note: the reference pipelines (hedera-etl /
 hedera-deduplication-bigquery) have no analogue — beyond-reference
@@ -174,4 +177,76 @@ def quality_classifier_scores(
         )
         .withColumn("score", score.cast("decimal(12,6)").cast("double"))
         .withColumn("keep", F.col("w_sum") >= 0)
+    )
+
+
+def train_nb_weights(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    n_buckets: int = 2048,
+    scale: int = 1000,
+    log_cap: float = 8.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the (bucket, w_int) table as Naive-Bayes log-odds — the
+    fastText-as-NB reading (Joulin et al. §2: a linear classifier over
+    averaged hashed features; with add-one-smoothed per-class bucket
+    log-odds as the weights this is multinomial NB, the standard
+    no-iteration baseline that trains in ONE aggregate per class).
+
+    ``pos_docs`` is the high-quality exemplar corpus (curated pages,
+    reference text), ``neg_docs`` the rejection class (raw crawl).
+    Weights are ``round(scale * log_odds / log_cap)`` clamped to
+    [-scale, +scale] — ``log_cap`` is the log-odds magnitude that
+    saturates the integer range (8 ~= an e^8 likelihood ratio; beyond
+    that a single feature should not dominate the mean-pool anyway).
+
+    Scale shape: one feature explode + map-side-combined bucket count
+    per class (the dsir.bucket_counts shape), a 1-row totals broadcast,
+    and a ``n_buckets``-row result — nothing driver-side, nothing
+    corpus-sized after the aggregates.  Training uses ``ln`` (library-
+    dependent in its last ulp) but only the ROUNDED INTEGER weights
+    flow downstream, so serving determinism (see module docstring) is
+    unaffected; training itself has no cross-engine oracle — it is the
+    offline half of the family, tested by separation behavior, not by
+    hash equality."""
+    spark = pos_docs.sparkSession
+
+    def _counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            doc_features(docs, n_buckets, text_col, id_col)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    pos = _counts(pos_docs, "__cp")
+    neg = _counts(neg_docs, "__cn")
+    totals = pos.agg(F.sum("__cp").alias("__np")).crossJoin(
+        neg.agg(F.sum("__cn").alias("__nn"))
+    )
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        grid.join(pos, "bucket", "left")
+        .join(neg, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.coalesce("__cp", F.lit(0)).alias("__cp"),
+            F.coalesce("__cn", F.lit(0)).alias("__cn"),
+            F.coalesce("__np", F.lit(0)).alias("__np"),
+            F.coalesce("__nn", F.lit(0)).alias("__nn"),
+        )
+    )
+    log_odds = F.log(
+        (F.col("__cp") + 1).cast("double")
+        / (F.col("__np") + F.lit(n_buckets)).cast("double")
+    ) - F.log(
+        (F.col("__cn") + 1).cast("double")
+        / (F.col("__nn") + F.lit(n_buckets)).cast("double")
+    )
+    w = F.round(log_odds * F.lit(float(scale) / log_cap)).cast("long")
+    return joined.select(
+        "bucket",
+        F.greatest(F.least(w, F.lit(scale)), F.lit(-scale)).alias("w_int"),
     )

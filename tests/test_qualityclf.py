@@ -192,3 +192,56 @@ def test_prepare_text_classifier_trained_weights_override(spark):
         text_classifier_buckets=B,
     )
     assert out.count() == 0  # trained table wins over the stand-in
+
+
+def test_train_nb_weights_separates_classes(spark):
+    from hedera_etl_spark.operators.qualityclf import train_nb_weights
+
+    pos = _docs(
+        spark,
+        [(i, "curated encyclopedia prose reads cleanly and cites sources")
+         for i in range(1, 9)],
+    )
+    neg = _docs(
+        spark,
+        [(i, "click here buy now cheap pills winner jackpot spam")
+         for i in range(1, 9)],
+    )
+    w = train_nb_weights(pos, neg, n_buckets=B, scale=SCALE)
+    rows = w.collect()
+    assert len(rows) == B
+    assert all(-SCALE <= r["w_int"] <= SCALE for r in rows)
+
+    held_out = _docs(
+        spark,
+        [
+            (1, "encyclopedia prose cites sources"),        # pos-like
+            (2, "cheap pills jackpot spam click"),          # neg-like
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(
+            held_out, weights=w, n_buckets=B, scale=SCALE
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["score"] > 0.5
+    assert out[2]["keep"] is False and out[2]["score"] < 0.5
+    assert out[1]["score"] > out[2]["score"]
+
+
+def test_train_nb_weights_unseen_buckets_near_zero(spark):
+    from hedera_etl_spark.operators.qualityclf import train_nb_weights
+
+    # balanced corpora over a tiny vocab -> the many untouched buckets
+    # carry only the smoothing prior, which cancels when totals match
+    pos = _docs(spark, [(1, "aaa bbb")])
+    neg = _docs(spark, [(1, "ccc ddd")])
+    w = {r["bucket"]: r["w_int"]
+         for r in train_nb_weights(pos, neg, n_buckets=B, scale=SCALE).collect()}
+    touched = set()
+    for f in ["aaa", "bbb", "ccc", "ddd", "aaa\x1fbbb", "ccc\x1fddd"]:
+        touched.add(_py_bucket(f))
+    for b, wi in w.items():
+        if b not in touched:
+            assert wi == 0, (b, wi)
