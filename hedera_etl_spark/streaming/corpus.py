@@ -73,6 +73,10 @@ class CorpusIngestPipeline:
         checkpoint: str,
         min_tokens: int = 0,
         gopher_rules: dict | None = None,
+        text_classifier_weights: "DataFrame | bool | None" = None,
+        text_classifier_min_score: float = 0.5,
+        text_classifier_buckets: int = 2048,
+        text_classifier_scale: int = 1000,
         near_threshold: float = 0.5,
         shingle_n: int = 3,
         max_files_per_trigger: int | None = None,
@@ -96,6 +100,17 @@ class CorpusIngestPipeline:
         #: ({} = paper defaults) — applied as part of the quality floor;
         #: per-row deterministic, so replays re-derive identical drops
         self.gopher_rules = gopher_rules
+        #: hashed-text classifier floor (operators/qualityclf.py), the
+        #: streaming twin of prepare(text_classifier_weights=...).  The
+        #: md5 stand-in (``True``) is replay-deterministic by
+        #: construction; a caller-supplied trained table must stay
+        #: FIXED for the store's lifetime — swapping weights mid-stream
+        #: would make replays re-derive different drops (same contract
+        #: as eval-set versioning, which pins eval_sh per epoch).
+        self.text_classifier_weights = text_classifier_weights
+        self.text_classifier_min_score = text_classifier_min_score
+        self.text_classifier_buckets = text_classifier_buckets
+        self.text_classifier_scale = text_classifier_scale
         self.near_threshold = near_threshold
         self.shingle_n = shingle_n
         self.max_files_per_trigger = max_files_per_trigger
@@ -738,6 +753,33 @@ class CorpusIngestPipeline:
             # same stage/reason keys as the batch pipeline's gopher
             # stage (llm_pipeline.py) — cross-pipeline ledger unity
             batch = _ledger_drops("quality_floor", "gopher_rules", pre, batch)
+        if self.text_classifier_weights is not None:
+            from hedera_etl_spark.operators.qualityclf import (
+                quality_classifier_scores,
+            )
+
+            pre = batch
+            w = (
+                None
+                if self.text_classifier_weights is True
+                else self.text_classifier_weights
+            )
+            scored = quality_classifier_scores(
+                batch, weights=w,
+                n_buckets=self.text_classifier_buckets,
+                scale=self.text_classifier_scale,
+            )
+            batch = batch.join(
+                scored.filter(
+                    F.col("score") >= F.lit(self.text_classifier_min_score)
+                ).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            # same stage/reason keys as prepare's classifier floor
+            batch = _ledger_drops(
+                "quality_floor", "text_classifier", pre, batch
+            )
         eval_sh = self._eval_sh_for(bid)
         if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (

@@ -1174,3 +1174,41 @@ def test_rejected_doc_spans_stay_claimable(spark, dirs):
     p2.run_until_drained()
     texts = {r["doc_id"]: r["text"] for r in p2.read_corpus().collect()}
     assert run in texts[20]
+
+
+def test_streaming_text_classifier_floor(spark, dirs):
+    """text_classifier_weights in the streaming pipeline: the hashed-text
+    classifier floor (operators/qualityclf.py) drops low-scoring docs per
+    epoch under the SAME stage/reason keys as
+    prepare(text_classifier_weights=...) — cross-pipeline ledger unity."""
+    import glob
+
+    # with the md5 stand-in at 64 buckets these straddle 0.5
+    # (values pinned in tests/test_qualityclf.py): high / low / high
+    pipe = CorpusIngestPipeline(
+        spark,
+        input_dir=dirs["in"],
+        corpus_table=dirs["corpus"],
+        store_path=dirs["store"],
+        checkpoint=dirs["ckpt"],
+        text_classifier_weights=True,
+        text_classifier_min_score=0.5,
+        text_classifier_buckets=64,
+        ledger_dir=str(os.path.join(dirs["corpus"] + "_ledger")),
+    )
+    _write_jsonl(
+        os.path.join(dirs["in"], "b0.jsonl"),
+        [(1, "alpha gamma"), (2, "beta theta"), (3, "delta iota"),
+         (4, "kappa kappa")],
+    )
+    pipe.run_until_drained()
+    kept = sorted(r["doc_id"] for r in pipe.read_corpus().collect())
+    assert kept == [1, 3]
+    ledger = spark.read.parquet(
+        *glob.glob(os.path.join(dirs["corpus"] + "_ledger", "batch-*"))
+    )
+    rows = {
+        (r["doc_id"], r["reason"])
+        for r in ledger.filter("stage = 'quality_floor'").collect()
+    }
+    assert (2, "text_classifier") in rows and (4, "text_classifier") in rows
