@@ -328,6 +328,15 @@ def _add_prepare(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--min-quality-prob", type=float, default=0.5)
     p.add_argument(
+        "--text-classifier-weights",
+        default=None,
+        help="(bucket, w_int) parquet from `classifier-train`, or the "
+        "literal 'standin' for the deterministic md5 table; enables the "
+        "hashed-text classifier floor (operators/qualityclf.py)",
+    )
+    p.add_argument("--text-classifier-min-score", type=float, default=0.5)
+    p.add_argument("--text-classifier-buckets", type=int, default=2048)
+    p.add_argument(
         "--mixture",
         default=None,
         help="target domain mixture, e.g. 'web=0.5,code=0.3,books=0.2' "
@@ -547,6 +556,27 @@ def _add_bench(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--sf-dir", default=None, help="parquet dir (default $SPARK_GRAFT_SF_DIR)")
 
 
+def _add_classifier_train(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "classifier-train",
+        help="train the hashed-text quality classifier (NB log-odds over "
+        "a positive/negative corpus pair; operators/qualityclf.py) and "
+        "write the (bucket, w_int) table as parquet for "
+        "`prepare --text-classifier-weights`",
+    )
+    p.add_argument("--pos-input", required=True, help="high-quality exemplar corpus (parquet)")
+    p.add_argument("--neg-input", required=True, help="rejection-class corpus (parquet)")
+    p.add_argument("--out", required=True, help="output weights table path (parquet)")
+    p.add_argument("--n-buckets", type=int, default=2048)
+    p.add_argument("--scale", type=int, default=1000)
+    p.add_argument(
+        "--log-cap", type=float, default=8.0,
+        help="log-odds magnitude that saturates the integer weight range",
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="hedera-etl-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -558,6 +588,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_why(sub)
     _add_pqindex(sub)
     _add_bench(sub)
+    _add_classifier_train(sub)
     return parser
 
 
@@ -579,6 +610,43 @@ def main(argv: list[str] | None = None) -> int:
     from hedera_etl_spark.session import get_spark
 
     spark = get_spark(f"hedera-etl-{args.command}")
+
+    if args.command == "classifier-train":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from hedera_etl_spark.operators.qualityclf import train_nb_weights
+
+        weights = train_nb_weights(
+            spark.read.parquet(args.pos_input),
+            spark.read.parquet(args.neg_input),
+            n_buckets=args.n_buckets,
+            scale=args.scale,
+            log_cap=args.log_cap,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        weights.write.mode("overwrite").parquet(args.out)
+        stats = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("w_int") != 0).cast("long")).alias("nz"),
+            )
+            .collect()[0]
+        )
+        print(
+            json.dumps(
+                {
+                    "weights": args.out,
+                    "n_buckets": int(stats["n"]),
+                    "nonzero": int(stats["nz"]),
+                    "scale": args.scale,
+                }
+            )
+        )
+        return 0
 
     if args.command == "pqindex":
         from hedera_etl_spark.operators.pquant import PQIndex
@@ -831,6 +899,15 @@ def main(argv: list[str] | None = None) -> int:
             gopher_rules={} if args.gopher_rules else None,
             quality_weights=quality_weights,
             min_quality_prob=args.min_quality_prob,
+            text_classifier_weights=(
+                True
+                if args.text_classifier_weights == "standin"
+                else spark.read.parquet(args.text_classifier_weights)
+                if args.text_classifier_weights
+                else None
+            ),
+            text_classifier_min_score=args.text_classifier_min_score,
+            text_classifier_buckets=args.text_classifier_buckets,
             mixture=mixture,
             mixture_temperature=args.mixture_temperature,
             mixture_weight_col=args.mixture_weight_col,

@@ -245,3 +245,67 @@ def test_train_nb_weights_unseen_buckets_near_zero(spark):
     for b, wi in w.items():
         if b not in touched:
             assert wi == 0, (b, wi)
+
+
+def test_cli_classifier_train_then_prepare(spark, tmp_path, capsys):
+    """classifier-train writes a (bucket, w_int) parquet and prints a
+    JSON summary; prepare --text-classifier-weights consumes it and the
+    trained floor separates the held-out corpus."""
+    import json
+    import os
+
+    from hedera_etl_spark import cli
+
+    pos_dir = str(tmp_path / "pos")
+    neg_dir = str(tmp_path / "neg")
+    _docs(
+        spark,
+        [(i, "curated encyclopedia prose reads cleanly and cites sources")
+         for i in range(1, 9)],
+    ).write.parquet(pos_dir)
+    _docs(
+        spark,
+        [(i, "click here buy now cheap pills winner jackpot spam")
+         for i in range(1, 9)],
+    ).write.parquet(neg_dir)
+
+    w_dir = str(tmp_path / "weights")
+    rc = cli.main(
+        [
+            "classifier-train",
+            "--pos-input", pos_dir,
+            "--neg-input", neg_dir,
+            "--out", w_dir,
+            "--n-buckets", str(B),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_buckets"] == B and summary["nonzero"] > 0
+
+    mixed_dir = str(tmp_path / "mixed")
+    _docs(
+        spark,
+        [(1, "encyclopedia prose cites sources properly and cleanly today"),
+         (2, "cheap pills jackpot spam click here winner now")],
+    ).write.parquet(mixed_dir)
+    out_dir = str(tmp_path / "shards")
+    rc = cli.main(
+        [
+            "prepare",
+            "--input", mixed_dir,
+            "--out-dir", out_dir,
+            "--max-tokens", "64",
+            "--n-shards", "1",
+            "--exact-only",
+            "--min-tokens", "1",
+            "--text-classifier-weights", w_dir,
+            "--text-classifier-buckets", str(B),
+        ]
+    )
+    assert rc == 0
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "shards")).collect()
+    }
+    assert kept == {1}
