@@ -483,3 +483,80 @@ def dsir_log_ratio_table_where(
         F.count("*").cast("long").alias("raw_cnt"),
     )
     return _ratio_from_counts(counts, n_buckets)
+
+
+def dsir_scores_where(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+    hash_fn: str = "md5",
+    default_log_ratio: float | None = None,
+) -> DataFrame:
+    """Fit AND score in ONE feature pass — the fused form of
+    ``dsir_scores(docs, dsir_log_ratio_table_where(docs, cond))``.
+
+    That composition hashes every token+bigram occurrence TWICE: the fit
+    explodes and md5-buckets the corpus to build the ratio table, and
+    the scorer explodes and md5-buckets the SAME corpus again to join
+    against it — Catalyst cannot share the subtree because column
+    pruning specializes the two copies (the fit carries ``__is_t``, the
+    scorer does not), so exchange reuse never fires (r15 optimization
+    round, measured).  Here the (doc_id, bucket, __is_t) feature rows
+    are materialized once via a lazy ``localCheckpoint`` — the
+    minhash_lsh_neardups multi-consumer idiom — and both the bucket
+    aggregate (fit) and the doc aggregate (score) read the checkpointed
+    rows: ONE tokenize+hash pass instead of two, i.e. one corpus scan
+    instead of two at 100 TB, at the cost of materializing ~25-byte
+    rows per feature occurrence on the executors.
+
+    Output is BIT-IDENTICAL to the two-call composition (same feature
+    rows -> same counts -> same rounded-ln ratios -> same exact decimal
+    sums; pinned in tests/test_dsir.py), so the same oracle covers both.
+    Callers that score a DIFFERENT corpus than they fit still need the
+    two-call form.  NOTE: the embedded checkpoint pins materialized
+    data, so registry entries built on this must opt out of the
+    prepared-plan cache (``cache_plan=False``), like every other
+    checkpoint-bearing entry.
+    """
+    _check_hash_fn(hash_fn)
+    fr = hashed_feature_rows(
+        docs.withColumn("__is_t", target_cond),
+        text_col,
+        id_col,
+        n_buckets,
+        salt,
+        hash_fn,
+        carry_cols=("__is_t",),
+    ).localCheckpoint(eager=False)
+    counts = fr.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("target_cnt"),
+        F.count("*").cast("long").alias("raw_cnt"),
+    )
+    ratio = _ratio_from_counts(counts, n_buckets)
+    tbl = F.broadcast(ratio.select("bucket", "log_ratio"))
+    if default_log_ratio is None:
+        lr = F.when(
+            F.col("log_ratio").isNull(),
+            F.raise_error(F.lit(
+                "dsir_scores_where: feature bucket missing from ratio table"
+                " — impossible when scoring the fitted corpus"
+            )).cast("decimal(13,6)"),
+        ).otherwise(F.col("log_ratio"))
+    else:
+        lr = F.coalesce(
+            F.col("log_ratio"),
+            F.lit(round(float(default_log_ratio), 6)).cast("decimal(13,6)"),
+        )
+    return (
+        fr.join(tbl, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum(lr).cast("decimal(38,6)").cast("double").alias("dsir_logw"),
+        )
+    )

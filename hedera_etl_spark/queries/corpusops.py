@@ -708,25 +708,26 @@ _DSIR_RESAMPLE_ORACLE = f"""
 """
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The ONE-SCAN fit (dsir_log_ratio_table_where): the target is a
-    # predicate slice of the corpus, so both count tables fall out of a
-    # single feature pass via conditional aggregation — pinned
-    # bit-equal to the two-frame dsir_log_ratio_table form in
-    # tests/test_dsir.py, so the same oracle covers both and the
+def _dsir_scored(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    # The ONE-PASS fused fit+score (dsir_scores_where, r15 optimization
+    # round): fit and scoring share one checkpointed feature pass —
+    # one tokenize+hash of the corpus instead of the two the
+    # dsir_log_ratio_table_where + dsir_scores composition pays (column
+    # pruning specializes the two subtrees, so exchange reuse cannot
+    # deduplicate them).  Pinned bit-equal to the two-call composition
+    # in tests/test_dsir.py, so the same oracle covers both and the
     # driver hash-checks the production scan-count.
-    from hedera_etl_spark.operators.dsir import (
-        dsir_log_ratio_table_where,
-        dsir_scores,
-    )
+    from hedera_etl_spark.operators.dsir import dsir_scores_where
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    table = dsir_log_ratio_table_where(
-        docs, F.col("source") == "src1", n_buckets=_DSIR_B, salt=_DSIR_SALT
+    return dsir_scores_where(
+        docs, F.col("source") == "src1", n_buckets=_DSIR_B, salt=_DSIR_SALT,
+        hash_fn=hash_fn,
     )
-    return dsir_scores(docs, table, n_buckets=_DSIR_B, salt=_DSIR_SALT)
 
 
 @query(
@@ -734,6 +735,11 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DSIR_WEIGHTS_ORACLE,
     tags=("llm", "selection", "importance", "dsir"),
     bench=True,
+    # r15 optimization round: the fused one-pass fit+score embeds a
+    # lazy localCheckpoint, so the entry opts out of the prepared-plan
+    # cache like every other checkpoint-bearing entry (a cached plan
+    # would pin round-1 feature rows).
+    cache_plan=False,
     # NEW r12, rotated straight INTO the window (zero never-driver-
     # checked debt); q02_groupby_having parks in exchange — the GROUP
     # BY/HAVING family stays driver-checked via hed_dedupe_job (A1's
@@ -765,6 +771,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score aggregate) and (b) the mode-pair pin in tests/test_dsir.py
     # (identical doc set + n_features — the feature bag is
     # hash-independent — and finite non-degenerate weights).
+    cache_plan=False,  # fused form embeds a localCheckpoint (r15 opt)
     driver_visible=False,
 )
 def llm_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,22 +780,7 @@ def llm_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence instead of two interpreted hex-digest parses — the
     production mode for 100 TB scoring runs; md5 stays the
     cross-engine oracle canon."""
-    from hedera_etl_spark.operators.dsir import (
-        dsir_log_ratio_table_where,
-        dsir_scores,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
-    table = dsir_log_ratio_table_where(
-        docs, F.col("source") == "src1", n_buckets=_DSIR_B,
-        salt=_DSIR_SALT, hash_fn="xxhash64",
-    )
-    return dsir_scores(
-        docs, table, n_buckets=_DSIR_B, salt=_DSIR_SALT,
-        hash_fn="xxhash64",
-    ).orderBy("doc_id")
+    return _dsir_scored(spark, sf_dir, hash_fn="xxhash64").orderBy("doc_id")
 
 
 @query(
@@ -799,6 +791,7 @@ def llm_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-checked via llm_dsir_weights (IN) and the
     # TakeOrderedAndProject top-k shape via q07_bigjoin_topk (IN); the
     # hash-derived Gumbel key is value-pinned in tests/test_dsir.py.
+    cache_plan=False,  # fused form embeds a localCheckpoint (r15 opt)
     driver_visible=False,
 )
 def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,3 +341,47 @@ def test_fast_registry_twin_pins_to_md5_canon(spark):
     assert len(set(ws)) > 1  # non-degenerate: the model separates docs
     spec = reg["llm_dsir_weights_fast"]
     assert spec.oracle is None and spec.bench and not spec.driver_visible
+
+
+def test_fused_scores_where_bit_equals_two_call_composition(spark):
+    """dsir_scores_where (the r15 fused one-pass fit+score, one
+    checkpointed feature pass feeding both aggregates) must reproduce
+    dsir_scores(docs, dsir_log_ratio_table_where(docs, cond)) EXACTLY —
+    same feature rows -> same counts -> same rounded-ln ratios -> same
+    exact decimal sums — in both hash modes, and its executed plan must
+    contain exactly ONE feature explode (the two-call form pays two)."""
+    from hedera_etl_spark.operators.dsir import (
+        dsir_log_ratio_table_where,
+        dsir_scores,
+        dsir_scores_where,
+    )
+
+    rows = [
+        (i, ("alpha beta w%d" % (i % 5)) if i % 3 else ("zz%d yy%d" % (i, i % 7)))
+        for i in range(60)
+    ] + [(99, None)]  # NULL-text rail: no feature rows, no score row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cond = F.col("doc_id") % 3 != 0
+    for hash_fn in ("md5", "xxhash64"):
+        table = dsir_log_ratio_table_where(
+            docs, cond, n_buckets=B, salt=SALT, hash_fn=hash_fn
+        )
+        two = dsir_scores(
+            docs, table, n_buckets=B, salt=SALT, hash_fn=hash_fn
+        )
+        one = dsir_scores_where(
+            docs, cond, n_buckets=B, salt=SALT, hash_fn=hash_fn
+        )
+        a = sorted(map(tuple, two.collect()))
+        b = sorted(map(tuple, one.collect()))
+        assert a == b
+        assert 99 not in {t[0] for t in b}
+    # single feature pass: the explode runs once inside the checkpoint
+    # materialization, so the final executed plan has NO Generate left —
+    # both aggregate consumers scan the checkpointed RDD instead of
+    # re-deriving the feature rows (the two-call form pays two explodes)
+    fused = dsir_scores_where(docs, cond, n_buckets=B, salt=SALT)
+    fused.collect()
+    plan = plan_of(fused)
+    assert plan.count("Generate explode") == 0
+    assert "ExistingRDD" in plan
