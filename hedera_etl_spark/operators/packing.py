@@ -106,7 +106,27 @@ def pack_sequences(
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
-    counted = _counted_docs(docs, n_groups, id_col, text_col, count_col)
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    # r15 optimization round, two parallelism guards with no result
+    # change (the per-group FFD is deterministic under any partitioning):
+    # - ensure_parallelism BEFORE counting: the regex token count is the
+    #   only per-row-heavy expression here, and a one-split input (small
+    #   file, or a caller's single-partition checkpoint) would run it on
+    #   one core.  No-op on real multi-split tables.
+    # - an explicit hash repartition on group_id feeding applyInPandas:
+    #   the grouped-Python stage's cost is per-ROW Python+Arrow work,
+    #   invisible to AQE's byte-based coalescing, which on a small batch
+    #   folds the exchange to ONE task and serializes every group
+    #   through a single Python worker.  The explicit repartition pins
+    #   one task per group (capped at n_groups — the stage's inherent
+    #   parallelism bound) and satisfies the groupBy's distribution, so
+    #   no second exchange is planned.
+    counted = _counted_docs(
+        ensure_parallelism(docs), n_groups, id_col, text_col, count_col
+    )
+    n_tasks = min(n_groups, docs.sparkSession.sparkContext.defaultParallelism)
+    counted = counted.repartition(n_tasks, "group_id")
     return counted.groupBy("group_id").applyInPandas(
         lambda pdf: pd.concat(list(_pack_group(iter([pdf]), max_tokens))),
         schema=_OUT_SCHEMA,

@@ -316,6 +316,48 @@ def repetition_scores(
     )
 
 
+def _repetition_mode_stats(pre: DataFrame) -> DataFrame:
+    """(doc_id, __topt, __topbg) from ONE combined explode over the
+    ``_repetition_base`` frame — the aggregate half of the scalable
+    repetition twin.
+
+    r15 optimization round: the two mode aggregates (top token count,
+    top bigram char coverage) used to explode ``__t`` and ``__bg`` in
+    two separate passes — two corpus scans, two exchanges.  Tagging
+    each gram with its mode and exploding the CONCATENATED array folds
+    them into one scan and one (doc, kind, gram) exchange carrying the
+    same total row count; the per-mode maxima fall out of conditional
+    aggregation.  The kind tag keeps the two count spaces disjoint by
+    construction (tokens can also never textually collide with bigrams:
+    bigrams always contain the split space).
+
+    explode_OUTER + post-filter for the same InferFiltersFromGenerate
+    reason documented on the callers: a plain explode would push a
+    synthesized size()>0 filter below the projections and re-inline the
+    whole bigram construction per row."""
+    combined = F.concat(
+        F.transform(
+            "__t", lambda x: F.struct(F.lit(0).alias("k"), x.alias("g"))
+        ),
+        F.transform(
+            "__bg", lambda x: F.struct(F.lit(1).alias("k"), x.alias("g"))
+        ),
+    )
+    return (
+        pre.select("doc_id", F.explode_outer(combined).alias("kg"))
+        .filter(F.col("kg").isNotNull())
+        .groupBy("doc_id", "kg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("kg.k") == 0, F.col("cnt"))).alias("__topt"),
+            F.max(
+                F.when(F.col("kg.k") == 1, F.col("cnt") * F.length("kg.g"))
+            ).alias("__topbg"),
+        )
+    )
+
+
 def repetition_scores_scalable(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -330,31 +372,9 @@ def repetition_scores_scalable(
     Same inlining discipline as the per-row form: grams explode from the
     PROJECTED token/bigram columns of ``_repetition_base``."""
     pre = _repetition_base(docs, text_col, id_col)
-
-    def mode_stat(col_name, agg_expr):
-        """Per-doc max over (doc, gram) counts; agg_expr maps (cnt, gram)
-        to the maximand.
-
-        explode_OUTER + post-filter, not plain explode: for a plain
-        explode Catalyst's InferFiltersFromGenerate synthesizes
-        ``size(arr) > 0 AND isnotnull(arr)`` and pushes it below the
-        projections, INLINING the whole bigram construction (split and
-        all) into a per-row Filter — the array then builds twice per row
-        and the filter copy re-tokenizes per element (measured 4.6 s vs
-        0.27 s for this explode alone at sf0.1).  The rule skips outer
-        generates, and the null row an empty array emits is dropped by a
-        cheap filter on the OUTPUT column."""
-        return (
-            pre.select("doc_id", F.explode_outer(col_name).alias("g"))
-            .filter(F.col("g").isNotNull())
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("cnt"))
-            .groupBy("doc_id")
-            .agg(agg_expr.alias("stat"))
-        )
-
-    tok_top = mode_stat("__t", F.max("cnt"))
-    bg_top = mode_stat("__bg", F.max(F.col("cnt") * F.length("g")))
+    # both mode maxima from ONE combined explode (see
+    # _repetition_mode_stats — r15: was two separate explode passes)
+    stats = _repetition_mode_stats(pre)
 
     def frac(num, den):
         return (num / den).cast("decimal(9,6)").cast("double")
@@ -367,8 +387,7 @@ def repetition_scores_scalable(
         "__chars",
     )
     return (
-        base.join(tok_top.withColumnRenamed("stat", "__topt"), "doc_id", "left")
-        .join(bg_top.withColumnRenamed("stat", "__topbg"), "doc_id", "left")
+        base.join(stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_lines",
@@ -380,6 +399,105 @@ def repetition_scores_scalable(
                 "top_bigram_char_frac"
             ),
         )
+    )
+
+
+def text_stats_bundle(
+    docs: DataFrame,
+    gram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full per-document text profile — token counts, quality
+    heuristics, min-md5 char-gram fingerprint, repetition signals — in
+    TWO corpus scans.
+
+    r15 optimization round: the llm_text_stats entry composed
+    ``token_stats ⋈ quality_scores ⋈ char_fingerprints ⋈
+    repetition_scores_scalable`` — four operators, SIX parquet scans
+    (repetition alone paid three) and three broadcast joins, each arm
+    re-tokenizing the same text.  Everything except the two repetition
+    mode maxima is a per-row projection, so it all fuses into ONE
+    projection over a single tokenize; only the (doc, kind, gram)
+    aggregate (``_repetition_mode_stats``) needs its own scan.  Output
+    is column-for-column identical to the composition (same
+    expressions, same cast chain — pinned in tests/test_repetition.py),
+    so the entry's oracle is unchanged.
+
+    The two-step select (project ``__t`` first, derive everything in a
+    second select) is the anti-inlining discipline documented on
+    ``repetition_scores``: CollapseProject leaves a multiply-referenced
+    non-cheap alias alone, so the split runs once per row instead of
+    once per lambda reference.
+    """
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    en = LANG_PROFILES["en"]
+    pre = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__t"),
+    )
+    t = F.col("__t")
+    txt = F.col("__text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - F.lit(gram - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(gram)),
+    )
+    lines = F.split(txt, "\n")
+    n_tokens = F.size(t).cast("long")
+    n_distinct = F.size(F.array_distinct(t)).cast("long")
+    n_chars = F.length(txt).cast("long")
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(list(en)))).cast("long")
+
+    def frac(num, den, typ="decimal(9,6)"):
+        return (num / den).cast(typ).cast("double")
+
+    profile = pre.select(
+        "doc_id",
+        n_tokens.alias("n_ws_tokens"),
+        F.regexp_count(txt, F.lit(WORD_PATTERN)).cast("long").alias("n_re_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_chars.alias("n_chars"),
+        frac(n_distinct, n_tokens).alias("ttr"),
+        frac(n_chars - (n_tokens - F.lit(1)), n_tokens).alias("avg_token_len"),
+        frac(stop_hits, n_tokens).alias("stopword_ratio"),
+        frac(
+            n_distinct * F.lit(100) + stop_hits * F.lit(10),
+            n_tokens,
+            "decimal(12,6)",
+        ).alias("quality_score"),
+        F.substring(F.array_min(F.transform(grams, F.md5)), 1, 16).alias(
+            "fingerprint"
+        ),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
+    )
+    # the only non-per-row piece: the repetition mode maxima (one
+    # combined explode + aggregate — the second scan)
+    rep_pre = _repetition_base(docs, text_col, id_col)
+    stats = _repetition_mode_stats(rep_pre)
+    return profile.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_re_tokens",
+        "n_distinct_tokens",
+        "n_chars",
+        "ttr",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+        "fingerprint",
+        "n_grams",
+        "n_lines",
+        frac(F.col("n_lines") - F.col("__dl"), F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("__topt"), F.col("n_ws_tokens")).alias("top_token_frac"),
+        frac(F.coalesce(F.col("__topbg"), F.lit(0)), F.col("n_chars")).alias(
+            "top_bigram_char_frac"
+        ),
     )
 
 

@@ -716,7 +716,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's canonicalizer (DECIMAL values with trailing zeros
     hash-differently per engine; the DECIMAL->DOUBLE cast is
     round-to-nearest in both)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # r15 optimization round: the 23-expression projection (regexp,
+    # levenshtein, date math) chained straight onto a one-split parquet
+    # scan ran on a single core; ensure_parallelism spreads the per-row
+    # compute and is a no-op on any production table with real splits.
+    orders = ensure_parallelism(load_table(spark, sf_dir, "orders"))
     return orders.select(
         "o_orderkey",
         F.upper(F.substring("o_orderpriority", 3, 100)).alias("prio_name"),

@@ -101,3 +101,55 @@ def test_scalable_plan_never_inlines_construction_into_filters(spark):
     assert not bad, bad
     gens = [line for line in plan.splitlines() if "Generate explode" in line]
     assert gens and all(", true, " in g for g in gens), gens  # outer=true
+
+
+def test_text_stats_bundle_equals_four_operator_composition(spark):
+    """text_stats_bundle (r15: the fused two-scan llm_text_stats
+    relation) must be column-for-column identical to the
+    token_stats ⋈ quality_scores ⋈ char_fingerprints ⋈
+    repetition_scores_scalable composition it replaced — including the
+    NULL-text, empty-text and single-token rails."""
+    from pyspark.sql import Row
+
+    from hedera_etl_spark.operators.textanalysis import (
+        char_fingerprints,
+        quality_scores,
+        text_stats_bundle,
+        token_stats,
+    )
+    from hedera_etl_spark.tables import load_table
+
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=9_000_001, text=None),
+            # NOTE: empty-string text is outside BOTH forms' domain —
+            # top_bigram_char_frac divides by n_chars=0, an ANSI
+            # DIVIDE_BY_ZERO in the old composition and the bundle alike
+            Row(doc_id=9_000_003, text="word"),
+            Row(doc_id=9_000_004, text="nav home\nnav home\nbuy buy buy"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .unionByName(extra)
+    )
+    from hedera_etl_spark.operators.textanalysis import (
+        repetition_scores_scalable,
+    )
+
+    quality = quality_scores(docs).select(
+        "doc_id", "ttr", "avg_token_len", "stopword_ratio", "quality_score"
+    )
+    old = (
+        token_stats(docs)
+        .join(quality, "doc_id")
+        .join(char_fingerprints(docs, gram=5), "doc_id")
+        .join(repetition_scores_scalable(docs), "doc_id")
+    )
+    new = text_stats_bundle(docs, gram=5)
+    assert old.columns == new.columns
+    a = sorted(tuple(r) for r in old.collect())
+    b = sorted(tuple(r) for r in new.collect())
+    assert a == b
