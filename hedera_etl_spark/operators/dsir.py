@@ -485,6 +485,35 @@ def dsir_log_ratio_table_where(
     return _ratio_from_counts(counts, n_buckets)
 
 
+def dsir_feature_rows_where(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The (doc_id, bucket, __is_t) feature plan ``dsir_scores_where``
+    checkpoints — exposed separately so repeat callers can build the
+    expression-heavy plan ONCE and hand it in via ``feature_rows``:
+    the nested lambda/transform tree costs ~0.5 s of driver-side
+    construction per build (measured, r15), a constant the per-run
+    checkpoint otherwise re-pays because checkpoint-bearing plans are
+    excluded from the registry's prepared-plan cache.  A pure logical
+    plan — no data is pinned until a downstream checkpoint
+    materializes it."""
+    return hashed_feature_rows(
+        docs.withColumn("__is_t", target_cond),
+        text_col,
+        id_col,
+        n_buckets,
+        salt,
+        hash_fn,
+        carry_cols=("__is_t",),
+    )
+
+
 def dsir_scores_where(
     docs: DataFrame,
     target_cond,
@@ -494,6 +523,7 @@ def dsir_scores_where(
     salt: str = "dsir",
     hash_fn: str = "md5",
     default_log_ratio: float | None = None,
+    feature_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Fit AND score in ONE feature pass — the fused form of
     ``dsir_scores(docs, dsir_log_ratio_table_where(docs, cond))``.
@@ -522,15 +552,11 @@ def dsir_scores_where(
     checkpoint-bearing entry.
     """
     _check_hash_fn(hash_fn)
-    fr = hashed_feature_rows(
-        docs.withColumn("__is_t", target_cond),
-        text_col,
-        id_col,
-        n_buckets,
-        salt,
-        hash_fn,
-        carry_cols=("__is_t",),
-    ).localCheckpoint(eager=False)
+    if feature_rows is None:
+        feature_rows = dsir_feature_rows_where(
+            docs, target_cond, text_col, id_col, n_buckets, salt, hash_fn
+        )
+    fr = feature_rows.localCheckpoint(eager=False)
     counts = fr.groupBy("bucket").agg(
         F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
         .cast("long")

@@ -708,6 +708,15 @@ _DSIR_RESAMPLE_ORACLE = f"""
 """
 
 
+#: Per-session memo of the dsir FEATURE PLAN (a pure logical plan, no
+#: data): the entries below are excluded from the registry's prepared-
+#: plan cache because their checkpoint would pin round-1 data, but the
+#: expression-heavy feature subtree (~0.5 s of driver-side construction)
+#: is data-free and safe to reuse — each run still re-checkpoints and
+#: recomputes from parquet.
+_DSIR_FR_CACHE = None
+
+
 def _dsir_scored(
     spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
 ) -> DataFrame:
@@ -719,14 +728,32 @@ def _dsir_scored(
     # deduplicate them).  Pinned bit-equal to the two-call composition
     # in tests/test_dsir.py, so the same oracle covers both and the
     # driver hash-checks the production scan-count.
-    from hedera_etl_spark.operators.dsir import dsir_scores_where
+    global _DSIR_FR_CACHE
+    from hedera_etl_spark.operators.dsir import (
+        dsir_feature_rows_where,
+        dsir_scores_where,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    if _DSIR_FR_CACHE is None:
+        import weakref
+
+        _DSIR_FR_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per = _DSIR_FR_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mock/stub)
+        per = {}
+    fr = per.get((sf_dir, hash_fn))
+    if fr is None:
+        per[(sf_dir, hash_fn)] = fr = dsir_feature_rows_where(
+            docs, F.col("source") == "src1", n_buckets=_DSIR_B,
+            salt=_DSIR_SALT, hash_fn=hash_fn,
+        )
     return dsir_scores_where(
         docs, F.col("source") == "src1", n_buckets=_DSIR_B, salt=_DSIR_SALT,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, feature_rows=fr,
     )
 
 
