@@ -99,7 +99,12 @@ class CorpusSignatureStore:
     subdirectories, one pair per committed batch (append-only — a batch
     commit never rewrites earlier batches)."""
 
-    def __init__(self, spark: SparkSession, path: str, k: int = 9):
+    def __init__(
+        self, spark: SparkSession, path: str, k: int = 9,
+        hash_fn: str = "md5",
+    ):
+        if hash_fn not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_fn: {hash_fn!r}")
         self.spark = spark
         self.path = path
         self.k = k
@@ -108,6 +113,46 @@ class CorpusSignatureStore:
         os.makedirs(self.content_dir, exist_ok=True)
         os.makedirs(self.sigs_dir, exist_ok=True)
         self._heal()
+        # Signature hash mode is a STORE property (r15): signatures from
+        # different hash families must never mix in one store — the
+        # estimator compares components value-for-value.  The mode pins
+        # itself in a meta file on first open; reopening with a different
+        # requested mode keeps the store's recorded mode (and warns), so
+        # epochs stay comparable across sessions.  A legacy store (no
+        # meta, committed batches) is md5 — the only mode that ever
+        # wrote signatures before the meta existed.
+        self.hash_fn = self._resolve_hash_fn(hash_fn)
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_store_meta.json")
+
+    def _resolve_hash_fn(self, requested: str) -> str:
+        import json
+        import warnings
+
+        mp = self._meta_path()
+        if os.path.exists(mp):
+            with open(mp) as f:
+                meta = json.load(f)
+            if int(meta.get("k", self.k)) != self.k:
+                raise ValueError(
+                    f"signature store at {self.path} was built with "
+                    f"k={meta.get('k')}, reopened with k={self.k}"
+                )
+            recorded = meta.get("hash_fn", "md5")
+            if recorded != requested:
+                warnings.warn(
+                    f"signature store at {self.path} records "
+                    f"hash_fn={recorded!r}; ignoring requested "
+                    f"{requested!r} (signatures cannot mix hash families)"
+                )
+            return recorded
+        effective = "md5" if self.committed_batches() else requested
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": self.k, "hash_fn": effective, "version": 1}, f)
+        os.replace(tmp, mp)
+        return effective
 
     # -- commit protocol ----------------------------------------------------
     def _batch_dirs(self, root: str) -> set[str]:
@@ -460,9 +505,26 @@ def incremental_dedup_batch(
     #    store commit, AND the keeper decision, and recomputing the
     #    md5-per-shingle stage three times dominates batch cost otherwise.
     batch_docs = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    batch_sigs = minhash_signatures_from_sets(
-        shingle_sets(batch_docs, n=n), k=k
-    ).localCheckpoint()
+    # signer follows the STORE's recorded hash mode (r15): xxhash64
+    # signs hashed shingle sets with zero digest calls (the
+    # minhash_lsh_neardups production path — measured -41% on the
+    # signature stage at sf0.1 vs the interpreted md5-hex lambdas);
+    # md5 remains for stores created before the mode existed.  Both
+    # emit a row exactly for docs with >= n tokens, so the sigless
+    # pass-through arithmetic below is mode-independent.
+    if store.hash_fn == "xxhash64":
+        from hedera_etl_spark.operators.textdedup import (
+            hashed_shingle_sets,
+            minhash_signatures_from_hashed_sets,
+        )
+
+        batch_sigs = minhash_signatures_from_hashed_sets(
+            hashed_shingle_sets(batch_docs, n=n), k=k
+        ).localCheckpoint()
+    else:
+        batch_sigs = minhash_signatures_from_sets(
+            shingle_sets(batch_docs, n=n), k=k
+        ).localCheckpoint()
     # inverted candidate probe: only stored sigs sharing a batch bucket
     # join the LSH pass (pinned equivalent to banding the full store —
     # see store_candidate_sigs); localCheckpoint = one history scan

@@ -79,6 +79,7 @@ class CorpusIngestPipeline:
         text_classifier_scale: int = 1000,
         near_threshold: float = 0.5,
         shingle_n: int = 3,
+        minhash_hash_fn: str = "xxhash64",
         max_files_per_trigger: int | None = None,
         paragraph_dedup_sep: str | None = None,
         paragraph_min_chars: int = 1,
@@ -93,7 +94,16 @@ class CorpusIngestPipeline:
         self.spark = spark
         self.input_dir = input_dir
         self.corpus_table = corpus_table
-        self.store = CorpusSignatureStore(spark, store_path)
+        # r15: default the signature hash to the production xxhash64 mode
+        # prepare_training_corpus already uses (zero digest calls vs the
+        # interpreted md5-hex lambdas — measured -41% on the signature
+        # stage).  The store pins whichever mode first touches it, so a
+        # pre-existing md5 store keeps md5 (with a warning) and replays
+        # stay value-stable; pass minhash_hash_fn="md5" for the oracle-
+        # canon hash.
+        self.store = CorpusSignatureStore(
+            spark, store_path, hash_fn=minhash_hash_fn
+        )
         self.checkpoint = checkpoint
         self.min_tokens = min_tokens
         #: dict of textanalysis.gopher_quality_flags threshold overrides

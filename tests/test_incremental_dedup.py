@@ -396,3 +396,53 @@ def test_replay_with_ledger_heals_across_compaction(spark, store):
     assert s2.already_committed
     assert sorted(map(tuple, l2.df().collect())) == rows1
     assert sorted(r["doc_id"] for r in acc2.collect()) == [12]
+
+
+def test_store_hash_mode_pins_and_resolves(spark, tmp_path):
+    """r15: the signature hash family is a STORE property.  A new store
+    pins the requested mode; reopening with a different mode warns and
+    keeps the recorded one (signatures from different families must
+    never mix); a legacy store (no meta file, committed batches) is
+    md5 — the only mode that ever wrote signatures before the meta
+    existed.  Both modes produce the same accepted set on the fixture
+    corpus (dedup decisions are estimate-thresholded, and the fixture's
+    dups are far from the threshold)."""
+    import warnings
+
+    docs = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE),              # exact clone
+            (3, BASE + " zzz"),     # near-dup
+            (4, "completely different words about spark execution plans here"),
+        ],
+    )
+    # xxhash64 store: pins the mode, dedups identically on the fixture
+    sx = CorpusSignatureStore(spark, str(tmp_path / "sx"), hash_fn="xxhash64")
+    assert sx.hash_fn == "xxhash64"
+    acc_x, _ = incremental_dedup_batch(sx, docs, "b1")
+    sm = CorpusSignatureStore(spark, str(tmp_path / "sm"), hash_fn="md5")
+    acc_m, _ = incremental_dedup_batch(sm, docs, "b1")
+    assert sorted(r["doc_id"] for r in acc_x.collect()) == sorted(
+        r["doc_id"] for r in acc_m.collect()
+    )
+    # reopening with a different requested mode keeps the recorded one
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reopened = CorpusSignatureStore(spark, str(tmp_path / "sx"), hash_fn="md5")
+    assert reopened.hash_fn == "xxhash64"
+    assert any("hash" in str(x.message) for x in w)
+    # a second epoch against the reopened store still dedups vs history
+    acc2, stats2 = incremental_dedup_batch(
+        reopened, _docs(spark, [(10, BASE), (11, "fresh new content never seen before by anyone")]), "b2"
+    )
+    assert sorted(r["doc_id"] for r in acc2.collect()) == [11]
+    # legacy store: strip the meta from a committed md5 store -> resolves md5
+    legacy_path = str(tmp_path / "sm")
+    os.remove(os.path.join(legacy_path, "_store_meta.json"))
+    legacy = CorpusSignatureStore(spark, legacy_path, hash_fn="xxhash64")
+    assert legacy.hash_fn == "md5"
+    # k mismatch is a hard error
+    with pytest.raises(ValueError):
+        CorpusSignatureStore(spark, str(tmp_path / "sx"), k=5)
