@@ -106,25 +106,25 @@ def pack_sequences(
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
-    from hedera_etl_spark.tables import ensure_parallelism
-
-    # r15 optimization round, two parallelism guards with no result
-    # change (the per-group FFD is deterministic under any partitioning):
-    # - ensure_parallelism BEFORE counting: the regex token count is the
-    #   only per-row-heavy expression here, and a one-split input (small
-    #   file, or a caller's single-partition checkpoint) would run it on
-    #   one core.  No-op on real multi-split tables.
-    # - an explicit hash repartition on group_id feeding applyInPandas:
-    #   the grouped-Python stage's cost is per-ROW Python+Arrow work,
-    #   invisible to AQE's byte-based coalescing, which on a small batch
-    #   folds the exchange to ONE task and serializes every group
-    #   through a single Python worker.  The explicit repartition pins
-    #   one task per group (capped at n_groups — the stage's inherent
-    #   parallelism bound) and satisfies the groupBy's distribution, so
-    #   no second exchange is planned.
-    counted = _counted_docs(
-        ensure_parallelism(docs), n_groups, id_col, text_col, count_col
-    )
+    # r15 optimization round: ONE parallelism guard with no result change
+    # (the per-group FFD is deterministic under any partitioning) — an
+    # explicit hash repartition on group_id feeding applyInPandas: the
+    # grouped-Python stage's cost is per-ROW Python+Arrow work, invisible
+    # to AQE's byte-based coalescing, which on a small batch folds the
+    # exchange to ONE task and serializes every group through a single
+    # Python worker.  The explicit repartition pins one task per group
+    # (capped at n_groups — the stage's inherent parallelism bound) and
+    # satisfies the groupBy's distribution, so no second exchange is
+    # planned.  (A first cut ALSO wrapped ``docs`` in ensure_parallelism
+    # to spread the regex token count; that guard's .rdd partition probe
+    # forces full physical planning of the CALLER'S plan — ~2.5 s of
+    # driver time per call when the caller is the composed
+    # prepare_training_corpus — plus an extra full-width exchange, a net
+    # regression measured at +2.3-4.9 s per composed prepare run at
+    # sf0.1.  The token count is one split+size per row and the exchange
+    # below spreads everything downstream of it, so the probe bought
+    # nothing the repartition doesn't already provide.)
+    counted = _counted_docs(docs, n_groups, id_col, text_col, count_col)
     n_tasks = min(n_groups, docs.sparkSession.sparkContext.defaultParallelism)
     counted = counted.repartition(n_tasks, "group_id")
     return counted.groupBy("group_id").applyInPandas(
