@@ -598,6 +598,22 @@ def minhash_lsh_neardups(
         sig, bands, rows, max_bucket=max_bucket,
         cap_observations=cap_observations,
     )
+    # r15 optimization round (guide §3.2 family — shrink the join input
+    # with a sound prefilter): jaccard(inter) = inter/(n_a+n_b-inter) is
+    # increasing in inter and inter <= min(n_a, n_b), so a pair whose
+    # BEST-CASE jaccard (at inter = min) rounds below the threshold can
+    # never survive the final filter.  The bound uses the exact
+    # DECIMAL(9,6)->DOUBLE canon of the real jaccard, and rounding is
+    # monotone, so this drops ONLY pairs the threshold filter would drop
+    # — result-identical, proven by the unchanged oracle — while the
+    # set-intersection verify and its two joins see fewer pairs.
+    m = F.least("__n_a", "__n_b")
+    jmax = (
+        (m / (F.col("__n_a") + F.col("__n_b") - m))
+        .cast("decimal(9,6)")
+        .cast("double")
+    )
+    cand = cand.filter(jmax >= threshold)
     return (
         verify_jaccard_sets(sets, cand)
         .filter(F.col("jaccard") >= threshold)
@@ -776,6 +792,14 @@ def simhash_neardups(
     grouped = buckets.groupBy("band", "bv").agg(
         F.array_sort(F.collect_list(member)).alias("ds")
     )
+    # r15 optimization round (guide §2.3, filter/shrink before the
+    # exchange): hamming is a per-row function of the candidate pair, so
+    # computing it and applying the <= max_hamming cut BEFORE the dedup
+    # exchange is result-identical (filter and distinct commute when the
+    # filter depends only on the row) while the distinct then shuffles
+    # ONLY true near-dup pairs at 3 narrow columns, instead of every
+    # banded candidate at 6 (two rows with equal (doc_a, doc_b) carry
+    # equal fingerprints, hence equal hamming — dedup keys unchanged).
     pairs = (
         grouped.filter(F.size("ds") >= 2)
         .selectExpr(
@@ -785,19 +809,18 @@ def simhash_neardups(
             "'hi_a', a.fp_hi, 'lo_a', a.fp_lo, "
             "'hi_b', b.fp_hi, 'lo_b', b.fp_lo))))) AS p"
         )
-        .select("p.doc_a", "p.doc_b", "p.hi_a", "p.lo_a", "p.hi_b", "p.lo_b")
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming",
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            (
+                F.bit_count(F.col("p.hi_a").bitwiseXOR(F.col("p.hi_b")))
+                + F.bit_count(F.col("p.lo_a").bitwiseXOR(F.col("p.lo_b")))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .distinct()
     )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
