@@ -881,9 +881,14 @@ def token_entropy(
     engines disagree on).
 
     Two plans, identical values (pinned):
-    - default: ZERO-SHUFFLE per-row form — counts from
-      transform(array_distinct(t), d -> size(filter(t, = d))), O(u*n)
-      per row, the right plan for web documents (u*n ~ 10^5);
+    - default: ZERO-SHUFFLE per-row form — sort the token array once and
+      fold run lengths (r15 optimization round; the previous
+      transform(array_distinct(t), d -> size(filter(t, = d))) form was
+      O(u*n) string comparisons per row — ~5x slower at sf0.1 — where
+      the sort+fold is O(n log n)).  Every ln(c) term uses the exact
+      cast chain of the oracle canon and the decimal(38,6) accumulation
+      is exact, so summing run lengths in sorted order instead of
+      first-occurrence order is bit-identical;
     - ``scalable=True``: explode + (doc, token) aggregate + doc
       aggregate — two map-side-combined exchanges, linear in tokens,
       the form for pathological single-token-repeated-10^7-times rows
@@ -906,23 +911,51 @@ def token_entropy(
             ).cast("decimal(38,6)").alias("__wsum"),
         )
     else:
-        tc = F.col("__t")
-        counts = F.transform(
-            F.array_distinct(tc),
-            lambda d: F.size(F.filter(tc, lambda x: x == d)).cast("long"),
+        # sorted-run-length fold: equal tokens are adjacent after
+        # array_sort, so one O(n) pass over indices 2..n accumulates the
+        # SAME per-distinct-token c*ln(c) terms the old per-distinct
+        # scan produced — the exact decimal sum is order-free, so the
+        # value is bit-identical (pinned against the scalable form and
+        # the oracle).  The sorted array lives in its OWN projection so
+        # the two element_at references per fold step hit a column, not
+        # two inlined copies of the sort (the repetition_scores
+        # anti-inlining discipline).
+        sc = F.col("__s")
+
+        def _term(c):
+            return (c * F.log(c).cast("decimal(12,6)")).cast("decimal(38,6)")
+
+        zero = F.lit(0).cast("decimal(38,6)")
+        run_fold = F.aggregate(
+            F.sequence(F.lit(2), F.size(sc)),
+            F.struct(
+                F.lit(1).cast("long").alias("run"), zero.alias("acc")
+            ),
+            lambda st, i: F.when(
+                F.element_at(sc, i) == F.element_at(sc, i - 1),
+                F.struct((st["run"] + 1).alias("run"), st["acc"].alias("acc")),
+            ).otherwise(
+                F.struct(
+                    F.lit(1).cast("long").alias("run"),
+                    (st["acc"] + _term(st["run"])).alias("acc"),
+                )
+            ),
+            lambda st: st["acc"] + _term(st["run"]),
         )
+        # size < 2 guard: sequence(2, n) flips to a DESCENDING sequence
+        # for n < 2, so short arrays take the closed forms instead —
+        # n == 1 sums the single term c=1 (ln(1) -> exactly 0), n == 0
+        # is the empty sum; both equal the zero literal.  NULL text
+        # stays NULL through the otherwise-less when.
         agg = docs.select(
             F.col(id_col).alias("doc_id"),
-            t.alias("__t"),
+            F.array_sort(t).alias("__s"),
         ).select(
             "doc_id",
-            F.size(tc).cast("long").alias("n_tokens"),
-            F.aggregate(
-                counts,
-                F.lit(0).cast("decimal(38,6)"),
-                lambda acc, c: acc
-                + (c * F.log(c).cast("decimal(12,6)")).cast("decimal(38,6)"),
-            ).alias("__wsum"),
+            F.size(sc).cast("long").alias("n_tokens"),
+            F.when(F.size(sc) >= 2, run_fold)
+            .when(F.size(sc) >= 0, zero)
+            .alias("__wsum"),
         )
     # the final value stays a RAW double: every input is an exact
     # decimal (same double image in any engine) and the division +

@@ -73,24 +73,50 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-detection aggregate: GROUP BY key HAVING count>N — the exact
-    shape of GetDuplicatesTemplateQuery.java:33-36.  Spark plans partial
-    (map-side) + final HashAggregate, so the shuffle carries one row per
-    (partition, key), not per input row.  Rides the aggregate-flavor
-    surface on the same exchange: conditional aggregate (SUM CASE — the
-    count_if shape), grouped COUNT(DISTINCT), and ordered listagg
-    (array_join over array_sort(collect_list) — sorted, so tie order is
-    irrelevant and the string matches any engine's ORDER BY agg)."""
+    shape of GetDuplicatesTemplateQuery.java:33-36.  Rides the
+    aggregate-flavor surface: conditional aggregate (SUM CASE — the
+    count_if shape), grouped COUNT(DISTINCT), and ordered listagg.
+
+    r15 optimization round (guide §2.3, aggregate before you shuffle):
+    the direct one-level form fed collect_list(o_orderpriority) — every
+    input ROW as a string in an ObjectHashAggregate buffer — through
+    BOTH exchanges of the COUNT(DISTINCT) two-level rewrite.  This form
+    aggregates to (custkey, priority, count) first — a codegen
+    HashAggregate with narrow longs whose map-side combine ships one row
+    per (custkey, priority) — then derives every output from the counts:
+    num = SUM(c), n_urgent = the URGENT count, n_prios = COUNT(*), and
+    the ordered listagg rebuilds the sorted occurrence list as
+    array_repeat per priority (sorting the distinct priorities groups
+    equal values exactly as sorting the full multiset would, so the
+    joined string is byte-identical).  The only object buffer left is a
+    <=#distinct-priorities collect_list at the second level, and the
+    distinct-rewrite's Expand disappears (n_prios is free)."""
     orders = load_table(spark, sf_dir, "orders")
+    per_prio = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("__c")
+    )
     return (
-        orders.groupBy("o_custkey")
+        per_prio.groupBy("o_custkey")
         .agg(
-            F.count("*").alias("num"),
+            F.sum("__c").alias("num"),
             F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("__c")).otherwise(
+                    0
+                )
             ).alias("n_urgent"),
-            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count("*").alias("n_prios"),
             F.array_join(
-                F.array_sort(F.collect_list("o_orderpriority")), ","
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("o_orderpriority", "__c"))
+                        ),
+                        lambda s: F.array_repeat(
+                            s["o_orderpriority"], s["__c"].cast("int")
+                        ),
+                    )
+                ),
+                ",",
             ).alias("prios"),
         )
         .filter(F.col("num") > 12)
