@@ -199,10 +199,27 @@ def parse_transactions(
     if fields is not None:
         spec = prune_spec(spec, sorted(set(fields) | {"consensusTimestamp"}))
     wire = parse_schema(spec)
+    # Single-evaluation barrier (r15 optimization round, guide §4.4
+    # applied to a JVM expression): downstream filters reference __p, and
+    # with a plain deterministic parse Catalyst inlines the ENTIRE
+    # from_json (plus whatever expression feeds value_col — for the
+    # bench corpus a to_json synthesis) into the filter CONDITION as well
+    # as the projection — the executed Filter+Project pair evaluated the
+    # parse twice per row (plan-verified; subexpression elimination only
+    # dedups WITHIN one operator).  Routing the parse input through an
+    # always-identity nondeterministic wrapper pins the parse in this
+    # projection: non-deterministic expressions may not be duplicated or
+    # reordered, so the filter keeps its attribute reference and every
+    # row parses ONCE.  spark_partition_id() is constant within a task
+    # and the WHEN branch never fires, so the value (and task-retry
+    # behavior) is identical.
+    nd_value = F.when(F.spark_partition_id() < 0, F.lit(None)).otherwise(
+        F.col(value_col)
+    )
     parsed = raw.select(
         F.col(value_col).alias("__raw"),
         F.from_json(
-            F.col(value_col),
+            nd_value,
             wire,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("__p"),
