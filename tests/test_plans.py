@@ -192,6 +192,40 @@ def test_simhash_neardups_single_fingerprint_pass(spark):
     assert plan.count("split(text") == 1, plan
 
 
+def test_simhash_pair_dedup_filters_before_exchange(spark):
+    """r15 shuffle-fewer-bytes pin: the candidate-pair dedup must hash-
+    partition on the POST-hamming-filter 3-column projection
+    (doc_a, doc_b, hamming), never the 6-column fingerprint-carrying
+    candidates, and the hamming cut must sit BELOW that exchange."""
+    from hedera_etl_spark.operators.textdedup import simhash_neardups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    df = simhash_neardups(docs, n_bands=4, max_hamming=3)
+    df.collect()
+    plan = plan_of(df)
+    # the dedup exchange keys on exactly the 3 output columns
+    import re
+    assert re.search(
+        r"Exchange hashpartitioning\(doc_a#\d+L?, doc_b#\d+L?, hamming#\d+", plan
+    ), plan
+    # no exchange ships the per-pair fingerprint halves
+    assert not re.search(r"Exchange hashpartitioning\([^)]*hi_a", plan), plan
+
+
+def test_tx_parse_evaluates_from_json_once(spark):
+    """r15 single-evaluation barrier (transform.parse_transactions): the
+    typed branch's physical plan must contain exactly ONE from_json —
+    the filter references the projected attribute instead of inlining a
+    second copy of the parse."""
+    from hedera_etl_spark.queries import load_registry
+
+    df = load_registry()["hed_tx_transform"].spark_fn(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("from_json") == 1, plan
+
+
 def test_minhash_signature_stage_has_no_exchange(spark):
     """The shingle->signature stage is pure per-row array math: its plan
     must contain ZERO Exchange nodes (the r2 form paid two — a distinct
