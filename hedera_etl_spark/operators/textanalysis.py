@@ -256,6 +256,76 @@ def _repetition_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toked.withColumn("__bg", bigrams)
 
 
+def _run_max(s: F.Column) -> F.Column:
+    """Max run length of the SORTED array column ``s`` (size >= 2): one
+    O(n) fold over indices 2..n — equal values are adjacent after
+    array_sort, so the longest run IS the mode count."""
+    long1 = F.lit(1).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(2), F.size(s)),
+        F.struct(long1.alias("run"), long1.alias("best")),
+        lambda st, i: F.when(
+            F.element_at(s, i) == F.element_at(s, i - 1),
+            F.struct(
+                (st["run"] + 1).alias("run"),
+                F.greatest(st["best"], st["run"] + 1).alias("best"),
+            ),
+        ).otherwise(F.struct(long1.alias("run"), st["best"].alias("best"))),
+        lambda st: st["best"],
+    )
+
+
+def _run_cover_max(s: F.Column) -> F.Column:
+    """Max of (run length x element length) over the SORTED array column
+    ``s`` (size >= 2) — the top-bigram CHARACTER-COVERAGE maximand, via
+    the same run-length fold as ``_run_max``; a run's element is read
+    once at the position where the run closes."""
+    long1 = F.lit(1).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(2), F.size(s)),
+        F.struct(long1.alias("run"), F.lit(0).cast("long").alias("best")),
+        lambda st, i: F.when(
+            F.element_at(s, i) == F.element_at(s, i - 1),
+            F.struct((st["run"] + 1).alias("run"), st["best"].alias("best")),
+        ).otherwise(
+            F.struct(
+                long1.alias("run"),
+                F.greatest(
+                    st["best"],
+                    st["run"] * F.length(F.element_at(s, i - 1)).cast("long"),
+                ).alias("best"),
+            )
+        ),
+        lambda st: F.greatest(
+            st["best"],
+            st["run"] * F.length(F.element_at(s, F.size(s))).cast("long"),
+        ),
+    )
+
+
+def _mode_maxima_exprs(st: F.Column, sbg: F.Column) -> tuple[F.Column, F.Column]:
+    """(top-token count, top-bigram char coverage) from SORTED token /
+    bigram array columns — the per-row fold twins of
+    ``_repetition_mode_stats``'s explode aggregates, with the same
+    NULL/empty rails the explode+left-join shape produces:
+
+    - NULL array (NULL text) -> NULL (doc absent from the explode
+      aggregate);
+    - single element -> the closed form (run 1);
+    - empty bigram array (size < 2 tokens) -> NULL (no k=1 rows for the
+      doc), which callers coalesce to 0 exactly as the join form does.
+    """
+    topt = (
+        F.when(F.size(st) >= 2, _run_max(st))
+        .when(F.size(st) == 1, F.lit(1).cast("long"))
+    )
+    topbg = (
+        F.when(F.size(sbg) >= 2, _run_cover_max(sbg))
+        .when(F.size(sbg) == 1, F.length(F.element_at(sbg, 1)).cast("long"))
+    )
+    return topt, topbg
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -273,12 +343,16 @@ def repetition_scores(
       the deterministic tie-free maximand.
 
     All pure per-row array expressions — ZERO shuffle at any corpus
-    size.  The distinct x occurrences counting is O(d·n) per row, fine
-    for web-scale documents (d ≤ a few thousand); corpora of
-    pathologically long documents should chunk first
+    size.  Mode counts come from an array_sort + run-length fold
+    (O(n log n) per row; r15 optimization round — the previous
+    distinct x occurrences lambdas were O(d·n) interpreted string
+    comparisons, measured 5.7 s at sf0.1 where this form and the
+    explode twin run ~0.4 s).  Counts are exact integers either way, so
+    the values are bit-identical (pinned against the scalable twin).
+    Corpora of pathologically long documents should still chunk first
     (``chunk_documents``) or use ``repetition_scores_scalable``, the
-    explode+aggregate twin (linear work, two narrow shuffles) pinned
-    bit-equal in tests.
+    explode+aggregate twin (linear work spread across the cluster, two
+    narrow shuffles) pinned bit-equal in tests.
 
     Ratios divide exact integers rounded through DECIMAL(9,6) (house
     canonicalization), so the DuckDB oracle reproduces every value.
@@ -287,29 +361,31 @@ def repetition_scores(
     once and the bigram array is built from the projected column in a
     second select — building it straight off ``split(text)`` inlines the
     split into every ``element_at`` lambda reference, re-tokenizing each
-    document ~2n times (measured 10x on this exact operator).
+    document ~2n times (measured 10x on this exact operator).  The
+    SORTED arrays get the same treatment: each fold reads its array in
+    every lambda step, so the sort must live in its own projection.
     """
-    base = _repetition_base(docs, text_col, id_col)
+    base = _repetition_base(docs, text_col, id_col).select(
+        "doc_id",
+        "n_lines",
+        "__dl",
+        F.size("__t").cast("long").alias("__nt"),
+        "__chars",
+        F.array_sort("__t").alias("__st"),
+        F.array_sort("__bg").alias("__sbg"),
+    )
 
     def frac(num, den):
         return (num / den).cast("decimal(9,6)").cast("double")
-    top_token = F.array_max(
-        F.transform(
-            F.array_distinct("__t"),
-            lambda x: F.size(F.filter("__t", lambda y: y == x)),
-        )
-    )
-    top_bigram_chars = F.array_max(
-        F.transform(
-            F.array_distinct("__bg"),
-            lambda x: F.size(F.filter("__bg", lambda y: y == x)) * F.length(x),
-        )
+
+    top_token, top_bigram_chars = _mode_maxima_exprs(
+        F.col("__st"), F.col("__sbg")
     )
     return base.select(
         "doc_id",
         "n_lines",
         frac(F.col("n_lines") - F.col("__dl"), F.col("n_lines")).alias("dup_line_frac"),
-        frac(top_token, F.size("__t")).alias("top_token_frac"),
+        frac(top_token, F.col("__nt")).alias("top_token_frac"),
         frac(F.coalesce(top_bigram_chars, F.lit(0)), F.col("__chars")).alias(
             "top_bigram_char_frac"
         ),
@@ -410,25 +486,30 @@ def text_stats_bundle(
 ) -> DataFrame:
     """The full per-document text profile — token counts, quality
     heuristics, min-md5 char-gram fingerprint, repetition signals — in
-    TWO corpus scans.
+    ONE corpus scan, zero joins, zero shuffles.
 
-    r15 optimization round: the llm_text_stats entry composed
+    r15 optimization round, two steps: the llm_text_stats entry composed
     ``token_stats ⋈ quality_scores ⋈ char_fingerprints ⋈
     repetition_scores_scalable`` — four operators, SIX parquet scans
     (repetition alone paid three) and three broadcast joins, each arm
-    re-tokenizing the same text.  Everything except the two repetition
-    mode maxima is a per-row projection, so it all fuses into ONE
-    projection over a single tokenize; only the (doc, kind, gram)
-    aggregate (``_repetition_mode_stats``) needs its own scan.  Output
-    is column-for-column identical to the composition (same
-    expressions, same cast chain — pinned in tests/test_repetition.py),
-    so the entry's oracle is unchanged.
+    re-tokenizing the same text.  First everything except the two
+    repetition mode maxima fused into one projection over a single
+    tokenize (two scans + one join).  Then the mode maxima themselves
+    moved in-row — array_sort + run-length fold (``_mode_maxima_exprs``,
+    the ``token_entropy`` rewrite applied to the repetition kernel) —
+    deleting the explode branch: its second corpus scan, both
+    map-side-combined exchanges and the broadcast join (plan: 22 nodes /
+    3 exchanges -> 8 nodes / 1 ensure-parallelism exchange).  Counts are
+    exact integers in both forms, so output is column-for-column
+    identical to the original composition (same expressions, same cast
+    chain — pinned in tests/test_repetition.py) and the entry's oracle
+    is unchanged.
 
-    The two-step select (project ``__t`` first, derive everything in a
-    second select) is the anti-inlining discipline documented on
-    ``repetition_scores``: CollapseProject leaves a multiply-referenced
-    non-cheap alias alone, so the split runs once per row instead of
-    once per lambda reference.
+    The stepped selects (project ``__t`` first, the bigram/sorted arrays
+    next, derive everything in a final select) are the anti-inlining
+    discipline documented on ``repetition_scores``: CollapseProject
+    leaves a multiply-referenced non-cheap alias alone, so the split and
+    the sorts run once per row instead of once per lambda reference.
     """
     from hedera_etl_spark.tables import ensure_parallelism
 
@@ -440,6 +521,21 @@ def text_stats_bundle(
     )
     t = F.col("__t")
     txt = F.col("__text")
+    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        )
+    )
+    sorted_arrays = pre.select(
+        "doc_id",
+        "__text",
+        "__t",
+        F.array_sort(t).alias("__st"),
+        F.array_sort(bigrams).alias("__sbg"),
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(txt) - F.lit(gram - 1), F.lit(1))),
         lambda i: txt.substr(i, F.lit(gram)),
@@ -449,11 +545,14 @@ def text_stats_bundle(
     n_distinct = F.size(F.array_distinct(t)).cast("long")
     n_chars = F.length(txt).cast("long")
     stop_hits = F.size(F.filter(t, lambda x: x.isin(list(en)))).cast("long")
+    n_lines = F.size(lines).cast("long")
+    dl = F.size(F.array_distinct(lines)).cast("long")
+    topt, topbg = _mode_maxima_exprs(F.col("__st"), F.col("__sbg"))
 
     def frac(num, den, typ="decimal(9,6)"):
         return (num / den).cast(typ).cast("double")
 
-    profile = pre.select(
+    return sorted_arrays.select(
         "doc_id",
         n_tokens.alias("n_ws_tokens"),
         F.regexp_count(txt, F.lit(WORD_PATTERN)).cast("long").alias("n_re_tokens"),
@@ -471,31 +570,10 @@ def text_stats_bundle(
             "fingerprint"
         ),
         F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("__dl"),
-    )
-    # the only non-per-row piece: the repetition mode maxima (one
-    # combined explode + aggregate — the second scan)
-    rep_pre = _repetition_base(docs, text_col, id_col)
-    stats = _repetition_mode_stats(rep_pre)
-    return profile.join(stats, "doc_id", "left").select(
-        "doc_id",
-        "n_ws_tokens",
-        "n_re_tokens",
-        "n_distinct_tokens",
-        "n_chars",
-        "ttr",
-        "avg_token_len",
-        "stopword_ratio",
-        "quality_score",
-        "fingerprint",
-        "n_grams",
-        "n_lines",
-        frac(F.col("n_lines") - F.col("__dl"), F.col("n_lines")).alias(
-            "dup_line_frac"
-        ),
-        frac(F.col("__topt"), F.col("n_ws_tokens")).alias("top_token_frac"),
-        frac(F.coalesce(F.col("__topbg"), F.lit(0)), F.col("n_chars")).alias(
+        n_lines.alias("n_lines"),
+        frac(n_lines - dl, n_lines).alias("dup_line_frac"),
+        frac(topt, n_tokens).alias("top_token_frac"),
+        frac(F.coalesce(topbg, F.lit(0)), n_chars).alias(
             "top_bigram_char_frac"
         ),
     )

@@ -103,6 +103,27 @@ def test_scalable_plan_never_inlines_construction_into_filters(spark):
     assert gens and all(", true, " in g for g in gens), gens  # outer=true
 
 
+def test_bundle_projection_compiles_without_codegen_overflow(spark):
+    """r15: the single-scan bundle packs the whole profile — md5 gram
+    fingerprint, two array_sorts and two run-length folds — into one
+    Project; assert the generated code stays under janino's 64 KB method
+    limit by running with codegen fallback DISABLED (an overflow then
+    raises instead of silently paying a failed compile + interpreted
+    run, the r14 join-condition lesson)."""
+    from hedera_etl_spark.operators.textanalysis import text_stats_bundle
+    from hedera_etl_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert text_stats_bundle(docs, gram=5).count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_text_stats_bundle_equals_four_operator_composition(spark):
     """text_stats_bundle (r15: the fused two-scan llm_text_stats
     relation) must be column-for-column identical to the
