@@ -482,16 +482,19 @@ def main() -> int:
     out["metric"] = "total_bench_sec"
     out["unit"] = "sec"
     out["value"] = total
-    # two SLIM detail lines (VERDICT r10 #4 cosmetic: one fat line kept
-    # losing its head to the driver's tail capture) — cold first, warm
-    # second, contract line last, so truncation eats in that order
+    # detail lines go to STDERR (VERDICT r15 #9: the driver's r14 parse
+    # failed because several JSON lines shared stdout — the contract line
+    # must be LAST and ALONE on stdout; detail stays available in logs)
     if prepare_stage_sec:
         # per-stage attribution inside prepare_sec (VERDICT r11 #6);
         # eager-boundary instrumented run, so the sum may exceed the
         # pipelined headline — it names the stage, it is not the total
-        print(json.dumps({"detail": "prepare_stage_sec", **prepare_stage_sec}))
-    print(json.dumps({"detail": "duckdb_cold_parquet_query_sec", **duck_cold}))
-    print(json.dumps({"detail": "duckdb_warm_query_sec", **duck_timings}))
+        print(json.dumps({"detail": "prepare_stage_sec", **prepare_stage_sec}),
+              file=sys.stderr)
+    print(json.dumps({"detail": "duckdb_cold_parquet_query_sec", **duck_cold}),
+          file=sys.stderr)
+    print(json.dumps({"detail": "duckdb_warm_query_sec", **duck_timings}),
+          file=sys.stderr)
     print(json.dumps(out))
     # nonzero rc only when NOTHING ran — a partial bench still reports
     return 0 if timings else 1
