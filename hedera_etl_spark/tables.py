@@ -112,6 +112,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: ``ensure_parallelism`` probes partitioning via ``df.rdd``, which forces
+#: FULL physical planning of the frame — ~50 ms on a bare scan, SECONDS on a
+#: composed pipeline plan (the r15 pack_sequences regression, fixed per call
+#: site in d416e3f; this guard makes it structural).  A frame with more
+#: logical nodes than this is composed: it already contains its own
+#: exchanges, so the probe is skipped and the frame passes through untouched.
+_PROBE_MAX_PLAN_NODES = 12
+
+
+def _probe_is_safe(df: DataFrame, limit: int) -> bool:
+    """Whether the ``.rdd`` partition probe is cheap for this frame.
+
+    Walks the ANALYZED plan — already computed eagerly when the DataFrame
+    was constructed — and never touches optimization or physical planning;
+    cost is a handful of py4j calls for small plans, bounded by ``limit``
+    for big ones.  Unsafe when:
+
+    - the plan exceeds ``limit`` nodes (composed pipeline: the probe would
+      force full physical planning, seconds of driver time), or
+    - any leaf is a ``LogicalRDD`` (a checkpointed upstream: its
+      partitioning came from real shuffles already, and under AQE the
+      probe can trigger actual stage EXECUTION of everything between the
+      checkpoint and this frame just to learn a partition count).
+    """
+    stack = [df._jdf.queryExecution().analyzed()]
+    n = 0
+    while stack:
+        node = stack.pop()
+        n += 1
+        if n > limit:
+            return False
+        children = node.children()
+        size = children.size()
+        if size == 0 and node.getClass().getSimpleName() == "LogicalRDD":
+            return False
+        for i in range(size):
+            stack.append(children.apply(i))
+    return True
+
+
 def ensure_parallelism(
     df: DataFrame,
     min_partitions: int | None = None,
@@ -148,7 +188,14 @@ def ensure_parallelism(
     key = f"_hes_ensured_{n}_{'_'.join(by) if by else ''}"
     cached = getattr(df, key, None)
     if cached is None:
-        if df.rdd.getNumPartitions() < n:
+        if not _probe_is_safe(df, _PROBE_MAX_PLAN_NODES):
+            # Composed or checkpoint-rooted plan: the .rdd probe below
+            # would force seconds of single-threaded physical planning —
+            # or, under AQE, actual stage execution — on the driver
+            # (guide §7.3), and such a frame already carries its own
+            # exchanges — pass it through untouched.
+            cached = df
+        elif df.rdd.getNumPartitions() < n:
             cached = df.repartition(n, *by) if by else df.repartition(n)
         else:
             cached = df

@@ -256,6 +256,38 @@ def test_ensure_parallelism_is_noop_on_wide_input(spark):
     assert ensure_parallelism(narrow).rdd.getNumPartitions() == n
 
 
+def test_ensure_parallelism_skips_probe_on_composed_plan(spark, monkeypatch):
+    """The ``.rdd`` partition probe forces FULL physical planning of the
+    frame — seconds of driver time on a composed pipeline plan (the r15
+    pack_sequences regression, VERDICT r15 #6).  A frame whose logical
+    plan exceeds the node threshold must pass through UNTOUCHED without
+    the probe ever firing: ``.rdd`` is patched to explode, so any probe
+    attempt fails the test."""
+    from hedera_etl_spark.tables import _PROBE_MAX_PLAN_NODES, ensure_parallelism
+
+    # a composed plan: joins + aggregates stacked well past the threshold
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    composed = df
+    for i in range(_PROBE_MAX_PLAN_NODES):
+        composed = composed.withColumn(f"c{i}", F.col("k") + i)
+    composed = composed.join(df, "k").groupBy("k").count()
+
+    def _boom(self):
+        raise AssertionError("ensure_parallelism probed .rdd on a composed plan")
+
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame in
+    # Spark 4) — the abstract pyspark.sql.DataFrame's property is shadowed
+    monkeypatch.setattr(type(composed), "rdd", property(_boom))
+    assert ensure_parallelism(composed) is composed
+    # a checkpoint-rooted frame must not probe either: under AQE the
+    # probe EXECUTES the stages between the checkpoint and this frame
+    ckpt = df.localCheckpoint(eager=True).withColumn("c", F.col("k") * 2)
+    assert ensure_parallelism(ckpt) is ckpt
+    # a scan-shaped frame still probes (and here, still spreads)
+    with pytest.raises(AssertionError, match="probed .rdd"):
+        ensure_parallelism(spark.range(10).coalesce(1))
+
+
 def test_minhash_set_and_exploded_signatures_agree(spark):
     """The per-row array signature and the exploded groupBy signature are
     the same function (min over the same hashed set) — pinned so the fast
