@@ -365,6 +365,39 @@ class TestBloomAutoSizing:
         with pytest.raises(ValueError, match="decontam_mode"):
             prepare_training_corpus(corpus, decontam_mode="bogus", **kw).collect()
 
+    def test_auto_mode_token_bound_short_circuit(
+        self, spark, corpus, eval_set, monkeypatch
+    ):
+        """r16: auto mode decides 'exact' from the cheap token-count upper
+        bound when it is under the threshold — the explode+distinct+HLL
+        reference pass must not run (sum(tokens) >= distinct shingles, so
+        the decision is provably identical).  A tiny threshold forces the
+        fall-through to the precise count and must still pick bloom, with
+        results unchanged."""
+        import hedera_etl_spark.operators.decontam as dc
+        from hedera_etl_spark.operators.llm_pipeline import prepare_training_corpus
+
+        kw = dict(near_threshold=None, min_tokens=0, eval_docs=eval_set)
+        exact = sorted(
+            r["doc_id"]
+            for r in prepare_training_corpus(
+                corpus, decontam_mode="exact", **kw
+            ).collect()
+        )
+        # threshold 1: bound always exceeds it -> precise count -> bloom
+        got = prepare_training_corpus(
+            corpus, decontam_mode="auto", bloom_auto_threshold=1, **kw
+        )
+        assert exact == sorted(r["doc_id"] for r in got.collect())
+
+        def _boom(*a, **kw_):
+            raise AssertionError("reference HLL pass should be short-circuited")
+
+        monkeypatch.setattr(dc.F, "approx_count_distinct", _boom)
+        # default threshold (2M) dwarfs the eval token bound -> short-circuit
+        got = prepare_training_corpus(corpus, decontam_mode="auto", **kw)
+        assert exact == sorted(r["doc_id"] for r in got.collect())
+
     def test_partial_explicit_sizing_pairs_correctly(self, spark, corpus, eval_set):
         """m given without k -> k optimal for THAT m; k given without m
         -> m sized for THAT k (r10 review: pairing an auto value computed
