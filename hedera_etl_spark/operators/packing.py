@@ -148,26 +148,24 @@ def _counted_docs(
     document text.
     """
     if count_col:
-        n = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
+        n = f"coalesce(CAST(`{count_col}` AS BIGINT), 0)"
     else:
         # whitespace token count; empty/null text counts 0 (split of ""
         # yields [""] — size 1 — so the empty case needs its own branch)
-        n = F.coalesce(
-            F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.trim(text_col), "\\s+"))
-            ),
-            F.lit(0),
-        ).cast("long")
-    return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        n.alias("n_tokens"),
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(n_groups),
+        n = (
+            f"CAST(coalesce(CASE WHEN length(trim(`{text_col}`)) = 0 THEN 0 "
+            f"ELSE size(split(trim(`{text_col}`), '\\\\s+')) END, 0) AS BIGINT)"
         )
-        .cast("int")
-        .alias("group_id"),
+    # SQL-text construction (r16, guide §7.3): identical analyzed plan to
+    # the Column-chain form, ~10x fewer py4j round-trips on prepare's spine
+    group = (
+        f"CAST(pmod(CAST(conv(substring(md5(CAST(`{id_col}` AS STRING)), "
+        f"1, 15), 16, 10) AS BIGINT), {int(n_groups)}) AS INT)"
+    )
+    return docs.selectExpr(
+        f"CAST(`{id_col}` AS BIGINT) AS doc_id",
+        f"{n} AS n_tokens",
+        f"{group} AS group_id",
     )
 
 

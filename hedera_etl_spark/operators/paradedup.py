@@ -73,14 +73,14 @@ def paragraph_occurrences(
     paragraph content never leaves the document's row."""
     # split() takes a REGEX: escape so sep is literal (DuckDB's
     # string_split twin is literal by definition)
-    hashed = F.expr(
+    hashed = (
         f"transform(split({text_col}, {_sql_str(re.escape(sep))}), p -> "
         "named_struct('h', md5(p), 'n', length(p)))"
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(hashed))
-        .filter(F.col("col.n") >= min_chars)
-        .select("doc_id", F.col("pos").alias("idx"), F.col("col.h").alias("para_hash"))
+        docs.selectExpr(f"`{id_col}` AS doc_id", f"posexplode({hashed})")
+        .filter(f"col.n >= {int(min_chars)}")
+        .selectExpr("doc_id", "pos AS idx", "col.h AS para_hash")
     )
 
 
@@ -112,8 +112,6 @@ def duplicate_paragraph_drops(
     ``occ`` gains a second consumer — callers that pass a
     localCheckpoint'ed occurrence frame (paragraph_dedup does) pay
     nothing extra.  Equality of the two forms is pytest-pinned."""
-    from pyspark.sql import Window
-
     if skew_safe:
         agg = (
             occ.groupBy("para_hash")
@@ -132,16 +130,18 @@ def duplicate_paragraph_drops(
             )
             .select("doc_id", "idx")
         )
-    w = Window.partitionBy("para_hash")
+    # SQL-text construction (r16, guide §7.3): identical analyzed plan to
+    # the previous Column-chain form in ~10x fewer py4j round-trips — the
+    # composed prepare rebuilds this every call
     return (
-        occ.withColumn("__cnt", F.count(F.lit(1)).over(w))
-        .withColumn("__keep", F.min(F.struct("doc_id", "idx")).over(w))
+        occ.selectExpr(
+            "doc_id",
+            "idx",
+            "count(1) OVER (PARTITION BY para_hash) AS __cnt",
+            "min(struct(doc_id, idx)) OVER (PARTITION BY para_hash) AS __keep",
+        )
         .filter(
-            (F.col("__cnt") >= 2)
-            & (
-                (F.col("doc_id") != F.col("__keep.doc_id"))
-                | (F.col("idx") != F.col("__keep.idx"))
-            )
+            "__cnt >= 2 AND (doc_id <> __keep.doc_id OR idx <> __keep.idx)"
         )
         .select("doc_id", "idx")
     )

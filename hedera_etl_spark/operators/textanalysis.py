@@ -101,43 +101,38 @@ def quality_scores(
 
     ``carry``: extra input columns passed through unchanged (e.g. the
     domain for grouped_topk) — a pass-through projection, NOT a join, so
-    composing stays zero-shuffle."""
-    t = tokens(text_col)
+    composing stays zero-shuffle.
+
+    SQL-text construction (r16, guide §7.3): this sits on the composed
+    prepare spine (the min_tokens floor and the token-budget scorer) and
+    the Column-chain form cost ~520 py4j round-trips per build; the text
+    form yields the identical analyzed plan in a handful of calls."""
     en = LANG_PROFILES["en"]
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *carry,
-        F.length(text_col).cast("long").alias("n_chars"),
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
-        _stopword_hits(text_col, en).cast("long").alias("stop_hits"),
+    in_list = ", ".join(f"'{w}'" for w in en)
+    t = f"split(`{text_col}`, ' ')"
+    base = docs.selectExpr(
+        f"`{id_col}` AS doc_id",
+        *[f"`{c}`" for c in carry],
+        f"CAST(length(`{text_col}`) AS BIGINT) AS n_chars",
+        f"CAST(size({t}) AS BIGINT) AS n_tokens",
+        f"CAST(size(array_distinct({t})) AS BIGINT) AS n_distinct",
+        f"CAST(size(filter({t}, x -> x IN ({in_list}))) AS BIGINT) AS stop_hits",
     )
-    return base.select(
+    return base.selectExpr(
         "doc_id",
-        *carry,
+        *[f"`{c}`" for c in carry],
         "n_chars",
         "n_tokens",
-        (F.col("n_distinct") / F.col("n_tokens"))
-        .cast("decimal(9,6)")
-        .cast("double")
-        .alias("ttr"),
-        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"))
-        .cast("decimal(9,6)")
-        .cast("double")
-        .alias("avg_token_len"),
-        (F.col("stop_hits") / F.col("n_tokens"))
-        .cast("decimal(9,6)")
-        .cast("double")
-        .alias("stopword_ratio"),
+        "CAST(CAST(n_distinct / n_tokens AS DECIMAL(9,6)) AS DOUBLE) AS ttr",
+        "CAST(CAST((n_chars - (n_tokens - 1)) / n_tokens AS DECIMAL(9,6)) "
+        "AS DOUBLE) AS avg_token_len",
+        "CAST(CAST(stop_hits / n_tokens AS DECIMAL(9,6)) AS DOUBLE) "
+        "AS stopword_ratio",
         # combined score over exact integers: round through DECIMAL for a
         # deterministic value, then DOUBLE so hash canonicalizers never see
         # a trailing-zero decimal string
-        (
-            (F.col("n_distinct") * 100 + F.col("stop_hits") * 10) / F.col("n_tokens")
-        )
-        .cast("decimal(12,6)")
-        .cast("double")
-        .alias("quality_score"),
+        "CAST(CAST((n_distinct * 100 + stop_hits * 10) / n_tokens "
+        "AS DECIMAL(12,6)) AS DOUBLE) AS quality_score",
     )
 
 

@@ -184,8 +184,8 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     cannot be pushed below the Generate."""
     return (
         shingle_sets(docs, n, text_col, id_col)
-        .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
+        .selectExpr("doc_id", "explode_outer(sh_set) AS shingle")
+        .filter("shingle IS NOT NULL")
     )
 
 
@@ -323,15 +323,13 @@ def band_structs_expr(bands: int, rows: int):
     incremental store's inverted candidate probe
     (incremental_dedup.store_candidate_sigs), so the two sides bucket
     IDENTICALLY by construction."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[f"mh_{b * rows + j}" for j in range(rows)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'sig', concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
     )
+    return F.expr(f"array({structs})")
 
 
 def lsh_candidates(
@@ -382,21 +380,20 @@ def lsh_candidates(
         "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
         from hedera_etl_spark.operators.stats import observe_bucket_cap
 
-        wb = W.partitionBy("band", "sig")
-        buckets = buckets.withColumn("__bn", F.count("*").over(wb))
+        buckets = buckets.selectExpr(
+            "*", "count(1) OVER (PARTITION BY band, sig) AS __bn"
+        )
         buckets = observe_bucket_cap(
             buckets, "__bn", max_bucket, cap_observations, "lsh_bucket_cap"
         )
         buckets = buckets.filter(
-            (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket)
+            f"__bn >= 2 AND __bn <= {int(max_bucket)}"
         ).drop("__bn")
-    member = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
+    member = "struct(doc_id{})".format(", " + ", ".join(carry) if carry else "")
     grouped = buckets.groupBy("band", "sig").agg(
-        F.array_sort(F.collect_list(member)).alias("ds")
+        F.expr(f"array_sort(collect_list({member}))").alias("ds")
     )
     # >= 2 is a no-op on the capped path (pre-filtered above) but load-
     # bearing when max_bucket is None
@@ -507,29 +504,36 @@ def verify_jaccard_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     # the harness under-provisioning fixed instead
     # (docs/PERF_NOTES.md r14).
     carry = [c for c in ("__n_a", "__n_b") if c in pairs.columns]
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__set_b"))
+    sa = sets.selectExpr("doc_id AS doc_a", "sh_set AS __set_a")
+    sb = sets.selectExpr("doc_id AS doc_b", "sh_set AS __set_b")
     joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
     if carry:
-        n_a, n_b = F.col("__n_a"), F.col("__n_b")
+        n_a, n_b = "__n_a", "__n_b"
     else:
-        n_a, n_b = F.size("__set_a").cast("long"), F.size("__set_b").cast("long")
+        n_a = "CAST(size(__set_a) AS BIGINT)"
+        n_b = "CAST(size(__set_b) AS BIGINT)"
     return (
-        joined.withColumn("inter", F.size(F.array_intersect("__set_a", "__set_b")).cast("long"))
+        joined.selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(__set_a, __set_b)) AS BIGINT) AS inter",
+            f"{n_a} AS n_a",
+            f"{n_b} AS n_b",
+        )
         # a zero-intersection pair is a non-candidate: the shingle-join
         # form (and the DuckDB oracle's inner join) emit no row for it,
         # so this form must not either — exact equivalence is pinned by
         # test_verify_jaccard_set_and_exploded_forms_agree
-        .filter(F.col("inter") > 0)
-        .withColumn("n_a", n_a)
-        .withColumn("n_b", n_b)
-        .withColumn(
-            "jaccard",
-            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-            .cast("decimal(9,6)")
-            .cast("double"),
+        .filter("inter > 0")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            "CAST(CAST(inter / (n_a + n_b - inter) AS DECIMAL(9,6)) "
+            "AS DOUBLE) AS jaccard",
         )
-        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
     )
 
 
@@ -542,6 +546,7 @@ def minhash_lsh_neardups(
     max_bucket: int | None = 500,
     cap_observations: dict | None = None,
     hash_fn: str = "md5",
+    sorted_pairs: bool = True,
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: shingle -> sign -> band ->
     candidate join -> exact-Jaccard verify -> threshold.
@@ -607,18 +612,22 @@ def minhash_lsh_neardups(
     # monotone, so this drops ONLY pairs the threshold filter would drop
     # — result-identical, proven by the unchanged oracle — while the
     # set-intersection verify and its two joins see fewer pairs.
-    m = F.least("__n_a", "__n_b")
-    jmax = (
-        (m / (F.col("__n_a") + F.col("__n_b") - m))
-        .cast("decimal(9,6)")
-        .cast("double")
+    t = repr(float(threshold))
+    cand = cand.filter(
+        "CAST(CAST(least(__n_a, __n_b) / (__n_a + __n_b - least(__n_a, __n_b)) "
+        f"AS DECIMAL(9,6)) AS DOUBLE) >= {t}D"
     )
-    cand = cand.filter(jmax >= threshold)
-    return (
-        verify_jaccard_sets(sets, cand)
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    verified = verify_jaccard_sets(sets, cand).filter(f"jaccard >= {t}D")
+    if not sorted_pairs:
+        # ``sorted_pairs=False`` skips the presentation sort (guide §2.4:
+        # an orderBy used only for deterministic output): the range
+        # exchange costs a full pair shuffle PLUS a sampling pass that
+        # re-executes the verify-join stage to find range boundaries.
+        # Order-insensitive consumers (prepare's connected-components
+        # collapse canonicalizes + distincts the pairs anyway) get the
+        # identical SET of rows without either.
+        return verified
+    return verified.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
