@@ -383,6 +383,11 @@ def prepare_training_corpus(
                 max_bucket=max_bucket,
                 cap_observations=cap_observations,
                 hash_fn=minhash_hash_fn,
+                # the components collapse canonicalizes + distincts the
+                # pairs: the presentation sort (range exchange + a
+                # boundary-sampling pass that re-runs the verify join)
+                # buys nothing here (guide §2.4)
+                sorted_pairs=False,
             )
         elif near_dup_method == "winnow":
             # winnowing detector: docs sharing >= winnow_min_shared
