@@ -43,39 +43,54 @@ extras), composing with the near-dup detectors' pair outputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Distinct undirected edges as (u=min, v=max), self-loops dropped."""
-    a, b = F.col(src), F.col(dst)
+    """Distinct undirected edges as (u=min, v=max), self-loops dropped.
+
+    SQL-text construction throughout this module (r16, guide §7.3): the
+    fixpoint loop rebuilds both stars every round, and the Column-chain
+    form cost ~1,160 py4j round-trips (~1.1 s of driver wall) per
+    composed prepare build; the text form produces the IDENTICAL
+    analyzed plan in a handful of calls.
+    """
     return (
-        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        edges.selectExpr(
+            f"least(`{src}`, `{dst}`) AS u", f"greatest(`{src}`, `{dst}`) AS v"
+        )
+        .filter("u <> v")
         .na.drop()
         .distinct()
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """(v, m) for every neighbor v > u, where m = min(N(u) + {u}).
 
     The neighborhood minimum is a window min over the symmetrized edge
     list — the window's partition exchange on u is the only shuffle.
+
+    ``dedup=False`` skips the output ``distinct`` (one exchange per
+    round, r16): when the result feeds straight into ``_small_star``,
+    whose own final ``distinct`` dedups anyway, duplicate edges only
+    ride through one window — the per-round edge SET (and so the
+    fixpoint checksums and round count) is bit-identical.
     """
-    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    sym = edges.selectExpr("u AS a", "v AS b").unionByName(
+        edges.selectExpr("v AS a", "u AS b")
     )
-    m = F.least(F.col("a"), F.min("b").over(W.partitionBy("a")))
-    starred = sym.select("a", "b", m.alias("m"))
-    return (
-        starred.filter(F.col("b") > F.col("a"))
-        .select(F.col("m").alias("u"), F.col("b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    out = (
+        sym.selectExpr(
+            "least(a, min(b) OVER (PARTITION BY a)) AS m", "a", "b"
+        )
+        .filter("b > a")
+        .selectExpr("m AS u", "b AS v")
+        .filter("u <> v")
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -85,13 +100,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     endpoint, so each node links its smaller neighbors (and itself) to
     the smallest of them.
     """
-    m = F.min("u").over(W.partitionBy("v"))  # all u < v by canonical orientation
-    starred = edges.select("u", "v", m.alias("m"))
-    relink = starred.select(F.col("m").alias("u"), F.col("u").alias("v"))
-    self_link = starred.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    # all u < v by canonical orientation, so min(u) over v is the minimum
+    starred = edges.selectExpr("u", "v", "min(u) OVER (PARTITION BY v) AS m")
+    relink = starred.selectExpr("m AS u", "u AS v")
+    self_link = starred.selectExpr("m AS u", "v AS v")
     return (
         relink.unionByName(self_link)
-        .filter(F.col("u") != F.col("v"))
+        .filter("u <> v")
         .distinct()
     )
 
@@ -116,32 +131,63 @@ def connected_components(
     hitting the rail raises rather than returning a half-merged
     clustering (a silent partial merge would under-deduplicate).
 
-    The fixpoint test (count, xxhash64 checksum) rides the round's OWN
-    materialization as an ``observe`` metric (r15 optimization round):
+    The fixpoint test (count, xxhash64 checksum) rides the rounds' OWN
+    materialization as ``observe`` metrics (r15 optimization round):
     the eager localCheckpoint is already an action, so the metrics come
     out of the same job — the previous separate ``agg().collect()``
     re-read the whole checkpointed edge set once per round, an O(|E|)
     pass that observe makes free at any scale (measured −26% on the
     bench pair graph, identical rounds and fixpoint values).
+
+    r16 job fusion (guide §5 driver round-trips, §1.2 fewer passes):
+    each checkpoint job now computes the canonicalization (first job
+    only) plus TWO star rounds, with an Observation riding EVERY round
+    boundary inside the job — three (count, checksum) states from one
+    action.  Convergence still stops at the first round k with
+    state(k) == state(k-1), read off the ride-along metrics, so the
+    round sequence and the returned edge set are bit-identical to the
+    one-round-per-job loop (stars are invariant at the fixpoint, so the
+    at-most-one extra star pair a job computes past convergence is the
+    same computation the old confirm round paid as its own job).  The
+    already-star bench pair graph collapses from 3 jobs (canonical pin,
+    round, confirm round) to ONE.
     """
 
-    def _pinned_state(e: DataFrame):
-        """(localCheckpointed frame, (n, sig)) from ONE job."""
-        obs = Observation()
-        pinned = e.observe(
-            obs,
+    from hedera_etl_spark.operators.stats import robust_observe
+
+    def _observed(e: DataFrame):
+        # robust_observe, not a bare Observation: on a degenerate (e.g.
+        # empty) graph, AQE empty-relation propagation eliminates the
+        # intermediate CollectMetrics nodes and a bare .get crashes; the
+        # robust read falls back to one tiny aggregate in that rare case
+        # (stats.RobustObservation).
+        return robust_observe(
+            e,
+            "cc.round",
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("sig"),
-        ).localCheckpoint(eager=True)
-        # .get blocks until the checkpoint job reports its metrics
-        return pinned, (int(obs.get["n"]), int(obs.get["sig"]))
+        )
 
-    cur, prev = _pinned_state(_canonical(edges, src, dst))
-    for _ in range(max_iterations):
-        cur, now = _pinned_state(_small_star(_large_star(cur)))
-        if now == prev:
+    def _state(obs):
+        # .get blocks until the job carrying the CollectMetrics node —
+        # the eager localCheckpoint below, always — reports.  Coupled to
+        # eager=True: a lazy checkpoint would never run the job and
+        # .get has no timeout (ADVICE r15).
+        return (int(obs.get["n"]), int(obs.get["sig"]))
+
+    base, obs0 = _observed(_canonical(edges, src, dst))
+    prev = None  # state before the first observed round; None = not yet known
+    cur = base
+    for _ in range((max_iterations + 1) // 2):
+        r1, obs1 = _observed(_small_star(_large_star(cur, dedup=False)))
+        r2, obs2 = _observed(_small_star(_large_star(r1, dedup=False)))
+        cur = r2.localCheckpoint(eager=True)  # ONE job: both rounds (+canonical)
+        if prev is None:
+            prev = _state(obs0)
+        s1, s2 = _state(obs1), _state(obs2)
+        if s1 == prev or s2 == s1:
             break
-        prev = now
+        prev = s2
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -150,8 +196,8 @@ def connected_components(
         )
 
     # fixpoint edges are (root, member) stars; roots point to themselves
-    members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
-    roots = cur.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    members = cur.selectExpr("v AS node", "u AS component")
+    roots = cur.selectExpr("u AS node", "u AS component").distinct()
     return members.unionByName(roots).distinct()
 
 
