@@ -166,6 +166,11 @@ def connected_components(
             "cc.round",
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("sig"),
+            # round boundaries sit on the checkpoint job's MAIN lineage:
+            # they can only be eliminated when the edge set is truly
+            # empty, where (0, 0) IS the fixpoint state — so skip the
+            # sentinel fallback and keep the empty graph at one job
+            trust_zeros=True,
         )
 
     def _state(obs):

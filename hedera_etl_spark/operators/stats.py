@@ -95,6 +95,11 @@ class InstrumentedRunner:
 #: per query execution); the caller's dict key stays stable.
 _CAP_OBS_SEQ = iter(range(1, 1 << 30))
 
+#: hidden sentinel metric name (stripped from every read): observed row
+#: count, used to tell "populated row of aggregate defaults from an
+#: eliminated subtree" apart from "metrics over a genuinely empty frame"
+_OBS_SENTINEL = "__observed_rows"
+
 
 class RobustObservation:
     """A plan-riding metric with an elimination-proof fallback.
@@ -131,9 +136,12 @@ class RobustObservation:
     authoritative even if a consumer mutates its result in place.
     """
 
-    def __init__(self, obs: Observation, fallback: DataFrame):
+    def __init__(
+        self, obs: Observation, fallback: DataFrame, sentinel: bool = False
+    ):
         self._obs = obs
         self._fallback = fallback
+        self._sentinel = sentinel
         self._cached: dict | None = None
 
     @property
@@ -149,23 +157,52 @@ class RobustObservation:
                 populated = self._obs._jo.getRow().length() > 0
             except Exception:
                 populated = False
-            if populated:
-                self._cached = dict(self._obs.get)
-            else:
-                self._cached = self._fallback.collect()[0].asDict()
+            vals = dict(self._obs.get) if populated else None
+            # Second elimination flavor (r16, found via a fresh-store
+            # streaming epoch): a subtree discarded as UNREFERENCED
+            # (e.g. the build side of a join whose other side is
+            # statically empty) completes the observation with a
+            # POPULATED row of aggregate defaults — count = 0 — which
+            # the length probe cannot tell from a real zero.  The
+            # sentinel row-count disambiguates: zero observed rows
+            # means either "executed over an empty frame" (fallback
+            # recomputes the same zeros) or "never executed" (fallback
+            # recomputes the truth) — both correct, one rare extra job.
+            if vals is not None and self._sentinel:
+                if vals.pop(_OBS_SENTINEL) == 0:
+                    vals = None
+            if vals is None:
+                vals = self._fallback.collect()[0].asDict()
+                vals.pop(_OBS_SENTINEL, None)
+            self._cached = vals
         return dict(self._cached)
 
 
 def robust_observe(
-    df: DataFrame, name: str, *metrics
+    df: DataFrame, name: str, *metrics, trust_zeros: bool = False
 ) -> tuple[DataFrame, "RobustObservation"]:
     """Attach ``metrics`` to ``df`` as an elimination-proof observation:
     returns the observed frame and the ``RobustObservation`` to read
     after the caller's action.  ``name`` gets a monotone suffix so
     repeated sites inside ONE plan stay unique (Spark requires observed
-    names unique per query execution)."""
+    names unique per query execution).
+
+    A hidden row-count sentinel rides along so a populated-but-all-
+    default row (the unreferenced-subtree elimination flavor — see
+    ``RobustObservation.get``) is detected and sent to the fallback.
+    ``trust_zeros=True`` skips the sentinel for call sites where an
+    all-zeros row is provably correct under BOTH readings — i.e. the
+    observed node sits on the action's MAIN lineage, so it can only be
+    eliminated when its true output is empty (connected_components'
+    fixpoint states): those keep the zero-extra-jobs empty path."""
     obs = Observation(f"{name}.{next(_CAP_OBS_SEQ)}")
-    return df.observe(obs, *metrics), RobustObservation(obs, df.agg(*metrics))
+    if trust_zeros:
+        return df.observe(obs, *metrics), RobustObservation(obs, df.agg(*metrics))
+    sent = F.count(F.lit(1)).alias(_OBS_SENTINEL)
+    return (
+        df.observe(obs, *metrics, sent),
+        RobustObservation(obs, df.agg(*metrics, sent), sentinel=True),
+    )
 
 
 def observe_bucket_cap(
