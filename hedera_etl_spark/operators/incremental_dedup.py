@@ -448,9 +448,20 @@ def incremental_dedup_batch(
         )
     exclude = batch_id if replaying else None
 
+    from hedera_etl_spark.operators.stats import robust_observe
+
     docs = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    # Plain counts for the pre-signature stages, deliberately NOT
+    # plan-riding observations (r16 finding): the eager content_hits
+    # store-probe checkpoint below contains these subtrees, and on a
+    # FRESH store the static empty-relation rewrite deletes the probe's
+    # broadcast side — an observation then completes with a populated
+    # all-zeros row (no task updates) that the elimination probe cannot
+    # tell from a real zero.  Only the signature count (whose observe
+    # node is the ROOT of its own eager checkpoint, with no intervening
+    # action) rides a job safely — see below.
     rows_in = docs.count()
 
     # 1. exact, within batch then vs store.  The store probe is INVERTED
@@ -518,13 +529,23 @@ def incremental_dedup_batch(
             minhash_signatures_from_hashed_sets,
         )
 
-        batch_sigs = minhash_signatures_from_hashed_sets(
+        pre_sigs = minhash_signatures_from_hashed_sets(
             hashed_shingle_sets(batch_docs, n=n), k=k
-        ).localCheckpoint()
+        )
     else:
-        batch_sigs = minhash_signatures_from_sets(
+        pre_sigs = minhash_signatures_from_sets(
             shingle_sets(batch_docs, n=n), k=k
-        ).localCheckpoint()
+        )
+    # the signature count rides the checkpoint job (r16, guide §5): the
+    # observe node is the ROOT of the checkpointed plan and the eager
+    # localCheckpoint on the next line is the FIRST action to touch it,
+    # so no intermediate action (and no empty-relation rewrite of some
+    # OTHER query) can complete it early — a root CollectMetrics over a
+    # statically-emptied child still reports the true count (zero)
+    pre_sigs, sigs_obs = robust_observe(
+        pre_sigs, "incdedup.batch_sigs", F.count(F.lit(1)).alias("n")
+    )
+    batch_sigs = pre_sigs.localCheckpoint()
     # inverted candidate probe: only stored sigs sharing a batch bucket
     # join the LSH pass (pinned equivalent to banding the full store —
     # see store_candidate_sigs); localCheckpoint = one history scan
@@ -595,9 +616,9 @@ def incremental_dedup_batch(
     kept_ids = decision.filter("keep").select("doc_id")
     # derived, not recounted (r12): remaining = batch_sigs minus the
     # vs-store drops (both ⊆ new_ids by construction), so its size is
-    # arithmetic; only the keeper count runs a job (on the checkpointed
-    # decision)
-    n_batch_sigs = batch_sigs.count()
+    # arithmetic; the signature count rode the checkpoint job (r16), so
+    # only the keeper count runs a job (on the checkpointed decision)
+    n_batch_sigs = int(sigs_obs.get["n"])
     n_kept_core = kept_ids.count()
     near_in_batch = (n_batch_sigs - near_vs_store) - n_kept_core
     if removal_ledger is not None:

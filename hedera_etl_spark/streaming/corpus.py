@@ -724,6 +724,13 @@ class CorpusIngestPipeline:
             from hedera_etl_spark.operators.urlstore import incremental_url_dedup
 
             url_replay = self.url_store.has_batch(bid)
+            # a plain count, NOT a plan-riding observation (r16 finding):
+            # incremental_url_dedup runs an eager store-probe checkpoint
+            # whose plan contains this subtree, and on a FRESH url store
+            # the static empty-relation rewrite deletes that probe's
+            # broadcast side — the observation then completes with a
+            # populated all-zeros row (no task updates) that the
+            # elimination probe cannot distinguish from a real zero
             before = batch.count()
             if self.url_commit_policy == "post_decontam":
                 batch, pending_urls = incremental_url_dedup(
@@ -791,23 +798,35 @@ class CorpusIngestPipeline:
                 "quality_floor", "text_classifier", pre, batch
             )
         eval_sh = self._eval_sh_for(bid)
+        n_after_decontam = None
         if eval_sh is not None:
             from hedera_etl_spark.operators.decontam import (
                 decontaminate_against_shingles,
             )
+            from hedera_etl_spark.operators.stats import robust_observe
 
             # FIRST, before any store sees the batch: a contaminated doc
             # must never commit hashes/signatures as "accepted" content.
             # eval_sh is the epoch's RECORDED version (replay-stable
             # across eval rotations — see _eval_sh_for).
-            before = batch.count()
+            # The pre-decontam count rides the post-decontam count below
+            # as an observation (r16): the standalone `before` job ran
+            # the min-token filter chain once more per micro-batch.
+            batch, pre_obs = robust_observe(
+                batch, "stream.decontam_in", F.count(F.lit(1)).alias("n")
+            )
             pre = batch
             batch = decontaminate_against_shingles(
                 batch, eval_sh, n=self.decontam_n
             )
             batch = _ledger_drops("decontam", "contaminated", pre, batch)
             if not self.store.has_batch(bid):  # replays don't double-count
-                m.dropped_contaminated += before - batch.count()
+                # remembered for the paragraph stage (r16): its `before`
+                # count re-executed this exact decontam plan every batch
+                n_after_decontam = batch.count()
+                m.dropped_contaminated += (
+                    int(pre_obs.get["n"]) - n_after_decontam
+                )
         if pending_urls is not None:
             # post_decontam commit policy: remember only URLs whose
             # keeper is still alive after decontamination (and the token
@@ -840,7 +859,14 @@ class CorpusIngestPipeline:
             # the deferred commit is replay-stable too.
             para_replay = self.paragraph_store.has_batch(bid)
             pre_para = batch
-            before = batch.count()
+            # `batch` is unchanged since the decontam count above (the
+            # deferred URL commit reads it without reassigning), so reuse
+            # that value instead of re-running the decontam plan (r16)
+            before = (
+                n_after_decontam
+                if n_after_decontam is not None
+                else batch.count()
+            )
             batch, para_new_canon = incremental_paragraph_dedup_plan(
                 batch,
                 self.paragraph_store,
