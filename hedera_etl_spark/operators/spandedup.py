@@ -62,8 +62,20 @@ def _span_rows(
     (64-bit hash over the token-hash sequence, ~n_spans pairs / 2^64;
     a collision only over-cuts one span).  The hash array is a PROJECTED
     column so the span lambda references it without re-tokenizing (the
-    textanalysis inlining hazard)."""
-    toked = docs.select(
+    textanalysis inlining hazard).
+
+    r16 (guide §2.5 input skew): the fan-out below — per-token xxhash64
+    plus a 20-token slice hash per span — is the module's dominant CPU
+    and chains directly onto the caller's scan; a small/single-split
+    parquet table runs the whole thing on ONE core (measured: the sf0.1
+    documents table is one split, and the benched entry's 8-core run
+    matched its 32-core run).  ``ensure_parallelism`` spreads it; on
+    production tables with thousands of splits it is a no-op, and on
+    checkpoint-rooted epoch frames it passes through untouched
+    (tables._probe_is_safe)."""
+    from hedera_etl_spark.tables import ensure_parallelism
+
+    toked = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("__toks")
     ).select(
         "doc_id",
