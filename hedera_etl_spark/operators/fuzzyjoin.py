@@ -93,19 +93,12 @@ def fuzzy_key_join(
         raise ValueError("max_dist must be >= 0")
     d = max_dist
 
-    # r16 (guide §2.5 input skew): both legs chain per-row md5/segment
-    # and substring EXPLODES (probe: d+1 segments, candidate: O(|key|*d)
-    # substrings) straight onto the caller's scan — a small/single-split
-    # table runs that fan-out on ONE core.  ensure_parallelism spreads
-    # it (no-op on multi-split production tables; pass-through on
-    # composed/checkpoint-rooted frames).  For the self-join both legs
-    # share one spread frame, so the repartition subtree is identical
-    # and AQE reuses the exchange instead of scanning twice.
-    from hedera_etl_spark.tables import ensure_parallelism
-
-    left = ensure_parallelism(left)
-    right = ensure_parallelism(right) if right is not left else left
-
+    # No ensure_parallelism spread here (r16, tried and reverted): the
+    # per-row fan-out is light (short keys, d+1 segments / O(|key|*d)
+    # substrings), and an alternating same-window A/B measured the
+    # spread exchange costing more than the single-split explode it
+    # parallelizes at sf0.1 (0.902 s with vs 0.787 s without, control
+    # entry flat) — the opposite of spandedup's heavy span fan-out.
     a = left.select(
         F.col(id_col).alias("id_a"), F.col(key_col).cast("string").alias("key_a")
     ).filter(F.col("key_a").isNotNull())

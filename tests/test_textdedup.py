@@ -40,33 +40,6 @@ def test_minhash_finds_clone_and_neardup(spark, docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
-def test_minhash_prefilter_bound_is_sound_at_boundaries(spark):
-    """The r15 best-case-jaccard prefilter (minhash_lsh_neardups) drops
-    a candidate when round6(min/(n_a+n_b-min)) < threshold.  Soundness
-    requires: for EVERY achievable inter <= min(n_a, n_b), if the real
-    decimal-canon jaccard passes the threshold filter then the bound
-    passes too — i.e. the cut never removes a pair the final filter
-    would keep.  Exhaust the small grid (n_a, n_b <= 24, all inter,
-    thresholds including exact-boundary values like 8/16 = 0.5) through
-    the SAME Spark cast chain the operator uses."""
-    rows = [
-        (inter, na, nb)
-        for na in range(1, 25)
-        for nb in range(1, 25)
-        for inter in range(1, min(na, nb) + 1)
-    ]
-    df = spark.createDataFrame(rows, "inter INT, n_a INT, n_b INT")
-    m = F.least("n_a", "n_b")
-    canon = lambda c: c.cast("decimal(9,6)").cast("double")
-    out = df.select(
-        canon(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("j"),
-        canon(m / (F.col("n_a") + F.col("n_b") - m)).alias("jmax"),
-    ).collect()
-    for t in (0.3, 0.5, 8 / 16, 0.666667, 0.75, 1.0):
-        violations = [r for r in out if r["j"] >= t and not (r["jmax"] >= t)]
-        assert not violations, (t, violations[:5])
-
-
 def test_minhash_hash_modes_agree_on_pair_set(spark):
     """VERDICT r8 #2: the production xxhash64 signature mode and the
     md5 oracle-canon mode must verify the SAME near-dup pair set on a
