@@ -35,9 +35,6 @@ DEC = "decimal(18,2)"
     """,
     tags=("join", "asof"),
     bench=True,
-    # the right-side checkpoint below pins materialized state — rebuild
-    # the plan every run like the minhash/ngram entries (see `query`)
-    cache_plan=False,
 )
 def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: for every order, the most recent shipment
@@ -52,15 +49,19 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(key, shipdate) aggregate of lineitem; the oracle is DuckDB's
     native ASOF JOIN over the same pre-aggregated CTE.
 
-    The right aggregate is LAZILY CHECKPOINTED (r16, the operator's own
-    expensive-right-side guidance): the bucketed form's honest residual
-    is that its carry-window and seed-aggregate consumers re-evaluate
-    the union subtree — divergent column pruning between them defeats
-    exchange reuse (the r15 attempt) — so an un-pinned right side pays
-    the lineitem scan + aggregate TWICE per action.  The pinned frame
-    is the (k, shipdate) aggregate: bounded by keys x dates at any
-    corpus scale, never fact-sized, so the checkpoint is scale-safe
-    (unlike pinning the union itself, rejected in r15)."""
+    Honest residual (r15, re-confirmed r16): the bucketed form's
+    carry-window and seed-aggregate consumers re-evaluate the union
+    subtree — divergent column pruning defeats exchange reuse (the r15
+    attempt), so the lineitem scan + aggregate runs twice per action.
+    A lazy checkpoint of the right aggregate was tried in r16 and
+    REVERTED after an alternating same-window A/B measured it 22%
+    SLOWER (1.038 → 1.262 s, two flat control entries): at bench scale
+    the checkpoint's extra job + block write/read + lost whole-stage
+    pipelining cost more than the duplicated aggregate it saved, and
+    pinning also forced the entry out of the prepared-plan cache
+    (plan rebuilt every run).  At 100 TB the duplicated work is one
+    extra lineitem scan feeding a bounded aggregate — real but not the
+    entry's scale-killer (the windows are)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     right = (
@@ -70,7 +71,6 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("l_orderkey").alias("n_ship"),
             F.max("l_orderkey").alias("last_lok"),
         )
-        .localCheckpoint(eager=False)
     )
     left = orders.select(
         (F.col("o_custkey") % 25).alias("k"), "o_orderdate", "o_orderkey"
