@@ -103,6 +103,15 @@ def pack_sequences(
     whitespace tokens of ``text_col`` are counted JVM-side.  Returns
     (doc_id, n_tokens, group_id, bin_id, oversize) — one row per input
     document, ``bin_id`` globally unique across groups.
+
+    Single-split caveat (ADVICE r15 #2): the token count runs UPSTREAM
+    of the group_id repartition, i.e. on the caller's input
+    partitioning — a genuinely single-partition caller computes every
+    count on one core before the exchange spreads the rest.  Callers
+    with a one-partition frame and large documents should repartition
+    before calling (the guard was removed here deliberately: its
+    partition probe force-planned the composed caller's plan, a
+    measured net regression — see the r15 note below).
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")

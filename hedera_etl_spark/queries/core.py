@@ -104,7 +104,12 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0
                 )
             ).alias("n_urgent"),
-            F.count("*").alias("n_prios"),
+            # count the COLUMN, not the rows (ADVICE r15 #1): each
+            # per_prio row is one distinct (custkey, priority), but the
+            # oracle's COUNT(DISTINCT o_orderpriority) excludes NULLs —
+            # count(col) skips a NULL-priority group identically
+            # (unreachable on TPC-H data, where the column is NOT NULL)
+            F.count("o_orderpriority").alias("n_prios"),
             F.array_join(
                 F.flatten(
                     F.transform(

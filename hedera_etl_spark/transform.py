@@ -213,6 +213,17 @@ def parse_transactions(
     # row parses ONCE.  spark_partition_id() is constant within a task
     # and the WHEN branch never fires, so the value (and task-retry
     # behavior) is identical.
+    # Trade-off disclosure (ADVICE r15 #3): a Project containing ANY
+    # nondeterministic field blocks predicate pushdown through it, so
+    # post-parse filters — including ones not touching __p — no longer
+    # reach the source scan.  Every current caller filters only on
+    # parsed fields (which could never push below the parse anyway) and
+    # the raw sources are unpartitioned JSON lines, so nothing is lost
+    # today; a caller adding a pushable pre-parse predicate should apply
+    # it to `raw` BEFORE calling.  The pin leans on the optimizer's
+    # nondeterminism contract and is plan-pinned in tests/test_plans.py
+    # (test_tx_parse_evaluates_from_json_once), so a Spark upgrade that
+    # changes the contract fails loudly.
     nd_value = F.when(F.spark_partition_id() < 0, F.lit(None)).otherwise(
         F.col(value_col)
     )
